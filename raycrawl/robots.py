@@ -1,0 +1,57 @@
+"""robots.txt verdicts + crawl-delay precedence.
+
+Mirrors the reference (crawler.py:410-438): one parser per host, allow-all on
+missing/error robots, and the delay ladder site.delay → robots Crawl-delay →
+DEFAULT_DELAY (0.5 s). In the sandbox robots bodies come from a fixture table
+(host → robots_txt | None) instead of live HTTP; the parser itself is stdlib
+``urllib.robotparser`` so allow/deny matching semantics are identical to the
+reference's ``RobotFileParser`` usage.
+"""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+USER_AGENT = "raycrawl/0.1 (+https://example.org/raycrawl)"
+DEFAULT_DELAY = 0.5  # crawler.py:96
+
+
+class RobotsTable:
+    """Per-host robots verdicts from fixture bodies; allow-all fallback."""
+
+    def __init__(self, bodies: dict[str, str | None] | None = None,
+                 user_agent: str = USER_AGENT):
+        self.user_agent = user_agent
+        self._parsers: dict[str, RobotFileParser | None] = {}
+        for host, body in (bodies or {}).items():
+            self._parsers[host] = self._parse(body)
+
+    @staticmethod
+    def _parse(body: str | None) -> RobotFileParser | None:
+        if body is None:
+            return None  # fetch-error host → allow-all (crawler.py:425-429)
+        p = RobotFileParser()
+        p.parse(body.splitlines())
+        return p
+
+    def can_fetch(self, host: str, url: str) -> bool:
+        p = self._parsers.get(host)
+        if p is None:
+            return True
+        return p.can_fetch(self.user_agent, url)
+
+    def crawl_delay(self, host: str) -> float | None:
+        """robots Crawl-delay for our UA, or None (crawler.py:432-438)."""
+        p = self._parsers.get(host)
+        if p is None:
+            return None
+        d = p.crawl_delay(self.user_agent)
+        return float(d) if d else None
+
+    def effective_delay(self, host: str, site_delay: float | None) -> float:
+        """site.delay → robots Crawl-delay → DEFAULT_DELAY
+        (crawler.py:946-949, 432-438)."""
+        if site_delay is not None:
+            return site_delay
+        d = self.crawl_delay(host)
+        return d if d is not None else DEFAULT_DELAY

@@ -1,0 +1,126 @@
+"""URL canonicalization, validity and filter predicates.
+
+Semantics mirror the reference crawler (file:line cites into /root/reference):
+- ``normalize_url``      — crawler.py:474-477 (drop #fragment, rstrip '/')
+- ``is_valid_url``       — crawler.py:490-499 (http/https, no localhost)
+- ``is_same_domain``     — crawler.py:480-481 (netloc equality)
+- ``is_excluded``        — crawler.py:484-487 (substring match any pattern)
+- ``has_binary_extension`` — crawler.py:1168-1173 (dequeue-time extension gate)
+- ``generate_doc_id``    — crawler.py:470-471 (md5 hex of url)
+- ``url_key``            — ours: SHA-1 of the canonical URL, the seen-set key
+  mandated by the north-star design (sharded cuckoo/bloom filters at 10^10
+  keys need a fixed-width uniform key, not the raw URL).
+
+All functions are pure; the batch variants operate on Python lists and are
+used inside ``map_batches`` bodies (URL parsing is irreducibly per-string —
+stdlib ``urllib.parse`` — but we amortize by compiling nothing per call and
+avoiding per-row Python object churn beyond the parse itself).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin, urlparse
+
+GLOBAL_EXCLUDE_PATTERNS = [
+    # reference crawler.py:111-118 (login/cart/wordpress boilerplate)
+    "/login",
+    "/logout",
+    "/signin",
+    "/signup",
+    "/register",
+    "/cart",
+    "/checkout",
+    "/account",
+    "/share",
+    "/print",
+    "/cdn-cgi/",
+    "/wp-admin/",
+    "/wp-json/",
+    "/wp-login.php",
+    "/wp-cron.php",
+    "xmlrpc.php",
+    "?rest_route=",
+    "?preview=",
+    "/feed/",
+]
+
+BINARY_EXTENSIONS = (
+    ".jpg",
+    ".jpeg",
+    ".png",
+    ".gif",
+    ".bmp",
+    ".svg",
+    ".pdf",
+    ".zip",
+    ".rar",
+    ".mp3",
+    ".mp4",
+    ".avi",
+)
+
+_BAD_NETLOCS = {"localhost", "127.0.0.1", "0.0.0.0"}
+
+
+def normalize_url(url: str) -> str:
+    """Drop the fragment and any trailing slash (crawler.py:474-477)."""
+    url = url.split("#", 1)[0]
+    return url.rstrip("/")
+
+
+def is_valid_url(url: str) -> bool:
+    """http(s) only, never loopback hosts (crawler.py:490-499)."""
+    try:
+        parsed = urlparse(url)
+    except Exception:
+        return False
+    if parsed.scheme not in ("http", "https"):
+        return False
+    if parsed.netloc in _BAD_NETLOCS:
+        return False
+    return True
+
+
+def host_of(url: str) -> str:
+    try:
+        return urlparse(url).netloc
+    except Exception:
+        return ""
+
+
+def is_same_domain(url1: str, url2: str) -> bool:
+    """Exact netloc equality (crawler.py:480-481)."""
+    return urlparse(url1).netloc == urlparse(url2).netloc
+
+
+def is_excluded(url: str, patterns: list[str]) -> bool:
+    """Substring match against any pattern (crawler.py:484-487)."""
+    if not patterns:
+        return False
+    return any(p in url for p in patterns)
+
+
+def has_binary_extension(url: str) -> bool:
+    """Dequeue-time binary-extension gate (crawler.py:1168-1173)."""
+    return url.lower().endswith(BINARY_EXTENSIONS)
+
+
+def generate_doc_id(url: str) -> str:
+    """md5 hex of the (final) URL (crawler.py:470-471)."""
+    return hashlib.md5(url.encode()).hexdigest()
+
+
+def url_key(url: str) -> bytes:
+    """SHA-1 digest of the canonical URL — the seen-set shard key."""
+    return hashlib.sha1(normalize_url(url).encode()).digest()
+
+
+def url_key_hex(url: str) -> str:
+    return hashlib.sha1(normalize_url(url).encode()).hexdigest()
+
+
+def join_and_normalize(base_url: str, href: str) -> str:
+    """``urljoin`` then normalize — the link-admission canonical form
+    (crawler.py:1066-1072)."""
+    return normalize_url(urljoin(base_url, href))
