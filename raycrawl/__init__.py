@@ -19,3 +19,18 @@ reference.
 """
 
 __version__ = "0.1.0"
+
+# Ray workers must be able to import this package. When the driver imports
+# raycrawl BEFORE calling ray.init (the normal library contract), exporting
+# the repo root on PYTHONPATH here makes every spawned worker inherit it —
+# no matter what the driver's cwd is. (Workers resolve module-level classes
+# and closures by import, not by value.)
+import os as _os
+
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + (_os.pathsep + _pp if _pp else "")
+    )
+del _os, _pp, _repo_root

@@ -1,0 +1,341 @@
+"""URL-seen / frontier-membership / incremental-cache state.
+
+The reference keeps three in-memory Python sets per site (``visited``,
+``in_progress``, ``to_visit_urls``, crawler.py:1121-1124), a per-site
+``processed_hashes`` set (crawler.py:944) and a cross-run SQLite cache
+(cache_db.py:17-93). At 10^10-URL design scale this becomes a SHARDED actor
+pool keyed by SHA-1(canonical url) (north_star): ``SeenState`` is the plain
+state machine, ``SeenShard`` the Ray actor wrapper, ``ShardedSeen`` the
+client that routes batched calls by key-hash.
+
+Membership can run in two modes:
+- ``exact``  — Python sets/dicts (test scale; the semantic ground truth);
+- ``cuckoo`` — a cuckoo filter per shard (~2-4 bytes/key) for the *visited*
+  membership, with an exact overflow stash; validated against exact mode at
+  test scale (SURVEY.md §2.5 note / §5.2 test 3). The incremental cache
+  metadata (content_hash/etag/last_crawl) stays an exact mapping — at design
+  scale it is the at-rest ``seen`` Parquet table, of which the in-memory dict
+  here is the test-scale stand-in.
+
+All APIs are batch-first: one RPC per shard per wave, never per URL
+(SURVEY.md §7.7 actor-RPC amortization).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+
+class CuckooFilter:
+    """Fixed-capacity cuckoo filter: 4-slot buckets, 16-bit fingerprints,
+    exact stash overflow. No deletions (crawl seen-sets only grow within a
+    run; compaction happens at checkpoint rewrite)."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0x5EED):
+        n_buckets = 1
+        while n_buckets * 4 < capacity:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.stash: set[bytes] = set()
+        self.count = 0
+        self._rng = np.random.default_rng(seed)  # deterministic eviction choices
+
+    @staticmethod
+    def _fp_and_index(key: bytes) -> tuple[int, int]:
+        # key is a SHA-1 digest: uniform bytes — slice, don't rehash
+        fp = (int.from_bytes(key[0:2], "little") | 1) & 0xFFFF
+        idx = int.from_bytes(key[2:6], "little")
+        return fp, idx
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        # standard partial-key cuckoo: alt = idx XOR hash(fp)
+        return (idx ^ (fp * 0x5BD1E995)) & (self.n_buckets - 1)
+
+    def add(self, key: bytes) -> None:
+        fp, idx = self._fp_and_index(key)
+        i1 = idx & (self.n_buckets - 1)
+        i2 = self._alt_index(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            for s in range(4):
+                if row[s] == 0:
+                    row[s] = fp
+                    self.count += 1
+                    return
+        # evict loop
+        i = i1 if (self.count & 1) == 0 else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            s = int(self._rng.integers(0, 4))
+            cur, self.table[i][s] = int(self.table[i][s]), cur
+            i = self._alt_index(i, cur)
+            row = self.table[i]
+            for s2 in range(4):
+                if row[s2] == 0:
+                    row[s2] = cur
+                    self.count += 1
+                    return
+        self.stash.add(bytes((cur & 0xFF, (cur >> 8) & 0xFF)) + b"#" + str(i).encode())
+        self.count += 1
+
+    def contains(self, key: bytes) -> bool:
+        fp, idx = self._fp_and_index(key)
+        i1 = idx & (self.n_buckets - 1)
+        i2 = self._alt_index(i1, fp)
+        if fp in self.table[i1] or fp in self.table[i2]:
+            return True
+        probe1 = bytes((fp & 0xFF, (fp >> 8) & 0xFF)) + b"#" + str(i1).encode()
+        probe2 = bytes((fp & 0xFF, (fp >> 8) & 0xFF)) + b"#" + str(i2).encode()
+        return probe1 in self.stash or probe2 in self.stash
+
+
+class SeenState:
+    """Per-shard crawl membership + incremental cache. Keys are SHA-1
+    digests (bytes); all per-site sets are keyed by site name."""
+
+    def __init__(self, mode: str = "exact", cuckoo_capacity: int = 1 << 18):
+        assert mode in ("exact", "cuckoo")
+        self.mode = mode
+        self.cuckoo_capacity = cuckoo_capacity
+        self.visited: dict[str, set[bytes]] = {}
+        self.visited_ck: dict[str, CuckooFilter] = {}
+        self.queued: dict[str, set[bytes]] = {}
+        self.hashes: dict[str, set[str]] = {}     # indexed content hashes per site
+        self.pending: dict[str, dict[str, tuple]] = {}  # per-wave hash proposals
+        self.cache: dict[bytes, dict] = {}        # cross-run incremental state
+
+    # -- membership -------------------------------------------------------
+    def _visited_contains(self, site: str, key: bytes) -> bool:
+        if self.mode == "cuckoo":
+            ck = self.visited_ck.get(site)
+            return ck.contains(key) if ck else False
+        return key in self.visited.get(site, ())
+
+    def mark_visited(self, site: str, keys: list[bytes]) -> None:
+        if self.mode == "cuckoo":
+            ck = self.visited_ck.setdefault(site, CuckooFilter(self.cuckoo_capacity))
+            for k in keys:
+                if not ck.contains(k):
+                    ck.add(k)
+        else:
+            self.visited.setdefault(site, set()).update(keys)
+
+    def on_popped(self, site: str, keys: list[bytes]) -> None:
+        """Every popped frontier entry leaves the queued set
+        (crawler.py:1162 ``to_visit_urls.discard``)."""
+        q = self.queued.get(site)
+        if q:
+            q.difference_update(keys)
+
+    def admit(self, site: str, keys: list[bytes]) -> list[bool]:
+        """Test-and-set admission: new iff not visited and not queued
+        (crawler.py:1205). In-order within the call; exactly-once."""
+        q = self.queued.setdefault(site, set())
+        out = []
+        for k in keys:
+            if k in q or self._visited_contains(site, k):
+                out.append(False)
+            else:
+                q.add(k)
+                out.append(True)
+        return out
+
+    def queued_count(self, site: str) -> int:
+        return len(self.queued.get(site, ()))
+
+    # -- content-hash dedup (crawler.py:944, 1034, 1039) -------------------
+    # Two-phase, order-deterministic "first-processed wins": eligible rows
+    # PROPOSE (hash, order_key) during the wave's first pass; the min
+    # order_key per hash wins; CONFIRM (second pass) grants exactly that row
+    # unless the hash was already indexed in an earlier wave. This keeps
+    # duplicate-content resolution deterministic under concurrent batches
+    # without a per-wave groupby shuffle.
+    def propose_hash(self, site: str, items: list[tuple[str, tuple]]) -> None:
+        permanent = self.hashes.get(site, ())
+        p = self.pending.setdefault(site, {})
+        for h, okey in items:
+            if h in permanent:
+                continue  # dead on arrival: an earlier wave indexed it
+            cur = p.get(h)
+            if cur is None or okey < cur:
+                p[h] = okey
+
+    def confirm_hashes(self, site: str, items: list[tuple[str, tuple]]) -> list[bool]:
+        permanent = self.hashes.setdefault(site, set())
+        p = self.pending.get(site, {})
+        out = []
+        for h, okey in items:
+            if h not in permanent and p.get(h) == okey:
+                permanent.add(h)
+                out.append(True)
+            else:
+                out.append(False)
+        return out
+
+    def clear_pending(self) -> None:
+        self.pending = {}
+
+    # -- incremental cache (cache_db.py:49-93) ----------------------------
+    def get_cache(self, keys: list[bytes]) -> list[dict | None]:
+        return [self.cache.get(k) for k in keys]
+
+    def set_cache(self, entries: list[tuple[bytes, dict]]) -> None:
+        for k, rec in entries:
+            self.cache[k] = rec
+
+    # -- checkpoint --------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "mode": self.mode,
+                "visited": self.visited,
+                "queued": self.queued,
+                "hashes": self.hashes,
+                "cache": self.cache,
+                "visited_ck": {
+                    s: (ck.n_buckets, ck.table, ck.stash, ck.count)
+                    for s, ck in self.visited_ck.items()
+                },
+                "cuckoo_capacity": self.cuckoo_capacity,
+            }
+        )
+
+    def restore(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.mode = d["mode"]
+        self.visited = d["visited"]
+        self.queued = d["queued"]
+        self.hashes = d["hashes"]
+        self.cache = d["cache"]
+        self.cuckoo_capacity = d["cuckoo_capacity"]
+        self.visited_ck = {}
+        for s, (nb, table, stash, count) in d["visited_ck"].items():
+            ck = CuckooFilter(nb * 4)
+            ck.table = table
+            ck.stash = stash
+            ck.count = count
+            self.visited_ck[s] = ck
+
+
+def make_seen_shard_cls():
+    """Deferred ray.remote decoration so importing this module never
+    touches Ray (the driver owns ray.init)."""
+    import os
+
+    import ray
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    @ray.remote(num_cpus=0,
+                runtime_env={"env_vars": {"PYTHONPATH": repo_root}})
+    class SeenShard(SeenState):
+        """Control-plane actor: num_cpus=0 so shards never compete with
+        Dataset tasks for CPU slots; work per call is set ops on batches."""
+
+        def ping(self):
+            return True
+
+    return SeenShard
+
+
+class ShardedSeen:
+    """Client routing batched calls to N SeenShard actors by key-hash.
+
+    One RPC per touched shard per call; calls to distinct shards run
+    concurrently (submit all, then gather)."""
+
+    def __init__(self, n_shards: int = 4, mode: str = "exact",
+                 cuckoo_capacity: int = 1 << 18):
+        import ray
+
+        cls = make_seen_shard_cls()
+        self.n = n_shards
+        self.shards = [cls.remote(mode, cuckoo_capacity) for _ in range(n_shards)]
+        self._ray = ray
+
+    def _route(self, keys: list[bytes]):
+        by_shard: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            by_shard.setdefault(k[-1] % self.n, []).append(i)
+        return by_shard
+
+    def _scatter_gather(self, method: str, site: str | None, keys: list[bytes],
+                        want_result: bool = True):
+        by_shard = self._route(keys)
+        refs = {}
+        for sid, idxs in by_shard.items():
+            ks = [keys[i] for i in idxs]
+            m = getattr(self.shards[sid], method)
+            refs[sid] = m.remote(site, ks) if site is not None else m.remote(ks)
+        if not want_result:
+            self._ray.get(list(refs.values()))
+            return None
+        out = [None] * len(keys)
+        for sid, idxs in by_shard.items():
+            vals = self._ray.get(refs[sid])
+            if vals is None:
+                continue
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
+
+    def admit(self, site: str, keys: list[bytes]) -> list[bool]:
+        return self._scatter_gather("admit", site, keys)
+
+    def on_popped(self, site: str, keys: list[bytes]) -> None:
+        self._scatter_gather("on_popped", site, keys, want_result=False)
+
+    def mark_visited(self, site: str, keys: list[bytes]) -> None:
+        self._scatter_gather("mark_visited", site, keys, want_result=False)
+
+    def get_cache(self, keys: list[bytes]) -> list[dict | None]:
+        return self._scatter_gather("get_cache", None, keys)
+
+    def set_cache(self, entries: list[tuple[bytes, dict]]) -> None:
+        keys = [k for k, _ in entries]
+        by_shard = self._route(keys)
+        refs = []
+        for sid, idxs in by_shard.items():
+            refs.append(self.shards[sid].set_cache.remote([entries[i] for i in idxs]))
+        self._ray.get(refs)
+
+    def _route_hashes(self, items: list[tuple[str, tuple]]):
+        by_shard: dict[int, list[int]] = {}
+        for i, (h, _) in enumerate(items):
+            by_shard.setdefault(int(h[:2], 16) % self.n, []).append(i)
+        return by_shard
+
+    def propose_hash(self, site: str, items: list[tuple[str, tuple]]) -> None:
+        by_shard = self._route_hashes(items)
+        refs = [self.shards[sid].propose_hash.remote(site, [items[i] for i in idxs])
+                for sid, idxs in by_shard.items()]
+        self._ray.get(refs)
+
+    def confirm_hashes(self, site: str, items: list[tuple[str, tuple]]) -> list[bool]:
+        by_shard = self._route_hashes(items)
+        refs = {sid: self.shards[sid].confirm_hashes.remote(site, [items[i] for i in idxs])
+                for sid, idxs in by_shard.items()}
+        out = [False] * len(items)
+        for sid, idxs in by_shard.items():
+            vals = self._ray.get(refs[sid])
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
+
+    def clear_pending(self) -> None:
+        self._ray.get([s.clear_pending.remote() for s in self.shards])
+
+    def snapshots(self) -> list[bytes]:
+        return self._ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.n
+        self._ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def load_prior_cache(self, entries: list[tuple[bytes, dict]]) -> None:
+        self.set_cache(entries)

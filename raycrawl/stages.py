@@ -1,0 +1,340 @@
+"""Crawl pipeline stages — pure batch functions over Arrow tables.
+
+Shared between the two execution modes (pipeline.py):
+- strict mode calls them directly on small Tables (exact reference visit
+  order, scheduler budget = CONCURRENT_REQUESTS);
+- wave mode wraps them in ``map_batches`` / ``map_groups`` over Datasets.
+
+Fetch is SIMULATED in this sandbox: a lookup join of the frontier against the
+synthetic ``pages`` corpus (SURVEY.md §2.1 S2/J6 — the stand-in for live
+HTTP; the page index is broadcast once via ``ray.put`` and materialized once
+per actor/worker, never re-shipped per batch). A live deployment swaps
+``SimFetchStage`` for an aiohttp actor pool with identical I/O schema
+(``LiveFetchStage`` stub below).
+
+Status codes: 200 fetched, 304 not-modified (etag conditional hit,
+crawler.py:974-984 + 1012-1016), 415 non-HTML content-type
+(crawler.py:986-989), 0 fetch error after retries (crawler.py:1001).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .extract import IMAGES_TYPE, MIN_CONTENT_CHARS, extract_document
+from .urlnorm import is_excluded, is_same_domain, is_valid_url, url_key
+
+SECONDS_PER_DAY = 86400.0
+
+FRONTIER_FIELDS = [
+    ("url", pa.string()),
+    ("site", pa.string()),
+    ("host", pa.string()),
+    ("depth", pa.int32()),
+    ("wave", pa.int32()),
+    ("rank", pa.int64()),
+]
+FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
+
+
+def build_page_index(pages: pa.Table) -> dict[str, tuple]:
+    """url → (html_bytes, etag, content_type). Built once, broadcast via
+    ray.put; ~O(corpus) memory — the test-scale stand-in for the fetch tier."""
+    cols = pages.select(["url", "html", "etag", "content_type"]).to_pydict()
+    return {
+        u: (h, e, c)
+        for u, h, e, c in zip(cols["url"], cols["html"], cols["etag"], cols["content_type"])
+    }
+
+
+class SimFetchStage:
+    """Selected frontier rows → fetch result columns.
+
+    Adds: status:int32, html:binary, etag:string, cached_hash:string,
+    cached_last_crawl:float64 (cache metadata fetched in the same pass —
+    one batched seen-shard RPC per batch, used by the conditional-GET check
+    here and the TTL skip in the decide stage)."""
+
+    def __init__(self, page_index, seen_client):
+        import ray
+
+        if isinstance(page_index, ray.ObjectRef):
+            page_index = ray.get(page_index)
+        self.index = page_index
+        self.seen = seen_client
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        keys = [url_key(u) for u in urls]
+        recs = self.seen.get_cache(keys)
+        n = len(urls)
+        status = [0] * n
+        htmls: list[bytes | None] = [None] * n
+        etags: list[str | None] = [None] * n
+        c_hash: list[str | None] = [None] * n
+        c_last: list[float | None] = [None] * n
+        for i, u in enumerate(urls):
+            rec = recs[i]
+            if rec:
+                c_hash[i] = rec.get("content_hash")
+                c_last[i] = rec.get("last_crawl")
+            page = self.index.get(u)
+            if page is None:
+                status[i] = 0  # fetch error after retries
+                continue
+            html, etag, ctype = page
+            if rec and rec.get("etag") and rec["etag"] == etag:
+                status[i] = 304
+                continue
+            if "text/html" not in (ctype or "text/html"):
+                status[i] = 415
+                continue
+            status[i] = 200
+            htmls[i] = html
+            etags[i] = etag
+        return (
+            batch.append_column("status", pa.array(status, pa.int32()))
+            .append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("etag", pa.array(etags, pa.string()))
+            .append_column("cached_hash", pa.array(c_hash, pa.string()))
+            .append_column("cached_last_crawl", pa.array(c_last, pa.float64()))
+        )
+
+
+class LiveFetchStage:
+    """Live-HTTP fetch actor (aiohttp session per actor, conditional GET,
+    3 retries with 2**attempt backoff — crawler.py:971-1001). Not runnable
+    in this sandbox (no network); the schema contract equals SimFetchStage."""
+
+    def __init__(self, *a, **kw):
+        raise NotImplementedError("no network in this environment — use SimFetchStage")
+
+
+class ExtractIfHtml:
+    """status==200 rows get the full extraction chain; other statuses pass
+    through with null document columns. Drops ``html`` (wide binary never
+    crosses a shuffle — SURVEY.md §7.7)."""
+
+    def __init__(self, site_selectors: dict[str, str | None] | None = None):
+        self.site_selectors = site_selectors or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sites = batch["site"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        n = len(urls)
+        titles = [None] * n
+        contents = [None] * n
+        excerpts = [None] * n
+        langs = [None] * n
+        hashes = [None] * n
+        images_col: list = [None] * n
+        links_col: list = [None] * n
+        for i in range(n):
+            if statuses[i] != 200:
+                # non-200 rows need a non-null unique group key downstream
+                hashes[i] = "!" + urls[i]
+                links_col[i] = []
+                images_col[i] = []
+                continue
+            h = htmls[i]
+            if isinstance(h, (bytes, bytearray)):
+                h = h.decode("utf-8", errors="replace")
+            d = extract_document(h or "", urls[i], self.site_selectors.get(sites[i]))
+            titles[i] = d["title"]
+            contents[i] = d["content"]
+            excerpts[i] = d["excerpt"]
+            langs[i] = d["lang"]
+            hashes[i] = d["content_hash"]
+            images_col[i] = d["images"]
+            links_col[i] = d["links"]
+        out = batch.drop_columns(["html"])
+        out = out.append_column("title", pa.array(titles, pa.string()))
+        out = out.append_column("content", pa.array(contents, pa.string()))
+        out = out.append_column("excerpt", pa.array(excerpts, pa.string()))
+        out = out.append_column("doc_lang", pa.array(langs, pa.string()))
+        out = out.append_column("content_hash", pa.array(hashes, pa.string()))
+        out = out.append_column("images", pa.array(images_col, IMAGES_TYPE))
+        out = out.append_column("links", pa.array(links_col, pa.list_(pa.string())))
+        return out
+
+
+def order_key_of(depth: int, wave: int, host: str, rank: int) -> tuple:
+    """Canonical within-wave processing order: deepest first, then admission
+    wave, then host (deterministic interleave), then host-local rank. In
+    strict mode this equals the reference's heap pop order; in wave mode it
+    is the documented order-equivalence class (SURVEY.md §7.7)."""
+    return (-depth, wave, host, rank)
+
+
+class DecideProposeStage:
+    """Pass 1 of the index decision (crawler.py:1033-1039): computes
+    no_index / cache-TTL-skip / stub flags per row and PROPOSES eligible
+    rows' content hashes to the dedup shards (min order_key per hash wins).
+    Pass-through on the data; appends ``eligible`` and ``cache_skip``."""
+
+    def __init__(self, seen_client, no_index_patterns: dict[str, list[str]],
+                 now: float, cache_days: float, force: bool):
+        self.seen = seen_client
+        self.no_index = no_index_patterns
+        self.now = now
+        self.cache_days = cache_days
+        self.force = force
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sites = batch["site"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        hashes = batch["content_hash"].to_pylist()
+        contents = batch["content"].to_pylist()
+        c_hash = batch["cached_hash"].to_pylist()
+        c_last = batch["cached_last_crawl"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        waves = batch["wave"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        ranks = batch["rank"].to_pylist()
+        n = len(urls)
+        eligible = [False] * n
+        cache_skip = [False] * n
+        proposals: dict[str, list[tuple[str, tuple]]] = {}
+        for i in range(n):
+            if statuses[i] != 200:
+                continue
+            cs = (
+                not self.force
+                and c_hash[i] is not None
+                and c_hash[i] == hashes[i]
+                and (self.now - c_last[i]) / SECONDS_PER_DAY < self.cache_days
+            )
+            cache_skip[i] = cs
+            no_idx = is_excluded(urls[i], self.no_index.get(sites[i], []))
+            stub = len(contents[i] or "") < MIN_CONTENT_CHARS
+            if not cs and not no_idx and not stub:
+                eligible[i] = True
+                okey = order_key_of(depths[i], waves[i], hosts[i], ranks[i])
+                proposals.setdefault(sites[i], []).append((hashes[i], okey))
+        for site, items in proposals.items():
+            self.seen.propose_hash(site, items)
+        return (
+            batch.append_column("eligible", pa.array(eligible, pa.bool_()))
+            .append_column("cache_skip", pa.array(cache_skip, pa.bool_()))
+        )
+
+
+class ConfirmStage:
+    """Pass 2: eligible rows CONFIRM against the dedup shards — exactly the
+    min-order proposer of each not-yet-indexed hash wins (→ ``indexed``,
+    incremental cache updated, crawler.py:1045-1060); everyone else gets the
+    reference's counter label (indexed > skipped_cache > not_indexed,
+    crawler.py:1036-1064). Marks every processed row visited."""
+
+    def __init__(self, seen_client, now: float):
+        self.seen = seen_client
+        self.now = now
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .urlnorm import generate_doc_id, url_key
+
+        urls = batch["url"].to_pylist()
+        sites = batch["site"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        hashes = batch["content_hash"].to_pylist()
+        etags = batch["etag"].to_pylist()
+        eligible = batch["eligible"].to_pylist()
+        cache_skip = batch["cache_skip"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        waves = batch["wave"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        ranks = batch["rank"].to_pylist()
+        n = len(urls)
+        outcomes = [None] * n
+        confirm_by_site: dict[str, list[int]] = {}
+        for i in range(n):
+            st = statuses[i]
+            if st == 0:
+                outcomes[i] = "error"
+            elif st == 304:
+                outcomes[i] = "not_modified"
+            elif st == 415:
+                outcomes[i] = "skipped_content_type"
+            elif eligible[i]:
+                confirm_by_site.setdefault(sites[i], []).append(i)
+            elif cache_skip[i]:
+                outcomes[i] = "skipped_cache"
+            else:
+                outcomes[i] = "not_indexed"
+        cache_updates = []
+        for site, idxs in confirm_by_site.items():
+            items = [
+                (hashes[i], order_key_of(depths[i], waves[i], hosts[i], ranks[i]))
+                for i in idxs
+            ]
+            granted = self.seen.confirm_hashes(site, items)
+            for i, g in zip(idxs, granted):
+                if g:
+                    outcomes[i] = "indexed"
+                    cache_updates.append(
+                        (
+                            url_key(urls[i]),
+                            {
+                                "content_hash": hashes[i],
+                                "doc_id": generate_doc_id(urls[i]),
+                                "last_crawl": self.now,
+                                "etag": etags[i],
+                                "last_modified": None,
+                                "site": sites[i],
+                            },
+                        )
+                    )
+                else:
+                    outcomes[i] = "not_indexed"  # duplicate content
+        if cache_updates:
+            self.seen.set_cache(cache_updates)
+        # every processed row is marked visited (crawler.py:1186)
+        by_site: dict[str, list[bytes]] = {}
+        for i in range(n):
+            by_site.setdefault(sites[i], []).append(url_key(urls[i]))
+        for site, keys in by_site.items():
+            self.seen.mark_visited(site, keys)
+        return batch.append_column("outcome", pa.array(outcomes, pa.string()))
+
+
+def explode_outlinks(batch: pa.Table, seed_by_site: dict[str, str],
+                     max_depth_by_site: dict[str, int]) -> pa.Table:
+    """Fetched rows → outlink candidate rows (url, site, host, depth,
+    parent_rank=parent visit_pos, lpos). Validity + same-domain filters
+    applied here (crawler.py:1066-1072); dedup/admission happen downstream."""
+    urls = batch["url"].to_pylist()
+    sites = batch["site"].to_pylist()
+    depths = batch["depth"].to_pylist()
+    statuses = batch["status"].to_pylist()
+    links = batch["links"].to_pylist()
+    vpos = batch["visit_pos"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    out = {"url": [], "site": [], "host": [], "depth": [], "parent_rank": [], "lpos": []}
+    for i in range(len(urls)):
+        if statuses[i] != 200:
+            continue  # 304/415/error yield no links (crawler.py:1012-1022)
+        site = sites[i]
+        if depths[i] >= max_depth_by_site.get(site, 3):
+            continue
+        seed = seed_by_site[site]
+        for j, lurl in enumerate(links[i] or []):
+            if is_valid_url(lurl) and is_same_domain(lurl, seed):
+                out["url"].append(lurl)
+                out["site"].append(site)
+                out["host"].append(hosts[i])
+                out["depth"].append(depths[i] + 1)
+                out["parent_rank"].append(vpos[i])
+                out["lpos"].append(j)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "site": pa.array(out["site"], pa.string()),
+            "host": pa.array(out["host"], pa.string()),
+            "depth": pa.array(out["depth"], pa.int32()),
+            "parent_rank": pa.array(out["parent_rank"], pa.int64()),
+            "lpos": pa.array(out["lpos"], pa.int64()),
+        }
+    )
