@@ -20,11 +20,14 @@ reference.
 
 __version__ = "0.1.0"
 
-# Ray workers must be able to import this package. When the driver imports
-# raycrawl BEFORE calling ray.init (the normal library contract), exporting
-# the repo root on PYTHONPATH here makes every spawned worker inherit it —
-# no matter what the driver's cwd is. (Workers resolve module-level classes
-# and closures by import, not by value.)
+# Ray workers must be able to run this package's closures and actor classes.
+# Two layers of defense, because the driver may call ray.init() before
+# importing us and from any cwd:
+# 1. PYTHONPATH export at import time — effective when raycrawl is imported
+#    before ray.init (workers inherit the env).
+# 2. ``register_by_value()`` — cloudpickle ships the package code with every
+#    closure/actor class, removing the import requirement entirely. Called
+#    lazily by the engine/ops entry points once all submodules are loaded.
 import os as _os
 
 _repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
@@ -34,3 +37,27 @@ if _repo_root not in _pp.split(_os.pathsep):
         _repo_root + (_os.pathsep + _pp if _pp else "")
     )
 del _os, _pp, _repo_root
+
+_BY_VALUE_REGISTERED: set = set()
+
+
+def register_by_value() -> None:
+    """Make all currently-imported raycrawl modules serialize by value
+    (idempotent; call again after importing more submodules)."""
+    import sys
+
+    try:
+        from ray import cloudpickle
+    except Exception:
+        return
+    for name, mod in list(sys.modules.items()):
+        if (
+            (name == "raycrawl" or name.startswith("raycrawl."))
+            and mod is not None
+            and name not in _BY_VALUE_REGISTERED
+        ):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+                _BY_VALUE_REGISTERED.add(name)
+            except Exception:
+                pass

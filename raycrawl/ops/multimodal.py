@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
+the decode kernels are STUBBED (SURVEY.md round instructions): the real,
+tested parts are the Ray-side plumbing — schema, actor-pool stage signature,
+small-batch sizing for wide binary rows, and the deterministic fake decoder
+used by tests. A real deployment replaces ``_decode_fake`` with the library
+call; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.binary()),        # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),           # nullable typed metadata
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "payload": payload,
+                "mime": {"image": "image/png", "audio": "audio/wav",
+                         "video": "video/mp4"}[kind],
+                "width": 64 + (i % 8) * 32 if kind != "audio" else None,
+                "height": 64 + (i % 5) * 32 if kind != "audio" else None,
+                "duration_ms": 1000 + i * 37 if kind != "image" else None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for image decode / audio PCM / frame sample:
+    payload bytes → fixed-length float32 feature vector."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * 4)[:128], dtype=np.uint8).astype(np.float32)
+    return raw / 255.0
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "image/audio decode libraries are not installed in this container; "
+        "swap _decode_fake for PIL/torchaudio/ffmpeg in production"
+    )
+
+
+class MediaFeatureStage:
+    """Actor-pool ``map_batches`` stage: decode + featurize binary payloads.
+
+    Use with small batches — wide binary rows: ``map_batches(
+    MediaFeatureStage, batch_size=32, concurrency=N, num_cpus=1,
+    batch_format="pyarrow")``. Model/codec state loads once per actor in
+    ``__init__`` (here: the fake decoder's projection matrix)."""
+
+    FEATURE_DIM = 32
+
+    def __init__(self, use_fake: bool = True, seed: int = 3):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((128, self.FEATURE_DIM)).astype(np.float32)
+        self.decode = _decode_fake if use_fake else _decode_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, kind in zip(batch["payload"].to_pylist(),
+                                 batch["kind"].to_pylist()):
+            raw = self.decode(payload, kind)
+            feats.append((raw @ self.proj).tolist())
+        return (
+            batch.drop_columns(["payload"])  # drop wide binary before shuffles
+            .append_column("features",
+                           pa.array(feats, pa.list_(pa.float32(),
+                                                    self.FEATURE_DIM)))
+        )
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_topk``: exact cosine top-k — the baseline and the oracle. Query
+  matrix broadcast once (``ray.put``); each batch does one numpy matmul and
+  emits only its local top-k partials; a tiny final merge reduces
+  ``num_batches × k`` rows. Nothing proportional to the corpus ever leaves
+  the workers.
+- ``lsh_topk``: sign-random-projection bucketed variant — the scale path:
+  probes only buckets within ``probe_hamming`` of the query's bucket key.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+def brute_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Exact cosine top-k for each query row. Returns a pyarrow Table
+    (query_id, rank, vec_id) — rank 1-based, ties broken by vec_id asc."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
+        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        sims = emb @ q.T  # (n, Q)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    # tiny driver-side merge: num_batches × Q × k rows
+    best: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(best.setdefault(r["query_id"], []),
+                       (r["score"], -r["vec_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    rows = []
+    for qi, h in best.items():
+        ordered = sorted(h, key=lambda x: (-x[0], -x[1]))
+        for rank, (s, negid) in enumerate(ordered, 1):
+            rows.append({"query_id": qi, "rank": rank, "vec_id": -negid})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                          ("vec_id", pa.int64())]),
+    )
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
+             probe_hamming: int = 2, id_col: str = "vec_id",
+             emb_col: str = "embedding", seed: int = 11):
+    """Approximate cosine top-k: candidates = vectors whose sign-projection
+    key is within ``probe_hamming`` of the query key; exact cosine on the
+    candidates only. Recall measured against ``brute_topk`` in tests."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((qn.shape[1], n_planes))
+    qkeys = ((qn @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+    q_ref = ray.put((qn, planes, qkeys))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, pl, qk = ray.get(q_ref)
+        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
+        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        keys = ((emb @ pl) > 0).astype(np.int64) @ (1 << np.arange(pl.shape[1]))
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            ham = np.array(
+                [bin(int(x) ^ int(qk[qi])).count("1") for x in keys]
+            )
+            mask = ham <= probe_hamming
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = emb[mask] @ q[qi]
+            kk2 = min(kk, len(sub_ids))
+            idx = np.argpartition(-col, kk2 - 1)[:kk2]
+            out_q.extend([qi] * kk2)
+            out_id.extend(sub_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(best.setdefault(r["query_id"], []),
+                       (r["score"], -r["vec_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    rows = []
+    for qi, h in best.items():
+        ordered = sorted(h, key=lambda x: (-x[0], -x[1]))
+        for rank, (s, negid) in enumerate(ordered, 1):
+            rows.append({"query_id": qi, "rank": rank, "vec_id": -negid})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                          ("vec_id", pa.int64())]),
+    )
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

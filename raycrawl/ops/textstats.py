@@ -1,0 +1,153 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting, token histograms.
+
+All vectorized per batch; aggregations pre-combine inside ``map_batches``
+(one partial row per key per batch) before the small ``groupby`` — the
+shuffle moves partials, not tokens (ray_guide "Aggregation at scale").
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_DIGIT_RE = re.compile(r"\d")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "en"},
+    "zh": set(),  # no-latin-stopword language: falls through to charset rule
+}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id,text → token_count, distinct_tokens, n_chars (whitespace
+    tokenizer — the SQL-oracle-matched definition: string_split on ' ')."""
+    texts = batch["text"].to_pylist()
+    tc, dc, nc = [], [], []
+    for t in texts:
+        toks = (t or "").split(" ")
+        tc.append(len(toks))
+        dc.append(len(set(toks)))
+        nc.append(len(t or ""))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "token_count": pa.array(tc, pa.int64()),
+            "distinct_tokens": pa.array(dc, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring signals (length/punct/digit/stopword ratios).
+    Ratios are ×1e6-rounded integers so the DuckDB oracle can reproduce
+    them exactly (float-hash-stable)."""
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    out = {
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        "token_count": pa.array([len((t or "").split(" ")) for t in texts], pa.int64()),
+        "punct_chars": pa.array(
+            [len(_PUNCT_RE.findall(t or "")) for t in texts], pa.int64()
+        ),
+        "digit_chars": pa.array(
+            [len(_DIGIT_RE.findall(t or "")) for t in texts], pa.int64()
+        ),
+    }
+    return pa.table(out)
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Heuristic language ID: stopword-profile voting with a CJK charset
+    gate. Deterministic; rows-only oracle (not SQL-expressible)."""
+    texts = batch["text"].to_pylist()
+    preds = []
+    for t in texts:
+        t = t or ""
+        if any("一" <= c <= "鿿" for c in t[:200]):
+            preds.append("zh")
+            continue
+        toks = t.lower().split(" ")
+        best, best_n = "en", -1
+        for lang, sw in STOPWORDS.items():
+            if not sw:
+                continue
+            hits = sum(1 for w in toks if w in sw)
+            if hits > best_n:
+                best, best_n = lang, hits
+        preds.append(best)
+    return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: rolling polynomial hash over
+    tokens, minimum per window, xor-folded to one int64. Deterministic."""
+    texts = batch["text"].to_pylist()
+    fps = []
+    MOD = (1 << 61) - 1
+    B = 1_000_003
+    for t in texts:
+        toks = (t or "").split(" ")
+        hs = []
+        h = 0
+        for w in toks:
+            h = (h * B + (hash_str(w))) % MOD
+            hs.append(h)
+        if not hs:
+            fps.append(0)
+            continue
+        mins = [min(hs[i: i + window]) for i in range(0, len(hs), window)]
+        acc = 0
+        for m in mins:
+            acc ^= m
+        fps.append(acc & 0x7FFF_FFFF_FFFF_FFFF)
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
+
+
+def hash_str(s: str) -> int:
+    """Stable 64-bit FNV-1a (Python's hash() is salted per process)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_histogram(ds, top_n: int = 20):
+    """Token frequency top-N: per-batch Counter partials → small groupby
+    Sum → sort. The shuffle moves one row per (token, batch), not one per
+    token occurrence."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        toks = list(c.keys())
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             "cnt": pa.array([c[t] for t in toks], pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("cnt", alias_name="occurrences")
+    )
+    return agg.sort(["occurrences", "token"], descending=[True, False]).limit(top_n)
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -753,3 +753,10 @@ def _make_admitter(seen, admit_wave: int):
         return pd.concat(frames)
 
     return admit
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -132,3 +132,10 @@ class ShardedPoliteness:
     def restore(self, blobs: list[dict]) -> None:
         assert len(blobs) == self.n
         self._ray.get([s.restore_state.remote(b) for s, b in zip(self.shards, blobs)])
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -339,3 +339,10 @@ class ShardedSeen:
 
     def load_prior_cache(self, entries: list[tuple[bytes, dict]]) -> None:
         self.set_cache(entries)
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -22,7 +22,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .extract import IMAGES_TYPE, MIN_CONTENT_CHARS, extract_document
-from .urlnorm import is_excluded, is_same_domain, is_valid_url, url_key
+from .urlnorm import (
+    generate_doc_id,
+    is_excluded,
+    is_same_domain,
+    is_valid_url,
+    url_key,
+)
 
 SECONDS_PER_DAY = 86400.0
 
@@ -234,8 +240,6 @@ class ConfirmStage:
         self.now = now
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .urlnorm import generate_doc_id, url_key
-
         urls = batch["url"].to_pylist()
         sites = batch["site"].to_pylist()
         statuses = batch["status"].to_pylist()
@@ -338,3 +342,10 @@ def explode_outlinks(batch: pa.Table, seed_by_site: dict[str, str],
             "lpos": pa.array(out["lpos"], pa.int64()),
         }
     )
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -1,0 +1,97 @@
+"""Driver-contract conformance: every queries() entry runs, and every
+oracle_sql() entry matches it under the driver's comparison protocol
+(row count + schema + order-insensitive value compare, columns sorted by
+name). This is a local dress rehearsal of CORRECTNESS_r{N}.json."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(SQL_CHECKED))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, name):
+    got = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    want = _canon(_duck(entrymod.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_like=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
+    q = entrymod.queries()[name]
+    a = _canon(_to_pandas(q(SF_DIR)))
+    assert len(a) >= 0
+    if name in ("crawl_order", "text_langid", "text_fingerprint"):
+        b = _canon(_to_pandas(q(SF_DIR)))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_entry_smoke(ray_session):
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) > 0
+    assert "url" in df.columns
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    """LSH candidates must recover the exact Jaccard≥0.5 pairs."""
+    exact = _canon(_to_pandas(entrymod.queries()["dedup_jaccard"](SF_DIR)))
+    approx = _to_pandas(entrymod.queries()["dedup_minhash"](SF_DIR))
+    exact_pairs = set(zip(exact.get("a", []), exact.get("b", [])))
+    got_pairs = set(zip(approx["a"], approx["b"]))
+    missing = exact_pairs - got_pairs
+    assert len(missing) <= max(1, len(exact_pairs) // 10), missing
+
+
+def test_lsh_topk_with_full_probe_equals_brute(ray_session):
+    brute = _canon(_to_pandas(entrymod.queries()["embed_topk"](SF_DIR)))
+    lsh = _canon(_to_pandas(entrymod.queries()["embed_topk_lsh"](SF_DIR)))
+    pd.testing.assert_frame_equal(brute, lsh, check_dtype=False)
