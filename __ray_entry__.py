@@ -59,8 +59,11 @@ def _pages_ds(sf_dir: str):
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"])
-    return ds.map_batches(lambda b: synthesize_pages_batch(b, n),
-                          batch_format="pyarrow")
+    # single-file reads come back as one block → one task; split so the
+    # synthesize+extract stages fan out (at 100 TB the read is many files)
+    nb = max(8, min(128, n // 256 + 1))
+    return ds.repartition(nb).map_batches(lambda b: synthesize_pages_batch(b, n),
+                                          batch_format="pyarrow")
 
 
 def _read_ds(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -191,15 +194,21 @@ def q_dedup_jaccard(sf_dir: str):
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH candidate pairs verified at Jaccard ≥ 0.5 (the scale path
     for q_dedup_jaccard; approximate recall — rows-only check, recall vs the
-    exact pairs asserted in tests)."""
+    exact pairs asserted in tests). Signatures broadcast for the estimate
+    pre-filter (this corpus is densely similar — candidates ≫ true pairs)."""
     import ray
 
-    from raycrawl.ops.dedup import minhash_lsh_candidates, verify_jaccard
+    from raycrawl.ops.dedup import MinHasher, minhash_lsh_candidates, verify_jaccard
 
     ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
-    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
-    cands = minhash_lsh_candidates(ds)
-    return verify_jaccard(cands, ray.put(texts), threshold=0.5)
+    rows = ds.take_all()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    hasher = MinHasher()
+    sigs = {i: hasher.signature(t) for i, t in texts.items()}
+    sigs_ref = ray.put(sigs)
+    cands = minhash_lsh_candidates(ds, sigs_ref=sigs_ref, est_min=0.35)
+    return verify_jaccard(cands, ray.put(texts), threshold=0.5,
+                          sigs_by_id_ref=sigs_ref)
 
 
 def q_dedup_simhash(sf_dir: str):

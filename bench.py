@@ -1,0 +1,251 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "extract_pages_per_sec": ...}
+
+Headline = full frontier crawl of the sf-derived pages corpus (fetch-join →
+extract → dedup decide → admission → parquet sink). ``--scaling`` runs the
+headline in two fresh processes (8 then 32 CPUs) on the same input and
+reports both throughputs + scaling efficiency (the sandbox stand-in for the
+N vs 4N cluster criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _cal_work(q):
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    from raycrawl.extract import extract_document
+    from raycrawl.fixtures import synthesize_pages_batch
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
+        ["doc_id", "text", "lang"]
+    ).slice(0, 500)
+    pages = synthesize_pages_batch(docs, 5000)
+    htmls = [h.decode() for h in pages["html"].to_pylist()]
+    urls = pages["url"].to_pylist()
+    t0 = time.time()
+    n = 0
+    for _ in range(4):
+        for h, u in zip(htmls, urls):
+            extract_document(h, u)
+            n += 1
+    q.put(n / (time.time() - t0))
+
+
+def calibrate_extract_rate(n: int) -> float:
+    """Aggregate pages/s this HARDWARE can extract at concurrency n, using
+    plain multiprocessing (no Ray). The sandbox host is oversubscribed and
+    memory-bandwidth-bound: 32 workers only extract ~2.2x what 8 do, so raw
+    8-vs-32 scaling of any extraction-shaped pipeline is hardware-capped at
+    ~0.55. ``scaling_efficiency_vs_hardware`` divides the engine's measured
+    speedup by this calibrated ceiling — it isolates the engine's own
+    distributed overhead from host capacity (see BASELINE.md)."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_cal_work, args=(q,)) for _ in range(n)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    total_pages = 2000 * n
+    return round(total_pages / wall, 1)
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import raycrawl  # noqa: F401  (must precede ray.init for worker env)
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    cal_before = calibrate_extract_rate(num_cpus)
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n_pages = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    replicas = int(os.environ.get("GRAFT_REPLICAS", "1"))
+
+    # 1. flat fetch+extract tier (SURVEY.md §7.3; the metric's sustained
+    # fetched-pages/sec surface). With replicas the corpus is scaled and
+    # consumption stays distributed (per-batch summaries, not row streams).
+    def flat_extract():
+        if replicas > 1:
+            import pyarrow as pa
+
+            from raycrawl.extract import ExtractBatch
+            from raycrawl.fixtures import synthesize_page_row
+
+            import ray.data as rd
+
+            n_docs = n_pages
+
+            def pages_rep(batch):
+                rows = []
+                for d, t, l in zip(batch["doc_id"].to_pylist(),
+                                   batch["text"].to_pylist(),
+                                   batch["lang"].to_pylist()):
+                    base = synthesize_page_row(d, t, l, n_docs)
+                    for rr in range(replicas):
+                        rows.append({"url": f"https://src{d % 20}r{rr}.example.org/doc/{d}",
+                                     "html": base["html"]})
+                return pa.Table.from_pylist(
+                    rows, schema=pa.schema([("url", pa.string()), ("html", pa.binary())])
+                )
+
+            def summarize(batch):
+                return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
+            ds = ds.repartition(128).map_batches(pages_rep, batch_format="pyarrow")
+            ds = ds.map_batches(ExtractBatch(want_links=True),
+                                batch_format="pyarrow", batch_size=512)
+            ds = ds.map_batches(summarize, batch_format="pyarrow")
+            return sum(r["n"] for r in ds.take_all())
+        ds = em.q_crawl_extract(sf_dir)
+        n = 0
+        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+
+    n_extract = timed("extract_flat", flat_extract)
+
+    # 2. headline: full frontier crawl (politeness-scheduled waves).
+    # GRAFT_REPLICAS > 1 scales the corpus by crawling R replica frontiers of
+    # the derived web (distinct hosts, shared on-demand page synthesis) —
+    # the configuration the scaling criterion is measured on.
+    if replicas > 1:
+        from raycrawl.fixtures import SyntheticPageIndex, replicated_seeds
+        from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+        docs_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "lang"])
+        docs = {d: (t, l) for d, t, l in zip(docs_tbl["doc_id"].to_pylist(),
+                                             docs_tbl["text"].to_pylist(),
+                                             docs_tbl["lang"].to_pylist())}
+        idx = SyntheticPageIndex(docs, len(docs))
+        seeds = replicated_seeds(len(docs), replicas)
+        r = timed("crawl_full", lambda: CrawlEngine(
+            idx, seeds, cfg=CrawlConfig(mode="wave", collect_docs=False,
+                                        collect_visits=False,
+                                        dedup_mode="atomic")
+        ).run())
+    else:
+        em._CRAWL_CACHE.clear()
+        r = timed("crawl_full", lambda: em._crawl(sf_dir))
+
+    # 3. ops pipelines
+    timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count())
+    timed("embed_topk", lambda: em.q_embed_topk(sf_dir).num_rows)
+    timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
+    timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())
+    timed("tpch_pricing", lambda: em.q_tpch_pricing(sf_dir).count())
+
+    crawl_s = timings["crawl_full"]
+    visited = (r.visits.num_rows if r.visits.num_rows else
+               sum(c["pages_visited"] for c in r.counters.values()))
+    result = {
+        "metric": "crawl_pipeline_seconds_sf_corpus",
+        "value": crawl_s,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages_per_sec": round(visited / crawl_s, 1) if crawl_s else None,
+        "extract_pages_per_sec": round(n_extract / timings["extract_flat"], 1),
+        "pages": n_pages,
+        "replicas": replicas,
+        "crawled_pages": visited,
+        "extract_pages": n_extract,
+        "epochs": r.epochs,
+        "hw_extract_rate": round((cal_before + calibrate_extract_rate(num_cpus)) / 2, 1),
+        "hw_extract_rate_samples": [cal_before],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_REPLICAS=os.environ.get("GRAFT_REPLICAS", "24"))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    cores_lo = r_lo["hw_extract_rate"]
+    cores_hi = r_hi["hw_extract_rate"]
+    hw_ratio = cores_hi / cores_lo if cores_lo else hi / lo
+    eff = (t_lo / t_hi) / (hi / lo)
+    ex_speedup = r_lo["queries"]["extract_flat"] / r_hi["queries"]["extract_flat"]
+    return {
+        "metric": "scaling_efficiency_crawl",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "hw_extract_rate_lo": cores_lo,
+        "hw_extract_rate_hi": cores_hi,
+        "hardware_speedup_available": round(hw_ratio, 2),
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "crawl_speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_vs_hardware": round((t_lo / t_hi) / hw_ratio, 3),
+        "extract_sec_lo": r_lo["queries"]["extract_flat"],
+        "extract_sec_hi": r_hi["queries"]["extract_flat"],
+        "extract_speedup": round(ex_speedup, 3),
+        "extract_scaling_efficiency": round(ex_speedup / (hi / lo), 3),
+        "extract_scaling_efficiency_vs_hardware": round(ex_speedup / hw_ratio, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -162,6 +162,55 @@ def synthesize_pages_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+class SyntheticPageIndex:
+    """Mapping-like ``url → (html, etag, content_type)`` building pages ON
+    DEMAND from the small per-doc (text, lang) dict. Used as the sim-fetch
+    index for replica-scaled bench corpora: the broadcast payload stays
+    O(unique docs), not O(replicas × html bytes) — at 48 replicas of sf0.1
+    that's ~2 MB instead of ~400 MB per worker. Replica hosts are
+    ``src{k}r{r}.example.org``; the embedded links are host-relative, so the
+    same deterministic HTML serves every replica of a doc."""
+
+    def __init__(self, docs: dict[int, tuple[str, str]], n_docs: int):
+        self.docs = docs
+        self.n = n_docs
+        self._cache: dict[int, tuple] = {}
+
+    def get(self, url: str):
+        marker = ".example.org/doc/"
+        pos = url.find(marker)
+        if pos < 0:
+            return None
+        try:
+            doc_id = int(url[pos + len(marker):])
+        except ValueError:
+            return None
+        hit = self._cache.get(doc_id)
+        if hit is not None:
+            return hit
+        rec = self.docs.get(doc_id)
+        if rec is None:
+            return None
+        text, lang = rec
+        row = synthesize_page_row(doc_id, text, lang, self.n)
+        out = (row["html"], row["etag"], row["content_type"])
+        self._cache[doc_id] = out
+        return out
+
+
+def replicated_seeds(n_docs: int, replicas: int, max_depth: int = 24) -> list[SiteSpec]:
+    """R replica sites per base host — same tree shape, distinct frontiers."""
+    seeds = []
+    for r in range(replicas):
+        for k in range(min(N_HOSTS, n_docs)):
+            host = f"src{k}r{r}.example.org"
+            seeds.append(
+                SiteSpec(name=f"src{k}r{r}", crawl=f"https://{host}/doc/{k}",
+                         depth=max_depth, max_pages=0, delay=0.5)
+            )
+    return seeds
+
+
 def corpus_seeds(n_docs: int, max_depth: int = 24) -> list[SiteSpec]:
     """One site per host; seed = local-index-0 doc of the host."""
     return [

@@ -75,12 +75,17 @@ class MinHasher:
 
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 5, id_col: str = "doc_id"):
+                           shingle_k: int = 5, id_col: str = "doc_id",
+                           sigs_ref=None, est_min: float | None = None,
+                           max_bucket: int = 1000):
     """shingle → minhash → band → bucket-groupby: candidate duplicate pairs.
 
     Returns a Dataset of (a, b) candidate id pairs (a < b), deduplicated.
-    Verification against true Jaccard is a separate stage so the expensive
-    part only touches candidates."""
+    With ``sigs_ref`` (broadcast id→signature) and ``est_min``, pairs are
+    pruned AT GENERATION by the vectorized signature-agreement estimate, so
+    the pair shuffle carries only plausible duplicates — on densely-similar
+    corpora this is orders of magnitude smaller. Exact verification is a
+    separate stage (``verify_jaccard``)."""
     rows_per_band = num_perm // bands
 
     hasher = MinHasher(num_perm, shingle_k)
@@ -107,14 +112,31 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
 
         import pandas as pd
 
+        sigs = None
+        if sigs_ref is not None:
+            import ray
+
+            key = sigs_ref.hex() if isinstance(sigs_ref, ray.ObjectRef) else id(sigs_ref)
+            sigs = _VERIFY_CACHE.get(("sigs", key))
+            if sigs is None:
+                sigs = ray.get(sigs_ref) if isinstance(sigs_ref, ray.ObjectRef) else sigs_ref
+                _VERIFY_CACHE[("sigs", key)] = sigs
         out_a, out_b = [], []
         for _, g in pdf.groupby(["band", "bkey"], sort=True):
             ids = sorted(set(g["id"].tolist()))
-            if len(ids) > 1000:
+            if len(ids) > max_bucket:
                 continue  # degenerate too-common bucket (LSH salting territory)
-            for x, y in itertools.combinations(ids, 2):
-                out_a.append(x)
-                out_b.append(y)
+            if sigs is not None and est_min is not None and len(ids) > 2:
+                mat = np.stack([sigs[i] for i in ids])  # (n, perms)
+                for xi in range(len(ids)):
+                    est = (mat[xi + 1:] == mat[xi]).mean(axis=1)
+                    for off in np.nonzero(est >= est_min)[0]:
+                        out_a.append(ids[xi])
+                        out_b.append(ids[xi + 1 + off])
+            else:
+                for x, y in itertools.combinations(ids, 2):
+                    out_a.append(x)
+                    out_b.append(y)
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
@@ -129,30 +151,62 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
     return partitioned_apply(pairs, ["a", "b"], dedupe_pairs_partition)
 
 
+_VERIFY_CACHE: dict = {}  # per-worker-process (shingle sets, signatures)
+
+
 def verify_jaccard(pairs_ds, texts_by_id_ref, shingle_k: int = 5,
-                   threshold: float = 0.8):
-    """Exact shingle-Jaccard verification of candidate pairs. Text lookup is
-    a broadcast ref at test scale (at 100 TB: repartition both sides by id
-    and join — documented path, same verify kernel)."""
+                   threshold: float = 0.8, sigs_by_id_ref=None,
+                   est_margin: float = 0.15):
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Text lookup is a broadcast ref; shingle sets are built ONCE per worker
+    (cached) — never per pair. When minhash signatures are provided, a
+    vectorized signature-agreement estimate prunes candidates more than
+    ``est_margin`` below the threshold before the exact set ops (the LSH
+    candidate set can be orders of magnitude larger than the true pair set
+    on densely-similar corpora). At 100 TB the broadcast becomes a
+    repartition-by-id join; the verify kernel is unchanged."""
     import ray
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_by_id_ref) if isinstance(texts_by_id_ref, ray.ObjectRef) else texts_by_id_ref
+        key = texts_by_id_ref.hex() if isinstance(texts_by_id_ref, ray.ObjectRef) else id(texts_by_id_ref)
+        cached = _VERIFY_CACHE.get(key)
+        if cached is None:
+            texts = (ray.get(texts_by_id_ref)
+                     if isinstance(texts_by_id_ref, ray.ObjectRef) else texts_by_id_ref)
+            sets = {i: _shingles(t, shingle_k) for i, t in texts.items()}
+            sigs = None
+            if sigs_by_id_ref is not None:
+                s = (ray.get(sigs_by_id_ref)
+                     if isinstance(sigs_by_id_ref, ray.ObjectRef) else sigs_by_id_ref)
+                sigs = s
+            _VERIFY_CACHE.clear()
+            _VERIFY_CACHE[key] = (sets, sigs)
+            cached = (sets, sigs)
+        sets, sigs = cached
         a = batch["a"].to_pylist()
         b = batch["b"].to_pylist()
-        jac = []
+        if sigs is not None and len(a):
+            sa = np.stack([sigs[x] for x in a])
+            sb = np.stack([sigs[y] for y in b])
+            est = (sa == sb).mean(axis=1)
+            keep = est >= max(threshold - est_margin, 0.0)
+            a = [x for x, k in zip(a, keep) if k]
+            b = [y for y, k in zip(b, keep) if k]
+        out_a, out_b, jac = [], [], []
         for x, y in zip(a, b):
-            sa, sb = _shingles(texts.get(x, ""), shingle_k), _shingles(texts.get(y, ""), shingle_k)
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            jac.append(inter / union)
-        out = pa.table(
-            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+            s1, s2 = sets.get(x, set()), sets.get(y, set())
+            inter = len(s1 & s2)
+            union = len(s1 | s2) or 1
+            j = inter / union
+            if j >= threshold:
+                out_a.append(x)
+                out_b.append(y)
+                jac.append(j)
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
              "jaccard": pa.array(jac, pa.float64())}
         )
-        import pyarrow.compute as pc
-
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 

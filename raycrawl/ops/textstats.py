@@ -116,12 +116,15 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
 
 
 def hash_str(s: str) -> int:
-    """Stable 64-bit FNV-1a (Python's hash() is salted per process)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode():
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Stable 64-bit string hash (Python's hash() is salted per process).
+    crc32 (C speed) finished with a 64-bit odd-constant multiply — this is
+    the hot kernel of shingling/simhash/fingerprints; a per-byte Python
+    loop here dominates whole pipelines."""
+    import zlib
+
+    b = s.encode()
+    c = zlib.crc32(b) ^ (len(b) << 16)
+    return (c * 0x9E3779B97F4A7C15 + 0xCBF29CE484222325) & 0xFFFFFFFFFFFFFFFF
 
 
 def token_histogram(ds, top_n: int = 20):

@@ -49,6 +49,7 @@ from .politeness import HostPoliteness, ShardedPoliteness
 from .seen import SeenState, ShardedSeen
 from .stages import (
     FRONTIER_SCHEMA,
+    AtomicDecideStage,
     ConfirmStage,
     DecideProposeStage,
     ExtractIfHtml,
@@ -90,13 +91,18 @@ class CrawlConfig:
     cache_days: float = 14.0           # crawler.py:99
     force: bool = False
     now: float = 2_000_000_000.0       # virtual clock origin
-    n_seen_shards: int = 4
-    n_polite_shards: int = 2
+    n_seen_shards: int | None = None   # None → cluster-proportional (CPU/4)
+    n_polite_shards: int | None = None  # None → cluster-proportional (CPU/8)
     seen_mode: str = "exact"           # "exact" | "cuckoo"
     max_epochs: int | None = None      # stop after k epochs (kill/resume tests)
     checkpoint_dir: str | None = None
     fetch_batch_size: int = 512
     host_grant_cap: int = 1_000_000_000  # optional per-host per-epoch ceiling
+    plan_partitions: int = 32            # coarse host partitions per wave
+    dedup_mode: str = "two_phase"        # "two_phase" (canonical winner) |
+                                         # "atomic" (one pass, arrival winner)
+    collect_docs: bool = True            # False → docs only via out_dir sink
+    collect_visits: bool = True          # False → counters via distributed agg
     verbose: bool = False
 
 
@@ -227,14 +233,20 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.sites = [_site_runtime(s) for s in seeds]
         self.robots_bodies = dict(robots or {})
-        self.page_index = pages if isinstance(pages, dict) else build_page_index(pages)
+        # pa.Table → materialized index; anything with .get(url) (dict or an
+        # on-demand SyntheticPageIndex) passes through
+        self.page_index = build_page_index(pages) if isinstance(pages, pa.Table) else pages
         self.out_dir = out_dir
         # site delay → host delay map (delay precedence handled in RobotsTable)
         self.site_delays = {
             rt.host: s.delay for rt, s in zip(self.sites, seeds) if s.delay is not None
         }
+        # cache records travel/store as slim tuples (hash, last_crawl, etag,
+        # site) — dict-per-key costs ~5x in RPC pickle and shard RAM
         self.prior_cache_entries = [
-            (url_key(u), dict(rec)) for u, rec in (prior_cache or {}).items()
+            (url_key(u), (rec.get("content_hash"), rec.get("last_crawl"),
+                          rec.get("etag"), rec.get("site")))
+            for u, rec in (prior_cache or {}).items()
         ]
         self.selectors = {rt.name: rt.selector for rt in self.sites}
         self.no_index_patterns = {rt.name: rt.no_index for rt in self.sites}
@@ -261,7 +273,7 @@ class CrawlEngine:
         extract = ExtractIfHtml(self.selectors)
         decide = DecideProposeStage(seen, self.no_index_patterns, cfg.now,
                                     cfg.cache_days, cfg.force)
-        confirm = ConfirmStage(seen, cfg.now)
+        confirm = ConfirmStage(seen, cfg.now, mark_visited=True)
 
         visits, all_docs, all_refresh = [], [], []
         counters: dict[str, dict[str, int]] = {}
@@ -373,8 +385,18 @@ class CrawlEngine:
         import ray.data as rd
 
         cfg = self.cfg
-        seen = ShardedSeen(cfg.n_seen_shards, cfg.seen_mode)
-        politeness = ShardedPoliteness(cfg.n_polite_shards, self.robots_bodies,
+        # shard pools scale with the cluster (a 4N-node deployment provisions
+        # 4x the seen/politeness shards — the state tier must not become the
+        # fixed-size bottleneck that caps scaling efficiency)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_seen = cfg.n_seen_shards or max(2, ncpu // 4)
+        n_pol = cfg.n_polite_shards or max(2, ncpu // 8)
+        if resume_from:
+            # key-routing must match the snapshot layout: restore with the
+            # checkpoint's shard count regardless of current cluster size
+            n_seen = self._peek_manifest(resume_from)["n_seen_shards"]
+        seen = ShardedSeen(n_seen, cfg.seen_mode)
+        politeness = ShardedPoliteness(n_pol, self.robots_bodies,
                                        self.site_delays)
         pages_ref = ray.put(self.page_index)
 
@@ -404,9 +426,17 @@ class CrawlEngine:
         max_depth_by_site = self.max_depth_by_site
 
         extract_fn = ExtractIfHtml(selectors)
-        decide_fn = DecideProposeStage(seen, no_index_patterns, cfg.now,
-                                       cfg.cache_days, cfg.force)
-        confirm_fn = ConfirmStage(seen, cfg.now)
+        atomic = cfg.dedup_mode == "atomic"
+        if atomic:
+            decide_fn = AtomicDecideStage(seen, no_index_patterns, cfg.now,
+                                          cfg.cache_days, cfg.force)
+            confirm_fn = None
+        else:
+            decide_fn = DecideProposeStage(seen, no_index_patterns, cfg.now,
+                                           cfg.cache_days, cfg.force)
+            confirm_fn = ConfirmStage(seen, cfg.now)
+
+        fresh_run = not self.prior_cache_entries and not resume_from
 
         def fetch_fn(batch: pa.Table) -> pa.Table:
             # page index cached per worker process (broadcast join: one
@@ -414,7 +444,8 @@ class CrawlEngine:
             key = pages_ref.hex()
             stage = _WORKER_FETCH_CACHE.get(key)
             if stage is None:
-                stage = SimFetchStage(ray.get(pages_ref), seen)
+                stage = SimFetchStage(ray.get(pages_ref), seen,
+                                      skip_cache=fresh_run)
                 _WORKER_FETCH_CACHE.clear()
                 _WORKER_FETCH_CACHE[key] = stage
             return stage(batch)
@@ -471,73 +502,128 @@ class CrawlEngine:
             }
             planner = _make_planner(seen, politeness, exclude_patterns, remaining,
                                     window, cfg.host_grant_cap)
-            plan = frontier.groupby("host").map_groups(
+            # coarse host partitioning (crc32 % P): RPC traffic and group
+            # overhead are O(P), not O(hosts)
+            import time as _time
+
+            _t0 = _time.time()
+            plan = frontier.map_batches(
+                lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
+            ).groupby("_hpart").map_groups(
                 planner, batch_format="pandas"
             ).materialize()
-            selected = _filter_eq(plan, "action", "fetch")
+            _t_plan = _time.time() - _t0
             kept = _filter_eq(plan, "action", "keep")
-            n_sel = selected.count()
-            if cfg.verbose:
-                print(f"[wave {epoch}] frontier={n_frontier} selected={n_sel}", flush=True)
             kept_tbl_cols = [f.name for f in FRONTIER_SCHEMA]
+
+            # fused wave stage: filter(fetch) → sim-fetch → extract → decide
+            # in ONE map_batches pass; materialize = the propose/confirm
+            # barrier (all proposals land before any confirm)
+            import pyarrow.compute as pc
+
+            def process_fn(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(pc.equal(batch["action"], "fetch"))
+                return decide_fn(extract_fn(fetch_fn(batch.drop_columns(["action"]))))
+
+            _t0 = _time.time()
+            # map_batches schedules one task per BLOCK: split the plan so the
+            # wave's extraction actually fans out across the cluster
+            n_plan = plan.count()
+            nproc = max(1, min(cfg.plan_partitions * 8, n_plan // 128 + 1))
+            processed = plan.repartition(nproc).map_batches(
+                process_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
+            ).materialize()
+            _t_proc = _time.time() - _t0
+            n_sel = processed.count()
             if n_sel == 0:
                 frontier = kept.select_columns(kept_tbl_cols).materialize()
                 frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
                 epoch += 1
                 continue
 
-            processed = (
-                selected.drop_columns(["action"])
-                .map_batches(fetch_fn, batch_format="pyarrow",
-                             batch_size=cfg.fetch_batch_size)
-                .map_batches(extract_fn, batch_format="pyarrow",
-                             batch_size=cfg.fetch_batch_size)
-                .map_batches(decide_fn, batch_format="pyarrow",
-                             batch_size=cfg.fetch_batch_size)
-                .materialize()  # barrier: all proposals in before any confirm
-            )
-            final = processed.map_batches(
-                confirm_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-            ).materialize()
-            seen.clear_pending()
+            _t0 = _time.time()
+            if atomic:
+                final = processed  # decide already produced outcomes
+            else:
+                final = processed.map_batches(
+                    confirm_fn, batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size
+                ).materialize()
+                seen.clear_pending()
+            _t_conf = _time.time() - _t0
 
-            # wave bookkeeping (small: one row per processed page this wave)
-            frows = final.select_columns(
-                ["site", "url", "host", "depth", "wave", "rank", "visit_pos",
-                 "grant_ts", "status", "outcome"]
-            ).take_all()
-            for r in frows:
-                r["epoch"] = epoch
-                visits.append(r)
-                c = counters[r["site"]]
-                c[COUNTER_KEYS[r["outcome"]]] += 1
-                if r["outcome"] != "error":
-                    c["pages_visited"] += 1
-            docs_ds = _filter_in(final, "outcome", ["indexed", "not_modified"])
-            doc_rows = docs_ds.select_columns(
-                ["site", "url", "title", "excerpt", "content", "images",
-                 "doc_lang", "content_hash", "outcome"]
-            ).take_all()
-            docs, refreshes = _doc_rows_from(doc_rows, cfg.now)
-            all_docs.extend(docs)
-            all_refresh.extend(refreshes)
-            if self.out_dir:
-                self._write_epoch(epoch, docs, refreshes, frows)
+            # wave bookkeeping. Two modes: collect the visit log (tests /
+            # small runs), or aggregate counters distributedly (bench /
+            # scale — one partial-count row per (site, outcome) per block
+            # reaches the driver, never per-page rows).
+            total_links = 0
+            frows = []
+            if cfg.collect_visits:
+                frows = final.select_columns(
+                    ["site", "url", "host", "depth", "wave", "rank", "visit_pos",
+                     "grant_ts", "status", "outcome", "n_links"]
+                ).take_all()
+                for r in frows:
+                    total_links += r.pop("n_links") or 0
+                    r["epoch"] = epoch
+                    visits.append(r)
+                    c = counters[r["site"]]
+                    c[COUNTER_KEYS[r["outcome"]]] += 1
+                    if r["outcome"] != "error":
+                        c["pages_visited"] += 1
+            else:
+                for r in final.map_batches(
+                    _wave_counts_partial, batch_format="pyarrow"
+                ).take_all():
+                    total_links += r["links"]
+                    c = counters[r["site"]]
+                    c[COUNTER_KEYS[r["outcome"]]] += r["n"]
+                    if r["outcome"] != "error":
+                        c["pages_visited"] += r["n"]
+            if cfg.collect_docs or self.out_dir:
+                docs_ds = _filter_in(final, "outcome", ["indexed", "not_modified"])
+                doc_rows = docs_ds.select_columns(
+                    ["site", "url", "title", "excerpt", "content", "images",
+                     "doc_lang", "content_hash", "outcome"]
+                ).take_all()
+                docs, refreshes = _doc_rows_from(doc_rows, cfg.now)
+                if cfg.collect_docs:
+                    all_docs.extend(docs)
+                    all_refresh.extend(refreshes)
+                if self.out_dir:
+                    self._write_epoch(epoch, docs, refreshes, frows)
 
-            # outlinks → admission (per-host, ordered) → next frontier
-            explode = _make_explode(seed_by_site, max_depth_by_site)
-            cands = final.map_batches(explode, batch_format="pyarrow").materialize()
+            # outlinks → admission (ordered per host) → next frontier, one
+            # fused execution; skipped entirely when no page linked anything.
+            # Queue cap is PER SITE (the reference's 5000-entry heap cap is
+            # per-site, crawler.py:1203): sites at/over cap stop admitting.
+            _t_book = _time.time()
             admitted = None
-            if cands.count() > 0 and n_frontier < cfg.max_queue_size:
-                admit_fn = _make_admitter(seen, epoch + 1)
-                admitted = cands.groupby("host").map_groups(
+            if total_links > 0:
+                qc = seen.queued_counts([rt.name for rt in self.sites])
+                blocked = {s for s, n in qc.items() if n >= cfg.max_queue_size}
+                explode = _make_explode(seed_by_site, max_depth_by_site)
+                admit_fn = _make_admitter(seen, epoch + 1, blocked)
+                admitted = final.map_batches(
+                    explode, batch_format="pyarrow"
+                ).map_batches(
+                    lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
+                ).groupby("_hpart").map_groups(
                     admit_fn, batch_format="pandas"
                 ).materialize()
                 if admitted.count() == 0:
                     admitted = None
+            _t_admit = _time.time() - _t_book
+            _t0 = _time.time()
             kept_f = kept.select_columns(kept_tbl_cols)
+            nb = max(1, min(64, n_frontier // 4096 + 1))
             frontier = (kept_f.union(admitted.select_columns(kept_tbl_cols))
-                        if admitted is not None else kept_f).materialize()
+                        if admitted is not None else kept_f).repartition(nb).materialize()
+            _t_union = _time.time() - _t0
+            if cfg.verbose:
+                print(f"[wave {epoch}] frontier={n_frontier} sel={n_sel} "
+                      f"plan={_t_plan:.2f} proc={_t_proc:.2f} conf={_t_conf:.2f} "
+                      f"admit={_t_admit:.2f} union={_t_union:.2f}", flush=True)
             # sever lineage across epochs (blocks stay in the object store;
             # unbounded stats/plan chains otherwise blow the recursion limit)
             frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
@@ -606,6 +692,17 @@ class CrawlEngine:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "manifest.json"))
 
+    @staticmethod
+    def _peek_manifest(ckpt_dir: str) -> dict:
+        epochs = sorted(
+            e for e in os.listdir(ckpt_dir)
+            if os.path.exists(os.path.join(ckpt_dir, e, "manifest.json"))
+        )
+        if not epochs:
+            raise FileNotFoundError(f"no complete checkpoint under {ckpt_dir}")
+        with open(os.path.join(ckpt_dir, epochs[-1], "manifest.json")) as f:
+            return json.load(f)
+
     def _restore(self, ckpt_dir: str, seen, politeness):
         import pyarrow.parquet as pq
 
@@ -633,6 +730,23 @@ class CrawlEngine:
 # wave-mode group functions
 # ---------------------------------------------------------------------------
 
+def _wave_counts_partial(batch: pa.Table) -> pa.Table:
+    import pandas as pd  # noqa: F401
+
+    df = batch.select(["site", "outcome", "n_links"]).to_pandas()
+    g = df.groupby(["site", "outcome"], as_index=False).agg(
+        n=("outcome", "size"), links=("n_links", "sum")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _add_hpart(batch: pa.Table, n_parts: int) -> pa.Table:
+    import zlib
+
+    parts = [zlib.crc32(h.encode()) % n_parts for h in batch["host"].to_pylist()]
+    return batch.append_column("_hpart", pa.array(parts, pa.int32()))
+
+
 def _filter_eq(ds, col: str, val: str):
     import pyarrow.compute as pc
 
@@ -651,27 +765,36 @@ def _filter_in(ds, col: str, vals: list[str]):
 
 
 def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_cap):
-    """Per-host wave planning (map_groups, pandas): priority walk with the
-    reference's pop-time skip ladder under politeness + site budgets
-    (crawler.py:1157-1178). Side effects: queued-set removal for every
-    popped row, visited-marks for extension skips, token consumption for
-    selected rows."""
+    """Wave planning over a coarse host partition (map_groups over
+    crc32(host) % P, pandas): for every (site, host) group the priority walk
+    applies the reference's pop-time skip ladder under politeness + site
+    budgets (crawler.py:1157-1178). All actor traffic is BATCHED per
+    partition — one plan_many / take_many politeness round and one
+    on_popped/mark_visited round — so RPC count is O(partitions), not
+    O(hosts) (SURVEY.md §7.7 actor-RPC amortization)."""
     window_start, window_end = window
 
     def plan(gdf):
         import math
 
-        import pandas as pd
-
-        host = gdf["host"].iloc[0]
-        frames = []
-        for site, sdf in gdf.groupby("site", sort=True):
+        out_cols: dict[str, list] = {c: [] for c in (
+            "url", "site", "host", "depth", "wave", "rank", "action",
+            "visit_pos", "grant_ts")}
+        groups = []
+        for (site, host), sdf in gdf.groupby(["site", "host"], sort=True):
             sdf = sdf.sort_values(["depth", "wave", "rank"],
                                   ascending=[False, True, True], kind="stable")
+            groups.append((site, host, sdf))
+        plans = politeness.plan_many(
+            [(host, sdf["url"].tolist(), window_start, window_end, grant_cap)
+             for site, host, sdf in groups]
+        ) if groups else []
+        walked = []
+        take_req = []
+        popped_pairs: list[tuple[str, bytes]] = []   # re-admittable discards only
+        inplace_deltas: dict[str, int] = {}          # fetched/extension: key stays
+        for (site, host, sdf), (verdicts, avail) in zip(groups, plans):
             urls = sdf["url"].tolist()
-            verdicts, avail = politeness.plan_host(
-                host, urls, window_start, window_end, grant_cap
-            )
             budget = min(avail, remaining.get(site, 1_000_000_000))
             actions = []
             n_sel = 0
@@ -681,38 +804,65 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_c
                     continue
                 if is_excluded(u, exclude_patterns.get(site, [])):
                     actions.append("skip_excluded")
-                    continue
-                if has_binary_extension(u):
+                elif has_binary_extension(u):
                     actions.append("skip_extension")
-                    continue
-                if not verdicts[i]:
+                elif not verdicts[i]:
                     actions.append("skip_robots")
-                    continue
-                actions.append("fetch")
-                n_sel += 1
-            grant_ts = politeness.take(host, n_sel, window_start) if n_sel else []
-            popped = [url_key(u) for u, a in zip(urls, actions) if a != "keep"]
-            if popped:
-                seen.on_popped(site, popped)
-            ext = [url_key(u) for u, a in zip(urls, actions) if a == "skip_extension"]
-            if ext:
-                seen.mark_visited(site, ext)
-            vp, gts, k = [], [], 0
-            for a in actions:
+                else:
+                    actions.append("fetch")
+                    n_sel += 1
+            for u, a in zip(urls, actions):
+                if a in ("skip_excluded", "skip_robots"):
+                    # excluded/robots discards leave the queued set — the
+                    # reference re-admits them if re-linked (crawler.py:1162)
+                    popped_pairs.append((site, url_key(u)))
+                elif a in ("fetch", "skip_extension"):
+                    # key STAYS in queued (doubles as the visited mark —
+                    # admission checks queued ∪ visited); only the active
+                    # counter moves. No per-key traffic for the hot path.
+                    inplace_deltas[site] = inplace_deltas.get(site, 0) + 1
+            walked.append((site, host, sdf, actions, n_sel))
+            take_req.append((host, n_sel, window_start))
+        grants = politeness.take_many(take_req) if take_req else []
+        if popped_pairs:
+            seen.on_popped_many(popped_pairs)
+        if inplace_deltas:
+            seen.note_popped_inplace(inplace_deltas)
+        for (site, host, sdf, actions, n_sel), grant_ts in zip(walked, grants):
+            k = 0
+            rows = sdf.to_dict("list")
+            for j, a in enumerate(actions):
+                if a not in ("fetch", "keep"):
+                    continue  # pure skips leave the frontier with no row
+                out_cols["url"].append(rows["url"][j])
+                out_cols["site"].append(site)
+                out_cols["host"].append(host)
+                out_cols["depth"].append(rows["depth"][j])
+                out_cols["wave"].append(rows["wave"][j])
+                out_cols["rank"].append(rows["rank"][j])
+                out_cols["action"].append(a)
                 if a == "fetch":
-                    vp.append(k)
-                    gts.append(grant_ts[k])
+                    out_cols["visit_pos"].append(k)
+                    out_cols["grant_ts"].append(grant_ts[k])
                     k += 1
                 else:
-                    vp.append(-1)
-                    gts.append(math.nan)
-            sdf = sdf.copy()
-            sdf["action"] = actions
-            sdf["visit_pos"] = pd.array(vp, dtype="int64")
-            sdf["grant_ts"] = gts
-            # drop pure-skip rows (they leave the frontier with no output row)
-            frames.append(sdf[(sdf["action"] == "fetch") | (sdf["action"] == "keep")])
-        return pd.concat(frames) if frames else gdf.iloc[0:0]
+                    out_cols["visit_pos"].append(-1)
+                    out_cols["grant_ts"].append(math.nan)
+        # emit ARROW with pinned types: pandas blocks mixed with arrow blocks
+        # poison downstream sorts/unions (BlockType assertion)
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(out_cols["url"], pa.string()),
+                "site": pa.array(out_cols["site"], pa.string()),
+                "host": pa.array(out_cols["host"], pa.string()),
+                "depth": pa.array(out_cols["depth"], pa.int32()),
+                "wave": pa.array(out_cols["wave"], pa.int32()),
+                "rank": pa.array(out_cols["rank"], pa.int64()),
+                "action": pa.array(out_cols["action"], pa.string()),
+                "visit_pos": pa.array(out_cols["visit_pos"], pa.int64()),
+                "grant_ts": pa.array(out_cols["grant_ts"], pa.float64()),
+            }
+        )
 
     return plan
 
@@ -724,33 +874,51 @@ def _make_explode(seed_by_site, max_depth_by_site):
     return explode
 
 
-def _make_admitter(seen, admit_wave: int):
-    """Per-host candidate admission (map_groups, pandas): order by (parent
-    visit position, link position) — the reference's counter order within a
-    host (crawler.py:1203-1207) — dedupe first-wins, then one ordered
-    test-and-set round per site against the seen shards."""
+def _make_admitter(seen, admit_wave: int, blocked_sites: set[str] = frozenset()):
+    """Candidate admission over a coarse host partition: per (site, host)
+    order by (parent visit position, link position) — the reference's
+    counter order within a host (crawler.py:1203-1207) — dedupe first-wins,
+    then ONE batched ordered test-and-set round per partition against the
+    seen shards (relative order within each host is preserved in the
+    concatenated key list, which is all admission semantics need)."""
 
     def admit(gdf):
-        import pandas as pd
-
-        frames = []
-        for site, sdf in gdf.groupby("site", sort=True):
+        groups = []
+        pairs: list[tuple[str, bytes]] = []
+        for (site, host), sdf in gdf.groupby(["site", "host"], sort=True):
+            if site in blocked_sites:
+                continue  # per-site queue cap reached — stop admitting
             sdf = sdf.sort_values(["parent_rank", "lpos"], kind="stable")
             sdf = sdf.drop_duplicates(subset=["url"], keep="first")
-            keys = [url_key(u) for u in sdf["url"]]
-            flags = seen.admit(site, keys)
-            sdf = sdf[pd.Series(flags, index=sdf.index).values].copy()
-            if len(sdf) == 0:
-                continue
-            sdf["wave"] = admit_wave
-            sdf["rank"] = range(len(sdf))
-            frames.append(sdf[["url", "site", "host", "depth", "wave", "rank"]])
-        if not frames:
-            out = gdf.iloc[0:0][["url", "site", "host", "depth"]].copy()
-            out["wave"] = pd.Series([], dtype="int32")
-            out["rank"] = pd.Series([], dtype="int64")
-            return out
-        return pd.concat(frames)
+            urls = sdf["url"].tolist()
+            depths = sdf["depth"].tolist()
+            groups.append((site, host, urls, depths, len(pairs)))
+            pairs.extend((site, url_key(u)) for u in urls)
+        flags = seen.admit_many(pairs) if pairs else []
+        cols: dict[str, list] = {c: [] for c in ("url", "site", "host", "depth",
+                                                 "wave", "rank")}
+        for site, host, urls, depths, base in groups:
+            rank = 0
+            for j, u in enumerate(urls):
+                if not flags[base + j]:
+                    continue
+                cols["url"].append(u)
+                cols["site"].append(site)
+                cols["host"].append(host)
+                cols["depth"].append(depths[j])
+                cols["wave"].append(admit_wave)
+                cols["rank"].append(rank)
+                rank += 1
+        return pa.Table.from_pydict(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "site": pa.array(cols["site"], pa.string()),
+                "host": pa.array(cols["host"], pa.string()),
+                "depth": pa.array(cols["depth"], pa.int32()),
+                "wave": pa.array(cols["wave"], pa.int32()),
+                "rank": pa.array(cols["rank"], pa.int64()),
+            }
+        )
 
     return admit
 

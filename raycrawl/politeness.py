@@ -89,8 +89,17 @@ def make_politeness_shard_cls():
             avail = self.available(host, window_start, window_end)
             return verdicts, min(avail, cap)
 
+        def plan_many(self, items):
+            """Batched plan_host: items = [(host, urls, ws, we, cap)].
+            One RPC per shard per wave partition, not per host."""
+            return [self.plan_host(*it) for it in items]
+
         def take(self, host: str, n: int, window_start: float) -> list[float]:
             return self.consume(host, n, window_start)
+
+        def take_many(self, items):
+            """Batched consume: items = [(host, n, window_start)]."""
+            return [self.consume(*it) for it in items]
 
         def ping(self):
             return True
@@ -125,6 +134,30 @@ class ShardedPoliteness:
 
     def take(self, host: str, n: int, window_start: float) -> list[float]:
         return self._ray.get(self.shard_for(host).take.remote(host, n, window_start))
+
+    def _scatter(self, method: str, items: list, host_idx: int = 0):
+        import zlib
+
+        by_shard: dict[int, list[int]] = {}
+        for i, it in enumerate(items):
+            sid = zlib.crc32(it[host_idx].encode()) % self.n
+            by_shard.setdefault(sid, []).append(i)
+        refs = {sid: getattr(self.shards[sid], method).remote([items[i] for i in idxs])
+                for sid, idxs in by_shard.items()}
+        out = [None] * len(items)
+        for sid, idxs in by_shard.items():
+            vals = self._ray.get(refs[sid])
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
+
+    def plan_many(self, items: list) -> list:
+        """items = [(host, urls, ws, we, cap)] → [(verdicts, avail)]."""
+        return self._scatter("plan_many", items)
+
+    def take_many(self, items: list) -> list:
+        """items = [(host, n, window_start)] → [grant timestamps]."""
+        return self._scatter("take_many", items)
 
     def snapshots(self) -> list[dict]:
         return self._ray.get([s.snapshot.remote() for s in self.shards])

@@ -108,6 +108,7 @@ class SeenState:
         self.hashes: dict[str, set[str]] = {}     # indexed content hashes per site
         self.pending: dict[str, dict[str, tuple]] = {}  # per-wave hash proposals
         self.cache: dict[bytes, dict] = {}        # cross-run incremental state
+        self.active: dict[str, int] = {}          # per-site active-frontier counters
 
     # -- membership -------------------------------------------------------
     def _visited_contains(self, site: str, key: bytes) -> bool:
@@ -148,6 +149,55 @@ class SeenState:
     def queued_count(self, site: str) -> int:
         return len(self.queued.get(site, ()))
 
+    def queued_counts(self, sites: list[str]) -> list[int]:
+        return [len(self.queued.get(s, ())) for s in sites]
+
+    # -- active-frontier counters (wave engine) ----------------------------
+    # The wave engine leaves fetched/extension-skipped keys in ``queued``
+    # (queued ∪ visited is the admission predicate — identical semantics,
+    # no 20-byte-key flood back to the shards per wave). The per-site
+    # ACTIVE frontier size for the queue cap is then a plain counter,
+    # maintained on shard 0 via client-aggregated deltas.
+    def adjust_active(self, deltas: dict[str, int]) -> None:
+        for site, d in deltas.items():
+            self.active[site] = self.active.get(site, 0) + d
+
+    def get_active(self, sites: list[str]) -> list[int]:
+        return [self.active.get(s, 0) for s in sites]
+
+    # -- multi-site batched variants (one RPC per shard per wave partition,
+    # regardless of how many sites/hosts the partition holds) --------------
+    def admit_many(self, pairs: list[tuple[str, bytes]]) -> list[bool]:
+        out = []
+        for site, k in pairs:
+            q = self.queued.setdefault(site, set())
+            if k in q or self._visited_contains(site, k):
+                out.append(False)
+            else:
+                q.add(k)
+                out.append(True)
+        return out
+
+    def on_popped_many(self, pairs: list[tuple[str, bytes]]) -> dict[str, int]:
+        """Remove keys from queued; returns per-site removal counts (for
+        client-side active-counter adjustment)."""
+        removed: dict[str, int] = {}
+        for site, k in pairs:
+            q = self.queued.get(site)
+            if q and k in q:
+                q.discard(k)
+                removed[site] = removed.get(site, 0) + 1
+        return removed
+
+    def mark_visited_many(self, pairs: list[tuple[str, bytes]]) -> None:
+        for site, k in pairs:
+            if self.mode == "cuckoo":
+                ck = self.visited_ck.setdefault(site, CuckooFilter(self.cuckoo_capacity))
+                if not ck.contains(k):
+                    ck.add(k)
+            else:
+                self.visited.setdefault(site, set()).add(k)
+
     # -- content-hash dedup (crawler.py:944, 1034, 1039) -------------------
     # Two-phase, order-deterministic "first-processed wins": eligible rows
     # PROPOSE (hash, order_key) during the wave's first pass; the min
@@ -180,6 +230,20 @@ class SeenState:
     def clear_pending(self) -> None:
         self.pending = {}
 
+    def claim_atomic(self, site: str, hashes: list[str]) -> list[bool]:
+        """Single-pass test-and-set hash claim (the throughput-mode dedup:
+        exactly one winner per hash, winner chosen by arrival order rather
+        than the canonical order — see pipeline.CrawlConfig.dedup_mode)."""
+        permanent = self.hashes.setdefault(site, set())
+        out = []
+        for h in hashes:
+            if h in permanent:
+                out.append(False)
+            else:
+                permanent.add(h)
+                out.append(True)
+        return out
+
     # -- incremental cache (cache_db.py:49-93) ----------------------------
     def get_cache(self, keys: list[bytes]) -> list[dict | None]:
         return [self.cache.get(k) for k in keys]
@@ -202,6 +266,7 @@ class SeenState:
                     for s, ck in self.visited_ck.items()
                 },
                 "cuckoo_capacity": self.cuckoo_capacity,
+                "active": self.active,
             }
         )
 
@@ -213,6 +278,7 @@ class SeenState:
         self.hashes = d["hashes"]
         self.cache = d["cache"]
         self.cuckoo_capacity = d["cuckoo_capacity"]
+        self.active = d.get("active", {})
         self.visited_ck = {}
         for s, (nb, table, stash, count) in d["visited_ck"].items():
             ck = CuckooFilter(nb * 4)
@@ -293,6 +359,70 @@ class ShardedSeen:
     def mark_visited(self, site: str, keys: list[bytes]) -> None:
         self._scatter_gather("mark_visited", site, keys, want_result=False)
 
+    def _scatter_pairs(self, method: str, pairs: list[tuple[str, bytes]],
+                       want_result: bool = True):
+        by_shard: dict[int, list[int]] = {}
+        for i, (_, k) in enumerate(pairs):
+            by_shard.setdefault(k[-1] % self.n, []).append(i)
+        refs = {sid: getattr(self.shards[sid], method).remote([pairs[i] for i in idxs])
+                for sid, idxs in by_shard.items()}
+        if not want_result:
+            self._ray.get(list(refs.values()))
+            return None
+        out = [None] * len(pairs)
+        for sid, idxs in by_shard.items():
+            vals = self._ray.get(refs[sid])
+            if vals is None:
+                continue
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
+
+    def admit_many(self, pairs: list[tuple[str, bytes]]) -> list[bool]:
+        flags = self._scatter_pairs("admit_many", pairs)
+        deltas: dict[str, int] = {}
+        for (site, _), f in zip(pairs, flags):
+            if f:
+                deltas[site] = deltas.get(site, 0) + 1
+        if deltas:
+            self._ray.get(self.shards[0].adjust_active.remote(deltas))
+        return flags
+
+    def on_popped_many(self, pairs: list[tuple[str, bytes]]) -> None:
+        removed_lists = self._scatter_pairs_raw("on_popped_many", pairs)
+        deltas: dict[str, int] = {}
+        for rem in removed_lists:
+            for site, n in rem.items():
+                deltas[site] = deltas.get(site, 0) - n
+        if deltas:
+            self._ray.get(self.shards[0].adjust_active.remote(deltas))
+
+    def note_popped_inplace(self, deltas: dict[str, int]) -> None:
+        """Count-only active-frontier decrement for rows popped but LEFT in
+        the queued set (fetched / extension-skipped — they double as the
+        visited mark; no key traffic)."""
+        if deltas:
+            self._ray.get(self.shards[0].adjust_active.remote(
+                {s: -n for s, n in deltas.items()}
+            ))
+
+    def mark_visited_many(self, pairs: list[tuple[str, bytes]]) -> None:
+        self._scatter_pairs("mark_visited_many", pairs, want_result=False)
+
+    def _scatter_pairs_raw(self, method: str, pairs: list[tuple[str, bytes]]):
+        by_shard: dict[int, list[int]] = {}
+        for i, (_, k) in enumerate(pairs):
+            by_shard.setdefault(k[-1] % self.n, []).append(i)
+        refs = [getattr(self.shards[sid], method).remote([pairs[i] for i in idxs])
+                for sid, idxs in by_shard.items()]
+        return self._ray.get(refs)
+
+    def queued_counts(self, sites: list[str]) -> dict[str, int]:
+        """Per-site ACTIVE frontier size (counter on shard 0)."""
+        return dict(zip(sites, self._ray.get(
+            self.shards[0].get_active.remote(sites)
+        )))
+
     def get_cache(self, keys: list[bytes]) -> list[dict | None]:
         return self._scatter_gather("get_cache", None, keys)
 
@@ -329,6 +459,19 @@ class ShardedSeen:
 
     def clear_pending(self) -> None:
         self._ray.get([s.clear_pending.remote() for s in self.shards])
+
+    def claim_atomic(self, site: str, hashes: list[str]) -> list[bool]:
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            by_shard.setdefault(int(h[:2], 16) % self.n, []).append(i)
+        refs = {sid: self.shards[sid].claim_atomic.remote(site, [hashes[i] for i in idxs])
+                for sid, idxs in by_shard.items()}
+        out = [False] * len(hashes)
+        for sid, idxs in by_shard.items():
+            vals = self._ray.get(refs[sid])
+            for j, i in enumerate(idxs):
+                out[i] = vals[j]
+        return out
 
     def snapshots(self) -> list[bytes]:
         return self._ray.get([s.snapshot.remote() for s in self.shards])

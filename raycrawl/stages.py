@@ -61,35 +61,42 @@ class SimFetchStage:
     one batched seen-shard RPC per batch, used by the conditional-GET check
     here and the TTL skip in the decide stage)."""
 
-    def __init__(self, page_index, seen_client):
+    def __init__(self, page_index, seen_client, skip_cache: bool = False):
         import ray
 
         if isinstance(page_index, ray.ObjectRef):
             page_index = ray.get(page_index)
         self.index = page_index
         self.seen = seen_client
+        # a fresh crawl (no prior cache, no resume) can never hit the
+        # incremental cache — each url is fetched at most once per run — so
+        # the per-batch get_cache RPC round is pure overhead; skip it
+        self.skip_cache = skip_cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        keys = [url_key(u) for u in urls]
-        recs = self.seen.get_cache(keys)
         n = len(urls)
+        if self.skip_cache:
+            recs = [None] * n
+        else:
+            keys = [url_key(u) for u in urls]
+            recs = self.seen.get_cache(keys)
         status = [0] * n
         htmls: list[bytes | None] = [None] * n
         etags: list[str | None] = [None] * n
         c_hash: list[str | None] = [None] * n
         c_last: list[float | None] = [None] * n
         for i, u in enumerate(urls):
-            rec = recs[i]
+            rec = recs[i]  # (content_hash, last_crawl, etag, site) or None
             if rec:
-                c_hash[i] = rec.get("content_hash")
-                c_last[i] = rec.get("last_crawl")
+                c_hash[i] = rec[0]
+                c_last[i] = rec[1]
             page = self.index.get(u)
             if page is None:
                 status[i] = 0  # fetch error after retries
                 continue
             html, etag, ctype = page
-            if rec and rec.get("etag") and rec["etag"] == etag:
+            if rec and rec[2] and rec[2] == etag:
                 status[i] = 304
                 continue
             if "text/html" not in (ctype or "text/html"):
@@ -163,15 +170,22 @@ class ExtractIfHtml:
         out = out.append_column("content_hash", pa.array(hashes, pa.string()))
         out = out.append_column("images", pa.array(images_col, IMAGES_TYPE))
         out = out.append_column("links", pa.array(links_col, pa.list_(pa.string())))
+        out = out.append_column(
+            "n_links", pa.array([len(x or []) for x in links_col], pa.int64())
+        )
         return out
 
 
 def order_key_of(depth: int, wave: int, host: str, rank: int) -> tuple:
     """Canonical within-wave processing order: deepest first, then admission
-    wave, then host (deterministic interleave), then host-local rank. In
-    strict mode this equals the reference's heap pop order; in wave mode it
-    is the documented order-equivalence class (SURVEY.md §7.7)."""
-    return (-depth, wave, host, rank)
+    wave, then host (deterministic interleave via crc32 — ints pickle far
+    smaller than repeated host strings in the propose/confirm RPCs), then
+    host-local rank. In strict mode this equals the reference's heap pop
+    order; in wave mode it is the documented order-equivalence class
+    (SURVEY.md §7.7)."""
+    import zlib
+
+    return (-depth, wave, zlib.crc32(host.encode()), rank)
 
 
 class DecideProposeStage:
@@ -235,9 +249,13 @@ class ConfirmStage:
     reference's counter label (indexed > skipped_cache > not_indexed,
     crawler.py:1036-1064). Marks every processed row visited."""
 
-    def __init__(self, seen_client, now: float):
+    def __init__(self, seen_client, now: float, mark_visited: bool = False):
         self.seen = seen_client
         self.now = now
+        # strict mode pops keys out of the queued set, so processed rows
+        # must be re-marked visited; the wave engine leaves popped keys in
+        # the queued set instead (no per-key traffic)
+        self.mark_visited = mark_visited
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -279,29 +297,98 @@ class ConfirmStage:
                 if g:
                     outcomes[i] = "indexed"
                     cache_updates.append(
-                        (
-                            url_key(urls[i]),
-                            {
-                                "content_hash": hashes[i],
-                                "doc_id": generate_doc_id(urls[i]),
-                                "last_crawl": self.now,
-                                "etag": etags[i],
-                                "last_modified": None,
-                                "site": sites[i],
-                            },
-                        )
+                        (url_key(urls[i]),
+                         (hashes[i], self.now, etags[i], sites[i]))
                     )
                 else:
                     outcomes[i] = "not_indexed"  # duplicate content
         if cache_updates:
             self.seen.set_cache(cache_updates)
-        # every processed row is marked visited (crawler.py:1186)
-        by_site: dict[str, list[bytes]] = {}
-        for i in range(n):
-            by_site.setdefault(sites[i], []).append(url_key(urls[i]))
-        for site, keys in by_site.items():
-            self.seen.mark_visited(site, keys)
+        if self.mark_visited:
+            by_site: dict[str, list[bytes]] = {}
+            for i in range(n):
+                by_site.setdefault(sites[i], []).append(url_key(urls[i]))
+            for site, keys in by_site.items():
+                self.seen.mark_visited(site, keys)
         return batch.append_column("outcome", pa.array(outcomes, pa.string()))
+
+
+class AtomicDecideStage:
+    """Single-pass decide: flags + atomic hash claim + cache update + final
+    outcome, no propose/confirm barrier. Duplicate-content resolution is
+    exactly-once but winner-by-arrival (vs the two-phase stages' canonical
+    min-order winner) — the throughput mode for fresh bulk crawls
+    (pipeline.CrawlConfig.dedup_mode="atomic"). Emits the same columns as
+    DecideProposeStage→ConfirmStage."""
+
+    def __init__(self, seen_client, no_index_patterns: dict[str, list[str]],
+                 now: float, cache_days: float, force: bool):
+        self.seen = seen_client
+        self.no_index = no_index_patterns
+        self.now = now
+        self.cache_days = cache_days
+        self.force = force
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sites = batch["site"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        hashes = batch["content_hash"].to_pylist()
+        contents = batch["content"].to_pylist()
+        etags = batch["etag"].to_pylist()
+        c_hash = batch["cached_hash"].to_pylist()
+        c_last = batch["cached_last_crawl"].to_pylist()
+        n = len(urls)
+        outcomes: list = [None] * n
+        eligible = [False] * n
+        cache_skip = [False] * n
+        claim_by_site: dict[str, list[int]] = {}
+        for i in range(n):
+            st = statuses[i]
+            if st == 0:
+                outcomes[i] = "error"
+                continue
+            if st == 304:
+                outcomes[i] = "not_modified"
+                continue
+            if st == 415:
+                outcomes[i] = "skipped_content_type"
+                continue
+            cs = (
+                not self.force
+                and c_hash[i] is not None
+                and c_hash[i] == hashes[i]
+                and (self.now - c_last[i]) / SECONDS_PER_DAY < self.cache_days
+            )
+            cache_skip[i] = cs
+            no_idx = is_excluded(urls[i], self.no_index.get(sites[i], []))
+            stub = len(contents[i] or "") < MIN_CONTENT_CHARS
+            if not cs and not no_idx and not stub:
+                eligible[i] = True
+                claim_by_site.setdefault(sites[i], []).append(i)
+            elif cs:
+                outcomes[i] = "skipped_cache"
+            else:
+                outcomes[i] = "not_indexed"
+        cache_updates = []
+        for site, idxs in claim_by_site.items():
+            granted = self.seen.claim_atomic(site, [hashes[i] for i in idxs])
+            for i, g in zip(idxs, granted):
+                if g:
+                    outcomes[i] = "indexed"
+                    cache_updates.append(
+                        (url_key(urls[i]),
+                         (hashes[i], self.now, etags[i], sites[i]))
+                    )
+                else:
+                    outcomes[i] = "not_indexed"
+        if cache_updates:
+            self.seen.set_cache(cache_updates)
+        return (
+            batch.append_column("eligible", pa.array(eligible, pa.bool_()))
+            .append_column("cache_skip", pa.array(cache_skip, pa.bool_()))
+            .append_column("outcome", pa.array(outcomes, pa.string()))
+        )
 
 
 def explode_outlinks(batch: pa.Table, seed_by_site: dict[str, str],

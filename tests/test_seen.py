@@ -56,10 +56,10 @@ def test_snapshot_restore_roundtrip():
     s = SeenState(mode="cuckoo")
     s.admit("a", [_k(i) for i in range(100)])
     s.mark_visited("a", [_k(i) for i in range(50)])
-    s.set_cache([(_k(1), {"content_hash": "x", "last_crawl": 1.0})])
+    s.set_cache([(_k(1), ("x", 1.0, None, "a"))])
     blob = s.snapshot()
     s2 = SeenState()
     s2.restore(blob)
     assert s2.queued["a"] == s.queued["a"]
-    assert s2.get_cache([_k(1)])[0]["content_hash"] == "x"
+    assert s2.get_cache([_k(1)])[0][0] == "x"
     assert all(s2._visited_contains("a", _k(i)) for i in range(50))
