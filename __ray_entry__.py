@@ -370,6 +370,176 @@ def q_tpch_revenue_nation(sf_dir: str):
     )
 
 
+def q_wiki_documents(sf_dir: str):
+    """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
+    categories, refs) derived from documents → clean → filter → document
+    rows (SURVEY.md S6-S7, M21-M22). SQL-checkable because the fixture
+    wikitext cleans back to exactly documents.text."""
+    from raycrawl.sources.mediawiki import WikiPagesBatch, synthesize_wikitext
+
+    def to_wiki(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "page_id": pa.array(ids, pa.int64()),
+                "title": pa.array([f"Doc {i}" for i in ids], pa.string()),
+                "wikitext": pa.array(
+                    [synthesize_wikitext(t, f"Doc {i}") for i, t in zip(ids, texts)],
+                    pa.string(),
+                ),
+                "url": pa.array(
+                    [f"https://wiki.example.org/wiki/Doc_{i}" for i in ids], pa.string()
+                ),
+            }
+        )
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(to_wiki, batch_format="pyarrow").map_batches(
+        WikiPagesBatch(), batch_format="pyarrow"
+    )
+
+
+def q_json_documents(sf_dir: str):
+    """JSON API source: nested items (root path, {{id}} URL templating,
+    multi-key content concatenation with array fan-out — M18-M20).
+    SQL-checkable: content reassembles to documents.text."""
+    import json as _json
+
+    from raycrawl.sources.json_api import JsonItemsBatch
+
+    def to_items(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            half = len(words) // 2
+            item = {
+                "id": i,
+                "meta": {"title": f"Doc {i}"},
+                "body": {
+                    "sections": [
+                        {"text": " ".join(words[:half])},
+                        {"text": " ".join(words[half:])},
+                    ]
+                },
+            }
+            rows.append({"item": _json.dumps(item)})
+        return pa.Table.from_pylist(rows)
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(to_items, batch_format="pyarrow").map_batches(
+        JsonItemsBatch(
+            url_template="https://api.example.org/items/{{id}}",
+            title_key="meta.title",
+            content_keys="body.sections[].text",
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_search_merge(sf_dir: str):
+    """Federated merge-dedup (J4/O4): two result sets over the same corpus
+    with different URL spellings (www + trailing slash vs #fragment),
+    first-source-wins dedup by normalized URL, 0.7/0.3 weights, top-20."""
+    import pyarrow.compute as pc
+
+    from raycrawl.ops.queryside import merge_results
+
+    def primary(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://www.src{i % 20}.example.org/doc/{i}/" for i in ids]
+                ),
+                "title": pa.array([f"Doc {i}" for i in ids]),
+                "score": pa.array([((i % 97) + 1) / 100.0 for i in ids], pa.float64()),
+            }
+        )
+
+    def secondary(batch: pa.Table) -> pa.Table:
+        ids = [i for i in batch["doc_id"].to_pylist() if i % 3 == 0]
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://src{i % 20}.example.org/doc/{i}#frag" for i in ids]
+                ),
+                "title": pa.array([f"Doc {i}" for i in ids]),
+                "score": pa.array([((i % 89) + 1) / 100.0 for i in ids], pa.float64()),
+            }
+        )
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    p = docs.map_batches(primary, batch_format="pyarrow")
+    s = docs.map_batches(secondary, batch_format="pyarrow")
+    out = merge_results(p, s, 0.7, 0.3, limit=20)
+    return out.map_batches(
+        lambda t: t.select(["norm_url", "title", "score_ppm"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_search_rerank(sf_dir: str):
+    """Semantic rerank (O5): cosine vs a query embedding; rows without
+    vectors get score×0.1; top-10 by rank."""
+    from raycrawl.ops.queryside import rerank_topk
+
+    emb_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.array(emb_tbl["embedding"][0].as_py(), dtype=np.float64)
+
+    def results(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        embs = batch["embedding"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"https://v.example.org/{i}" for i in ids]),
+                "score": pa.array([0.5] * len(ids), pa.float64()),
+                "embedding": pa.array(
+                    [e if i % 4 != 0 else None for i, e in zip(ids, embs)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        results, batch_format="pyarrow"
+    )
+    out = rerank_topk(ds, qvec, top_k=10)
+    # emit ranks, not raw scores (float hashes are engine-specific)
+    rows = out.take_all()
+    return pa.Table.from_pylist(
+        [{"rank": i + 1, "url": r["url"]} for i, r in enumerate(rows)]
+    )
+
+
+def q_search_safety(sf_dir: str):
+    """Safety filter (M25): domain blacklist + keyword blocklist over
+    url/title/content."""
+    from raycrawl.ops.queryside import SafetyFilter
+
+    def results(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://src{i % 20}.example.org/doc/{i}" for i in ids]
+                ),
+                "title": pa.array([f"Doc {i}" for i in ids]),
+                "content": batch["text"],
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    filt = SafetyFilter(blocked_domains=["src3.example.org"],
+                        blocked_keywords=["batch"])
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        results, batch_format="pyarrow"
+    ).map_batches(filt, batch_format="pyarrow")
+    return ds.map_batches(lambda t: t.select(["doc_id", "url"]),
+                          batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column → actor-pool decode stage
     (deterministic fake decoder; rows-only check)."""
@@ -425,6 +595,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_nation": q_tpch_revenue_nation,
         "media_features": q_media_features,
+        "wiki_documents": q_wiki_documents,
+        "json_documents": q_json_documents,
+        "search_merge": q_search_merge,
+        "search_rerank": q_search_rerank,
+        "search_safety": q_search_safety,
     }
 
 
@@ -578,6 +753,79 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "wiki_documents": f"""
+            SELECT doc_id AS page_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   'https://wiki.example.org/wiki/Doc_' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   text AS content,
+                   {_EXCERPT} AS excerpt,
+                   md5('Doc ' || CAST(doc_id AS VARCHAR) || '|' || text)
+                       AS content_hash
+            FROM documents
+            WHERE length(text) >= {MIN_DOC_CHARS}
+        """,
+        "json_documents": """
+            SELECT 'https://api.example.org/items/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   text AS content
+            FROM documents
+        """,
+        "search_merge": """
+            WITH p AS (
+                SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS norm_url,
+                       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                       0 AS priority,
+                       CAST(floor(((doc_id % 97) + 1) / 100.0 * 0.7 * 1000000 + 0.5)
+                            AS BIGINT) AS score_ppm
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            s AS (
+                SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS norm_url,
+                       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                       1 AS priority,
+                       CAST(floor(((doc_id % 89) + 1) / 100.0 * 0.3 * 1000000 + 0.5)
+                            AS BIGINT) AS score_ppm
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            u AS (SELECT * FROM p UNION ALL SELECT * FROM s),
+            d AS (
+                SELECT norm_url, title, score_ppm,
+                       ROW_NUMBER() OVER (PARTITION BY norm_url
+                                          ORDER BY priority ASC) AS rn
+                FROM u
+            )
+            SELECT norm_url, title, score_ppm FROM d WHERE rn = 1
+            ORDER BY score_ppm DESC, norm_url ASC LIMIT 20
+        """,
+        "search_rerank": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT 'https://v.example.org/' || CAST(e.vec_id AS VARCHAR) AS url,
+                       CASE WHEN e.vec_id % 4 = 0
+                            THEN CAST(floor(0.5 * 0.1 * 1000000 + 0.5) AS BIGINT)
+                            ELSE CAST(floor(list_cosine_similarity(e.embedding, q.qe)
+                                            * 1000000 + 0.5) AS BIGINT)
+                       END AS score_ppm
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY score_ppm DESC, url ASC) AS rank, url
+            FROM scored
+            ORDER BY score_ppm DESC, url ASC LIMIT 10
+        """,
+        "search_safety": """
+            SELECT doc_id,
+                   'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE doc_id % 20 <> 3
+              AND lower(text) NOT LIKE '%batch%'
         """,
         "tpch_revenue_nation": """
             SELECT n.n_name,

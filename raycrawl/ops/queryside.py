@@ -1,0 +1,178 @@
+"""Query-side operators: federated merge-dedup, semantic rerank, safety
+filter (SURVEY.md §2 J4/J5, O4/O5, M25/M26 — the reference's
+scatter-gather-merge-rerank DAG re-expressed as batch Dataset ops).
+
+Cites into /root/reference/meilisearchcrawler/api/services/:
+- ``merge_results``   — merger.py:32-95: primary results first (weighted
+  w1), secondary deduped against them by normalized URL (weighted w2),
+  sort by score desc, limit.
+- ``normalize_merge_url`` — merger.py:97-130: lowercase host, strip
+  ``www.``, rstrip path ``/``, drop fragment, KEEP query.
+- ``rerank_topk``     — reranker.py:23-92: cosine vs query embedding on
+  rows that have vectors, ×0.1 penalty on rows without, sort desc, top-k.
+- ``SafetyFilter``    — safety.py:103-188: domain whitelist/blacklist,
+  keyword blocklist over url/title/excerpt+content, regex patterns over
+  combined text.
+
+Scores are returned ×1e6 as integers (score_ppm) so DuckDB oracles
+hash-match exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+
+
+def normalize_merge_url(url: str) -> str:
+    parsed = urlparse(str(url))
+    netloc = parsed.netloc.lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    path = parsed.path.rstrip("/")
+    normalized = f"{parsed.scheme}://{netloc}{path}"
+    if parsed.query:
+        normalized += f"?{parsed.query}"
+    return normalized
+
+
+def merge_results(primary_ds, secondary_ds, w_primary: float = 0.7,
+                  w_secondary: float = 0.3, limit: int = 20):
+    """Federated merge: normalized-URL dedup with first-source-wins priority
+    and per-source score weights, global sort desc, limit.
+
+    Expressed Ray-natively: tag each side with priority, weight the scores
+    vectorized, groupby(norm_url) keep min priority, sort + limit. Both
+    sides stream; only the final top-``limit`` reaches the driver."""
+
+    def tag(prio: int, weight: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            scores = np.asarray(batch["score"].to_pylist(), dtype=np.float64)
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "title": batch["title"],
+                    "norm_url": pa.array([normalize_merge_url(u) for u in urls],
+                                         pa.string()),
+                    "priority": pa.array([prio] * len(urls), pa.int32()),
+                    "score_ppm": pa.array(
+                        np.floor(scores * weight * 1_000_000 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = primary_ds.map_batches(tag(0, w_primary), batch_format="pyarrow").union(
+        secondary_ds.map_batches(tag(1, w_secondary), batch_format="pyarrow")
+    )
+
+    def first_wins(gdf):
+        import pandas as pd  # noqa: F401
+
+        frames = []
+        for _, g in gdf.groupby("norm_url", sort=True):
+            frames.append(g.sort_values("priority", kind="stable").head(1))
+        import pandas as pd
+
+        return pd.concat(frames) if frames else gdf.iloc[0:0]
+
+    from .grouping import partitioned_apply
+
+    deduped = partitioned_apply(tagged, ["norm_url"], first_wins)
+    return deduped.sort(["score_ppm", "norm_url"], descending=[True, False]).limit(limit)
+
+
+def rerank_topk(results_ds, query_embedding: np.ndarray, top_k: int = 10):
+    """Semantic rerank: cosine(query, row.embedding) replaces the score for
+    rows with vectors; rows without keep score×0.1 (reranker.py:77-81);
+    global sort desc + top-k. Query embedding broadcast once."""
+    import ray
+
+    qn = np.asarray(query_embedding, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        embs = batch["embedding"].to_pylist()
+        scores = np.asarray(batch["score"].to_pylist(), dtype=np.float64)
+        out = np.empty(len(embs), dtype=np.float64)
+        for i, e in enumerate(embs):
+            if e:
+                v = np.asarray(e, dtype=np.float64)
+                n = np.linalg.norm(v)
+                out[i] = float(v @ q / n) if n else 0.0
+            else:
+                out[i] = scores[i] * 0.1
+        return pa.table(
+            {
+                "url": batch["url"],
+                "score_ppm": pa.array(
+                    np.floor(out * 1_000_000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    scored = results_ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score_ppm", "url"], descending=[True, False]).limit(top_k)
+
+
+class SafetyFilter:
+    """Vectorizable row filter with broadcast config (safety.py:103-188)."""
+
+    def __init__(self, allowed_domains: list[str] = (), blocked_domains: list[str] = (),
+                 blocked_keywords: list[str] = (), blocked_patterns: list[str] = ()):
+        self.allowed = set(allowed_domains)
+        self.blocked = set(blocked_domains)
+        self.keywords = [k.lower() for k in blocked_keywords]
+        self.patterns = [re.compile(p, re.IGNORECASE) for p in blocked_patterns]
+
+    @staticmethod
+    def _domain(url: str) -> str:
+        d = urlparse(str(url)).netloc.lower()
+        return d[4:] if d.startswith("www.") else d
+
+    def is_safe(self, url: str, title: str, excerpt: str | None,
+                content: str | None) -> bool:
+        domain = self._domain(url)
+        if self.allowed and domain not in self.allowed:
+            return False
+        if domain in self.blocked:
+            return False
+        url_l = str(url).lower()
+        if any(k in url_l for k in self.keywords):
+            return False
+        title_l = (title or "").lower()
+        if any(k in title_l for k in self.keywords):
+            return False
+        text_l = (excerpt or "").lower()
+        if content:
+            text_l += " " + content.lower()
+        if any(k in text_l for k in self.keywords):
+            return False
+        combined = f"{title} {excerpt or ''} {content or ''}"
+        if any(p.search(combined) for p in self.patterns):
+            return False
+        return True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = [
+            self.is_safe(u, t, e, c)
+            for u, t, e, c in zip(
+                batch["url"].to_pylist(), batch["title"].to_pylist(),
+                batch["excerpt"].to_pylist() if "excerpt" in batch.schema.names else [None] * batch.num_rows,
+                batch["content"].to_pylist() if "content" in batch.schema.names else [None] * batch.num_rows,
+            )
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+
+# ship by value for Ray workers
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

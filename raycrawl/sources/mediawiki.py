@@ -1,0 +1,158 @@
+"""MediaWiki source: wikitext cleaning + page-batch document pipeline.
+
+Reimplements the reference's MediaWiki crawler semantics (cites into
+/root/reference/meilisearchcrawler/mediawiki_crawler.py):
+
+- ``clean_wikitext``     — :262-334 (iterative template removal, table/html/
+  ref stripping, [[link|text]] → text, category/file links, quote marks,
+  tail-section cut only past position 500, heading removal, whitespace
+  collapse, 3000-char cap)
+- ``is_safe_title``      — :246-260 (child-safety keyword blocklist; the
+  reference checks only the TITLE despite computing a content preview)
+- ``create_excerpt``     — :336-358 (identical to the HTML path's rule —
+  reuse raycrawl.extract.create_excerpt)
+- ``content_hash``       — :512-514: md5 of "title|content" (differs from
+  the HTML path's 4-field hash)
+- stub filter            — :209-211 (< 50 chars dropped)
+- page-id listing + 50-page content batches (:84-139, :145-244) are live
+  API tiers; in the sandbox the input is a Parquet/Arrow table of
+  (page_id, title, wikitext, url) rows and the batch pipeline is a
+  ``map_batches`` stage producing the same document schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+from ..extract import create_excerpt
+
+UNSAFE_TITLE_KEYWORDS = [
+    "catastrophe de", "accident de", "attentat", "massacre", "tuerie",
+    "génocide",
+]
+
+_TEMPLATE_RE = re.compile(r"\{\{[^{}]*\}\}")
+_TABLE_RE = re.compile(r"\{\|[^{}]*\|\}", re.DOTALL)
+_REF_BLOCK_RE = re.compile(r"<ref[^>]*>.*?</ref>", re.DOTALL)
+_REF_SINGLE_RE = re.compile(r"<ref[^>]*/?>")
+_HTML_TAG_RE = re.compile(r"<[^>]+>")
+_WIKILINK_RE = re.compile(r"\[\[(?:[^\|\]]+\|)?([^\]]+)\]\]")
+_CATEGORY_RE = re.compile(r"\[\[Catégorie:[^\]]+\]\]", re.IGNORECASE)
+_FILE_RE = re.compile(r"\[\[(Fichier|File|Image):[^\]]+\]\]", re.IGNORECASE)
+_QUOTES_RE = re.compile(r"'{2,}")
+_TAIL_SECTIONS = [
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"==\s*Références?\s*==",
+        r"==\s*Liens?\s+externes?\s*==",
+        r"==\s*Voir\s+aussi\s*==",
+        r"==\s*Sources?\s*==",
+        r"==\s*Notes?\s+et\s+références?\s*==",
+    )
+]
+_HEADING_RE = re.compile(r"={2,}[^=]+=={2,}")
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_wikitext(content: str) -> str:
+    if not content:
+        return ""
+    for _ in range(10):
+        before = content
+        content = _TEMPLATE_RE.sub("", content)
+        if before == content:
+            break
+    for _ in range(3):
+        before = content
+        content = _TABLE_RE.sub("", content)
+        if before == content:
+            break
+    # NB: reference order — generic HTML tags stripped BEFORE <ref> blocks,
+    # so ref bodies usually survive as text once their tags are gone
+    content = _HTML_TAG_RE.sub("", content)
+    content = _REF_BLOCK_RE.sub("", content)
+    content = _REF_SINGLE_RE.sub("", content)
+    content = _WIKILINK_RE.sub(r"\1", content)
+    content = _CATEGORY_RE.sub("", content)
+    content = _FILE_RE.sub("", content)
+    content = _QUOTES_RE.sub("", content)
+    min_pos = len(content)
+    for pat in _TAIL_SECTIONS:
+        m = pat.search(content)
+        if m and m.start() < min_pos:
+            min_pos = m.start()
+    if min_pos < len(content) and min_pos > 500:
+        content = content[:min_pos]
+    content = _HEADING_RE.sub("", content)
+    content = _WS_RE.sub(" ", content).strip()
+    return content[:3000]
+
+
+def is_safe_title(title: str) -> bool:
+    t = (title or "").lower()
+    return not any(k in t for k in UNSAFE_TITLE_KEYWORDS)
+
+
+def wiki_content_hash(title: str, content: str) -> str:
+    return hashlib.md5(f"{title}|{content}".encode()).hexdigest()
+
+
+class WikiPagesBatch:
+    """``map_batches`` stage: (page_id, title, wikitext, url) rows → cleaned
+    document rows (the fetch_pages_batch filter chain: unsafe titles and
+    <50-char stubs dropped, mediawiki_crawler.py:182-235)."""
+
+    def __init__(self, min_chars: int = 50):
+        self.min_chars = min_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["page_id"].to_pylist()
+        titles = batch["title"].to_pylist()
+        wikitexts = batch["wikitext"].to_pylist()
+        urls = batch["url"].to_pylist()
+        out = {"page_id": [], "title": [], "url": [], "content": [],
+               "excerpt": [], "content_hash": []}
+        for pid, title, wt, url in zip(ids, titles, wikitexts, urls):
+            if not is_safe_title(title):
+                continue
+            content = clean_wikitext(wt)
+            if len(content) < self.min_chars:
+                continue
+            out["page_id"].append(pid)
+            out["title"].append(title)
+            out["url"].append(url)
+            out["content"].append(content)
+            out["excerpt"].append(create_excerpt(content))
+            out["content_hash"].append(wiki_content_hash(title, content))
+        return pa.table(
+            {
+                "page_id": pa.array(out["page_id"], pa.int64()),
+                "title": pa.array(out["title"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "content": pa.array(out["content"], pa.string()),
+                "excerpt": pa.array(out["excerpt"], pa.string()),
+                "content_hash": pa.array(out["content_hash"], pa.string()),
+            }
+        )
+
+
+def synthesize_wikitext(text: str, title: str) -> str:
+    """Deterministic wikitext wrapper whose cleaned form is exactly
+    ``text`` (closed-world with clean_wikitext; fixture generator). Note
+    the tail-section cut only applies past position 500 (reference :321),
+    so the fixture omits tail sections — their bodies would otherwise leak
+    into short documents."""
+    return (
+        "{{Infobox|param=valeur|autre={{nested|x}}}}"
+        f"[[lien interne|{text}]]"
+        '<ref name="a"/>'
+    )
+
+
+# ship by value for Ray workers
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

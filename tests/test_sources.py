@@ -1,0 +1,120 @@
+"""MediaWiki / JSON-API source + query-side operator conformance
+(reference mediawiki_crawler.py:246-358, crawler.py:444-467 + 1255-1292,
+api/services/{merger,reranker,safety}.py)."""
+
+import pyarrow as pa
+
+from raycrawl.ops.queryside import SafetyFilter, normalize_merge_url
+from raycrawl.sources.json_api import (
+    concat_content,
+    get_nested_value,
+    render_template,
+)
+from raycrawl.sources.mediawiki import (
+    clean_wikitext,
+    is_safe_title,
+    synthesize_wikitext,
+)
+
+
+# -- wikitext cleaner (mediawiki_crawler.py:262-334) ------------------------
+
+def test_clean_wikitext_templates_nested():
+    assert clean_wikitext("{{a|b={{c}}}}texte") == "texte"
+
+
+def test_clean_wikitext_links_and_categories():
+    # reference quirk (faithful): the generic [[link|text]] replacement runs
+    # BEFORE the category/file regexes, so those never see brackets and the
+    # labels survive as text (mediawiki_crawler.py:293-301 order)
+    s = "[[Page|libellé]] et [[Autre]] [[Catégorie:Test]] [[Fichier:x.png]]"
+    assert clean_wikitext(s) == "libellé et Autre Catégorie:Test Fichier:x.png"
+
+
+def test_clean_wikitext_refs_and_html():
+    # generic HTML-tag strip runs FIRST (reference order), so ref bodies
+    # survive as plain text once their tags are gone
+    assert clean_wikitext("a<ref>source</ref>b <b>gras</b>") == "asourceb gras"
+    assert clean_wikitext('x<ref name="n"/>y') == "xy"
+
+
+def test_clean_wikitext_quotes_and_headings():
+    assert clean_wikitext("'''gras''' et ''italique''") == "gras et italique"
+    # reference quirk (faithful): the heading pattern ={2,}[^=]+=={2,}
+    # requires >=3 trailing '=' — level-2 headings survive, level-3+ don't
+    assert clean_wikitext("== Titre ==contenu ici") == "== Titre ==contenu ici"
+    assert clean_wikitext("=== Titre ===contenu ici") == "contenu ici"
+
+
+def test_clean_wikitext_tail_cut_only_past_500():
+    short = "texte " * 10 + "== Références ==suite"
+    # position < 500 → no cut; heading removed, body text stays
+    assert "suite" in clean_wikitext(short)
+    long = "mot " * 200 + "== Références == tout le reste"
+    assert "reste" not in clean_wikitext(long)
+
+
+def test_safe_title_blocklist():
+    assert not is_safe_title("Attentat de 1995")
+    assert not is_safe_title("Le massacre oublié")
+    assert is_safe_title("Les papillons")
+
+
+def test_synthesize_roundtrip():
+    text = "contenu simple de test avec plusieurs mots"
+    assert clean_wikitext(synthesize_wikitext(text, "T")) == text
+
+
+# -- json nested paths (crawler.py:444-467) ---------------------------------
+
+def test_nested_value_paths():
+    d = {"a": {"b": 1}, "items": [{"name": "x"}, {"name": "y"}, {}]}
+    assert get_nested_value(d, "a.b") == 1
+    assert get_nested_value(d, "a.missing") is None
+    assert get_nested_value(d, "items[].name") == ["x", "y"]
+    assert get_nested_value(d, "items[]") == d["items"]
+    assert get_nested_value([], "x") is None
+    assert get_nested_value(d, "") is None
+
+
+def test_render_template():
+    item = {"id": 7, "slug": "abc"}
+    assert render_template("https://x/{{id}}/{{slug}}", item) == "https://x/7/abc"
+    assert render_template("https://x/{{nope}}", item) is None
+
+
+def test_concat_content():
+    item = {"t": "titre", "tags": ["a", "b"], "body": {"x": "corps"}}
+    assert concat_content(item, "t, tags, body.x") == "titre a b corps"
+
+
+# -- query-side (merger.py:97-130, safety.py:103-188) ------------------------
+
+def test_normalize_merge_url():
+    assert normalize_merge_url("https://www.A.org/x/") == "https://a.org/x"
+    assert normalize_merge_url("https://a.org/x#frag") == "https://a.org/x"
+    assert normalize_merge_url("https://a.org/x?q=1#f") == "https://a.org/x?q=1"
+
+
+def test_safety_filter_rules():
+    f = SafetyFilter(blocked_domains=["bad.org"], blocked_keywords=["interdit"],
+                     blocked_patterns=[r"\d{4}-\d{4}"])
+    t = pa.table(
+        {
+            "url": ["https://ok.org/a", "https://www.bad.org/b",
+                    "https://ok.org/interdit-page", "https://ok.org/c",
+                    "https://ok.org/d"],
+            "title": ["bien", "bien", "bien", "contenu interdit", "code 1234-5678"],
+            "excerpt": ["", "", "", "", ""],
+            "content": ["sain", "sain", "sain", "sain", "sain"],
+        }
+    )
+    out = f(t)
+    assert out["url"].to_pylist() == ["https://ok.org/a"]
+
+
+def test_safety_whitelist():
+    f = SafetyFilter(allowed_domains=["ok.org"])
+    t = pa.table({"url": ["https://ok.org/a", "https://other.org/b"],
+                  "title": ["x", "y"], "excerpt": ["", ""], "content": ["", ""]})
+    assert f(t)["url"].to_pylist() == ["https://ok.org/a"]
