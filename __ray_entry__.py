@@ -540,6 +540,52 @@ def q_search_safety(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_crawl_incremental(sf_dir: str):
+    """Incremental-crawl semantics (T5/J1: conditional-GET 304s + cache/TTL
+    skip): recrawl with the first run's cache → per-site counters. The
+    seeds 304 (etag match) and yield no outlinks, so exactly one
+    not-modified visit per site and nothing indexed (rows-only check;
+    pinned exactly against the oracle in tests)."""
+    from raycrawl.fixtures import corpus_seeds
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+    r1 = _crawl(sf_dir)
+    docs = _docs_table(sf_dir)
+    pages = _pages_table(sf_dir)
+    seeds = corpus_seeds(docs.num_rows)
+    # first run's incremental cache: every indexed url with its etag
+    prior = {
+        d["url"]: {"content_hash": d["content_hash"], "last_crawl": 2_000_000_000.0,
+                   "etag": e, "site": d["site"]}
+        for d, e in zip(
+            r1.docs.to_pylist(),
+            [dict(zip(pages["url"].to_pylist(), pages["etag"].to_pylist())).get(u)
+             for u in r1.docs["url"].to_pylist()],
+        )
+    }
+    r2 = CrawlEngine(pages, seeds, prior_cache=prior,
+                     cfg=CrawlConfig(mode="wave")).run()
+    rows = [
+        {"site": site, "pages_visited": c["pages_visited"],
+         "pages_not_modified": c["pages_not_modified"],
+         "pages_indexed": c["pages_indexed"]}
+        for site, c in sorted(r2.counters.items())
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup pairs at ≥0.95 via sign-random-projection
+    bucketing (rows-only; recall vs brute force asserted in tests)."""
+    from raycrawl.ops.dedup import embedding_near_dup
+
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup(ds, threshold=0.95)
+    return out.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"]}), batch_format="pyarrow"
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column → actor-pool decode stage
     (deterministic fake decoder; rows-only check)."""
@@ -600,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_merge": q_search_merge,
         "search_rerank": q_search_rerank,
         "search_safety": q_search_safety,
+        "crawl_incremental": q_crawl_incremental,
+        "dedup_embed": q_dedup_embed,
     }
 
 

@@ -91,6 +91,55 @@ def test_minhash_recall_vs_exact(ray_session):
     assert len(missing) <= max(1, len(exact_pairs) // 10), missing
 
 
+def test_dedup_embed_recall_vs_bruteforce(ray_session):
+    """LSH-bucketed embedding near-dup must recover the exact cosine≥0.95
+    pairs (brute-force numpy check at test scale)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    approx = _to_pandas(entrymod.queries()["dedup_embed"](SF_DIR))
+    got = set(zip(approx["a"], approx["b"])) if len(approx) else set()
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = emb["vec_id"].to_pylist()
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exact = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.95:
+                exact.add(tuple(sorted((ids[i], ids[j]))))
+    missing = exact - got
+    assert len(missing) <= max(1, len(exact) // 5), (len(exact), missing)
+    # this corpus has no ≥0.95 pairs — exercise the kernel on a synthetic
+    # set with planted near-duplicates
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from raycrawl.ops.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    dup = base[:10] + rng.standard_normal((10, 32)) * 0.01  # planted near-dups
+    vecs = np.vstack([base, dup])
+    tbl = pa.table({"vec_id": pa.array(list(range(50)), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float64()))})
+    pairs = _to_pandas(embedding_near_dup(rd.from_arrow(tbl), threshold=0.95))
+    found = set(zip(pairs["a"], pairs["b"])) if len(pairs) else set()
+    planted = {(i, 40 + i) for i in range(10)}
+    assert len(planted - found) <= 2, planted - found
+
+
+def test_crawl_incremental_counters(ray_session):
+    t = _to_pandas(entrymod.queries()["crawl_incremental"](SF_DIR))
+    # every site: exactly 1 visit (the seed), a 304, nothing indexed
+    assert (t["pages_visited"] == 1).all()
+    assert (t["pages_not_modified"] == 1).all()
+    assert (t["pages_indexed"] == 0).all()
+
+
 def test_lsh_topk_with_full_probe_equals_brute(ray_session):
     brute = _canon(_to_pandas(entrymod.queries()["embed_topk"](SF_DIR)))
     lsh = _canon(_to_pandas(entrymod.queries()["embed_topk_lsh"](SF_DIR)))
