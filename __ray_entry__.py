@@ -617,7 +617,24 @@ def entry() -> Any:
     return q_crawl_documents("/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _wrap(fn):
+    """Ensure every raycrawl module the query imported is registered for
+    by-value serialization BEFORE the driver triggers lazy execution (the
+    Dataset's closures are pickled at consumption time, which may happen
+    in a process whose cwd cannot import raycrawl)."""
+
+    def wrapped(sf_dir: str):
+        out = fn(sf_dir)
+        import raycrawl
+
+        raycrawl.register_by_value()
+        return out
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
+def _queries_raw() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_extract": q_crawl_extract,
         "crawl_doc_ids": q_crawl_doc_ids,
@@ -649,6 +666,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_incremental": q_crawl_incremental,
         "dedup_embed": q_dedup_embed,
     }
+
+
+def queries() -> dict[str, Callable[[str], Any]]:  # noqa: F811
+    return {name: _wrap(fn) for name, fn in _queries_raw().items()}
 
 
 # SQL fragments shared by the crawl-family oracles: the deterministic

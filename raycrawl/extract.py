@@ -309,3 +309,10 @@ class ExtractBatch:
         out = out.append_column("images", pa.array(images_col, IMAGES_TYPE))
         out = out.append_column("links", pa.array(links_col, pa.list_(pa.string())))
         return out
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -389,3 +389,10 @@ def scenario(name: str) -> dict:
     else:
         raise ValueError(f"unknown scenario {name!r}")
     return {"pages": w.table(), "seeds": seeds, "robots": robots}
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -254,3 +254,10 @@ def _process_page(url, depth, site: SiteSpec, page_idx, cache, processed_hashes,
             if is_valid_url(lurl) and is_same_domain(lurl, site.crawl):
                 links.append((lurl, depth + 1))
     return doc, links, event
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

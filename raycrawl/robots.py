@@ -55,3 +55,10 @@ class RobotsTable:
             return site_delay
         d = self.crawl_delay(host)
         return d if d is not None else DEFAULT_DELAY
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -124,3 +124,10 @@ def join_and_normalize(base_url: str, href: str) -> str:
     """``urljoin`` then normalize — the link-admission canonical form
     (crawler.py:1066-1072)."""
     return normalize_url(urljoin(base_url, href))
+
+
+# ship this module's code with closures/actor classes so Ray workers never
+# need to import the package (driver cwd / PYTHONPATH independent)
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()
