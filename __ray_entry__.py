@@ -710,7 +710,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_visit_stats": f"""
             SELECT source AS site,
                    COUNT(*) AS pages_visited,
-                   SUM(CASE WHEN length(text) >= {MIN_DOC_CHARS} THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN length(text) >= {MIN_DOC_CHARS}
+                                 THEN 1 ELSE 0 END) AS BIGINT)
                        AS pages_indexed
             FROM documents
             GROUP BY source
@@ -783,7 +784,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
                    COUNT(*) AS n_events,
-                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "events_sessions": """
@@ -807,17 +809,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_top_users": """
             SELECT user_id,
-                   SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id ASC LIMIT 10
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents,
-                   SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-                       AS sum_base_cents,
-                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                            AS BIGINT)) AS sum_disc_cents,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_disc_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
@@ -898,8 +903,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_revenue_nation": """
             SELECT n.n_name,
-                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
-                            AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey

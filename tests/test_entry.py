@@ -61,7 +61,9 @@ def test_query_matches_oracle(ray_session, name):
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_like=True)
+    # dtype-strict: the driver's value hash is dtype-sensitive (int64 vs the
+    # float64 that DuckDB HUGEINT aggregates fetch as), so mirror it here.
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_like=True)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
