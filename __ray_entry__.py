@@ -192,23 +192,16 @@ def q_dedup_jaccard(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH candidate pairs verified at Jaccard ≥ 0.5 (the scale path
-    for q_dedup_jaccard; approximate recall — rows-only check, recall vs the
-    exact pairs asserted in tests). Signatures broadcast for the estimate
-    pre-filter (this corpus is densely similar — candidates ≫ true pairs)."""
-    import ray
-
-    from raycrawl.ops.dedup import MinHasher, minhash_lsh_candidates, verify_jaccard
+    """MinHash+LSH pairs verified at Jaccard ≥ 0.5 (the scale path for
+    q_dedup_jaccard; approximate recall — rows-only check, recall vs the
+    exact pairs asserted in tests). Fully distributed: signatures are a
+    map_batches column, the estimate pre-filter and exact verification are
+    partitioned hash joins — no driver materialization, no corpus
+    broadcast."""
+    from raycrawl.ops.dedup import minhash_dedup
 
     ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
-    rows = ds.take_all()
-    texts = {r["doc_id"]: r["text"] for r in rows}
-    hasher = MinHasher()
-    sigs = {i: hasher.signature(t) for i, t in texts.items()}
-    sigs_ref = ray.put(sigs)
-    cands = minhash_lsh_candidates(ds, sigs_ref=sigs_ref, est_min=0.35)
-    return verify_jaccard(cands, ray.put(texts), threshold=0.5,
-                          sigs_by_id_ref=sigs_ref)
+    return minhash_dedup(ds, threshold=0.5)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -361,8 +354,7 @@ def q_tpch_revenue_nation(sf_dir: str):
 
     return revenue_by_nation(
         _read_ds(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
-        pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                      columns=["o_orderkey", "o_custkey"]),
+        _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                       columns=["c_custkey", "c_nationkey"]),
         pq.read_table(os.path.join(sf_dir, "nation.parquet"),

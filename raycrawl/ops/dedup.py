@@ -74,141 +74,248 @@ class MinHasher:
         )
 
 
-def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 5, id_col: str = "doc_id",
-                           sigs_ref=None, est_min: float | None = None,
-                           max_bucket: int = 1000):
-    """shingle → minhash → band → bucket-groupby: candidate duplicate pairs.
-
-    Returns a Dataset of (a, b) candidate id pairs (a < b), deduplicated.
-    With ``sigs_ref`` (broadcast id→signature) and ``est_min``, pairs are
-    pruned AT GENERATION by the vectorized signature-agreement estimate, so
-    the pair shuffle carries only plausible duplicates — on densely-similar
-    corpora this is orders of magnitude smaller. Exact verification is a
-    separate stage (``verify_jaccard``)."""
-    rows_per_band = num_perm // bands
-
+def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Distributed signature stage: (id, minhash list<int64>) via map_batches.
+    Coefficients are built once per worker from a fixed seed (MinHasher)."""
     hasher = MinHasher(num_perm, shingle_k)
 
-    def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out_band, out_key, out_id = [], [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            sig = hasher.signature(t)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
-                key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_band.append(b)
-                out_key.append(key)
-                out_id.append(ids[i])
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = [hasher.signature(t).tolist() for t in batch[text_col].to_pylist()]
         return pa.table(
-            {"band": pa.array(out_band, pa.int32()),
-             "bkey": pa.array(out_key, pa.string()),
-             "id": pa.array(out_id, pa.int64())}
+            {id_col: batch[id_col],
+             "minhash": pa.array(sigs, pa.list_(pa.int64()))}
         )
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment (public constant)
+
+
+def _band_keys(sig_mat: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized per-band bucket keys: fold each band's chunk columns with
+    a splitmix64-style mix, all rows at once. Returns (n_rows, bands) int64."""
+    n, num_perm = sig_mat.shape
+    r = num_perm // bands
+    u = sig_mat.astype(np.uint64)
+    keys = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            # seed with the band index so buckets never collide across bands
+            h = np.full(n, np.uint64(b + 1) * _MIX, dtype=np.uint64)
+            for c in range(b * r, (b + 1) * r):
+                h = (h ^ u[:, c]) * _MIX
+                h ^= h >> np.uint64(29)
+            keys[:, b] = h
+    return keys.view(np.int64)
+
+
+def lsh_band_rows(sig_ds, num_perm: int = 64, bands: int = 16,
+                  id_col: str = "doc_id"):
+    """Explode (id, minhash) into fixed-width (bkey int64, id) band rows —
+    the only thing the LSH shuffle carries."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        sig = np.asarray(batch["minhash"].combine_chunks().flatten(),
+                         dtype=np.int64).reshape(n, num_perm)
+        keys = _band_keys(sig, bands)  # (n, bands)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table(
+            {"bkey": pa.array(keys.reshape(-1), pa.int64()),
+             "id": pa.array(np.repeat(ids, bands), pa.int64())}
+        )
+
+    return sig_ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+from .grouping import resolve_parts as _resolve_parts
+
+
+def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32):
+    """bucket-groupby → unique candidate (a, b) pairs, a < b. Buckets larger
+    than ``max_bucket`` are dropped (degenerate too-common key — salting
+    territory). Pair rows are 16 bytes, so the pair shuffle stays cheap even
+    when candidates ≫ true pairs."""
 
     def bucket_pairs_partition(pdf):
         import itertools
 
         import pandas as pd
 
-        sigs = None
-        if sigs_ref is not None:
-            import ray
-
-            key = sigs_ref.hex() if isinstance(sigs_ref, ray.ObjectRef) else id(sigs_ref)
-            sigs = _VERIFY_CACHE.get(("sigs", key))
-            if sigs is None:
-                sigs = ray.get(sigs_ref) if isinstance(sigs_ref, ray.ObjectRef) else sigs_ref
-                _VERIFY_CACHE[("sigs", key)] = sigs
         out_a, out_b = [], []
-        for _, g in pdf.groupby(["band", "bkey"], sort=True):
+        seen = set()
+        for _, g in pdf.groupby("bkey", sort=True):
             ids = sorted(set(g["id"].tolist()))
             if len(ids) > max_bucket:
-                continue  # degenerate too-common bucket (LSH salting territory)
-            if sigs is not None and est_min is not None and len(ids) > 2:
-                mat = np.stack([sigs[i] for i in ids])  # (n, perms)
-                for xi in range(len(ids)):
-                    est = (mat[xi + 1:] == mat[xi]).mean(axis=1)
-                    for off in np.nonzero(est >= est_min)[0]:
-                        out_a.append(ids[xi])
-                        out_b.append(ids[xi + 1 + off])
-            else:
-                for x, y in itertools.combinations(ids, 2):
+                continue
+            for x, y in itertools.combinations(ids, 2):
+                if (x, y) not in seen:
+                    seen.add((x, y))
                     out_a.append(x)
                     out_b.append(y)
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
-    def dedupe_pairs_partition(pdf):
-        g = pdf.groupby(["a", "b"], as_index=False).size()
-        return g.rename(columns={"size": "nbands"})
+    def unique_pairs_partition(pdf):
+        return pdf.drop_duplicates(["a", "b"])
 
     from .grouping import partitioned_apply
 
-    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = partitioned_apply(bands_ds, ["bkey"], bucket_pairs_partition)
-    return partitioned_apply(pairs, ["a", "b"], dedupe_pairs_partition)
+    pairs = partitioned_apply(bands_ds, ["bkey"], bucket_pairs_partition, n_parts)
+    return partitioned_apply(pairs, ["a", "b"], unique_pairs_partition, n_parts)
 
 
-_VERIFY_CACHE: dict = {}  # per-worker-process (shingle sets, signatures)
+def _melt_pairs(pairs_ds):
+    """(a, b) pair rows → two (a, b, role, id) rows each: payload columns
+    (signatures, texts) then arrive via ONE hash join against an id-keyed
+    side instead of one join per pair column — at 4 joins per query the
+    streaming executor's per-join aggregator pools outnumber small-cluster
+    CPUs and stall; melt halves the join count AND the shipped payload."""
 
-
-def verify_jaccard(pairs_ds, texts_by_id_ref, shingle_k: int = 5,
-                   threshold: float = 0.8, sigs_by_id_ref=None,
-                   est_margin: float = 0.15):
-    """Exact shingle-Jaccard verification of candidate pairs.
-
-    Text lookup is a broadcast ref; shingle sets are built ONCE per worker
-    (cached) — never per pair. When minhash signatures are provided, a
-    vectorized signature-agreement estimate prunes candidates more than
-    ``est_margin`` below the threshold before the exact set ops (the LSH
-    candidate set can be orders of magnitude larger than the true pair set
-    on densely-similar corpora). At 100 TB the broadcast becomes a
-    repartition-by-id join; the verify kernel is unchanged."""
-    import ray
-
-    def verify(batch: pa.Table) -> pa.Table:
-        key = texts_by_id_ref.hex() if isinstance(texts_by_id_ref, ray.ObjectRef) else id(texts_by_id_ref)
-        cached = _VERIFY_CACHE.get(key)
-        if cached is None:
-            texts = (ray.get(texts_by_id_ref)
-                     if isinstance(texts_by_id_ref, ray.ObjectRef) else texts_by_id_ref)
-            sets = {i: _shingles(t, shingle_k) for i, t in texts.items()}
-            sigs = None
-            if sigs_by_id_ref is not None:
-                s = (ray.get(sigs_by_id_ref)
-                     if isinstance(sigs_by_id_ref, ray.ObjectRef) else sigs_by_id_ref)
-                sigs = s
-            _VERIFY_CACHE.clear()
-            _VERIFY_CACHE[key] = (sets, sigs)
-            cached = (sets, sigs)
-        sets, sigs = cached
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        if sigs is not None and len(a):
-            sa = np.stack([sigs[x] for x in a])
-            sb = np.stack([sigs[y] for y in b])
-            est = (sa == sb).mean(axis=1)
-            keep = est >= max(threshold - est_margin, 0.0)
-            a = [x for x, k in zip(a, keep) if k]
-            b = [y for y, k in zip(b, keep) if k]
-        out_a, out_b, jac = [], [], []
-        for x, y in zip(a, b):
-            s1, s2 = sets.get(x, set()), sets.get(y, set())
-            inter = len(s1 & s2)
-            union = len(s1 | s2) or 1
-            j = inter / union
-            if j >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                jac.append(j)
+    def melt(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        n = len(a)
         return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(jac, pa.float64())}
+            {"a": pa.array(np.repeat(a, 2), pa.int64()),
+             "b": pa.array(np.repeat(bb, 2), pa.int64()),
+             "role": pa.array(np.tile(np.array([0, 1], np.int8), n), pa.int8()),
+             "id": pa.array(np.stack([a, bb], axis=1).reshape(-1), pa.int64())}
         )
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return pairs_ds.map_batches(melt, batch_format="pyarrow")
+
+
+def _pack_sigs(sig_ds, key: str, payload_as: str, id_col: str):
+    """(id, minhash list<int64>) → (key, payload binary): Arrow's hash join
+    does not accept list<> payload columns, so signatures travel as packed
+    little-endian int64 bytes (fixed 8·num_perm per row)."""
+
+    def pack(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        sig = np.asarray(b["minhash"].combine_chunks().flatten(),
+                         dtype=np.int64).reshape(n, -1) if n else \
+            np.empty((0, 0), np.int64)
+        return pa.table(
+            {key: b[id_col].cast(pa.int64()),
+             payload_as: pa.array([sig[i].tobytes() for i in range(n)],
+                                  pa.binary())}
+        )
+
+    return sig_ds.map_batches(pack, batch_format="pyarrow")
+
+
+def signature_est_filter(pairs_ds, sig_ds, threshold: float,
+                         est_margin: float = 0.15, id_col: str = "doc_id",
+                         n_parts: int = 32):
+    """Prune candidate pairs by the vectorized signature-agreement estimate
+    before exact verification. Signatures arrive via ONE partitioned hash
+    join against the melted pair rows (fixed 8·num_perm bytes per row),
+    never a corpus broadcast; pairs are re-assembled by a grouped shuffle on
+    (a, b) and compared with a single strided matrix op."""
+    import pandas as pd
+
+    joined = _melt_pairs(pairs_ds).join(
+        _pack_sigs(sig_ds, "id", "sig", id_col),
+        join_type="inner", num_partitions=n_parts, on=("id",),
+    )
+    est_min = max(threshold - est_margin, 0.0)
+
+    def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.sort_values(["a", "b", "role"], kind="stable")
+        sig = np.frombuffer(b"".join(pdf["sig"].tolist()),
+                            dtype=np.int64).reshape(len(pdf), -1)
+        keep = (sig[0::2] == sig[1::2]).mean(axis=1) >= est_min
+        return pd.DataFrame(
+            {"a": pd.Series(pdf["a"].to_numpy()[0::2][keep], dtype="int64"),
+             "b": pd.Series(pdf["b"].to_numpy()[0::2][keep], dtype="int64")}
+        )
+
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(joined, ["a", "b"], part_fn, n_parts)
+
+
+def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
+                        threshold: float = 0.8, id_col: str = "doc_id",
+                        text_col: str = "text", n_parts: int = 32):
+    """Exact shingle-Jaccard verification of candidate pairs with the texts
+    delivered by ONE partitioned hash join against the melted pair rows —
+    the 100-TB-safe replacement for a corpus broadcast. Run after
+    ``signature_est_filter`` so only plausible pairs ship text bytes."""
+    import pandas as pd
+
+    docs = docs_ds.map_batches(
+        lambda b: pa.table({"id": b[id_col].cast(pa.int64()),
+                            "txt": b[text_col]}),
+        batch_format="pyarrow",
+    )
+    joined = _melt_pairs(pairs_ds).join(docs, join_type="inner",
+                                        num_partitions=n_parts, on=("id",))
+
+    def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, jac = [], [], []
+        if len(pdf):
+            pdf = pdf.sort_values(["a", "b", "role"], kind="stable")
+            aa = pdf["a"].to_numpy()[0::2]
+            bb = pdf["b"].to_numpy()[0::2]
+            txt = pdf["txt"].tolist()
+            for x, y, t1, t2 in zip(aa, bb, txt[0::2], txt[1::2]):
+                s1, s2 = _shingles(t1, shingle_k), _shingles(t2, shingle_k)
+                inter = len(s1 & s2)
+                union = len(s1 | s2) or 1
+                j = inter / union
+                if j >= threshold:
+                    out_a.append(int(x))
+                    out_b.append(int(y))
+                    jac.append(j)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"),
+             "b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(jac, dtype="float64")}
+        )
+
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(joined, ["a", "b"], part_fn, n_parts)
+
+
+def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
+                  bands: int = 16, shingle_k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text", est_margin: float = 0.15,
+                  max_bucket: int = 1000, n_parts: int | None = None):
+    """End-to-end distributed MinHash+LSH near-dup pairs ≥ ``threshold``:
+
+        docs → signatures (map_batches) → band rows (fixed width)
+             → bucket groupby → candidate pairs → signature-estimate join
+             → exact-Jaccard text join.
+
+    No stage materializes the corpus on the driver or broadcasts it; the
+    only O(corpus) exchanges are the band-row shuffle (16 B/row ×
+    ``bands``/doc) and the hash joins keyed by id. Returns (a, b, jaccard),
+    a < b."""
+    n_parts = _resolve_parts(n_parts)
+    sig_ds = minhash_signatures(ds, num_perm, shingle_k, id_col, text_col)
+    band_rows = lsh_band_rows(sig_ds, num_perm, bands, id_col)
+    cands = lsh_candidate_pairs(band_rows, max_bucket, n_parts)
+    plausible = signature_est_filter(cands, sig_ds, threshold, est_margin,
+                                     id_col, n_parts)
+    # barrier between the two join stages: the est-filtered pair set is tiny
+    # (16 B/row) and materializing it keeps only one hash join's aggregator
+    # pool live at a time — two pipelined joins can outnumber a small
+    # cluster's CPUs and stall the streaming executor
+    plausible = plausible.materialize()
+    return verify_jaccard_join(plausible, ds, shingle_k, threshold, id_col,
+                               text_col, n_parts)
 
 
 def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
@@ -270,7 +377,8 @@ def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (FNV token hashes)."""
+    """64-bit SimHash over whitespace tokens (single-doc reference kernel;
+    the batch path below is the vectorized equivalent — kept in lockstep)."""
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for w in (text or "").split(" "):
@@ -285,11 +393,44 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    sh = [simhash64(t) for t in batch["text"].to_pylist()]
+    """Vectorized SimHash: tokens are deduplicated into a per-batch vocab
+    (natural text repeats tokens heavily), each unique token hashed once,
+    then all 64 bit-contributions for all docs computed with two matrix ops
+    (bit-unpack broadcast + add.reduceat over doc ranges) — no per-token
+    numpy ops in the loop. Output is the uint64 simhash reinterpreted as
+    two's-complement int64 (Arrow has no uint64-friendly path through
+    pandas groupbys)."""
+    texts = batch["text"].to_pylist()
+    vocab: dict[str, int] = {}
+    tok_ix: list[int] = []
+    doc_len = []
+    for t in texts:
+        toks = (t or "").split(" ")
+        doc_len.append(len(toks))
+        for w in toks:
+            ix = vocab.get(w)
+            if ix is None:
+                ix = len(vocab)
+                vocab[w] = ix
+            tok_ix.append(ix)
+    n = len(texts)
+    if n == 0:
+        return pa.table({id_col: batch[id_col],
+                         "simhash": pa.array([], pa.int64())})
+    h = np.fromiter((hash_str(w) for w in vocab), dtype=np.uint64,
+                    count=len(vocab))
+    shifts = np.arange(64, dtype=np.uint64)
+    # (vocab, 64) ±1 contribution matrix, one shot
+    contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(doc_len[:-1], out=starts[1:])
+    acc = np.add.reduceat(contrib[np.asarray(tok_ix, dtype=np.int64)],
+                          starts, axis=0)  # (docs, 64)
+    vals = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1,
+                                                       dtype=np.uint64)
     return pa.table(
         {id_col: batch[id_col],
-         "simhash": pa.array([s - (1 << 63) if s >= (1 << 63) else s for s in sh],
-                             pa.int64())}
+         "simhash": pa.array(vals.view(np.int64).tolist(), pa.int64())}
     )
 
 
@@ -303,7 +444,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
         ids, shs = batch[id_col].to_pylist(), batch["simhash"].to_pylist()
         c_idx, c_val, c_id, c_sh = [], [], [], []
         for i, s in zip(ids, shs):
-            u = s + (1 << 63) if s < 0 else s
+            u = s + (1 << 64) if s < 0 else s  # undo two's-complement view
             for c in range(4):
                 c_idx.append(c)
                 c_val.append((u >> (16 * c)) & 0xFFFF)
@@ -355,16 +496,15 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
     vectors sharing an LSH bucket get exact pairwise cosine (numpy matmul
     per bucket). Recall is probabilistic per bucket count — the exact
     brute-force kernel lives in ops.similarity for oracle checks."""
-    rng = np.random.default_rng(seed)
-    planes: np.ndarray | None = None
-
     def bucketize(batch: pa.Table) -> pa.Table:
-        nonlocal planes
+        # projection planes derived once per worker from the fixed seed
+        # (function-attribute cache survives across batches in a process)
         emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
-        if planes is None:
+        pl = getattr(bucketize, "planes", None)
+        if pl is None:
             p_rng = np.random.default_rng(seed)
-            bucketize.planes = p_rng.standard_normal((emb.shape[1], n_planes))
-        pl = bucketize.planes
+            pl = p_rng.standard_normal((emb.shape[1], n_planes))
+            bucketize.planes = pl
         signs = (emb @ pl) > 0
         keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         return pa.table(

@@ -25,6 +25,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+def resolve_parts(n_parts: int | None) -> int:
+    """Default shuffle/join partition count: scale with the cluster (≈1 per
+    CPU, floor 8) so a 4N-node deployment gets 4N-wide exchanges while small
+    sessions aren't drowned in partition overhead. NOTE: Ray's hash-shuffle
+    ``Dataset.join`` schedules one aggregator per partition — asking for
+    far more partitions than CPUs stalls the executor on a small cluster."""
+    if n_parts is not None:
+        return n_parts
+    import ray
+
+    if ray.is_initialized():
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return 32
+
+
 def _add_part(batch: pa.Table, key_cols: list[str], n_parts: int) -> pa.Table:
     if len(key_cols) == 1:
         keys = batch[key_cols[0]].to_pylist()

@@ -61,44 +61,61 @@ def pricing_summary(lineitem_ds, cutoff: str = "1998-09-02"):
     )
 
 
-def revenue_by_nation(lineitem_ds, orders_tbl: pa.Table, customer_tbl: pa.Table,
-                      nation_tbl: pa.Table):
+def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                      nation_tbl: pa.Table, n_parts: int | None = None):
     """Revenue per customer nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
-    orders/customer/nation are broadcast lookups (small side); lineitem
-    streams. Revenue = cents(extendedprice·(1−discount)) summed per nation."""
+
+    lineitem and orders are both fact-sized, so their join is a PARTITIONED
+    hash join on ``l_orderkey`` (``Dataset.join`` — both sides shuffle by
+    key, no broadcast). Before the join, lineitem is pre-aggregated per
+    batch to one (orderkey, revenue-cents) partial per orderkey (~4× fewer
+    rows through the shuffle), and orders is projected to
+    (orderkey, n_name) via the genuinely-small broadcast dims
+    (customer, nation). Revenue = cents(extendedprice·(1−discount))."""
     import ray
 
-    o = {k: v for k, v in zip(orders_tbl["o_orderkey"].to_pylist(),
-                              orders_tbl["o_custkey"].to_pylist())}
+    from .grouping import resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+
     c = {k: v for k, v in zip(customer_tbl["c_custkey"].to_pylist(),
                               customer_tbl["c_nationkey"].to_pylist())}
     nname = {k: v for k, v in zip(nation_tbl["n_nationkey"].to_pylist(),
                                   nation_tbl["n_name"].to_pylist())}
-    lookup_ref = ray.put((o, c, nname))
+    dims_ref = ray.put((c, nname))
 
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ok, ck, nn = ray.get(lookup_ref)
-        orderkeys = batch["l_orderkey"].to_pylist()
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         rev = _cents(
-            (np.array(batch["l_extendedprice"].to_pylist())
-             * (1 - np.array(batch["l_discount"].to_pylist())))
+            np.asarray(batch["l_extendedprice"], dtype=np.float64)
+            * (1 - np.asarray(batch["l_discount"], dtype=np.float64))
         )
-        agg: dict[str, int] = {}
-        for k, r in zip(orderkeys, rev):
-            nation = nn.get(ck.get(ok.get(k)))
-            if nation is None:
-                continue
-            agg[nation] = agg.get(nation, 0) + int(r)
+        df = pd.DataFrame({"l_orderkey": np.asarray(batch["l_orderkey"],
+                                                    dtype=np.int64),
+                           "rev": rev})
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    def orders_to_nation(batch: pa.Table) -> pa.Table:
+        ck, nn = ray.get(dims_ref)
+        custkeys = batch["o_custkey"].to_pylist()
+        names = [nn.get(ck.get(k), "") for k in custkeys]
         return pa.table(
-            {"n_name": pa.array(list(agg.keys()), pa.string()),
-             "rev": pa.array(list(agg.values()), pa.int64())}
+            {"l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+             "n_name": pa.array(names, pa.string())}
         )
 
-    return lineitem_ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "n_name"
-    ).aggregate(Sum("rev", alias_name="revenue_cents"))
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    right = orders_ds.map_batches(orders_to_nation, batch_format="pyarrow")
+    joined = li.join(right, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",))
+    return joined.map_batches(
+        lambda b: b.select(["n_name", "rev"]), batch_format="pyarrow"
+    ).groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
 
 
 # ship this module's code with closures/actor classes so Ray workers never

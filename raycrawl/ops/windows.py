@@ -33,16 +33,30 @@ def tumbling_agg(ds, window: str = "1h"):
     )
 
 
-def sessionize(ds, gap_minutes: float = 30.0):
+def sessionize(ds, gap_minutes: float = 30.0, n_parts: int = 32):
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Returns one row per session
-    (user_id, session_start, n_events, value_sum)."""
+    (user_id, session_start, n_events, value_sum).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
+    Runs as one vectorized pass per coarse user-hash partition
+    (``partitioned_apply``), not one ``map_groups`` call per user — the
+    per-group overhead (~100 ms) times millions of users would dominate at
+    scale. Session ids are computed for ALL users in a partition with a
+    single sort + shifted-compare + cumsum."""
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "session_start": pd.Series([], dtype="datetime64[ns]"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "value_sum": pd.Series([], dtype="float64")}
+            )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = pdf["user_id"].ne(pdf["user_id"].shift())
+        gap = pdf["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = (new_user | gap).cumsum()
+        out = pdf.groupby(sid).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             n_events=("event_id", "size"),
@@ -50,7 +64,9 @@ def sessionize(ds, gap_minutes: float = 30.0):
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(ds, ["user_id"], per_partition, n_parts)
 
 
 def topk_users_by_value(ds, k: int = 10):

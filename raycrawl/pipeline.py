@@ -182,6 +182,52 @@ def _doc_rows_from(final_rows: list[dict], now: float) -> tuple[list[dict], list
     return docs, refreshes
 
 
+def _docs_from_batch(batch: pa.Table, now: float) -> pa.Table:
+    """Vectorized batch form of ``_doc_rows_from`` (indexed side) for the
+    distributed sink — runs inside map_batches, one table per block."""
+    import pyarrow.compute as pc
+
+    from .urlnorm import generate_doc_id
+
+    b = batch.filter(pc.equal(batch["outcome"], "indexed"))
+    n = b.num_rows
+    iso = _iso(now)
+    return pa.table(
+        {"id": pa.array([generate_doc_id(u) for u in b["url"].to_pylist()],
+                        pa.string()),
+         "site": b["site"], "url": b["url"], "title": b["title"],
+         "excerpt": b["excerpt"], "content": b["content"], "images": b["images"],
+         "lang": b["doc_lang"],
+         "timestamp": pa.array([int(now)] * n, pa.int64()),
+         "indexed_at": pa.array([iso] * n, pa.string()),
+         "last_crawled_at": pa.array([iso] * n, pa.string()),
+         "content_hash": b["content_hash"]}
+    ).cast(DOCS_SCHEMA)
+
+
+def _refresh_from_batch(batch: pa.Table, now: float) -> pa.Table:
+    """Vectorized batch form of ``_doc_rows_from`` (304-refresh side)."""
+    import pyarrow.compute as pc
+
+    from .urlnorm import generate_doc_id
+
+    b = batch.filter(pc.equal(batch["outcome"], "not_modified"))
+    n = b.num_rows
+    return pa.table(
+        {"id": pa.array([generate_doc_id(u) for u in b["url"].to_pylist()],
+                        pa.string()),
+         "site": b["site"], "url": b["url"],
+         "last_crawled_at": pa.array([_iso(now)] * n, pa.string())}
+    ).cast(REFRESH_SCHEMA)
+
+
+def _visits_from_batch(batch: pa.Table, epoch: int) -> pa.Table:
+    """Visit-log rows (VISITS_SCHEMA) from a final wave batch."""
+    cols = {f.name: batch[f.name] for f in VISITS_SCHEMA if f.name != "epoch"}
+    cols["epoch"] = pa.array([epoch] * batch.num_rows, pa.int32())
+    return pa.table(cols).cast(VISITS_SCHEMA)
+
+
 DOCS_SCHEMA = pa.schema(
     [
         ("id", pa.string()),
@@ -393,8 +439,12 @@ class CrawlEngine:
         n_pol = cfg.n_polite_shards or max(2, ncpu // 8)
         if resume_from:
             # key-routing must match the snapshot layout: restore with the
-            # checkpoint's shard count regardless of current cluster size
-            n_seen = self._peek_manifest(resume_from)["n_seen_shards"]
+            # checkpoint's shard counts regardless of current cluster size
+            # (a resume on a different-sized cluster would otherwise size the
+            # pools from the CURRENT CPU count and fail shard-count asserts)
+            manifest0 = self._peek_manifest(resume_from)
+            n_seen = manifest0["n_seen_shards"]
+            n_pol = manifest0.get("n_polite_shards", n_pol)
         seen = ShardedSeen(n_seen, cfg.seen_mode)
         politeness = ShardedPoliteness(n_pol, self.robots_bodies,
                                        self.site_delays)
@@ -581,17 +631,33 @@ class CrawlEngine:
                     if r["outcome"] != "error":
                         c["pages_visited"] += r["n"]
             if cfg.collect_docs or self.out_dir:
-                docs_ds = _filter_in(final, "outcome", ["indexed", "not_modified"])
-                doc_rows = docs_ds.select_columns(
+                docs_src = _filter_in(
+                    final, "outcome", ["indexed", "not_modified"]
+                ).select_columns(
                     ["site", "url", "title", "excerpt", "content", "images",
                      "doc_lang", "content_hash", "outcome"]
-                ).take_all()
-                docs, refreshes = _doc_rows_from(doc_rows, cfg.now)
-                if cfg.collect_docs:
-                    all_docs.extend(docs)
-                    all_refresh.extend(refreshes)
+                )
+                now = cfg.now
+                docs_out = docs_src.map_batches(
+                    lambda t, _n=now: _docs_from_batch(t, _n),
+                    batch_format="pyarrow",
+                )
+                ref_out = docs_src.map_batches(
+                    lambda t, _n=now: _refresh_from_batch(t, _n),
+                    batch_format="pyarrow",
+                )
                 if self.out_dir:
-                    self._write_epoch(epoch, docs, refreshes, frows)
+                    # distributed partitioned sink: every worker writes its
+                    # own blocks, one directory per epoch (resumable — a
+                    # restarted run skips finished epochs); nothing funnels
+                    # through the driver (ref sink semantics: Meilisearch
+                    # add_documents batches, crawler.py:682-758)
+                    self._write_epoch_ds(epoch, docs_out, ref_out, final)
+                if cfg.collect_docs:
+                    # test-only convenience mode: small runs collect the doc
+                    # rows into the CrawlResult tables for assertions
+                    all_docs.extend(docs_out.take_all())
+                    all_refresh.extend(ref_out.take_all())
 
             # outlinks → admission (ordered per host) → next frontier, one
             # fused execution; skipped entirely when no page linked anything.
@@ -654,39 +720,36 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _write_epoch(self, epoch: int, docs: list[dict], refreshes: list[dict],
-                     visits: list[dict]) -> None:
-        """Partitioned, resumable output layout: one directory per epoch."""
-        import pyarrow.parquet as pq
-
+    def _write_epoch_ds(self, epoch: int, docs_out, ref_out, final) -> None:
+        """Partitioned, resumable output layout: one directory per epoch,
+        each table written DISTRIBUTEDLY (one file per block, written by the
+        worker that holds the block — the driver never sees doc rows)."""
         d = os.path.join(self.out_dir, f"epoch={epoch:05d}")
         os.makedirs(d, exist_ok=True)
-        if docs:
-            pq.write_table(pa.Table.from_pylist(docs, schema=DOCS_SCHEMA),
-                           os.path.join(d, "documents.parquet"))
-        if refreshes:
-            pq.write_table(pa.Table.from_pylist(refreshes, schema=REFRESH_SCHEMA),
-                           os.path.join(d, "refreshes.parquet"))
-        if visits:
-            pq.write_table(pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
-                           os.path.join(d, "visits.parquet"))
+        docs_out.write_parquet(os.path.join(d, "documents"))
+        ref_out.write_parquet(os.path.join(d, "refreshes"))
+        final.map_batches(
+            lambda t, _e=epoch: _visits_from_batch(t, _e), batch_format="pyarrow"
+        ).write_parquet(os.path.join(d, "visits"))
 
     def _checkpoint(self, ckpt_dir: str, epoch: int, frontier, seen, politeness,
                     counters, final_ok: bool = False) -> None:
-        import pyarrow.parquet as pq
-
         d = os.path.join(ckpt_dir, f"epoch={epoch:05d}")
         os.makedirs(d, exist_ok=True)
-        tbl = (pa.Table.from_pylist(frontier.take_all(), schema=FRONTIER_SCHEMA)
-               if frontier is not None else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA))
-        pq.write_table(tbl, os.path.join(d, "frontier.parquet"))
+        if frontier is not None:
+            # distributed frontier snapshot: at design scale the frontier is
+            # the largest table in the system — each worker writes its own
+            # blocks, the driver never materializes it (ref resume save:
+            # crawler.py:1222-1224)
+            frontier.write_parquet(os.path.join(d, "frontier"))
         for i, blob in enumerate(seen.snapshots()):
             with open(os.path.join(d, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
         with open(os.path.join(d, "politeness.bin"), "wb") as f:
             f.write(pickle.dumps(politeness.snapshots()))
         manifest = {"epoch": epoch, "counters": counters, "complete": True,
-                    "final": final_ok, "n_seen_shards": seen.n}
+                    "final": final_ok, "n_seen_shards": seen.n,
+                    "n_polite_shards": politeness.n}
         tmp = os.path.join(d, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -722,7 +785,15 @@ class CrawlEngine:
         seen.restore(blobs)
         with open(os.path.join(d, "politeness.bin"), "rb") as f:
             politeness.restore(pickle.loads(f.read()))
-        tbl = pq.read_table(os.path.join(d, "frontier.parquet"))
+        fdir = os.path.join(d, "frontier")
+        files = ([os.path.join(fdir, p) for p in sorted(os.listdir(fdir))
+                  if p.endswith(".parquet")] if os.path.isdir(fdir) else [])
+        if files:
+            tbl = pa.concat_tables(
+                [pq.read_table(p) for p in files]
+            ).cast(FRONTIER_SCHEMA)
+        else:
+            tbl = pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
         return tbl, manifest["epoch"], manifest["counters"]
 
 
