@@ -568,14 +568,31 @@ def q_crawl_incremental(sf_dir: str):
 
 def q_dedup_embed(sf_dir: str):
     """Embedding-cosine near-dup pairs at ≥0.95 via sign-random-projection
-    bucketing (rows-only; recall vs brute force asserted in tests)."""
-    from raycrawl.ops.dedup import embedding_near_dup
+    bucketing. The corpus has no natural ≥0.95 pairs at sf scale, so the
+    query plants deterministic scaled-copy duplicates (every 50th vector,
+    cosine exactly 1.0) — non-vacuous rows-only check; planted-pair recall
+    vs brute force asserted in tests."""
+    from raycrawl.ops.dedup import embedding_near_dup, plant_neardups
 
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_near_dup(ds, threshold=0.95)
+    out = embedding_near_dup(plant_neardups(ds), threshold=0.95)
     return out.map_batches(
         lambda t: pa.table({"a": t["a"], "b": t["b"]}), batch_format="pyarrow"
     )
+
+
+def q_crawl_embeddings(sf_dir: str):
+    """Embedding generation tier (T6, ref embeddings.py:39-268): the
+    deterministic md5 fake provider runs inside an actor-pool EmbedStage
+    (provider + LRU built once per actor, fixed-size-list<float32> output);
+    the result is exploded to (doc_id, dim_idx, comp_ppm) integers that the
+    DuckDB oracle reproduces bit-exactly, so the oracle gates the real
+    actor-pool stage end-to-end."""
+    from raycrawl.embeddings import embed_dataset, embedding_components_ppm
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    emb = embed_dataset(ds, provider="fake", dim=8, concurrency=(1, 4))
+    return embedding_components_ppm(emb, 8)
 
 
 def q_media_features(sf_dir: str):
@@ -657,6 +674,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "search_safety": q_search_safety,
         "crawl_incremental": q_crawl_incremental,
         "dedup_embed": q_dedup_embed,
+        "crawl_embeddings": q_crawl_embeddings,
     }
 
 
@@ -903,5 +921,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        # fake md5 embedding provider, reproduced exactly: component int
+        # h = ('0x'||md5(text:i)[:8])::BIGINT, rounded to float32 (::REAL)
+        # like the engine's fixed-size-list<float32> column, widened to
+        # float64, scaled to ppm and floored — bit-exact on both sides.
+        "crawl_embeddings": """
+            SELECT doc_id, i AS dim_idx,
+                   CAST(floor(
+                       CAST(CAST(('0x' || substr(md5(text || ':'
+                                    || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                            / 4294967296.0 AS REAL)::DOUBLE
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS comp_ppm
+            FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i) dims
         """,
     }

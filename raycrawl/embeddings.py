@@ -229,22 +229,22 @@ class EmbedStage:
 
     def _encode_cached(self, texts: list[str]) -> list[list[float] | None]:
         results: list[list[float] | None] = [None] * len(texts)
-        miss_texts, miss_idx = [], []
+        miss_idx: dict[str, list[int]] = {}
         for i, t in enumerate(texts):
             v = self.cache.get(t)
             if v is not None:
                 results[i] = v
             else:
-                miss_texts.append(t)
-                miss_idx.append(i)
+                miss_idx.setdefault(t, []).append(i)
+        miss_texts = list(miss_idx)  # unique, insertion-ordered
         for lo in range(0, len(miss_texts), self.encode_batch):
             chunk = miss_texts[lo: lo + self.encode_batch]
             vecs = self.provider.encode(chunk)
-            for j, v in enumerate(vecs):
-                idx = miss_idx[lo + j]
-                results[idx] = v
+            for t, v in zip(chunk, vecs):
+                for idx in miss_idx[t]:
+                    results[idx] = v
                 if v is not None:
-                    self.cache.put(chunk[j], v)
+                    self.cache.put(t, v)
         return results
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -518,25 +518,55 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
         import pandas as pd
 
         ids = gdf[id_col].tolist()
-        embs = np.array(gdf[emb_col].tolist(), dtype=np.float64)
-        norms = np.linalg.norm(embs, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        embs = embs / norms
-        sims = embs @ embs.T
         out_a, out_b, out_s = [], [], []
-        for i, j in itertools.combinations(range(len(ids)), 2):
-            if sims[i, j] >= threshold:
-                a, b = sorted((ids[i], ids[j]))
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(round(float(sims[i, j]), 6))
+        if ids:
+            embs = np.array(gdf[emb_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            embs = embs / norms
+            sims = embs @ embs.T
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                if sims[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(float(sims[i, j]), 6))
         return pd.DataFrame(
             {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
              "cosine": pd.Series(out_s, dtype="float64")}
         )
 
+    from .grouping import grouped_apply
+
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(pair_cosine, batch_format="pandas")
+    # two-level grouped apply: per-group map_groups overhead × 2^n_planes
+    # buckets would dominate; complete buckets land in coarse partitions
+    return grouped_apply(bucketed, ["bucket"], pair_cosine)
+
+
+def plant_neardups(ds, every: int = 50, id_offset: int = 10_000_000,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Deterministically append a scaled copy (cosine exactly 1.0, same LSH
+    bucket) of every ``every``-th vector under an offset id. Makes near-dup
+    queries non-vacuous on corpora that have no natural ≥0.95 pairs; the
+    planted pair set (id, id+offset) is exactly recoverable and asserted in
+    tests."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        base = batch.select([id_col, emb_col])
+        ids = np.asarray(batch[id_col], np.int64)
+        mask = ids % every == 0
+        if not mask.any():
+            return base
+        emb = np.array(batch[emb_col].to_pylist(), np.float64)
+        new = pa.table(
+            {id_col: pa.array((ids[mask] + id_offset).tolist(), pa.int64()),
+             emb_col: pa.array((emb[mask] * 1.1).tolist(),
+                               base.schema.field(emb_col).type)}
+        )
+        return pa.concat_tables([base, new.cast(base.schema)])
+
+    return ds.map_batches(plant, batch_format="pyarrow")
 
 
 # ship this module's code with closures/actor classes so Ray workers never

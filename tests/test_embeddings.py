@@ -1,0 +1,127 @@
+"""Embedding generation tier (T6): provider semantics, per-actor LRU,
+actor-pool state discipline, and the fake↔oracle determinism contract
+(ref meilisearchcrawler/embeddings.py:12-268)."""
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raycrawl.embeddings import (  # noqa: E402
+    EmbedStage,
+    FakeHashEmbeddingProvider,
+    NoEmbeddingProvider,
+    RemoteAPIEmbeddingProvider,
+    create_embedding_provider,
+    embed_dataset,
+)
+
+
+def test_fake_provider_deterministic_and_dim():
+    p = create_embedding_provider("fake", dim=8)
+    v1 = p.encode(["hello world"])[0]
+    v2 = p.encode(["hello world"])[0]
+    assert v1 == v2 and len(v1) == 8 == p.get_embedding_dim()
+    h = int(hashlib.md5(b"hello world:0").hexdigest()[:8], 16)
+    assert v1[0] == h / 2.0**32
+
+
+def test_factory_fallbacks():
+    assert isinstance(create_embedding_provider("none"), NoEmbeddingProvider)
+    assert isinstance(create_embedding_provider("nonsense"),
+                      NoEmbeddingProvider)
+
+
+def test_lru_dedups_provider_calls():
+    """Repeated texts must hit the per-actor cache, not the provider
+    (ref embeddings.py:144-159: cache probe → encode misses → fill)."""
+    stage = EmbedStage(provider="fake", dim=4, cache_size=64, encode_batch=16)
+    batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a", "b", "a"])})
+    out1 = stage(batch)
+    assert stage.provider.texts_encoded == 2  # "a" deduped within the batch
+    # second pass: everything cached
+    stage(batch)
+    assert stage.provider.texts_encoded == 2
+    assert stage.cache.hits >= 3
+    emb = out1["embedding"]
+    assert emb.type == pa.list_(pa.float32(), 4)
+    a0 = emb[0].as_py()
+    a2 = emb[2].as_py()
+    assert a0 == a2  # identical text → identical vector
+
+
+def test_encode_batching_respects_batch_size():
+    stage = EmbedStage(provider="fake", dim=2, encode_batch=3)
+    texts = [f"t{i}" for i in range(10)]
+    stage(pa.table({"text": pa.array(texts)}))
+    # 10 unique misses in chunks of 3 → 4 provider calls
+    assert stage.provider.calls == 4
+    assert stage.provider.texts_encoded == 10
+
+
+def test_remote_provider_failure_and_dim_check():
+    calls = []
+
+    def post_ok(url, json, timeout):
+        calls.append(json["inputs"])
+        assert json["normalize"] is True and json["truncate"] is True
+        return [[1.0, 0.0] for _ in json["inputs"]]
+
+    p = RemoteAPIEmbeddingProvider("m", "http://x/embed", post_fn=post_ok)
+    out = p.encode(["a", "b"])
+    assert out == [[1.0, 0.0], [1.0, 0.0]]
+    assert p.get_embedding_dim() == 2  # auto-detected (ref :123-132)
+
+    def post_mixed(url, json, timeout):
+        return [[1.0, 0.0], [1.0]]  # second row has wrong dim
+
+    p2 = RemoteAPIEmbeddingProvider("m", "http://x/embed", post_fn=post_mixed,
+                                    expected_dim=2)
+    out = p2.encode(["a", "b"])
+    assert out[0] == [1.0, 0.0] and out[1] is None
+
+    def post_boom(url, json, timeout):
+        raise ConnectionError("down")
+
+    p3 = RemoteAPIEmbeddingProvider("m", "http://x/embed", post_fn=post_boom)
+    assert p3.encode(["a", "b"]) == [None, None]
+
+
+def test_embed_stage_marks_failed_rows():
+    class FlakyProvider(FakeHashEmbeddingProvider):
+        def encode(self, texts):
+            out = super().encode(texts)
+            return [None if t == "bad" else v for t, v in zip(texts, out)]
+
+    stage = EmbedStage(provider="fake", dim=4)
+    stage.provider = FlakyProvider(4)
+    out = stage(pa.table({"text": pa.array(["ok", "bad"])}))
+    assert out["embed_ok"].to_pylist() == [True, False]
+    assert out["embedding"][1].as_py() == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_embed_dataset_actor_pool(ray_session, tmp_path):
+    """embed_dataset runs EmbedStage as an actor pool: provider constructed
+    once per actor (not per batch), vectors deterministic across actors."""
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array(list(range(64)), pa.int64()),
+                    "text": pa.array([f"doc text {i % 8}" for i in range(64)])})
+    out = embed_dataset(rd.from_arrow(tbl).repartition(8), provider="fake",
+                        dim=8, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 64 and out["embed_ok"].all()
+    # determinism across actors/batches: same text → same vector
+    by_text = {}
+    for t, v in zip(out["text"], out["embedding"]):
+        key = tuple(np.asarray(v).tolist())
+        assert by_text.setdefault(t, key) == key
+    # exactness vs the md5 definition
+    h = int(hashlib.md5(b"doc text 3:0").hexdigest()[:8], 16)
+    row = out[out["text"] == "doc text 3"].iloc[0]
+    assert row["embedding"][0] == np.float32(h / 2.0**32)

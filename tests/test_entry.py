@@ -104,6 +104,13 @@ def test_dedup_embed_recall_vs_bruteforce(ray_session):
     emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
     ids = emb["vec_id"].to_pylist()
     m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    # mirror the query's deterministic planting (scaled copy of every 50th
+    # vector): the driver row count is non-vacuous and exactly recoverable
+    planted = {(int(i), int(i) + 10_000_000) for i in ids if i % 50 == 0}
+    assert len(planted) > 0
+    ids = ids + [i + 10_000_000 for i in ids if i % 50 == 0]
+    m = np.vstack([m, m[[k for k, i in enumerate(emb["vec_id"].to_pylist())
+                         if i % 50 == 0]] * 1.1])
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
     sims = m @ m.T
     exact = set()
@@ -111,8 +118,10 @@ def test_dedup_embed_recall_vs_bruteforce(ray_session):
         for j in range(i + 1, len(ids)):
             if sims[i, j] >= 0.95:
                 exact.add(tuple(sorted((ids[i], ids[j]))))
+    assert planted <= exact
     missing = exact - got
     assert len(missing) <= max(1, len(exact) // 5), (len(exact), missing)
+    assert len(planted - got) == 0, planted - got  # same-bucket by construction
     # this corpus has no ≥0.95 pairs — exercise the kernel on a synthetic
     # set with planted near-duplicates
     import ray.data as rd
