@@ -23,6 +23,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix without a Python-object
+    round-trip: flatten the Arrow list buffer and view it as numpy
+    (zero-copy for non-null double values), then reshape."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    return flat.reshape(n, -1)
+
+
+def _topk_batch_idx(col: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk by (score desc, vec_id asc) — the oracle's tie
+    order; plain argpartition breaks exact-score ties arbitrarily at the k
+    boundary (duplicate/degenerate embeddings). A lexsort of the batch is
+    noise next to the matmul that produced ``col``."""
+    return np.lexsort((ids, -col))[:kk]
+
+
 def brute_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
                emb_col: str = "embedding"):
     """Exact cosine top-k for each query row. Returns a pyarrow Table
@@ -34,14 +54,14 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
 
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
-        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
         sims = emb @ q.T  # (n, Q)
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(ids))
         for qi in range(q.shape[0]):
             col = sims[:, qi]
-            idx = np.argpartition(-col, kk - 1)[:kk]
+            idx = _topk_batch_idx(col, ids, kk)
             out_q.extend([qi] * kk)
             out_id.extend(ids[idx].tolist())
             out_s.extend(col[idx].tolist())
@@ -88,22 +108,27 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
     def partial(batch: pa.Table) -> pa.Table:
         q, pl, qk = ray.get(q_ref)
-        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
-        emb = _normalize(np.array(batch[emb_col].to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
         keys = ((emb @ pl) > 0).astype(np.int64) @ (1 << np.arange(pl.shape[1]))
+        # vectorized hamming: popcount via uint8 bit-count lookup
+        xor = (keys[:, None] ^ qk[None, :]).astype(np.uint64)  # (n, Q)
+        ham = np.zeros(xor.shape, dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += np.unpackbits(
+                ((xor >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[..., None],
+                axis=-1,
+            ).sum(axis=-1, dtype=np.int64)
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(ids))
         for qi in range(q.shape[0]):
-            ham = np.array(
-                [bin(int(x) ^ int(qk[qi])).count("1") for x in keys]
-            )
-            mask = ham <= probe_hamming
+            mask = ham[:, qi] <= probe_hamming
             if not mask.any():
                 continue
             sub_ids = ids[mask]
             col = emb[mask] @ q[qi]
             kk2 = min(kk, len(sub_ids))
-            idx = np.argpartition(-col, kk2 - 1)[:kk2]
+            idx = _topk_batch_idx(col, sub_ids, kk2)
             out_q.extend([qi] * kk2)
             out_id.extend(sub_ids[idx].tolist())
             out_s.extend(col[idx].tolist())

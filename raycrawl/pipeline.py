@@ -864,9 +864,16 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_c
         take_req = []
         popped_pairs: list[tuple[str, bytes]] = []   # re-admittable discards only
         inplace_deltas: dict[str, int] = {}          # fetched/extension: key stays
+        # the max_pages budget is PER SITE: share it across this partition's
+        # (site, host) groups so a multi-host site cannot overshoot within
+        # one epoch. (Today same-domain admission keeps sites single-host,
+        # and _add_hpart routes a host to one partition — this guard matters
+        # the day cross-host admission is enabled.)
+        site_used: dict[str, int] = {}
         for (site, host, sdf), (verdicts, avail) in zip(groups, plans):
             urls = sdf["url"].tolist()
-            budget = min(avail, remaining.get(site, 1_000_000_000))
+            budget = min(avail, remaining.get(site, 1_000_000_000)
+                         - site_used.get(site, 0))
             actions = []
             n_sel = 0
             for i, u in enumerate(urls):
@@ -892,6 +899,7 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_c
                     # admission checks queued ∪ visited); only the active
                     # counter moves. No per-key traffic for the hot path.
                     inplace_deltas[site] = inplace_deltas.get(site, 0) + 1
+            site_used[site] = site_used.get(site, 0) + n_sel
             walked.append((site, host, sdf, actions, n_sel))
             take_req.append((host, n_sel, window_start))
         grants = politeness.take_many(take_req) if take_req else []

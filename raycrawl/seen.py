@@ -351,7 +351,15 @@ class ShardedSeen:
         return out
 
     def admit(self, site: str, keys: list[bytes]) -> list[bool]:
-        return self._scatter_gather("admit", site, keys)
+        flags = self._scatter_gather("admit", site, keys)
+        # same active-frontier accounting as admit_many: seed admissions
+        # must increment the counter the planner later decrements, or every
+        # site's active count drifts to -1 and skews the queue-cap check
+        n_admitted = sum(1 for f in flags if f)
+        if n_admitted:
+            self._ray.get(
+                self.shards[0].adjust_active.remote({site: n_admitted}))
+        return flags
 
     def on_popped(self, site: str, keys: list[bytes]) -> None:
         self._scatter_gather("on_popped", site, keys, want_result=False)

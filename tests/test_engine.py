@@ -245,3 +245,40 @@ def test_wave_cuckoo_mode_equals_exact(ray_session):
     assert sorted(d["url"] for d in r_exact.docs.to_pylist()) == sorted(
         d["url"] for d in r_ck.docs.to_pylist()
     )
+
+
+def test_wave_atomic_mode_matches_two_phase(ray_session):
+    """dedup_mode='atomic' (arrival-order winner, bench throughput path)
+    must produce the same document SET and counters as the default
+    two-phase canonical-winner mode on a duplicate-content scenario."""
+    s = scenario("dup_content")
+    r_tp = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                       cfg=CrawlConfig(mode="wave",
+                                       dedup_mode="two_phase")).run()
+    r_at = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                       cfg=CrawlConfig(mode="wave", dedup_mode="atomic")).run()
+    # same urls visited, same number of docs indexed; the duplicate WINNER
+    # may differ (canonical vs arrival order) but content sets match
+    assert sorted(v["url"] for v in r_tp.visits.to_pylist()) == sorted(
+        v["url"] for v in r_at.visits.to_pylist()
+    )
+    assert sorted(d["content_hash"] for d in r_tp.docs.to_pylist()) == sorted(
+        d["content_hash"] for d in r_at.docs.to_pylist()
+    )
+    assert r_tp.counters == r_at.counters
+
+
+def test_wave_distributed_counters_match_collected(ray_session):
+    """collect_visits=False aggregates per-(site,outcome) partials
+    distributedly (the bench/scale path); counters must equal the
+    collected-visits bookkeeping exactly."""
+    for name in ("tree", "dup_content", "filters"):
+        s = scenario(name)
+        r_coll = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                             cfg=CrawlConfig(mode="wave",
+                                             collect_visits=True)).run()
+        r_dist = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                             cfg=CrawlConfig(mode="wave",
+                                             collect_visits=False)).run()
+        assert r_coll.counters == r_dist.counters, name
+        assert r_dist.visits.num_rows == 0  # nothing funneled to the driver
