@@ -147,12 +147,23 @@ def q_crawl_documents(sf_dir: str):
 
 
 def q_crawl_visit_stats(sf_dir: str):
-    """Per-site crawl counters (reference CrawlStats roll-up, SURVEY.md A1)."""
+    """Per-site crawl counters (reference CrawlStats roll-up, SURVEY.md A1),
+    computed from the engine's per-partition lineage/metrics table — the
+    worker-side (stage, epoch, partition, site, outcome) partials — not
+    from driver-collected visit rows."""
     r = _crawl(sf_dir)
+    m = r.metrics.to_pandas()
+    g = m.groupby("site", as_index=False).agg(
+        pages_visited=("n_rows", lambda s: int(s.sum())),
+        errors=("errors", "sum"),
+    )
+    g["pages_visited"] = g["pages_visited"] - g["errors"]
+    idx = m[m["outcome"] == "indexed"].groupby("site")["n_rows"].sum()
+    g["pages_indexed"] = g["site"].map(idx).fillna(0).astype("int64")
     rows = [
-        {"site": site, "pages_visited": c["pages_visited"],
-         "pages_indexed": c["pages_indexed"]}
-        for site, c in sorted(r.counters.items())
+        {"site": row["site"], "pages_visited": int(row["pages_visited"]),
+         "pages_indexed": int(row["pages_indexed"])}
+        for _, row in g.sort_values("site").iterrows()
     ]
     return pa.Table.from_pylist(rows)
 

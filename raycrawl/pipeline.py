@@ -95,6 +95,11 @@ class CrawlConfig:
     n_polite_shards: int | None = None  # None → cluster-proportional (CPU/8)
     seen_mode: str = "exact"           # "exact" | "cuckoo"
     max_epochs: int | None = None      # stop after k epochs (kill/resume tests)
+    max_duration_s: float | None = None  # wall-clock crawl budget: stop before
+                                         # the next wave once exceeded, keep the
+                                         # remainder resumable (reference
+                                         # MAX_CRAWL_DURATION=1800, crawler.py:108,
+                                         # 1138-1141)
     checkpoint_dir: str | None = None
     fetch_batch_size: int = 512
     host_grant_cap: int = 1_000_000_000  # optional per-host per-epoch ceiling
@@ -126,6 +131,9 @@ class CrawlResult:
     counters: dict[str, dict[str, int]]
     frontier_remainder: pa.Table
     epochs: int
+    # per-partition lineage + fetch/extract metrics (north_rule): one row
+    # per (stage, epoch, partition, site, outcome), aggregated worker-side
+    metrics: pa.Table | None = None
 
 
 def _site_runtime(s: SiteSpec) -> SiteRuntime:
@@ -248,6 +256,19 @@ DOCS_SCHEMA = pa.schema(
 REFRESH_SCHEMA = pa.schema(
     [("id", pa.string()), ("site", pa.string()), ("url", pa.string()),
      ("last_crawled_at", pa.string())]
+)
+METRICS_SCHEMA = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("epoch", pa.int32()),
+        ("partition_id", pa.int64()),
+        ("site", pa.string()),
+        ("outcome", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_links", pa.int64()),
+        ("errors", pa.int64()),
+        ("secs", pa.float64()),
+    ]
 )
 VISITS_SCHEMA = pa.schema(
     [
@@ -414,6 +435,17 @@ class CrawlEngine:
                  "depth": h[3], "wave": 0, "rank": h[1]}
                 for h in heap
             )
+        strict_metrics = [
+            {"stage": "fetch_extract", "epoch": 0, "partition_id": 0,
+             "site": site, "outcome": outcome,
+             "n_rows": (_n := sum(1 for v in visits if v["site"] == site
+                                  and v["outcome"] == outcome)),
+             "n_links": 0, "errors": _n if outcome == "error" else 0,
+             "secs": 0.0}
+            for site in sorted({v["site"] for v in visits})
+            for outcome in sorted({v["outcome"] for v in visits
+                                   if v["site"] == site})
+        ]
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
             docs=pa.Table.from_pylist(all_docs, schema=DOCS_SCHEMA),
@@ -421,6 +453,7 @@ class CrawlEngine:
             counters=counters,
             frontier_remainder=pa.Table.from_pylist(remainder_rows, schema=FRONTIER_SCHEMA),
             epochs=0,
+            metrics=pa.Table.from_pylist(strict_metrics, schema=METRICS_SCHEMA),
         )
 
     # ------------------------------------------------------------------
@@ -503,10 +536,17 @@ class CrawlEngine:
         visits: list[dict] = []
         all_docs: list[dict] = []
         all_refresh: list[dict] = []
+        metrics_rows: list[dict] = []   # pre-aggregated per (partition, site, outcome)
         remainder_parts: list[pa.Table] = []
         epoch = epoch0
         guard = 0
+        import time as _wall
+
+        wall0 = _wall.monotonic()
         while frontier is not None:
+            if (cfg.max_duration_s is not None
+                    and _wall.monotonic() - wall0 >= cfg.max_duration_s):
+                break  # wall-clock budget: remainder + checkpoint stay resumable
             guard += 1
             if guard > 100_000:
                 raise RuntimeError("wave engine guard tripped")
@@ -572,8 +612,29 @@ class CrawlEngine:
             import pyarrow.compute as pc
 
             def process_fn(batch: pa.Table) -> pa.Table:
+                # lineage: each worker task stamps its rows with a partition
+                # label + wall-time so per-partition metrics aggregate
+                # worker-side (north_rule: every partition emits lineage +
+                # fetch/extract metrics)
+                import time as _t
+                import zlib as _zlib
+
+                import ray as _ray
+
+                _tp0 = _t.perf_counter()
                 batch = batch.filter(pc.equal(batch["action"], "fetch"))
-                return decide_fn(extract_fn(fetch_fn(batch.drop_columns(["action"]))))
+                out = decide_fn(extract_fn(fetch_fn(batch.drop_columns(["action"]))))
+                try:
+                    tid = _ray.get_runtime_context().get_task_id() or ""
+                except Exception:
+                    tid = ""
+                pblock = _zlib.crc32(tid.encode()) if tid else os.getpid()
+                secs = _t.perf_counter() - _tp0
+                return out.append_column(
+                    "_pblock", pa.array([pblock] * out.num_rows, pa.int64())
+                ).append_column(
+                    "_proc_s", pa.array([secs] * out.num_rows, pa.float64())
+                )
 
             _t0 = _time.time()
             # map_batches schedules one task per BLOCK: split the plan so the
@@ -602,34 +663,31 @@ class CrawlEngine:
                 seen.clear_pending()
             _t_conf = _time.time() - _t0
 
-            # wave bookkeeping. Two modes: collect the visit log (tests /
-            # small runs), or aggregate counters distributedly (bench /
-            # scale — one partial-count row per (site, outcome) per block
-            # reaches the driver, never per-page rows).
+            # wave bookkeeping: counters always come from the distributed
+            # per-partition metrics partials (one aggregated row per
+            # (partition, site, outcome) per block reaches the driver,
+            # never per-page rows); the full visit log is only collected in
+            # test mode (collect_visits).
             total_links = 0
-            frows = []
+            met_rows = final.map_batches(
+                _wave_metrics_partial, batch_format="pyarrow"
+            ).take_all()
+            for m in met_rows:
+                total_links += m["n_links"]
+                c = counters[m["site"]]
+                c[COUNTER_KEYS[m["outcome"]]] += m["n_rows"]
+                if m["outcome"] != "error":
+                    c["pages_visited"] += m["n_rows"]
+                metrics_rows.append(
+                    {"stage": "fetch_extract", "epoch": epoch, **m}
+                )
             if cfg.collect_visits:
-                frows = final.select_columns(
+                for r in final.select_columns(
                     ["site", "url", "host", "depth", "wave", "rank", "visit_pos",
-                     "grant_ts", "status", "outcome", "n_links"]
-                ).take_all()
-                for r in frows:
-                    total_links += r.pop("n_links") or 0
+                     "grant_ts", "status", "outcome"]
+                ).take_all():
                     r["epoch"] = epoch
                     visits.append(r)
-                    c = counters[r["site"]]
-                    c[COUNTER_KEYS[r["outcome"]]] += 1
-                    if r["outcome"] != "error":
-                        c["pages_visited"] += 1
-            else:
-                for r in final.map_batches(
-                    _wave_counts_partial, batch_format="pyarrow"
-                ).take_all():
-                    total_links += r["links"]
-                    c = counters[r["site"]]
-                    c[COUNTER_KEYS[r["outcome"]]] += r["n"]
-                    if r["outcome"] != "error":
-                        c["pages_visited"] += r["n"]
             if cfg.collect_docs or self.out_dir:
                 docs_src = _filter_in(
                     final, "outcome", ["indexed", "not_modified"]
@@ -717,6 +775,7 @@ class CrawlEngine:
             counters=counters,
             frontier_remainder=remainder,
             epochs=epoch,
+            metrics=pa.Table.from_pylist(metrics_rows, schema=METRICS_SCHEMA),
         )
 
     # ------------------------------------------------------------------
@@ -801,14 +860,31 @@ class CrawlEngine:
 # wave-mode group functions
 # ---------------------------------------------------------------------------
 
-def _wave_counts_partial(batch: pa.Table) -> pa.Table:
+def _wave_metrics_partial(batch: pa.Table) -> pa.Table:
+    """Per-block metrics partial: one row per (partition, site, outcome)
+    with row/link/error counts and the block's fetch→extract→decide
+    wall-time. Counters AND the lineage/metrics table both derive from
+    these — page-scale rows never reach the driver."""
     import pandas as pd  # noqa: F401
 
-    df = batch.select(["site", "outcome", "n_links"]).to_pandas()
-    g = df.groupby(["site", "outcome"], as_index=False).agg(
-        n=("outcome", "size"), links=("n_links", "sum")
+    df = batch.select(
+        ["site", "outcome", "n_links", "_pblock", "_proc_s"]
+    ).to_pandas()
+    df["n_links"] = df["n_links"].fillna(0)
+    g = df.groupby(["_pblock", "site", "outcome"], as_index=False).agg(
+        n_rows=("outcome", "size"), n_links=("n_links", "sum"),
+        secs=("_proc_s", "first")
     )
-    return pa.Table.from_pandas(g, preserve_index=False)
+    g["errors"] = (g["outcome"] == "error") * g["n_rows"]
+    return pa.table(
+        {"partition_id": pa.array(g["_pblock"].astype("int64")),
+         "site": pa.array(g["site"], pa.string()),
+         "outcome": pa.array(g["outcome"], pa.string()),
+         "n_rows": pa.array(g["n_rows"].astype("int64")),
+         "n_links": pa.array(g["n_links"].astype("int64")),
+         "errors": pa.array(g["errors"].astype("int64")),
+         "secs": pa.array(g["secs"].astype("float64"))}
+    )
 
 
 def _add_hpart(batch: pa.Table, n_parts: int) -> pa.Table:
