@@ -53,6 +53,7 @@ from .stages import (
     ConfirmStage,
     DecideProposeStage,
     ExtractIfHtml,
+    LiveFetchStage,
     SimFetchStage,
     build_page_index,
     explode_outlinks,
@@ -296,13 +297,19 @@ class CrawlEngine:
         prior_cache: dict[str, dict] | None = None,
         cfg: CrawlConfig | None = None,
         out_dir: str | None = None,
+        transport=None,
     ):
         self.cfg = cfg or CrawlConfig()
         self.sites = [_site_runtime(s) for s in seeds]
         self.robots_bodies = dict(robots or {})
+        # live tier: with a transport (see stages.LiveFetchStage — picklable
+        # callable url→FetchResponse; None-pages allowed), the wave engine
+        # fetches over HTTP instead of the sim page index
+        self.transport = transport
         # pa.Table → materialized index; anything with .get(url) (dict or an
         # on-demand SyntheticPageIndex) passes through
-        self.page_index = build_page_index(pages) if isinstance(pages, pa.Table) else pages
+        self.page_index = (build_page_index(pages) if isinstance(pages, pa.Table)
+                           else (pages or {}))
         self.out_dir = out_dir
         # site delay → host delay map (delay precedence handled in RobotsTable)
         self.site_delays = {
@@ -521,14 +528,21 @@ class CrawlEngine:
 
         fresh_run = not self.prior_cache_entries and not resume_from
 
+        transport = self.transport
+
         def fetch_fn(batch: pa.Table) -> pa.Table:
-            # page index cached per worker process (broadcast join: one
-            # ray.get per worker, never re-shipped per batch)
-            key = pages_ref.hex()
+            # fetch stage cached per worker process: the sim tier ray.gets
+            # the broadcast page index once (never re-shipped per batch);
+            # the live tier builds its HTTP session/thread pool once
+            key = "live" if transport is not None else pages_ref.hex()
             stage = _WORKER_FETCH_CACHE.get(key)
             if stage is None:
-                stage = SimFetchStage(ray.get(pages_ref), seen,
-                                      skip_cache=fresh_run)
+                if transport is not None:
+                    stage = LiveFetchStage(seen, transport=transport,
+                                           skip_cache=fresh_run)
+                else:
+                    stage = SimFetchStage(ray.get(pages_ref), seen,
+                                          skip_cache=fresh_run)
                 _WORKER_FETCH_CACHE.clear()
                 _WORKER_FETCH_CACHE[key] = stage
             return stage(batch)

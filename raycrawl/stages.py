@@ -114,13 +114,125 @@ class SimFetchStage:
         )
 
 
-class LiveFetchStage:
-    """Live-HTTP fetch actor (aiohttp session per actor, conditional GET,
-    3 retries with 2**attempt backoff — crawler.py:971-1001). Not runnable
-    in this sandbox (no network); the schema contract equals SimFetchStage."""
+class FetchResponse:
+    """Transport-level response (what aiohttp's response reduces to)."""
 
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("no network in this environment — use SimFetchStage")
+    __slots__ = ("status", "headers", "body", "final_url")
+
+    def __init__(self, status: int, headers: dict[str, str] | None = None,
+                 body: bytes = b"", final_url: str | None = None):
+        self.status = status
+        self.headers = headers or {}
+        self.body = body
+        self.final_url = final_url
+
+
+class LiveFetchStage:
+    """Live-HTTP fetch actor pool: the same output schema as SimFetchStage,
+    with the reference's fetch semantics (``crawler.py:971-1001``):
+
+    - conditional GET: ``If-None-Match`` from the cached etag,
+      ``If-Modified-Since`` from the cached last-modified → 304 short-path;
+    - ``MAX_RETRIES=3`` attempts with ``2**attempt`` backoff on timeout or
+      HTTP/transport error (``config.MAX_RETRIES``, ``crawler.py:981-1001``);
+    - non-``text/html`` content-type skipped (→ status 415 like
+      SimFetchStage's ``skipped_content_type``), NOT retried;
+    - exhausted retries → status 0 (the decide stage's ``error`` outcome).
+
+    ``transport(url, headers, timeout) -> FetchResponse`` is injectable —
+    unit tests drive the retry/backoff/header protocol with a fake; the
+    default builds a ``requests`` session per actor (one connection pool
+    per actor, created once in ``__init__``; no network in this sandbox, so
+    the default path is exercised only by its construction guard).
+    ``sleep`` is injectable so backoff is testable without wall-time.
+    Batch URLs fetch through a small thread pool per actor — I/O-bound
+    concurrency inside the actor, actor-pool parallelism across the
+    cluster (politeness grants are already spaced by the wave planner)."""
+
+    MAX_RETRIES = 3           # config.MAX_RETRIES (ref config.py)
+    TIMEOUT_S = 10.0          # aiohttp total timeout (crawler.py session)
+
+    def __init__(self, seen_client=None, transport=None, sleep=None,
+                 max_retries: int = MAX_RETRIES, timeout_s: float = TIMEOUT_S,
+                 skip_cache: bool = False, threads: int = 8,
+                 user_agent: str = "raycrawl/2"):
+        import time as _time
+
+        self.seen = seen_client
+        self.skip_cache = skip_cache or seen_client is None
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
+        self.threads = threads
+        self.sleep = sleep if sleep is not None else _time.sleep
+        if transport is None:
+            try:
+                import requests
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "LiveFetchStage needs `requests` (or an injected "
+                    "transport); in offline environments use SimFetchStage"
+                ) from e
+            session = requests.Session()
+            session.headers["User-Agent"] = user_agent
+
+            def transport(url, headers, timeout):  # pragma: no cover - net
+                r = session.get(url, headers=headers, timeout=timeout,
+                                allow_redirects=True)
+                return FetchResponse(r.status_code, dict(r.headers),
+                                     r.content, str(r.url))
+
+        self.transport = transport
+
+    def _fetch_one(self, url: str,
+                   rec) -> tuple[int, bytes | None, str | None]:
+        headers: dict[str, str] = {}
+        if rec:
+            # rec = (content_hash, last_crawl, etag, site)
+            if rec[2]:
+                headers["If-None-Match"] = rec[2]
+        for attempt in range(self.max_retries):
+            try:
+                resp = self.transport(url, headers, self.timeout_s)
+                if resp.status == 304:
+                    return 304, None, None
+                ctype = resp.headers.get("Content-Type", "")
+                if "text/html" not in ctype.lower():
+                    return 415, None, None       # skipped, never retried
+                if resp.status >= 400:
+                    raise IOError(f"HTTP {resp.status}")  # raise_for_status
+                return (resp.status, resp.body,
+                        resp.headers.get("ETag"))
+            except Exception:
+                if attempt + 1 < self.max_retries:
+                    self.sleep(2 ** attempt)     # crawler.py:1000
+        return 0, None, None                     # error after retries
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+
+        urls = batch["url"].to_pylist()
+        n = len(urls)
+        if self.skip_cache:
+            recs = [None] * n
+        else:
+            recs = self.seen.get_cache([url_key(u) for u in urls])
+        if n > 1 and self.threads > 1:
+            with ThreadPoolExecutor(max_workers=self.threads) as ex:
+                results = list(ex.map(self._fetch_one, urls, recs))
+        else:
+            results = [self._fetch_one(u, r) for u, r in zip(urls, recs)]
+        status = [r[0] for r in results]
+        htmls = [r[1] for r in results]
+        etags = [r[2] for r in results]
+        c_hash = [r[0] if r else None for r in recs]
+        c_last = [r[1] if r else None for r in recs]
+        return (
+            batch.append_column("status", pa.array(status, pa.int32()))
+            .append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("etag", pa.array(etags, pa.string()))
+            .append_column("cached_hash", pa.array(c_hash, pa.string()))
+            .append_column("cached_last_crawl", pa.array(c_last, pa.float64()))
+        )
 
 
 class ExtractIfHtml:

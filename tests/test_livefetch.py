@@ -1,0 +1,178 @@
+"""LiveFetchStage protocol conformance against a fake transport
+(ref fetch_page: crawler.py:971-1001 — retries, backoff, conditional GET,
+content-type gate)."""
+
+import os
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raycrawl.stages import (  # noqa: E402
+    ExtractIfHtml,
+    FetchResponse,
+    LiveFetchStage,
+    SimFetchStage,
+)
+
+
+def _batch(urls):
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "site": pa.array(["s"] * len(urls), pa.string())})
+
+
+class Script:
+    """Fake transport: pops one scripted behavior per call for a url."""
+
+    def __init__(self, script):
+        self.script = {u: list(v) for u, v in script.items()}
+        self.calls = []   # (url, headers)
+
+    def __call__(self, url, headers, timeout):
+        self.calls.append((url, dict(headers)))
+        step = self.script[url].pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def test_retry_backoff_then_success():
+    html = b"<html><body>ok</body></html>"
+    tr = Script({"https://a/x": [
+        TimeoutError("t1"), ConnectionError("t2"),
+        FetchResponse(200, {"Content-Type": "text/html", "ETag": "e9"}, html),
+    ]})
+    sleeps = []
+    st = LiveFetchStage(transport=tr, sleep=sleeps.append, threads=1)
+    out = st(_batch(["https://a/x"]))
+    assert out["status"].to_pylist() == [200]
+    assert out["html"].to_pylist() == [html]
+    assert out["etag"].to_pylist() == ["e9"]
+    assert sleeps == [1, 2]          # 2**attempt between the 3 attempts
+    assert len(tr.calls) == 3
+
+
+def test_error_after_max_retries():
+    tr = Script({"https://a/x": [TimeoutError(), TimeoutError(), TimeoutError()]})
+    sleeps = []
+    st = LiveFetchStage(transport=tr, sleep=sleeps.append, threads=1)
+    out = st(_batch(["https://a/x"]))
+    assert out["status"].to_pylist() == [0]   # decide stage's 'error'
+    assert sleeps == [1, 2]                   # no sleep after the last attempt
+    assert len(tr.calls) == 3
+
+
+def test_http_error_retries_like_exception():
+    tr = Script({"https://a/x": [
+        FetchResponse(500, {"Content-Type": "text/html"}, b""),
+        FetchResponse(200, {"Content-Type": "text/html"}, b"<p>hi</p>"),
+    ]})
+    sleeps = []
+    st = LiveFetchStage(transport=tr, sleep=sleeps.append, threads=1)
+    out = st(_batch(["https://a/x"]))
+    assert out["status"].to_pylist() == [200]
+    assert sleeps == [1]
+
+
+def test_content_type_gate_not_retried():
+    tr = Script({"https://a/f.pdf": [
+        FetchResponse(200, {"Content-Type": "application/pdf"}, b"%PDF")]})
+    st = LiveFetchStage(transport=tr, sleep=lambda s: None, threads=1)
+    out = st(_batch(["https://a/f.pdf"]))
+    assert out["status"].to_pylist() == [415]
+    assert len(tr.calls) == 1                 # skip, no retry (crawler.py:987)
+
+
+class FakeSeen:
+    def __init__(self, recs):
+        self.recs = recs
+
+    def get_cache(self, keys):
+        return self.recs
+
+
+def test_conditional_get_headers_and_304():
+    rec = ("hash0", 1.5e9, "etag-1", "s")
+    tr = Script({"https://a/x": [FetchResponse(304)]})
+    st = LiveFetchStage(seen_client=FakeSeen([rec]), transport=tr, threads=1)
+    out = st(_batch(["https://a/x"]))
+    assert tr.calls[0][1] == {"If-None-Match": "etag-1"}
+    assert out["status"].to_pylist() == [304]
+    assert out["cached_hash"].to_pylist() == ["hash0"]
+    assert out["cached_last_crawl"].to_pylist() == [1.5e9]
+
+
+def test_schema_matches_sim_fetch_and_feeds_extraction():
+    """Live and sim tiers are interchangeable: same output schema, and the
+    extraction chain consumes either."""
+    html = b"<html><head><title>T</title></head><body><p>%s</p></body></html>" % (
+        b"hello world " * 20)
+    url = "https://a/x"
+    tr = Script({url: [FetchResponse(200, {"Content-Type": "text/html",
+                                           "ETag": "e"}, html)]})
+    live = LiveFetchStage(transport=tr, threads=1)(_batch([url]))
+    sim = SimFetchStage({url: (html, "e", "text/html")}, None,
+                        skip_cache=True)(_batch([url]))
+    assert live.schema == sim.schema
+    ex_live = ExtractIfHtml()(live)
+    ex_sim = ExtractIfHtml()(sim)
+    assert ex_live["content"].to_pylist() == ex_sim["content"].to_pylist()
+    assert ex_live["title"].to_pylist() == ["T"]
+
+
+def test_thread_pool_batch():
+    urls = [f"https://a/{i}" for i in range(16)]
+    tr = Script({u: [FetchResponse(200, {"Content-Type": "text/html"},
+                                   b"<p>x</p>")] for u in urls})
+    st = LiveFetchStage(transport=tr, threads=4)
+    out = st(_batch(urls))
+    assert out["status"].to_pylist() == [200] * 16
+
+
+class DictTransport:
+    """Picklable HTTP stand-in backed by the scenario page index — lets the
+    full wave engine run over the LIVE fetch tier offline."""
+
+    def __init__(self, index):
+        self.index = index
+
+    def __call__(self, url, headers, timeout):
+        page = self.index.get(url)
+        if page is None:
+            raise ConnectionError(url)
+        html, etag, ctype = page
+        if etag and headers.get("If-None-Match") == etag:
+            return FetchResponse(304)
+        return FetchResponse(
+            200, {"Content-Type": ctype or "text/html",
+                  "ETag": etag or None}, html)
+
+
+def test_wave_crawl_over_live_tier_equals_sim(ray_session):
+    """Full engine parity: a wave crawl through LiveFetchStage (fake HTTP
+    transport) produces the same documents and counters as the sim tier."""
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from raycrawl.fixtures import scenario
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+    from raycrawl.stages import build_page_index
+
+    for name in ("tree", "filters"):
+        s = scenario(name)
+        r_sim = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                            cfg=CrawlConfig(mode="wave")).run()
+        idx = build_page_index(s["pages"])
+        r_live = CrawlEngine(None, s["seeds"], s["robots"],
+                             cfg=CrawlConfig(mode="wave"),
+                             transport=DictTransport(idx)).run()
+        assert sorted(d["url"] for d in r_live.docs.to_pylist()) == sorted(
+            d["url"] for d in r_sim.docs.to_pylist()), name
+        assert r_live.counters == r_sim.counters, name
+        for dl, ds_ in zip(
+            sorted(r_live.docs.to_pylist(), key=lambda d: d["url"]),
+            sorted(r_sim.docs.to_pylist(), key=lambda d: d["url"]),
+        ):
+            assert dl["content"] == ds_["content"]
+            assert dl["content_hash"] == ds_["content_hash"]
