@@ -114,6 +114,35 @@ def q_crawl_extract(sf_dir: str):
     )
 
 
+def q_crawl_fetch_join(sf_dir: str):
+    """J6 as a PARTITIONED HASH JOIN (the 100-TB path): frontier rows ⋈
+    pages table on url via Dataset.join — both sides shuffle by url hash,
+    no broadcast page index — then the extraction chain. Same result as
+    q_crawl_extract (same oracle), different join strategy: broadcast is
+    the small-corpus fast path, this is the one that survives a pages
+    table that fits no single node."""
+    from raycrawl.extract import ExtractBatch
+    from raycrawl.ops.grouping import resolve_parts
+
+    pages = _pages_ds(sf_dir).map_batches(
+        lambda t: t.select(["url", "html"]), batch_format="pyarrow"
+    )
+    # the 'frontier': one fetch-ready row per url (what a planned wave emits)
+    frontier = _pages_ds(sf_dir).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    )
+    joined = frontier.join(pages, join_type="inner",
+                           num_partitions=resolve_parts(None), on=("url",))
+    out = joined.map_batches(ExtractBatch(want_links=False),
+                             batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["url", "title", "content", "page_lang"]).rename_columns(
+            ["url", "title", "content", "lang"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_crawl_doc_ids(sf_dir: str):
     """Document identity chain: md5 doc id + excerpt + content hash
     (crawler.py:470-471, 574-591, 393-396)."""
@@ -248,6 +277,20 @@ def q_embed_topk_lsh(sf_dir: str):
     return lsh_topk(ds, queries, k=10, probe_hamming=8)  # full probe = exact
 
 
+def q_embed_topk_ivf(sf_dir: str):
+    """IVF coarse-quantized approximate top-k (the adaptive scale path next
+    to LSH probing). Full-probe (nprobe == n_centroids) equals brute force
+    exactly — pinned in tests; this entry uses a real nprobe (rows-only)."""
+    from raycrawl.ops.similarity import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    d = {v: e for v, e in zip(emb["vec_id"].to_pylist()[:64],
+                              emb["embedding"].to_pylist()[:64])}
+    queries = np.array([d[i] for i in range(5)], dtype=np.float64)
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=10, n_centroids=32, nprobe=8)
+
+
 def q_text_tokens(sf_dir: str):
     from raycrawl.ops.textstats import token_stats_batch
 
@@ -290,9 +333,12 @@ def q_events_hourly(sf_dir: str):
     from raycrawl.ops.windows import tumbling_agg
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = np.floor(np.array(batch["value"].to_pylist()) * 100.0 + 0.5).astype(np.int64)
+        # cents stay int64 end-to-end (float64 is exact below 2^53 but an
+        # integer column can never drift)
+        v = np.floor(np.asarray(batch["value"], dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
         return batch.set_column(batch.schema.get_field_index("value"), "value",
-                                pa.array(v.astype(np.float64)))
+                                pa.array(v))
 
     ds = _read_ds(sf_dir, "events", ["event_id", "ts", "event_type", "value"]) \
         .map_batches(to_cents, batch_format="pyarrow")
@@ -334,9 +380,12 @@ def q_events_top_users(sf_dir: str):
     from raycrawl.ops.windows import topk_users_by_value
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = np.floor(np.array(batch["value"].to_pylist()) * 100.0 + 0.5).astype(np.int64)
+        # cents stay int64 end-to-end (float64 is exact below 2^53 but an
+        # integer column can never drift)
+        v = np.floor(np.asarray(batch["value"], dtype=np.float64) * 100.0
+                     + 0.5).astype(np.int64)
         return batch.set_column(batch.schema.get_field_index("value"), "value",
-                                pa.array(v.astype(np.float64)))
+                                pa.array(v))
 
     ds = _read_ds(sf_dir, "events", ["user_id", "value"]).map_batches(
         to_cents, batch_format="pyarrow"
@@ -592,6 +641,61 @@ def q_dedup_embed(sf_dir: str):
     )
 
 
+def _search_log(sf_dir: str):
+    from raycrawl.ops.searchapi import derive_search_log
+
+    return derive_search_log(
+        _read_ds(sf_dir, "events", ["event_id", "ts"])
+    )
+
+
+def q_search_stats(sf_dir: str):
+    """Query-stats store roll-up (A4, ref stats_db.py:225-412): one-row
+    summary of the derived search log — totals, last-hour count (relative
+    to the log's max ts from parquet row-group stats), integer-ms sums,
+    cache-hit and error counts."""
+    import pandas as pd
+
+    from raycrawl.ops.searchapi import search_stats_summary
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    ts_idx = pf.schema_arrow.get_field_index("ts")
+    mx = max(pf.metadata.row_group(i).column(ts_idx).statistics.max
+             for i in range(pf.metadata.num_row_groups))
+    out = search_stats_summary(_search_log(sf_dir), now_ts=pd.Timestamp(mx))
+    return out.map_batches(lambda t: t.drop_columns(["k"]),
+                           batch_format="pyarrow")
+
+
+def q_search_top_queries(sf_dir: str):
+    """get_top_queries (A4, ref stats_db.py:357-387): top-10 query texts by
+    search count with integer-ms processing sums."""
+    from raycrawl.ops.searchapi import top_queries
+
+    return top_queries(_search_log(sf_dir), limit=10)
+
+
+def q_cse_quota(sf_dir: str):
+    """CSE daily-quota accounting (S12, ref cse_client.py:274-312): per-day
+    request/served/blocked counts at daily_quota=100."""
+    from raycrawl.ops.searchapi import cse_daily_quota
+
+    return cse_daily_quota(_search_log(sf_dir), daily_quota=100)
+
+
+def q_cse_cache(sf_dir: str):
+    """CSE result-cache replay (S12, ref cse_client.py:222-273): per
+    (query, lang) TTL islands — api_call vs cache_hit per request
+    (rows-only; exact parity vs an independent sequential replay asserted
+    in tests)."""
+    from raycrawl.ops.searchapi import cse_cache_replay
+
+    out = cse_cache_replay(_search_log(sf_dir), cache_days=7.0)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "action"]), batch_format="pyarrow"
+    )
+
+
 def q_crawl_embeddings(sf_dir: str):
     """Embedding generation tier (T6, ref embeddings.py:39-268): the
     deterministic md5 fake provider runs inside an actor-pool EmbedStage
@@ -667,6 +771,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
+        "embed_topk_ivf": q_embed_topk_ivf,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -686,6 +791,11 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_incremental": q_crawl_incremental,
         "dedup_embed": q_dedup_embed,
         "crawl_embeddings": q_crawl_embeddings,
+        "crawl_fetch_join": q_crawl_fetch_join,
+        "search_stats": q_search_stats,
+        "search_top_queries": q_search_top_queries,
+        "cse_quota": q_cse_quota,
+        "cse_cache": q_cse_cache,
     }
 
 
@@ -932,6 +1042,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        # identical result to crawl_extract — only the join strategy differs
+        "crawl_fetch_join": f"""
+            SELECT {_URL} AS url, {_TITLE} AS title, text AS content, lang
+            FROM documents
+        """,
+        # derived search log (searchapi.derive_search_log restated in SQL)
+        "search_stats": """
+            WITH log AS (
+                SELECT ts,
+                       event_id % 500 AS processing_ms,
+                       event_id % 200 AS meilisearch_ms,
+                       event_id % 3 = 0 AS cache_hit,
+                       event_id % 50 = 0 AS error
+                FROM events
+            ), mx AS (SELECT max(ts) AS m FROM events)
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_searches,
+                   CAST(SUM(CASE WHEN ts >= (SELECT m FROM mx)
+                                 - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                        AS BIGINT) AS searches_last_hour,
+                   CAST(SUM(processing_ms) AS BIGINT) AS sum_processing_ms,
+                   CAST(SUM(meilisearch_ms) AS BIGINT) AS sum_meilisearch_ms,
+                   CAST(SUM(CASE WHEN cache_hit THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cache_hits,
+                   CAST(SUM(CASE WHEN error THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_errors
+            FROM log
+        """,
+        "search_top_queries": """
+            SELECT 'q' || CAST(event_id % 97 AS VARCHAR) AS query,
+                   CAST(COUNT(*) AS BIGINT) AS n_searches,
+                   CAST(SUM(event_id % 500) AS BIGINT) AS sum_processing_ms
+            FROM events
+            GROUP BY 1
+            ORDER BY n_searches DESC, query ASC
+            LIMIT 10
+        """,
+        "cse_quota": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_requests,
+                   CAST(least(COUNT(*), 100) AS BIGINT) AS n_served,
+                   CAST(COUNT(*) - least(COUNT(*), 100) AS BIGINT) AS n_blocked
+            FROM events
+            GROUP BY 1
         """,
         # fake md5 embedding provider, reproduced exactly: component int
         # h = ('0x'||md5(text:i)[:8])::BIGINT, rounded to float32 (::REAL)

@@ -135,31 +135,175 @@ def lsh_band_rows(sig_ds, num_perm: int = 64, bands: int = 16,
 
 from .grouping import resolve_parts as _resolve_parts
 
+_ID_MIX = np.uint64(2654435761)  # Knuth multiplicative hash (public constant)
 
-def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32):
+
+def _id_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic id → partition (same function on build and probe side)."""
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) * _ID_MIX) >> np.uint64(16)
+                ).astype(np.int64) % n_parts
+
+
+class PartitionedLookup:
+    """Build side of a distributed hash join with node-level caching.
+
+    The (id → payload) Dataset is split into ``n_parts`` hash partitions,
+    each materialized as ONE plasma object — built by Ray tasks
+    (``num_returns`` fan-out + one merge per partition), never on the
+    driver. Probe stages fetch only the partitions their batch references;
+    deserialized parts are cached per worker process (bounded — see
+    ``get_parts``), and plasma itself caches the serialized object per
+    NODE, so at cluster scale a partition crosses the network to a node at
+    most once regardless of how many pair rows reference it. This replaces
+    both the O(corpus)-per-worker full broadcast (round-1) and the
+    O(pairs)-payload hash-join shuffle: payload traffic is O(corpus ×
+    nodes-touched), pair traffic stays 16 B/row.
+
+    ``kind='text'``: payload per part is {id: str}.
+    ``kind='matrix'``: payload per part is (ids_sorted, ndarray rows) — the
+    probe does a vectorized searchsorted instead of per-row dict gets."""
+
+    def __init__(self, ds, id_col: str, val_col: str, n_parts: int = 32,
+                 kind: str = "text"):
+        import ray
+
+        blocks = ds.materialize().to_arrow_refs()
+        split = ray.remote(num_cpus=0.5, num_returns=n_parts)(_lookup_split)
+        pieces = [split.remote(b, id_col, val_col, n_parts, kind)
+                  for b in blocks]
+        if n_parts == 1:  # num_returns=1 yields a bare ref, not a list
+            pieces = [[p] for p in pieces]
+        merge = ray.remote(num_cpus=0.5)(_lookup_merge)
+        self.part_refs = [merge.remote(kind, *[pc[p] for pc in pieces])
+                          for p in range(n_parts)]
+        self.n_parts = n_parts
+        self.kind = kind
+
+    def parts_for(self, ids: np.ndarray) -> np.ndarray:
+        return _id_part(ids, self.n_parts)
+
+
+def _lookup_split(tbl: pa.Table, id_col: str, val_col: str, n_parts: int,
+                  kind: str):
+    ids = np.asarray(tbl[id_col], dtype=np.int64)
+    parts = _id_part(ids, n_parts)
+    if kind == "matrix":
+        n = tbl.num_rows
+        mat = np.asarray(tbl[val_col].combine_chunks().flatten(),
+                         dtype=np.int64).reshape(n, -1) if n else \
+            np.empty((0, 0), np.int64)
+        out = []
+        for p in range(n_parts):
+            m = parts == p
+            out.append((ids[m], mat[m]))
+        return out[0] if n_parts == 1 else tuple(out)
+    vals = tbl[val_col].to_pylist()
+    dicts: list[dict] = [dict() for _ in range(n_parts)]
+    for i, p, v in zip(ids.tolist(), parts.tolist(), vals):
+        dicts[p][i] = v
+    # num_returns=1 treats the return as ONE value, not a fan-out
+    return dicts[0] if n_parts == 1 else tuple(dicts)
+
+
+def _lookup_merge(kind: str, *pieces):
+    if kind == "matrix":
+        ids = np.concatenate([p[0] for p in pieces])
+        mats = [p[1] for p in pieces if len(p[0])]
+        mat = np.concatenate(mats) if mats else np.empty((0, 0), np.int64)
+        order = np.argsort(ids)
+        return ids[order], mat[order]
+    merged: dict = {}
+    for p in pieces:
+        merged.update(p)
+    return merged
+
+
+_PART_CACHE: dict = {}  # per worker process: ref hex → deserialized part
+_PART_CACHE_CAP = 64
+
+
+def get_parts(lookup: PartitionedLookup, part_ids) -> dict:
+    """Fetch + cache the needed partitions on this worker. The cap bounds
+    worker memory on huge corpora (evict-all is fine: plasma still holds
+    the serialized object on-node, refetch is a local deserialize)."""
+    import ray
+
+    out = {}
+    for p in set(int(x) for x in part_ids):
+        ref = lookup.part_refs[p]
+        key = ref.hex()
+        d = _PART_CACHE.get(key)
+        if d is None:
+            d = ray.get(ref)
+            if len(_PART_CACHE) >= _PART_CACHE_CAP:
+                _PART_CACHE.clear()
+            _PART_CACHE[key] = d
+        out[p] = d
+    return out
+
+
+def _matrix_rows(lookup: PartitionedLookup, ids: np.ndarray) -> np.ndarray:
+    """Vectorized gather of matrix-kind payload rows for ``ids``."""
+    parts = lookup.parts_for(ids)
+    loaded = get_parts(lookup, np.unique(parts))
+    first = next(iter(loaded.values()))
+    width = first[1].shape[1] if first[1].ndim == 2 else 0
+    out = np.empty((len(ids), width), dtype=np.int64)
+    for p, (pid, mat) in loaded.items():
+        m = parts == p
+        idx = np.searchsorted(pid, ids[m])
+        out[m] = mat[idx]
+    return out
+
+
+def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32,
+                        sig_lookup: PartitionedLookup | None = None,
+                        est_min: float | None = None):
     """bucket-groupby → unique candidate (a, b) pairs, a < b. Buckets larger
     than ``max_bucket`` are dropped (degenerate too-common key — salting
     territory). Pair rows are 16 bytes, so the pair shuffle stays cheap even
-    when candidates ≫ true pairs."""
+    when candidates ≫ true pairs.
+
+    With ``sig_lookup``/``est_min``, pairs are pruned AT GENERATION by the
+    vectorized signature-agreement estimate — signatures arrive via the
+    partitioned lookup (node-cached plasma parts), so on densely-similar
+    corpora the pair shuffle downstream carries only plausible duplicates
+    without any per-pair payload movement."""
 
     def bucket_pairs_partition(pdf):
-        import itertools
-
         import pandas as pd
 
-        out_a, out_b = [], []
-        seen = set()
+        sig_of = None
+        if sig_lookup is not None and len(pdf):
+            uids = np.unique(pdf["id"].to_numpy())
+            rows = _matrix_rows(sig_lookup, uids)
+
+            def sig_of(idarr):
+                return rows[np.searchsorted(uids, idarr)]
+
+        parts_a, parts_b = [], []
         for _, g in pdf.groupby("bkey", sort=True):
-            ids = sorted(set(g["id"].tolist()))
-            if len(ids) > max_bucket:
+            ids = np.unique(g["id"].to_numpy())
+            n = len(ids)
+            if n < 2 or n > max_bucket:
                 continue
-            for x, y in itertools.combinations(ids, 2):
-                if (x, y) not in seen:
-                    seen.add((x, y))
-                    out_a.append(x)
-                    out_b.append(y)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+            iu, ju = np.triu_indices(n, 1)  # vectorized C(n,2), a < b
+            a_ids, b_ids = ids[iu], ids[ju]
+            if sig_of is not None and est_min is not None:
+                keep = (sig_of(a_ids) == sig_of(b_ids)).mean(axis=1) >= est_min
+                a_ids, b_ids = a_ids[keep], b_ids[keep]
+            if len(a_ids):
+                parts_a.append(a_ids)
+                parts_b.append(b_ids)
+        if parts_a:
+            df = pd.DataFrame({"a": np.concatenate(parts_a),
+                               "b": np.concatenate(parts_b)})
+            # in-partition dedup shrinks the pair shuffle before the global
+            # (a, b)-keyed unique pass
+            return df.drop_duplicates(["a", "b"]).astype("int64")
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
 
     def unique_pairs_partition(pdf):
         return pdf.drop_duplicates(["a", "b"])
@@ -170,123 +314,77 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32):
     return partitioned_apply(pairs, ["a", "b"], unique_pairs_partition, n_parts)
 
 
-def _melt_pairs(pairs_ds):
-    """(a, b) pair rows → two (a, b, role, id) rows each: payload columns
-    (signatures, texts) then arrive via ONE hash join against an id-keyed
-    side instead of one join per pair column — at 4 joins per query the
-    streaming executor's per-join aggregator pools outnumber small-cluster
-    CPUs and stall; melt halves the join count AND the shipped payload."""
-
-    def melt(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        n = len(a)
-        return pa.table(
-            {"a": pa.array(np.repeat(a, 2), pa.int64()),
-             "b": pa.array(np.repeat(bb, 2), pa.int64()),
-             "role": pa.array(np.tile(np.array([0, 1], np.int8), n), pa.int8()),
-             "id": pa.array(np.stack([a, bb], axis=1).reshape(-1), pa.int64())}
-        )
-
-    return pairs_ds.map_batches(melt, batch_format="pyarrow")
-
-
-def _pack_sigs(sig_ds, key: str, payload_as: str, id_col: str):
-    """(id, minhash list<int64>) → (key, payload binary): Arrow's hash join
-    does not accept list<> payload columns, so signatures travel as packed
-    little-endian int64 bytes (fixed 8·num_perm per row)."""
-
-    def pack(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        sig = np.asarray(b["minhash"].combine_chunks().flatten(),
-                         dtype=np.int64).reshape(n, -1) if n else \
-            np.empty((0, 0), np.int64)
-        return pa.table(
-            {key: b[id_col].cast(pa.int64()),
-             payload_as: pa.array([sig[i].tobytes() for i in range(n)],
-                                  pa.binary())}
-        )
-
-    return sig_ds.map_batches(pack, batch_format="pyarrow")
-
-
-def signature_est_filter(pairs_ds, sig_ds, threshold: float,
-                         est_margin: float = 0.15, id_col: str = "doc_id",
-                         n_parts: int = 32):
+def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
+                         threshold: float, est_margin: float = 0.15):
     """Prune candidate pairs by the vectorized signature-agreement estimate
-    before exact verification. Signatures arrive via ONE partitioned hash
-    join against the melted pair rows (fixed 8·num_perm bytes per row),
-    never a corpus broadcast; pairs are re-assembled by a grouped shuffle on
-    (a, b) and compared with a single strided matrix op."""
-    import pandas as pd
-
-    joined = _melt_pairs(pairs_ds).join(
-        _pack_sigs(sig_ds, "id", "sig", id_col),
-        join_type="inner", num_partitions=n_parts, on=("id",),
-    )
+    before exact verification. Signatures arrive via the partitioned lookup
+    (plasma parts, node-cached) — pairs stream through one map_batches, no
+    payload shuffle and no corpus broadcast."""
     est_min = max(threshold - est_margin, 0.0)
 
-    def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64")})
-        if len(pdf) == 0:
-            return empty
-        pdf = pdf.sort_values(["a", "b", "role"], kind="stable")
-        sig = np.frombuffer(b"".join(pdf["sig"].tolist()),
-                            dtype=np.int64).reshape(len(pdf), -1)
-        keep = (sig[0::2] == sig[1::2]).mean(axis=1) >= est_min
-        return pd.DataFrame(
-            {"a": pd.Series(pdf["a"].to_numpy()[0::2][keep], dtype="int64"),
-             "b": pd.Series(pdf["b"].to_numpy()[0::2][keep], dtype="int64")}
-        )
+    def est_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a = np.asarray(batch["a"], np.int64)
+        b = np.asarray(batch["b"], np.int64)
+        keep = (_matrix_rows(sig_lookup, a)
+                == _matrix_rows(sig_lookup, b)).mean(axis=1) >= est_min
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
 
-    from .grouping import partitioned_apply
-
-    return partitioned_apply(joined, ["a", "b"], part_fn, n_parts)
+    return pairs_ds.map_batches(est_filter, batch_format="pyarrow")
 
 
 def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                         threshold: float = 0.8, id_col: str = "doc_id",
-                        text_col: str = "text", n_parts: int = 32):
-    """Exact shingle-Jaccard verification of candidate pairs with the texts
-    delivered by ONE partitioned hash join against the melted pair rows —
-    the 100-TB-safe replacement for a corpus broadcast. Run after
-    ``signature_est_filter`` so only plausible pairs ship text bytes."""
-    import pandas as pd
+                        text_col: str = "text", n_parts: int = 32,
+                        text_lookup: PartitionedLookup | None = None):
+    """Exact shingle-Jaccard verification of candidate pairs. Texts arrive
+    via the partitioned hash-lookup (each text partition is one plasma
+    object, pulled to a node at most once and cached per worker) — the
+    100-TB-safe replacement for both the full-corpus broadcast and a
+    per-pair text-payload join shuffle: candidate sets can be orders of
+    magnitude larger than the corpus, so payload movement must be
+    O(corpus), never O(pairs). Shingle sets are built once per doc per
+    batch."""
+    lookup = text_lookup or PartitionedLookup(docs_ds, id_col, text_col,
+                                              n_parts, kind="text")
 
-    docs = docs_ds.map_batches(
-        lambda b: pa.table({"id": b[id_col].cast(pa.int64()),
-                            "txt": b[text_col]}),
-        batch_format="pyarrow",
-    )
-    joined = _melt_pairs(pairs_ds).join(docs, join_type="inner",
-                                        num_partitions=n_parts, on=("id",))
-
-    def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, jac = [], [], []
-        if len(pdf):
-            pdf = pdf.sort_values(["a", "b", "role"], kind="stable")
-            aa = pdf["a"].to_numpy()[0::2]
-            bb = pdf["b"].to_numpy()[0::2]
-            txt = pdf["txt"].tolist()
-            for x, y, t1, t2 in zip(aa, bb, txt[0::2], txt[1::2]):
-                s1, s2 = _shingles(t1, shingle_k), _shingles(t2, shingle_k)
+        if batch.num_rows:
+            a = np.asarray(batch["a"], np.int64)
+            b = np.asarray(batch["b"], np.int64)
+            pa_parts = lookup.parts_for(a)
+            pb_parts = lookup.parts_for(b)
+            loaded = get_parts(lookup, np.unique(
+                np.concatenate([pa_parts, pb_parts])))
+            sets: dict[int, set] = {}
+
+            def sh(i, p):
+                s = sets.get(i)
+                if s is None:
+                    s = _shingles(loaded[p].get(i, ""), shingle_k)
+                    sets[i] = s
+                return s
+
+            for x, y, px, py in zip(a.tolist(), b.tolist(),
+                                    pa_parts.tolist(), pb_parts.tolist()):
+                s1, s2 = sh(x, px), sh(y, py)
                 inter = len(s1 & s2)
                 union = len(s1 | s2) or 1
                 j = inter / union
                 if j >= threshold:
-                    out_a.append(int(x))
-                    out_b.append(int(y))
+                    out_a.append(x)
+                    out_b.append(y)
                     jac.append(j)
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"),
-             "b": pd.Series(out_b, dtype="int64"),
-             "jaccard": pd.Series(jac, dtype="float64")}
+        return pa.table(
+            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(jac, pa.float64())}
         )
 
-    from .grouping import partitioned_apply
-
-    return partitioned_apply(joined, ["a", "b"], part_fn, n_parts)
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
@@ -296,26 +394,26 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
     """End-to-end distributed MinHash+LSH near-dup pairs ≥ ``threshold``:
 
         docs → signatures (map_batches) → band rows (fixed width)
-             → bucket groupby → candidate pairs → signature-estimate join
-             → exact-Jaccard text join.
+             → bucket groupby → candidate pairs, est-pruned at generation
+             → exact-Jaccard verify via partitioned text lookup.
 
-    No stage materializes the corpus on the driver or broadcasts it; the
-    only O(corpus) exchanges are the band-row shuffle (16 B/row ×
-    ``bands``/doc) and the hash joins keyed by id. Returns (a, b, jaccard),
-    a < b."""
+    No stage materializes the corpus on the driver or broadcasts it whole;
+    signatures and texts move as hash-partitioned plasma objects pulled to
+    a node at most once (PartitionedLookup), pair rows are 16 B, and the
+    band-row shuffle is fixed-width. Payload traffic is O(corpus), never
+    O(pairs). Returns (a, b, jaccard), a < b."""
     n_parts = _resolve_parts(n_parts)
-    sig_ds = minhash_signatures(ds, num_perm, shingle_k, id_col, text_col)
+    sig_ds = minhash_signatures(ds, num_perm, shingle_k, id_col,
+                                text_col).materialize()
+    sig_lookup = PartitionedLookup(sig_ds, id_col, "minhash", n_parts,
+                                   kind="matrix")
     band_rows = lsh_band_rows(sig_ds, num_perm, bands, id_col)
-    cands = lsh_candidate_pairs(band_rows, max_bucket, n_parts)
-    plausible = signature_est_filter(cands, sig_ds, threshold, est_margin,
-                                     id_col, n_parts)
-    # barrier between the two join stages: the est-filtered pair set is tiny
-    # (16 B/row) and materializing it keeps only one hash join's aggregator
-    # pool live at a time — two pipelined joins can outnumber a small
-    # cluster's CPUs and stall the streaming executor
-    plausible = plausible.materialize()
-    return verify_jaccard_join(plausible, ds, shingle_k, threshold, id_col,
-                               text_col, n_parts)
+    cands = lsh_candidate_pairs(band_rows, max_bucket, n_parts, sig_lookup,
+                                max(threshold - est_margin, 0.0))
+    text_lookup = PartitionedLookup(ds, id_col, text_col, n_parts,
+                                    kind="text")
+    return verify_jaccard_join(cands, ds, shingle_k, threshold, id_col,
+                               text_col, n_parts, text_lookup=text_lookup)
 
 
 def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,

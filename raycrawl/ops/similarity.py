@@ -158,6 +158,113 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     )
 
 
+def _merge_topk(partials, k: int) -> pa.Table:
+    """Tiny driver-side merge of per-batch top-k partials (num_batches × Q
+    × k rows), tie order (score desc, vec_id asc)."""
+    best: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(best.setdefault(r["query_id"], []),
+                       (r["score"], -r["vec_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    rows = []
+    for qi, h in best.items():
+        ordered = sorted(h, key=lambda x: (-x[0], -x[1]))
+        for rank, (s, negid) in enumerate(ordered, 1):
+            rows.append({"query_id": qi, "rank": rank, "vec_id": -negid})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                          ("vec_id", pa.int64())]),
+    )
+
+
+def kmeans_centroids(ds, n_centroids: int = 64, iters: int = 2,
+                     emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic distributed Lloyd iterations: init = first
+    ``n_centroids`` vectors (stable input order), then ``iters`` rounds of
+    per-batch partial (sum, count) per centroid → driver combine (the
+    reduced state is n_centroids × dim floats — tiny). The full dataset is
+    never materialized; each round is one streaming pass."""
+    import ray
+
+    init = ds.limit(n_centroids).take_all()
+    C = _normalize(np.array([r[emb_col] for r in init], dtype=np.float64))
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            emb = _normalize(_emb_matrix(batch[emb_col]))
+            a = np.argmax(emb @ cc.T, axis=1)
+            sums = np.zeros_like(cc)
+            np.add.at(sums, a, emb)
+            counts = np.bincount(a, minlength=cc.shape[0])
+            nz = np.nonzero(counts)[0]
+            return pa.table(
+                {"c": pa.array(nz, pa.int64()),
+                 "n": pa.array(counts[nz], pa.int64()),
+                 "vec": pa.array([sums[i].tolist() for i in nz],
+                                 pa.list_(pa.float64()))}
+            )
+
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        for r in ds.map_batches(assign_partial,
+                                batch_format="pyarrow").take_all():
+            sums[r["c"]] += np.asarray(r["vec"])
+            counts[r["c"]] += r["n"]
+        keep = counts > 0
+        C[keep] = _normalize(sums[keep] / counts[keep, None])
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 64,
+             nprobe: int = 8, iters: int = 2, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """IVF approximate cosine top-k — the coarse-quantization scale path:
+    k-means centroids (distributed Lloyd above), then one streaming pass
+    that scores ONLY vectors whose nearest centroid is among each query's
+    ``nprobe`` closest. ``nprobe == n_centroids`` probes everything and
+    equals ``brute_topk`` exactly (pinned in tests). Versus LSH probing,
+    IVF adapts to the data distribution; the centroid table (n_centroids ×
+    dim) broadcasts once via ray.put."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    C = kmeans_centroids(ds, n_centroids, iters, emb_col)
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q_ref = ray.put((qn, C, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, cc, pr = ray.get(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        a = np.argmax(emb @ cc.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            mask = np.isin(a, pr[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            col = emb[mask] @ q[qi]
+            kk2 = min(kk, len(sub_ids))
+            idx = _topk_batch_idx(col, sub_ids, kk2)
+            out_q.extend([qi] * kk2)
+            out_id.extend(sub_ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k)
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

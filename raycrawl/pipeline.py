@@ -501,11 +501,16 @@ class CrawlEngine:
         else:
             if self.prior_cache_entries:
                 seen.set_cache(self.prior_cache_entries)
-            seed_rows = []
-            for rt in self.sites:
-                if seen.admit(rt.name, [url_key(rt.seed)])[0]:
-                    seed_rows.append({"url": rt.seed, "site": rt.name, "host": rt.host,
-                                      "depth": 0, "wave": 0, "rank": 0})
+            # ONE batched admission round for all seeds (a per-site RPC loop
+            # is O(sites) sequential ray.gets — seconds at replica scale)
+            flags = seen.admit_many(
+                [(rt.name, url_key(rt.seed)) for rt in self.sites]
+            )
+            seed_rows = [
+                {"url": rt.seed, "site": rt.name, "host": rt.host,
+                 "depth": 0, "wave": 0, "rank": 0}
+                for rt, f in zip(self.sites, flags) if f
+            ]
             frontier = rd.from_arrow(pa.Table.from_pylist(seed_rows, schema=FRONTIER_SCHEMA))
 
         fetch = SimFetchStage  # constructed lazily per worker via closure below
@@ -552,6 +557,10 @@ class CrawlEngine:
         all_refresh: list[dict] = []
         metrics_rows: list[dict] = []   # pre-aggregated per (partition, site, outcome)
         remainder_parts: list[pa.Table] = []
+        # fused-wave fan-out: one map_groups task per block; match the
+        # cluster width (capped by the host-partition count) so tiny test
+        # sessions aren't taxed with empty-block overhead
+        pp_width = max(2, min(cfg.plan_partitions, ncpu))
         epoch = epoch0
         guard = 0
         import time as _wall
@@ -610,72 +619,48 @@ class CrawlEngine:
             # overhead are O(P), not O(hosts)
             import time as _time
 
+            # FUSED wave pass: plan + fetch + extract + decide run inside ONE
+            # groupby(host-partition).map_groups execution — planning RPCs
+            # and the heavy per-page compute share the task, so each wave
+            # pays for a single shuffle + a single Dataset execution instead
+            # of plan-materialize → repartition → process-materialize. The
+            # output mixes action='keep' rows (frontier carry-over, null
+            # processed columns) and action='fetch' rows (fully processed),
+            # conformed to one deterministic schema.
+            plan_process = _make_plan_process(planner, fetch_fn, extract_fn,
+                                              decide_fn, cfg.fetch_batch_size)
             _t0 = _time.time()
-            plan = frontier.map_batches(
+            # repartition first: the sort-groupby's output block count (=
+            # map_groups task count) follows its INPUT block count, and the
+            # fused task now carries the wave's heavy compute — a 2-block
+            # frontier would serialize the whole wave onto 2 cores
+            pp = frontier.repartition(pp_width).map_batches(
                 lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
             ).groupby("_hpart").map_groups(
-                planner, batch_format="pandas"
+                plan_process, batch_format="pandas"
             ).materialize()
             _t_plan = _time.time() - _t0
-            kept = _filter_eq(plan, "action", "keep")
+            kept = _filter_eq(pp, "action", "keep")
             kept_tbl_cols = [f.name for f in FRONTIER_SCHEMA]
 
-            # fused wave stage: filter(fetch) → sim-fetch → extract → decide
-            # in ONE map_batches pass; materialize = the propose/confirm
-            # barrier (all proposals land before any confirm)
-            import pyarrow.compute as pc
-
-            def process_fn(batch: pa.Table) -> pa.Table:
-                # lineage: each worker task stamps its rows with a partition
-                # label + wall-time so per-partition metrics aggregate
-                # worker-side (north_rule: every partition emits lineage +
-                # fetch/extract metrics)
-                import time as _t
-                import zlib as _zlib
-
-                import ray as _ray
-
-                _tp0 = _t.perf_counter()
-                batch = batch.filter(pc.equal(batch["action"], "fetch"))
-                out = decide_fn(extract_fn(fetch_fn(batch.drop_columns(["action"]))))
-                try:
-                    tid = _ray.get_runtime_context().get_task_id() or ""
-                except Exception:
-                    tid = ""
-                pblock = _zlib.crc32(tid.encode()) if tid else os.getpid()
-                secs = _t.perf_counter() - _tp0
-                return out.append_column(
-                    "_pblock", pa.array([pblock] * out.num_rows, pa.int64())
-                ).append_column(
-                    "_proc_s", pa.array([secs] * out.num_rows, pa.float64())
-                )
-
-            _t0 = _time.time()
-            # map_batches schedules one task per BLOCK: split the plan so the
-            # wave's extraction actually fans out across the cluster
-            n_plan = plan.count()
-            nproc = max(1, min(cfg.plan_partitions * 8, n_plan // 128 + 1))
-            processed = plan.repartition(nproc).map_batches(
-                process_fn, batch_format="pyarrow", batch_size=cfg.fetch_batch_size
-            ).materialize()
-            _t_proc = _time.time() - _t0
-            n_sel = processed.count()
-            if n_sel == 0:
-                frontier = kept.select_columns(kept_tbl_cols).materialize()
-                frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
-                epoch += 1
-                continue
-
+            # materialize = the propose/confirm barrier (all proposals land
+            # before any confirm)
             _t0 = _time.time()
             if atomic:
-                final = processed  # decide already produced outcomes
+                final = _filter_eq(pp, "action", "fetch").materialize()
             else:
-                final = processed.map_batches(
+                final = _filter_eq(pp, "action", "fetch").map_batches(
                     confirm_fn, batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size
                 ).materialize()
                 seen.clear_pending()
             _t_conf = _time.time() - _t0
+            n_sel = final.count()
+            if n_sel == 0:
+                frontier = kept.select_columns(kept_tbl_cols).materialize()
+                frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
+                epoch += 1
+                continue
 
             # wave bookkeeping: counters always come from the distributed
             # per-partition metrics partials (one aggregated row per
@@ -683,9 +668,21 @@ class CrawlEngine:
             # never per-page rows); the full visit log is only collected in
             # test mode (collect_visits).
             total_links = 0
-            met_rows = final.map_batches(
-                _wave_metrics_partial, batch_format="pyarrow"
-            ).take_all()
+            _t0 = _time.time()
+            # metrics partials run as one lightweight task per materialized
+            # block (to_arrow_refs: no copy, blocks stay in plasma) — a full
+            # Dataset execution here costs ~0.5 s/epoch of pure scheduling
+            refs = final.to_arrow_refs()
+            csz = max(1, (len(refs) + 63) // 64)  # ≤64 metric tasks per wave
+            met_rows = [
+                r
+                for part in ray.get([
+                    _metrics_partial_task.remote(refs[i: i + csz])
+                    for i in range(0, len(refs), csz)
+                ])
+                for r in part
+            ]
+            _t_met = _time.time() - _t0
             for m in met_rows:
                 total_links += m["n_links"]
                 c = counters[m["site"]]
@@ -754,14 +751,24 @@ class CrawlEngine:
             _t_admit = _time.time() - _t_book
             _t0 = _time.time()
             kept_f = kept.select_columns(kept_tbl_cols)
-            nb = max(1, min(64, n_frontier // 4096 + 1))
+            # union is metadata-only; no repartition here — the next wave's
+            # plan groupby re-partitions by host anyway, so a shuffle at
+            # union time is pure waste. Block counts stay bounded: kept and
+            # admitted each emit ~plan_partitions blocks per wave.
             frontier = (kept_f.union(admitted.select_columns(kept_tbl_cols))
-                        if admitted is not None else kept_f).repartition(nb).materialize()
+                        if admitted is not None else kept_f).materialize()
+            if frontier.num_blocks() > cfg.plan_partitions * 4:
+                # block-count backstop: pure union grows blocks each wave;
+                # coalesce (split-free repartition, no sort) once it would
+                # start taxing the next plan pass
+                frontier = frontier.repartition(cfg.plan_partitions).materialize()
             _t_union = _time.time() - _t0
             if cfg.verbose:
                 print(f"[wave {epoch}] frontier={n_frontier} sel={n_sel} "
-                      f"plan={_t_plan:.2f} proc={_t_proc:.2f} conf={_t_conf:.2f} "
-                      f"admit={_t_admit:.2f} union={_t_union:.2f}", flush=True)
+                      f"planproc={_t_plan:.2f} conf={_t_conf:.2f} "
+                      f"met={_t_met:.2f} admit={_t_admit:.2f} "
+                      f"union={_t_union:.2f} fblocks={frontier.num_blocks()}",
+                      flush=True)
             # sever lineage across epochs (blocks stay in the object store;
             # unbounded stats/plan chains otherwise blow the recursion limit)
             frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
@@ -874,6 +881,24 @@ class CrawlEngine:
 # wave-mode group functions
 # ---------------------------------------------------------------------------
 
+def _metrics_partial_list(refs: list) -> list[dict]:
+    """One task per CHUNK of block refs (nested refs resolved here)."""
+    import ray as _r
+
+    out: list[dict] = []
+    for batch in _r.get(refs):
+        out.extend(_wave_metrics_partial(batch).to_pylist())
+    return out
+
+
+try:  # decorated lazily-importable: pipeline is imported before ray.init
+    import ray as _ray_mod
+
+    _metrics_partial_task = _ray_mod.remote(num_cpus=0.5)(_metrics_partial_list)
+except Exception:  # pragma: no cover
+    _metrics_partial_task = None
+
+
 def _wave_metrics_partial(batch: pa.Table) -> pa.Table:
     """Per-block metrics partial: one row per (partition, site, outcome)
     with row/link/error counts and the block's fetch→extract→decide
@@ -881,9 +906,19 @@ def _wave_metrics_partial(batch: pa.Table) -> pa.Table:
     these — page-scale rows never reach the driver."""
     import pandas as pd  # noqa: F401
 
-    df = batch.select(
-        ["site", "outcome", "n_links", "_pblock", "_proc_s"]
-    ).to_pandas()
+    need = ["site", "outcome", "n_links", "_pblock", "_proc_s"]
+    if batch.num_rows == 0 or any(c not in batch.column_names for c in need):
+        # empty filtered blocks can arrive schemaless
+        return pa.table(
+            {"partition_id": pa.array([], pa.int64()),
+             "site": pa.array([], pa.string()),
+             "outcome": pa.array([], pa.string()),
+             "n_rows": pa.array([], pa.int64()),
+             "n_links": pa.array([], pa.int64()),
+             "errors": pa.array([], pa.int64()),
+             "secs": pa.array([], pa.float64())}
+        )
+    df = batch.select(need).to_pandas()
     df["n_links"] = df["n_links"].fillna(0)
     g = df.groupby(["_pblock", "site", "outcome"], as_index=False).agg(
         n_rows=("outcome", "size"), n_links=("n_links", "sum"),
@@ -1034,6 +1069,68 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_c
         )
 
     return plan
+
+
+def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``tbl`` onto ``schema`` (missing columns become nulls) so
+    every plan_process partition emits ONE deterministic schema — mixed
+    block schemas poison downstream filters/unions."""
+    cols = {}
+    for f in schema:
+        if f.name in tbl.column_names:
+            cols[f.name] = tbl[f.name].cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(tbl.num_rows, f.type)
+    return pa.table(cols)
+
+
+def _make_plan_process(planner, fetch_fn, extract_fn, decide_fn,
+                       batch_size: int):
+    """Fused per-host-partition wave task: plan (politeness/budget walk) →
+    fetch → extract → decide in one pass, emitting keep rows + processed
+    rows under a single schema. Lineage columns (_pblock, _proc_s) stamp
+    the partition's identity and fetch→extract wall-time for the metrics
+    tier."""
+    import pyarrow.compute as pc
+
+    def plan_process(gdf):
+        import time as _t
+        import zlib as _zlib
+
+        import ray as _ray
+
+        plan_tbl = planner(gdf)
+        keep_tbl = plan_tbl.filter(pc.equal(plan_tbl["action"], "keep"))
+        fetch_tbl = plan_tbl.filter(pc.equal(plan_tbl["action"], "fetch"))
+        _tp0 = _t.perf_counter()
+        outs = []
+        # schema probe: one empty pass through the stage chain gives the
+        # full processed schema without computing anything (stages are
+        # empty-input safe), so keep-only partitions emit the same schema
+        chain = lambda t: decide_fn(extract_fn(fetch_fn(t)))  # noqa: E731
+        for lo in range(0, max(fetch_tbl.num_rows, 1), batch_size):
+            chunk = fetch_tbl.slice(lo, batch_size).drop_columns(["action"])
+            outs.append(chain(chunk))
+        proc = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+        secs = _t.perf_counter() - _tp0
+        try:
+            tid = _ray.get_runtime_context().get_task_id() or ""
+        except Exception:
+            tid = ""
+        pblock = _zlib.crc32(tid.encode()) if tid else os.getpid()
+        n = proc.num_rows
+        proc = proc.append_column(
+            "action", pa.array(["fetch"] * n, pa.string())
+        ).append_column(
+            "_pblock", pa.array([pblock] * n, pa.int64())
+        ).append_column(
+            "_proc_s", pa.array([secs] * n, pa.float64())
+        )
+        if keep_tbl.num_rows == 0:
+            return proc
+        return pa.concat_tables([proc, _conform(keep_tbl, proc.schema)])
+
+    return plan_process
 
 
 def _make_explode(seed_by_site, max_depth_by_site):

@@ -155,3 +155,60 @@ def test_lsh_topk_with_full_probe_equals_brute(ray_session):
     brute = _canon(_to_pandas(entrymod.queries()["embed_topk"](SF_DIR)))
     lsh = _canon(_to_pandas(entrymod.queries()["embed_topk_lsh"](SF_DIR)))
     pd.testing.assert_frame_equal(brute, lsh, check_dtype=False)
+
+
+def test_cse_cache_replay_matches_sequential(ray_session):
+    """The distributed per-key cache replay must equal an independent
+    single-pass sequential replay of the whole log (dict of expiry times,
+    global ts order) — the reference's actual SQLite protocol
+    (cse_client.py:222-273)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    got = _to_pandas(entrymod.queries()["cse_cache"](SF_DIR))
+    ev = pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                      columns=["event_id", "ts"]).to_pandas()
+    ev["query"] = "q" + (ev["event_id"] % 97).astype(str)
+    ev["lang"] = np.where(ev["event_id"] % 2 == 0, "fr", "en")
+    ev = ev.sort_values(["ts", "event_id"], kind="stable")
+    ttl = pd.Timedelta(days=7)
+    expires: dict = {}
+    want = {}
+    for eid, ts, q, l in zip(ev["event_id"], ev["ts"], ev["query"], ev["lang"]):
+        key = (q, l)
+        e = expires.get(key)
+        if e is not None and ts < e:
+            want[int(eid)] = "cache_hit"
+        else:
+            want[int(eid)] = "api_call"
+            expires[key] = ts + ttl
+    got_map = dict(zip(got["event_id"].astype(int), got["action"]))
+    assert got_map == want
+
+
+def test_ivf_topk_full_probe_equals_brute(ray_session):
+    """IVF with nprobe == n_centroids scores every vector → must equal the
+    exact brute-force top-k bit-for-bit (same tie order)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raycrawl.ops.similarity import brute_topk, ivf_topk
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    d = {v: e for v, e in zip(emb["vec_id"].to_pylist()[:64],
+                              emb["embedding"].to_pylist()[:64])}
+    queries = np.array([d[i] for i in range(5)], dtype=np.float64)
+    ds = entrymod._read_ds(SF_DIR, "embeddings", ["vec_id", "embedding"])
+    brute = _canon(_to_pandas(brute_topk(ds, queries, k=10)))
+    full = _canon(_to_pandas(
+        ivf_topk(ds, queries, k=10, n_centroids=16, nprobe=16)))
+    pd.testing.assert_frame_equal(brute, full, check_dtype=False)
+
+
+def test_ivf_topk_partial_probe_recall(ray_session):
+    """Real-nprobe IVF must recover most of the exact top-10 sets."""
+    got = _to_pandas(entrymod.queries()["embed_topk_ivf"](SF_DIR))
+    brute = _to_pandas(entrymod.queries()["embed_topk"](SF_DIR))
+    g = set(zip(got["query_id"], got["vec_id"]))
+    b = set(zip(brute["query_id"], brute["vec_id"]))
+    assert len(b - g) <= len(b) // 2, (len(b - g), len(b))
