@@ -152,6 +152,100 @@ def synthesize_wikitext(text: str, title: str) -> str:
     )
 
 
+def list_all_page_ids(api_get, namespaces=(0,)) -> list[int]:
+    """``allpages`` lister with ``apcontinue`` pagination (reference
+    mediawiki_crawler.py:95-140): sequential by protocol — each request's
+    continue token orders the next — ``aplimit=max`` (500/request) and
+    redirects filtered server-side (``apfilterredir=nonredirects``).
+    ``api_get(params) -> dict`` is injectable (rate limiting and transport
+    live behind it; no network in this sandbox)."""
+    out: list[int] = []
+    token = None
+    while True:
+        params = {
+            "action": "query",
+            "list": "allpages",
+            "aplimit": "max",
+            "apnamespace": "|".join(map(str, namespaces)),
+            "apfilterredir": "nonredirects",
+            "format": "json",
+        }
+        if token:
+            params["apcontinue"] = token
+        data = api_get(params)
+        out.extend(p["pageid"]
+                   for p in data.get("query", {}).get("allpages", []))
+        if "continue" in data:
+            token = data["continue"].get("apcontinue")
+            if token is None:
+                return out
+        else:
+            return out
+
+
+class WikiContentFetcher:
+    """Actor-pool map_batches stage: page_id rows → (page_id, title,
+    wikitext, url), requesting ``api_batch_size`` (=50, reference
+    mediawiki_crawler.py:494-503) pages per API call. The listing is
+    sequential (continue tokens) but content fetching fans out across the
+    actor pool — each actor holds its own transport/session."""
+
+    def __init__(self, api_get=None, api_batch_size: int = 50,
+                 base_url: str = "https://wiki.example.org/wiki/"):
+        self.api_get = api_get
+        self.bs = api_batch_size
+        self.base = base_url
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["page_id"].to_pylist()
+        rows = {"page_id": [], "title": [], "wikitext": [], "url": []}
+        for lo in range(0, len(ids), self.bs):
+            chunk = ids[lo: lo + self.bs]
+            data = self.api_get({
+                "action": "query",
+                "pageids": "|".join(map(str, chunk)),
+                "prop": "revisions",
+                "rvprop": "content",
+                "format": "json",
+            })
+            pages = data.get("query", {}).get("pages", {})
+            for pid in chunk:
+                p = pages.get(str(pid))
+                if not p or "revisions" not in p:
+                    continue  # deleted/missing page — dropped like the ref
+                rows["page_id"].append(pid)
+                rows["title"].append(p.get("title", ""))
+                rows["wikitext"].append(p["revisions"][0].get("*", ""))
+                rows["url"].append(self.base
+                                   + p.get("title", "").replace(" ", "_"))
+        return pa.table(
+            {"page_id": pa.array(rows["page_id"], pa.int64()),
+             "title": pa.array(rows["title"], pa.string()),
+             "wikitext": pa.array(rows["wikitext"], pa.string()),
+             "url": pa.array(rows["url"], pa.string())}
+        )
+
+
+def wiki_crawl(api_get, namespaces=(0,), api_batch_size: int = 50,
+               min_chars: int = 50,
+               base_url: str = "https://wiki.example.org/wiki/"):
+    """Full MediaWiki source pipeline: apcontinue listing (sequential,
+    driver-side — the continue protocol allows nothing else) → page-id
+    Dataset → batched content fetch (actor pool) → wikitext clean/filter
+    chain. Returns the cleaned document Dataset."""
+    import ray.data as rd
+
+    ids = list_all_page_ids(api_get, namespaces)
+    ds = rd.from_items([{"page_id": i} for i in ids])
+    nb = max(1, min(64, len(ids) // max(api_batch_size, 1) + 1))
+    fetched = ds.repartition(nb).map_batches(
+        WikiContentFetcher(api_get, api_batch_size, base_url),
+        batch_format="pyarrow",
+    )
+    return fetched.map_batches(WikiPagesBatch(min_chars),
+                               batch_format="pyarrow")
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

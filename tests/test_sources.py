@@ -118,3 +118,65 @@ def test_safety_whitelist():
     t = pa.table({"url": ["https://ok.org/a", "https://other.org/b"],
                   "title": ["x", "y"], "excerpt": ["", ""], "content": ["", ""]})
     assert f(t)["url"].to_pylist() == ["https://ok.org/a"]
+
+
+class FakeWikiAPI:
+    """In-memory MediaWiki API: 3-request apcontinue listing + batched
+    revisions endpoint (ref mediawiki_crawler.py:95-140, 494-503)."""
+
+    def __init__(self, n_pages=120, list_page=50):
+        self.pages = {
+            i: (f"Page {i}", f"[[lien interne|{'word ' * 30}page {i} body]]")
+            for i in range(n_pages)
+        }
+        self.list_page = list_page
+        self.calls = []
+
+    def __call__(self, params):
+        self.calls.append(dict(params))
+        if params.get("list") == "allpages":
+            assert params["apfilterredir"] == "nonredirects"
+            assert params["aplimit"] == "max"
+            start = int(params.get("apcontinue", 0))
+            ids = sorted(self.pages)[start: start + self.list_page]
+            out = {"query": {"allpages": [{"pageid": i, "title": self.pages[i][0]}
+                                          for i in ids]}}
+            if start + self.list_page < len(self.pages):
+                out["continue"] = {"apcontinue": str(start + self.list_page)}
+            return out
+        pids = [int(x) for x in params["pageids"].split("|")]
+        assert len(pids) <= 50
+        return {"query": {"pages": {
+            str(i): {"pageid": i, "title": self.pages[i][0],
+                     "revisions": [{"*": self.pages[i][1]}]}
+            for i in pids if i in self.pages
+        }}}
+
+
+def test_wiki_apcontinue_pagination_lists_everything():
+    from raycrawl.sources.mediawiki import list_all_page_ids
+
+    api = FakeWikiAPI(n_pages=120, list_page=50)
+    ids = list_all_page_ids(api, namespaces=(0,))
+    assert ids == list(range(120))
+    listing_calls = [c for c in api.calls if c.get("list") == "allpages"]
+    assert len(listing_calls) == 3            # 50 + 50 + 20
+    assert "apcontinue" not in listing_calls[0]
+    assert listing_calls[1]["apcontinue"] == "50"
+
+
+def test_wiki_crawl_end_to_end(ray_session):
+    import sys as _sys
+
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    from raycrawl.sources.mediawiki import wiki_crawl
+
+    api = FakeWikiAPI(n_pages=120, list_page=50)
+    docs = wiki_crawl(api, api_batch_size=50).to_pandas()
+    assert len(docs) == 120
+    assert docs["content"].str.contains("page").all()
+    # content batches respected the 50-page request cap
+    content_calls = [c for c in api.calls if "pageids" in c]
+    assert all(len(c["pageids"].split("|")) <= 50 for c in content_calls)
