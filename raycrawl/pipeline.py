@@ -634,7 +634,10 @@ class CrawlEngine:
             # map_groups task count) follows its INPUT block count, and the
             # fused task now carries the wave's heavy compute — a 2-block
             # frontier would serialize the whole wave onto 2 cores
-            pp = frontier.repartition(pp_width).map_batches(
+            # fan-out sized to the wave: a 500-row wave across 32 blocks is
+            # pure scheduling overhead, a 60k-row wave wants the full width
+            width = max(2, min(pp_width, n_frontier // 64 + 1))
+            pp = frontier.repartition(width).map_batches(
                 lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
             ).groupby("_hpart").map_groups(
                 plan_process, batch_format="pandas"
@@ -692,14 +695,29 @@ class CrawlEngine:
                 metrics_rows.append(
                     {"stage": "fetch_extract", "epoch": epoch, **m}
                 )
-            if cfg.collect_visits:
-                for r in final.select_columns(
-                    ["site", "url", "host", "depth", "wave", "rank", "visit_pos",
-                     "grant_ts", "status", "outcome"]
-                ).take_all():
-                    r["epoch"] = epoch
-                    visits.append(r)
-            if cfg.collect_docs or self.out_dir:
+            if cfg.collect_visits or cfg.collect_docs:
+                # test-only convenience modes: ONE driver collection pass
+                # per wave serves both the visit log and the doc tables
+                vkeys = ["site", "url", "host", "depth", "wave", "rank",
+                         "visit_pos", "grant_ts", "status", "outcome"]
+                rows = final.select_columns(
+                    vkeys + ["title", "excerpt", "content", "images",
+                             "doc_lang", "content_hash"]
+                ).take_all()
+                if cfg.collect_visits:
+                    for r in rows:
+                        visits.append({k: r[k] for k in vkeys}
+                                      | {"epoch": epoch})
+                if cfg.collect_docs:
+                    docs, refreshes = _doc_rows_from(rows, cfg.now)
+                    all_docs.extend(docs)
+                    all_refresh.extend(refreshes)
+            if self.out_dir:
+                # distributed partitioned sink: every worker writes its own
+                # blocks, one directory per epoch (resumable — a restarted
+                # run skips finished epochs); nothing funnels through the
+                # driver (ref sink semantics: Meilisearch add_documents
+                # batches, crawler.py:682-758)
                 docs_src = _filter_in(
                     final, "outcome", ["indexed", "not_modified"]
                 ).select_columns(
@@ -707,26 +725,16 @@ class CrawlEngine:
                      "doc_lang", "content_hash", "outcome"]
                 )
                 now = cfg.now
-                docs_out = docs_src.map_batches(
-                    lambda t, _n=now: _docs_from_batch(t, _n),
-                    batch_format="pyarrow",
+                self._write_epoch_ds(
+                    epoch,
+                    docs_src.map_batches(
+                        lambda t, _n=now: _docs_from_batch(t, _n),
+                        batch_format="pyarrow"),
+                    docs_src.map_batches(
+                        lambda t, _n=now: _refresh_from_batch(t, _n),
+                        batch_format="pyarrow"),
+                    final,
                 )
-                ref_out = docs_src.map_batches(
-                    lambda t, _n=now: _refresh_from_batch(t, _n),
-                    batch_format="pyarrow",
-                )
-                if self.out_dir:
-                    # distributed partitioned sink: every worker writes its
-                    # own blocks, one directory per epoch (resumable — a
-                    # restarted run skips finished epochs); nothing funnels
-                    # through the driver (ref sink semantics: Meilisearch
-                    # add_documents batches, crawler.py:682-758)
-                    self._write_epoch_ds(epoch, docs_out, ref_out, final)
-                if cfg.collect_docs:
-                    # test-only convenience mode: small runs collect the doc
-                    # rows into the CrawlResult tables for assertions
-                    all_docs.extend(docs_out.take_all())
-                    all_refresh.extend(ref_out.take_all())
 
             # outlinks → admission (ordered per host) → next frontier, one
             # fused execution; skipped entirely when no page linked anything.
