@@ -357,6 +357,34 @@ def q_events_hourly(sf_dir: str):
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) windows: 1 h windows every 30 min per
+    event_type — each event counted in 2 windows."""
+    from raycrawl.ops.windows import hopping_agg
+
+    ds = _read_ds(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    out = hopping_agg(ds, window_s=3600, hop_s=1800)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "win_start": t["win_start"],
+             "n_events": pa.array(np.asarray(t["n_events"], dtype=np.int64)),
+             "value_cents": pa.array(np.asarray(t["value_cents"],
+                                                dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_text_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenization count per document (letter runs, digit
+    runs, single punctuation)."""
+    from raycrawl.ops.textstats import bpe_token_count_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+
+
 def q_events_sessions(sf_dir: str):
     from raycrawl.ops.windows import sessionize
 
@@ -778,6 +806,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "token_top20": q_token_top20,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "events_sessions": q_events_sessions,
         "events_top_users": q_events_top_users,
         "tpch_pricing": q_tpch_pricing,
@@ -1042,6 +1072,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, cents,
+                       (es // 1800) * 1800 - i * 1800 AS win_start
+                FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) ii
+            )
+            SELECT event_type, win_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM w GROUP BY 1, 2
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+                       AS bpe_tokens
+            FROM documents
         """,
         # identical result to crawl_extract — only the join strategy differs
         "crawl_fetch_join": f"""

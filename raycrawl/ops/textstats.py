@@ -28,6 +28,27 @@ STOPWORDS = {
 }
 
 
+_BPE_ISH = None  # compiled once per worker process
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-ish subword-boundary token count: letter runs, digit runs, and
+    single punctuation marks each count as one token (the pre-tokenization
+    split a byte-pair encoder starts from). Pattern chosen to behave
+    identically under Python re and DuckDB's RE2 so the oracle is exact."""
+    global _BPE_ISH
+    if _BPE_ISH is None:
+        import re
+
+        _BPE_ISH = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "bpe_tokens": pa.array([len(_BPE_ISH.findall(t or ""))
+                                 for t in texts], pa.int64())}
+    )
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """doc_id,text → token_count, distinct_tokens, n_chars (whitespace
     tokenizer — the SQL-oracle-matched definition: string_split on ' ')."""

@@ -33,6 +33,44 @@ def tumbling_agg(ds, window: str = "1h"):
     )
 
 
+def hopping_agg(ds, window_s: int = 3600, hop_s: int = 1800):
+    """Hopping (sliding) windows: each event lands in ``window_s/hop_s``
+    overlapping windows whose starts are hop-aligned epoch seconds. The
+    per-batch partial replicates rows once per hop offset and
+    pre-aggregates, so the shuffle moves one partial row per
+    (event_type, window) per batch — never per event. Money in integer
+    cents; window starts as int64 epoch seconds (exact oracle both ways)."""
+    from ray.data.aggregate import Sum
+
+    import numpy as np
+
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        es = ((df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        base = (es // hop_s) * hop_s
+        frames = [
+            pd.DataFrame({"event_type": df["event_type"],
+                          "win_start": base - i * hop_s,
+                          "n": 1, "cents": cents})
+            for i in range(k)
+        ]
+        g = pd.concat(frames).groupby(["event_type", "win_start"],
+                                      as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        return pa.table({"event_type": pa.array(g["event_type"], pa.string()),
+                         "win_start": pa.array(g["win_start"].astype("int64")),
+                         "n": pa.array(g["n"].astype("int64")),
+                         "cents": pa.array(g["cents"].astype("int64"))})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "win_start"]
+    ).aggregate(Sum("n", alias_name="n_events"),
+                Sum("cents", alias_name="value_cents"))
+
+
 def sessionize(ds, gap_minutes: float = 30.0, n_parts: int = 32):
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Returns one row per session
