@@ -168,7 +168,8 @@ def run_bench() -> dict:
         r = timed("crawl_full", lambda: CrawlEngine(
             idx, seeds, cfg=CrawlConfig(mode="wave", collect_docs=False,
                                         collect_visits=False,
-                                        dedup_mode="atomic")
+                                        dedup_mode="atomic",
+                                        defer_admission=True)
         ).run())
     else:
         em._CRAWL_CACHE.clear()

@@ -107,6 +107,15 @@ class CrawlConfig:
     plan_partitions: int = 32            # coarse host partitions per wave
     dedup_mode: str = "two_phase"        # "two_phase" (canonical winner) |
                                          # "atomic" (one pass, arrival winner)
+    defer_admission: bool = False        # True: outlink candidates ride the
+                                         # frontier as tagged rows and are
+                                         # admitted inside the NEXT wave's
+                                         # plan pass — one fewer shuffle +
+                                         # execution per wave (bulk/bench
+                                         # mode; same docs/counters, but a
+                                         # mid-crawl frontier_remainder may
+                                         # contain not-yet-admitted
+                                         # candidate urls)
     collect_docs: bool = True            # False → docs only via out_dir sink
     collect_visits: bool = True          # False → counters via distributed agg
     verbose: bool = False
@@ -613,8 +622,15 @@ class CrawlEngine:
                           if rt.max_pages > 0 else 1_000_000_000)
                 for rt in self.sites
             }
+            blocked_def: set[str] = set()
+            if cfg.defer_admission:
+                # queue-cap check moves to plan time with the admission
+                qc = seen.queued_counts([rt.name for rt in self.sites])
+                blocked_def = {s for s, n in qc.items()
+                               if n >= cfg.max_queue_size}
             planner = _make_planner(seen, politeness, exclude_patterns, remaining,
-                                    window, cfg.host_grant_cap)
+                                    window, cfg.host_grant_cap,
+                                    blocked_sites=blocked_def)
             # coarse host partitioning (crc32 % P): RPC traffic and group
             # overhead are O(P), not O(hosts)
             import time as _time
@@ -742,7 +758,42 @@ class CrawlEngine:
             # per-site, crawler.py:1203): sites at/over cap stop admitting.
             _t_book = _time.time()
             admitted = None
-            if total_links > 0:
+            if total_links > 0 and cfg.defer_admission:
+                # candidates ride the frontier unadmitted (rank = -1,
+                # carrying parent_rank/lpos order); the NEXT wave's plan
+                # pass admits them — no extra shuffle/execution this wave
+                explode = _make_explode(seed_by_site, max_depth_by_site)
+                nxt = epoch + 1
+
+                def to_cand(t: pa.Table, _w=nxt) -> pa.Table:
+                    # read-only seen probe: already-queued/visited links are
+                    # dropped HERE (most outlinks point back at crawled
+                    # pages) so the frontier union and next plan shuffle
+                    # never carry them; safe because the seen set only
+                    # grows — the authoritative test-and-set still runs at
+                    # plan-time admission
+                    if t.num_rows:
+                        known = seen.contains_many(
+                            [(s, url_key(u))
+                             for s, u in zip(t["site"].to_pylist(),
+                                             t["url"].to_pylist())]
+                        )
+                        mask = pa.array([not k for k in known])
+                        t = t.filter(mask)
+                    n = t.num_rows
+                    return pa.table(
+                        {"url": t["url"], "site": t["site"], "host": t["host"],
+                         "depth": t["depth"],
+                         "wave": pa.array([_w] * n, pa.int32()),
+                         "rank": pa.array([-1] * n, pa.int64()),
+                         "parent_rank": t["parent_rank"].cast(pa.int64()),
+                         "lpos": t["lpos"].cast(pa.int64())}
+                    )
+
+                admitted = final.map_batches(
+                    explode, batch_format="pyarrow"
+                ).map_batches(to_cand, batch_format="pyarrow")
+            elif total_links > 0:
                 qc = seen.queued_counts([rt.name for rt in self.sites])
                 blocked = {s for s, n in qc.items() if n >= cfg.max_queue_size}
                 explode = _make_explode(seed_by_site, max_depth_by_site)
@@ -759,11 +810,21 @@ class CrawlEngine:
             _t_admit = _time.time() - _t_book
             _t0 = _time.time()
             kept_f = kept.select_columns(kept_tbl_cols)
+            if cfg.defer_admission:
+                kept_f = kept_f.map_batches(
+                    lambda t: t.append_column(
+                        "parent_rank", pa.array([-1] * t.num_rows, pa.int64())
+                    ).append_column(
+                        "lpos", pa.array([-1] * t.num_rows, pa.int64())),
+                    batch_format="pyarrow",
+                )
             # union is metadata-only; no repartition here — the next wave's
             # plan groupby re-partitions by host anyway, so a shuffle at
             # union time is pure waste. Block counts stay bounded: kept and
             # admitted each emit ~plan_partitions blocks per wave.
-            frontier = (kept_f.union(admitted.select_columns(kept_tbl_cols))
+            union_cols = kept_tbl_cols + (["parent_rank", "lpos"]
+                                          if cfg.defer_admission else [])
+            frontier = (kept_f.union(admitted.select_columns(union_cols))
                         if admitted is not None else kept_f).materialize()
             if frontier.num_blocks() > cfg.plan_partitions * 4:
                 # block-count backstop: pure union grows blocks each wave;
@@ -877,9 +938,11 @@ class CrawlEngine:
         files = ([os.path.join(fdir, p) for p in sorted(os.listdir(fdir))
                   if p.endswith(".parquet")] if os.path.isdir(fdir) else [])
         if files:
-            tbl = pa.concat_tables(
-                [pq.read_table(p) for p in files]
-            ).cast(FRONTIER_SCHEMA)
+            tbl = pa.concat_tables([pq.read_table(p) for p in files])
+            if set(tbl.column_names) == {f.name for f in FRONTIER_SCHEMA}:
+                tbl = tbl.cast(FRONTIER_SCHEMA)
+            # deferred-admission snapshots carry parent_rank/lpos extras —
+            # keep them; the planner admits the rank<0 rows on resume
         else:
             tbl = pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
         return tbl, manifest["epoch"], manifest["counters"]
@@ -968,18 +1031,70 @@ def _filter_in(ds, col: str, vals: list[str]):
     )
 
 
-def _make_planner(seen, politeness, exclude_patterns, remaining, window, grant_cap):
+def _admit_candidates_pdf(seen, cand, blocked_sites):
+    """Deferred-admission path: candidate rows (rank < 0, carrying
+    parent_rank/lpos ordering) are admitted HERE, inside the plan pass —
+    the same per-(site,host) ordered test-and-set the standalone admit
+    stage performs (see _make_admitter), one batched seen round per
+    partition. Returns admitted rows as frontier-shaped DataFrame."""
+    import pandas as pd
+
+    groups = []
+    pairs: list[tuple[str, bytes]] = []
+    for (site, host), sdf in cand.groupby(["site", "host"], sort=True):
+        if site in blocked_sites:
+            continue
+        sdf = sdf.sort_values(["parent_rank", "lpos"], kind="stable")
+        sdf = sdf.drop_duplicates(subset=["url"], keep="first")
+        groups.append((site, host, sdf["url"].tolist(),
+                       sdf["depth"].tolist(), sdf["wave"].tolist(),
+                       len(pairs)))
+        pairs.extend((site, url_key(u)) for u in sdf["url"])
+    flags = seen.admit_many(pairs) if pairs else []
+    cols: dict[str, list] = {c: [] for c in ("url", "site", "host", "depth",
+                                             "wave", "rank")}
+    for site, host, urls, depths, waves, base in groups:
+        rank = 0
+        for j, u in enumerate(urls):
+            if not flags[base + j]:
+                continue
+            cols["url"].append(u)
+            cols["site"].append(site)
+            cols["host"].append(host)
+            cols["depth"].append(depths[j])
+            cols["wave"].append(waves[j])
+            cols["rank"].append(rank)
+            rank += 1
+    return pd.DataFrame(cols)
+
+
+def _make_planner(seen, politeness, exclude_patterns, remaining, window,
+                  grant_cap, blocked_sites=frozenset()):
     """Wave planning over a coarse host partition (map_groups over
     crc32(host) % P, pandas): for every (site, host) group the priority walk
     applies the reference's pop-time skip ladder under politeness + site
     budgets (crawler.py:1157-1178). All actor traffic is BATCHED per
     partition — one plan_many / take_many politeness round and one
     on_popped/mark_visited round — so RPC count is O(partitions), not
-    O(hosts) (SURVEY.md §7.7 actor-RPC amortization)."""
+    O(hosts) (SURVEY.md §7.7 actor-RPC amortization).
+
+    With deferred admission, incoming rows may include candidate rows
+    (rank < 0): those are admitted first (same semantics as the standalone
+    admit stage), then planned together with the carried-over frontier."""
     window_start, window_end = window
 
     def plan(gdf):
         import math
+
+        import pandas as pd
+
+        if len(gdf) and "rank" in gdf.columns and (gdf["rank"] < 0).any():
+            cand = gdf[gdf["rank"] < 0]
+            adm = gdf[gdf["rank"] >= 0]
+            newly = _admit_candidates_pdf(seen, cand, blocked_sites)
+            gdf = (pd.concat([adm[newly.columns.tolist()], newly],
+                             ignore_index=True)
+                   if len(newly) else adm)
 
         out_cols: dict[str, list] = {c: [] for c in (
             "url", "site", "host", "depth", "wave", "rank", "action",

@@ -178,6 +178,17 @@ class SeenState:
                 out.append(True)
         return out
 
+    def contains_many(self, pairs: list[tuple[str, bytes]]) -> list[bool]:
+        """Read-only membership probe (queued ∪ visited) — NO state change.
+        Used to pre-filter deferred-admission candidates: the seen set only
+        grows, so a True here can never be admitted later (safe to drop);
+        a False is re-checked by the authoritative admit test-and-set."""
+        return [
+            (k in self.queued.get(site, ())
+             or self._visited_contains(site, k))
+            for site, k in pairs
+        ]
+
     def on_popped_many(self, pairs: list[tuple[str, bytes]]) -> dict[str, int]:
         """Remove keys from queued; returns per-site removal counts (for
         client-side active-counter adjustment)."""
@@ -385,6 +396,9 @@ class ShardedSeen:
             for j, i in enumerate(idxs):
                 out[i] = vals[j]
         return out
+
+    def contains_many(self, pairs: list[tuple[str, bytes]]) -> list[bool]:
+        return self._scatter_pairs("contains_many", pairs)
 
     def admit_many(self, pairs: list[tuple[str, bytes]]) -> list[bool]:
         flags = self._scatter_pairs("admit_many", pairs)

@@ -282,3 +282,35 @@ def test_wave_distributed_counters_match_collected(ray_session):
                                              collect_visits=False)).run()
         assert r_coll.counters == r_dist.counters, name
         assert r_dist.visits.num_rows == 0  # nothing funneled to the driver
+
+
+def test_wave_deferred_admission_matches_inline(ray_session):
+    """defer_admission=True (candidates admitted inside the next wave's
+    plan pass — the bulk/bench mode) must produce the same visited set,
+    document set, and counters as the default inline admission stage."""
+    for name in ("tree", "dup_content", "filters", "budget"):
+        s = scenario(name)
+        r_in = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                           cfg=CrawlConfig(mode="wave")).run()
+        r_df = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                           cfg=CrawlConfig(mode="wave",
+                                           defer_admission=True)).run()
+        assert sorted(v["url"] for v in r_in.visits.to_pylist()) == sorted(
+            v["url"] for v in r_df.visits.to_pylist()), name
+        assert sorted(d["url"] for d in r_in.docs.to_pylist()) == sorted(
+            d["url"] for d in r_df.docs.to_pylist()), name
+        assert r_in.counters == r_df.counters, name
+        # per-host visit order parity too (same order-equivalence class)
+        import collections as _c
+
+        for r in (r_in, r_df):
+            pass
+        o_in = _c.defaultdict(list)
+        for v in sorted(r_in.visits.to_pylist(),
+                        key=lambda x: (x["epoch"], x["visit_pos"])):
+            o_in[v["site"]].append(v["url"])
+        o_df = _c.defaultdict(list)
+        for v in sorted(r_df.visits.to_pylist(),
+                        key=lambda x: (x["epoch"], x["visit_pos"])):
+            o_df[v["site"]].append(v["url"])
+        assert dict(o_in) == dict(o_df), name
