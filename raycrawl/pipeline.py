@@ -116,8 +116,13 @@ class CrawlConfig:
                                          # mid-crawl frontier_remainder may
                                          # contain not-yet-admitted
                                          # candidate urls)
-    collect_docs: bool = True            # False → docs only via out_dir sink
-    collect_visits: bool = True          # False → counters via distributed agg
+    # None = auto: collect on the driver ONLY when no out_dir sink exists
+    # (test convenience); with a sink configured, docs/visits stream to
+    # partitioned Parquet on the workers and never funnel through the
+    # driver — the scale-safe default (counters always come from the
+    # distributed metrics partials either way)
+    collect_docs: bool | None = None
+    collect_visits: bool | None = None
     verbose: bool = False
 
 
@@ -541,6 +546,11 @@ class CrawlEngine:
             confirm_fn = ConfirmStage(seen, cfg.now)
 
         fresh_run = not self.prior_cache_entries and not resume_from
+        # auto collection: driver-side tables only when no distributed sink
+        collect_docs = (cfg.collect_docs if cfg.collect_docs is not None
+                        else self.out_dir is None)
+        collect_visits = (cfg.collect_visits if cfg.collect_visits is not None
+                          else self.out_dir is None)
 
         transport = self.transport
 
@@ -566,6 +576,7 @@ class CrawlEngine:
         all_refresh: list[dict] = []
         metrics_rows: list[dict] = []   # pre-aggregated per (partition, site, outcome)
         remainder_parts: list[pa.Table] = []
+        retire_refs: list = []          # retired frontier blocks (stay in plasma)
         # fused-wave fan-out: one map_groups task per block; match the
         # cluster width (capped by the host-partition count) so tiny test
         # sessions aren't taxed with empty-block overhead
@@ -574,47 +585,41 @@ class CrawlEngine:
         guard = 0
         import time as _wall
 
+        # between waves the frontier lives as a list of Arrow block refs in
+        # plasma (plus its tracked row count) — Dataset wrappers are built
+        # per wave, so no count()/materialize() executions ever run on it
+        if frontier is None:
+            frontier_refs: list = []
+            n_frontier = 0
+        else:
+            frontier_refs = frontier.to_arrow_refs()
+            n_frontier = frontier.count()
+        # split-round context: shipped ONCE via ray.put, reused every wave
+        explode = _make_explode(seed_by_site, max_depth_by_site)
+        want_final = (not cfg.defer_admission) or collect_docs or collect_visits
+        split_ctx = ray.put({
+            "confirm_fn": confirm_fn,
+            "batch_size": cfg.fetch_batch_size,
+            "defer": cfg.defer_admission,
+            "explode_fn": explode,
+            "seen": seen,
+            "want_final": want_final,
+            "out_dir": self.out_dir,
+            "now": cfg.now,
+        })
+
         wall0 = _wall.monotonic()
-        while frontier is not None:
+        while True:
             if (cfg.max_duration_s is not None
                     and _wall.monotonic() - wall0 >= cfg.max_duration_s):
                 break  # wall-clock budget: remainder + checkpoint stay resumable
-            guard += 1
-            if guard > 100_000:
-                raise RuntimeError("wave engine guard tripped")
-            # retire sites whose max_pages budget is exhausted: their queued
-            # rows become the resume set (reference breaks the loop and saves
-            # the heap remainder, crawler.py:1155-1156 + 1222-1224)
-            exhausted = {
-                rt.name for rt in self.sites
-                if rt.max_pages > 0
-                and counters[rt.name]["pages_visited"] >= rt.max_pages
-            }
-            if exhausted:
-                import pyarrow.compute as pc
-
-                ex_rows = frontier.map_batches(
-                    lambda t, ex=exhausted: t.filter(
-                        pc.is_in(t["site"], value_set=pa.array(list(ex)))
-                    ),
-                    batch_format="pyarrow",
-                ).take_all()
-                if ex_rows:
-                    remainder_parts.append(
-                        pa.Table.from_pylist(ex_rows, schema=FRONTIER_SCHEMA)
-                    )
-                frontier = frontier.map_batches(
-                    lambda t, ex=exhausted: t.filter(
-                        pc.invert(pc.is_in(t["site"], value_set=pa.array(list(ex))))
-                    ),
-                    batch_format="pyarrow",
-                ).materialize()
-                frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
-            n_frontier = frontier.count()
             if n_frontier == 0:
                 break
             if cfg.max_epochs is not None and (epoch - epoch0) >= cfg.max_epochs:
                 break
+            guard += 1
+            if guard > 100_000:
+                raise RuntimeError("wave engine guard tripped")
             window = (cfg.now + epoch * cfg.epoch_len,
                       cfg.now + (epoch + 1) * cfg.epoch_len)
             remaining = {
@@ -622,6 +627,11 @@ class CrawlEngine:
                           if rt.max_pages > 0 else 1_000_000_000)
                 for rt in self.sites
             }
+            # sites whose max_pages budget is exhausted RETIRE inside the
+            # plan pass: their rows flow to the remainder/resume set with no
+            # extra frontier scan (reference breaks the loop and saves the
+            # heap remainder, crawler.py:1155-1156 + 1222-1224)
+            exhausted = {s for s, r in remaining.items() if r <= 0}
             blocked_def: set[str] = set()
             if cfg.defer_admission:
                 # queue-cap check moves to plan time with the admission
@@ -630,231 +640,156 @@ class CrawlEngine:
                                if n >= cfg.max_queue_size}
             planner = _make_planner(seen, politeness, exclude_patterns, remaining,
                                     window, cfg.host_grant_cap,
-                                    blocked_sites=blocked_def)
-            # coarse host partitioning (crc32 % P): RPC traffic and group
-            # overhead are O(P), not O(hosts)
+                                    blocked_sites=blocked_def,
+                                    retire_sites=exhausted)
             import time as _time
 
             # FUSED wave pass: plan + fetch + extract + decide run inside ONE
             # groupby(host-partition).map_groups execution — planning RPCs
             # and the heavy per-page compute share the task, so each wave
-            # pays for a single shuffle + a single Dataset execution instead
-            # of plan-materialize → repartition → process-materialize. The
-            # output mixes action='keep' rows (frontier carry-over, null
-            # processed columns) and action='fetch' rows (fully processed),
-            # conformed to one deterministic schema.
+            # pays for a single shuffle + a single Dataset execution. The
+            # output mixes action='keep'/'retire' rows (frontier carry-over /
+            # budget-exhausted, null processed columns) and action='fetch'
+            # rows (fully processed), conformed to one deterministic schema.
             plan_process = _make_plan_process(planner, fetch_fn, extract_fn,
                                               decide_fn, cfg.fetch_batch_size)
             _t0 = _time.time()
             # repartition first: the sort-groupby's output block count (=
             # map_groups task count) follows its INPUT block count, and the
-            # fused task now carries the wave's heavy compute — a 2-block
-            # frontier would serialize the whole wave onto 2 cores
+            # fused task carries the wave's heavy compute — a 2-block
+            # frontier would serialize the whole wave onto 2 cores.
             # fan-out sized to the wave: a 500-row wave across 32 blocks is
             # pure scheduling overhead, a 60k-row wave wants the full width
             width = max(2, min(pp_width, n_frontier // 64 + 1))
-            pp = frontier.repartition(width).map_batches(
+            pp = rd.from_arrow_refs(frontier_refs).repartition(width).map_batches(
                 lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
             ).groupby("_hpart").map_groups(
                 plan_process, batch_format="pandas"
             ).materialize()
             _t_plan = _time.time() - _t0
-            kept = _filter_eq(pp, "action", "keep")
-            kept_tbl_cols = [f.name for f in FRONTIER_SCHEMA]
 
-            # materialize = the propose/confirm barrier (all proposals land
-            # before any confirm)
+            # SPLIT round: one lightweight task round over the materialized
+            # wave blocks (refs stay in plasma — no copies). Each task:
+            # confirm (two-phase barrier already passed at materialize) →
+            # metrics partial → keep/retire/candidate routing → optional
+            # Parquet sink. Replaces 3-4 Dataset executions per wave with
+            # O(blocks) tasks; only the tiny meta dict is ray.get'd.
             _t0 = _time.time()
-            if atomic:
-                final = _filter_eq(pp, "action", "fetch").materialize()
-            else:
-                final = _filter_eq(pp, "action", "fetch").map_batches(
-                    confirm_fn, batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size
-                ).materialize()
-                seen.clear_pending()
-            _t_conf = _time.time() - _t0
-            n_sel = final.count()
-            if n_sel == 0:
-                frontier = kept.select_columns(kept_tbl_cols).materialize()
-                frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
-                epoch += 1
-                continue
-
-            # wave bookkeeping: counters always come from the distributed
-            # per-partition metrics partials (one aggregated row per
-            # (partition, site, outcome) per block reaches the driver,
-            # never per-page rows); the full visit log is only collected in
-            # test mode (collect_visits).
-            total_links = 0
-            _t0 = _time.time()
-            # metrics partials run as one lightweight task per materialized
-            # block (to_arrow_refs: no copy, blocks stay in plasma) — a full
-            # Dataset execution here costs ~0.5 s/epoch of pure scheduling
-            refs = final.to_arrow_refs()
-            csz = max(1, (len(refs) + 63) // 64)  # ≤64 metric tasks per wave
-            met_rows = [
-                r
-                for part in ray.get([
-                    _metrics_partial_task.remote(refs[i: i + csz])
-                    for i in range(0, len(refs), csz)
-                ])
-                for r in part
-            ]
-            _t_met = _time.time() - _t0
-            for m in met_rows:
-                total_links += m["n_links"]
-                c = counters[m["site"]]
-                c[COUNTER_KEYS[m["outcome"]]] += m["n_rows"]
-                if m["outcome"] != "error":
-                    c["pages_visited"] += m["n_rows"]
-                metrics_rows.append(
-                    {"stage": "fetch_extract", "epoch": epoch, **m}
+            refs = pp.to_arrow_refs()
+            n_chunks = min(len(refs), max(4, ncpu))
+            csz = max(1, (len(refs) + n_chunks - 1) // n_chunks)
+            outs = [
+                _wave_split_task.options(num_returns=5).remote(
+                    split_ctx, epoch, ci, refs[i: i + csz]
                 )
-            if cfg.collect_visits or cfg.collect_docs:
-                # test-only convenience modes: ONE driver collection pass
-                # per wave serves both the visit log and the doc tables
+                for ci, i in enumerate(range(0, len(refs), csz))
+            ]
+            final_refs = [o[0] for o in outs]
+            keep_refs = [o[1] for o in outs]
+            cand_refs = [o[2] for o in outs]
+            ret_refs = [o[3] for o in outs]
+            metas = ray.get([o[4] for o in outs])
+            if not atomic:
+                seen.clear_pending()
+            _t_split = _time.time() - _t0
+
+            total_links = 0
+            n_sel = 0
+            for meta in metas:
+                n_sel += meta["n_final"]
+                for m in meta["metrics"]:
+                    total_links += m["n_links"]
+                    c = counters[m["site"]]
+                    c[COUNTER_KEYS[m["outcome"]]] += m["n_rows"]
+                    if m["outcome"] != "error":
+                        c["pages_visited"] += m["n_rows"]
+                    metrics_rows.append(
+                        {"stage": "fetch_extract", "epoch": epoch, **m}
+                    )
+            retire_refs.extend(
+                r for r, meta in zip(ret_refs, metas) if meta["n_retire"]
+            )
+            if (collect_visits or collect_docs) and n_sel:
+                # test-only convenience modes: the split tasks already
+                # projected the collection columns; one ray.get serves both
+                # the visit log and the doc tables
                 vkeys = ["site", "url", "host", "depth", "wave", "rank",
                          "visit_pos", "grant_ts", "status", "outcome"]
-                rows = final.select_columns(
-                    vkeys + ["title", "excerpt", "content", "images",
-                             "doc_lang", "content_hash"]
-                ).take_all()
-                if cfg.collect_visits:
+                ckeys = vkeys + ["title", "excerpt", "content", "images",
+                                 "doc_lang", "content_hash"]
+                rows = [
+                    r
+                    for t in ray.get(final_refs)
+                    if t.num_rows
+                    for r in t.select(ckeys).to_pylist()
+                ]
+                if collect_visits:
                     for r in rows:
                         visits.append({k: r[k] for k in vkeys}
                                       | {"epoch": epoch})
-                if cfg.collect_docs:
+                if collect_docs:
                     docs, refreshes = _doc_rows_from(rows, cfg.now)
                     all_docs.extend(docs)
                     all_refresh.extend(refreshes)
-            if self.out_dir:
-                # distributed partitioned sink: every worker writes its own
-                # blocks, one directory per epoch (resumable — a restarted
-                # run skips finished epochs); nothing funnels through the
-                # driver (ref sink semantics: Meilisearch add_documents
-                # batches, crawler.py:682-758)
-                docs_src = _filter_in(
-                    final, "outcome", ["indexed", "not_modified"]
-                ).select_columns(
-                    ["site", "url", "title", "excerpt", "content", "images",
-                     "doc_lang", "content_hash", "outcome"]
-                )
-                now = cfg.now
-                self._write_epoch_ds(
-                    epoch,
-                    docs_src.map_batches(
-                        lambda t, _n=now: _docs_from_batch(t, _n),
-                        batch_format="pyarrow"),
-                    docs_src.map_batches(
-                        lambda t, _n=now: _refresh_from_batch(t, _n),
-                        batch_format="pyarrow"),
-                    final,
-                )
 
-            # outlinks → admission (ordered per host) → next frontier, one
-            # fused execution; skipped entirely when no page linked anything.
+            # next frontier = keep blocks + candidate/admitted blocks.
             # Queue cap is PER SITE (the reference's 5000-entry heap cap is
             # per-site, crawler.py:1203): sites at/over cap stop admitting.
-            _t_book = _time.time()
-            admitted = None
-            if total_links > 0 and cfg.defer_admission:
+            _t0 = _time.time()
+            next_refs = [r for r, meta in zip(keep_refs, metas)
+                         if meta["n_keep"]]
+            n_next = sum(meta["n_keep"] for meta in metas)
+            if cfg.defer_admission:
                 # candidates ride the frontier unadmitted (rank = -1,
                 # carrying parent_rank/lpos order); the NEXT wave's plan
-                # pass admits them — no extra shuffle/execution this wave
-                explode = _make_explode(seed_by_site, max_depth_by_site)
-                nxt = epoch + 1
-
-                def to_cand(t: pa.Table, _w=nxt) -> pa.Table:
-                    # read-only seen probe: already-queued/visited links are
-                    # dropped HERE (most outlinks point back at crawled
-                    # pages) so the frontier union and next plan shuffle
-                    # never carry them; safe because the seen set only
-                    # grows — the authoritative test-and-set still runs at
-                    # plan-time admission
-                    if t.num_rows:
-                        known = seen.contains_many(
-                            [(s, url_key(u))
-                             for s, u in zip(t["site"].to_pylist(),
-                                             t["url"].to_pylist())]
-                        )
-                        mask = pa.array([not k for k in known])
-                        t = t.filter(mask)
-                    n = t.num_rows
-                    return pa.table(
-                        {"url": t["url"], "site": t["site"], "host": t["host"],
-                         "depth": t["depth"],
-                         "wave": pa.array([_w] * n, pa.int32()),
-                         "rank": pa.array([-1] * n, pa.int64()),
-                         "parent_rank": t["parent_rank"].cast(pa.int64()),
-                         "lpos": t["lpos"].cast(pa.int64())}
-                    )
-
-                admitted = final.map_batches(
-                    explode, batch_format="pyarrow"
-                ).map_batches(to_cand, batch_format="pyarrow")
+                # pass admits them — zero extra executions this wave
+                next_refs.extend(r for r, meta in zip(cand_refs, metas)
+                                 if meta["n_cand"])
+                n_next += sum(meta["n_cand"] for meta in metas)
             elif total_links > 0:
                 qc = seen.queued_counts([rt.name for rt in self.sites])
                 blocked = {s for s, n in qc.items() if n >= cfg.max_queue_size}
-                explode = _make_explode(seed_by_site, max_depth_by_site)
                 admit_fn = _make_admitter(seen, epoch + 1, blocked)
-                admitted = final.map_batches(
+                final_ne = [r for r, meta in zip(final_refs, metas)
+                            if meta["n_final"]]
+                admitted = rd.from_arrow_refs(final_ne).map_batches(
                     explode, batch_format="pyarrow"
                 ).map_batches(
                     lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
                 ).groupby("_hpart").map_groups(
                     admit_fn, batch_format="pandas"
                 ).materialize()
-                if admitted.count() == 0:
-                    admitted = None
-            _t_admit = _time.time() - _t_book
-            _t0 = _time.time()
-            kept_f = kept.select_columns(kept_tbl_cols)
-            if cfg.defer_admission:
-                kept_f = kept_f.map_batches(
-                    lambda t: t.append_column(
-                        "parent_rank", pa.array([-1] * t.num_rows, pa.int64())
-                    ).append_column(
-                        "lpos", pa.array([-1] * t.num_rows, pa.int64())),
-                    batch_format="pyarrow",
-                )
-            # union is metadata-only; no repartition here — the next wave's
-            # plan groupby re-partitions by host anyway, so a shuffle at
-            # union time is pure waste. Block counts stay bounded: kept and
-            # admitted each emit ~plan_partitions blocks per wave.
-            union_cols = kept_tbl_cols + (["parent_rank", "lpos"]
-                                          if cfg.defer_admission else [])
-            frontier = (kept_f.union(admitted.select_columns(union_cols))
-                        if admitted is not None else kept_f).materialize()
-            if frontier.num_blocks() > cfg.plan_partitions * 4:
-                # block-count backstop: pure union grows blocks each wave;
-                # coalesce (split-free repartition, no sort) once it would
-                # start taxing the next plan pass
-                frontier = frontier.repartition(cfg.plan_partitions).materialize()
-            _t_union = _time.time() - _t0
+                n_adm = admitted.count()
+                if n_adm:
+                    next_refs.extend(admitted.to_arrow_refs())
+                    n_next += n_adm
+            frontier_refs = next_refs
+            n_frontier = n_next
+            _t_admit = _time.time() - _t0
             if cfg.verbose:
-                print(f"[wave {epoch}] frontier={n_frontier} sel={n_sel} "
-                      f"planproc={_t_plan:.2f} conf={_t_conf:.2f} "
-                      f"met={_t_met:.2f} admit={_t_admit:.2f} "
-                      f"union={_t_union:.2f} fblocks={frontier.num_blocks()}",
+                print(f"[wave {epoch}] sel={n_sel} next={n_frontier} "
+                      f"planproc={_t_plan:.2f} split={_t_split:.2f} "
+                      f"admit={_t_admit:.2f} fblocks={len(frontier_refs)}",
                       flush=True)
-            # sever lineage across epochs (blocks stay in the object store;
-            # unbounded stats/plan chains otherwise blow the recursion limit)
-            frontier = rd.from_arrow_refs(frontier.to_arrow_refs())
             epoch += 1
             if cfg.checkpoint_dir:
-                self._checkpoint(cfg.checkpoint_dir, epoch, frontier, seen,
-                                 politeness, counters)
+                self._checkpoint(cfg.checkpoint_dir, epoch,
+                                 rd.from_arrow_refs(frontier_refs)
+                                 if frontier_refs else None,
+                                 seen, politeness, counters)
 
-        if frontier is not None and frontier.count() > 0:
-            remainder_parts.append(
-                pa.Table.from_pylist(frontier.take_all(), schema=FRONTIER_SCHEMA)
-            )
+        for t in (ray.get(retire_refs) if retire_refs else []):
+            if t.num_rows:
+                remainder_parts.append(_project_frontier(t))
+        for t in (ray.get(frontier_refs) if frontier_refs else []):
+            if t.num_rows:
+                remainder_parts.append(_project_frontier(t))
         remainder = (
             pa.concat_tables(remainder_parts)
             if remainder_parts
             else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
         )
+        frontier = rd.from_arrow_refs(frontier_refs) if frontier_refs else None
         if cfg.checkpoint_dir:
             self._checkpoint(cfg.checkpoint_dir, epoch, frontier, seen, politeness,
                              counters, final_ok=True)
@@ -869,18 +804,6 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------
-    def _write_epoch_ds(self, epoch: int, docs_out, ref_out, final) -> None:
-        """Partitioned, resumable output layout: one directory per epoch,
-        each table written DISTRIBUTEDLY (one file per block, written by the
-        worker that holds the block — the driver never sees doc rows)."""
-        d = os.path.join(self.out_dir, f"epoch={epoch:05d}")
-        os.makedirs(d, exist_ok=True)
-        docs_out.write_parquet(os.path.join(d, "documents"))
-        ref_out.write_parquet(os.path.join(d, "refreshes"))
-        final.map_batches(
-            lambda t, _e=epoch: _visits_from_batch(t, _e), batch_format="pyarrow"
-        ).write_parquet(os.path.join(d, "visits"))
-
     def _checkpoint(self, ckpt_dir: str, epoch: int, frontier, seen, politeness,
                     counters, final_ok: bool = False) -> None:
         d = os.path.join(ckpt_dir, f"epoch={epoch:05d}")
@@ -952,22 +875,122 @@ class CrawlEngine:
 # wave-mode group functions
 # ---------------------------------------------------------------------------
 
-def _metrics_partial_list(refs: list) -> list[dict]:
-    """One task per CHUNK of block refs (nested refs resolved here)."""
+def _project_frontier(tbl: pa.Table) -> pa.Table:
+    """Project onto FRONTIER_SCHEMA with pinned types (drops defer-mode
+    parent_rank/lpos and any processed columns)."""
+    return pa.table({f.name: tbl[f.name].cast(f.type) for f in FRONTIER_SCHEMA})
+
+
+def _defer_frontier_cols(tbl: pa.Table, fill: int = -1) -> pa.Table:
+    """FRONTIER columns + parent_rank/lpos (deferred-admission union schema,
+    fixed column ORDER so keep and candidate blocks concat cleanly)."""
+    base = _project_frontier(tbl)
+    n = base.num_rows
+    for c in ("parent_rank", "lpos"):
+        col = (tbl[c].cast(pa.int64()) if c in tbl.column_names and fill is None
+               else pa.array([fill] * n, pa.int64()))
+        base = base.append_column(c, col)
+    return base
+
+
+def _to_cand_tbl(t: pa.Table, seen, wave: int) -> pa.Table:
+    """Exploded outlinks → deferred-admission candidate rows (rank = -1,
+    parent_rank/lpos carry the reference's per-host admission order). A
+    read-only seen probe drops already-queued/visited links HERE (most
+    outlinks point back at crawled pages) so the next plan shuffle never
+    carries them; safe because the seen set only grows — the authoritative
+    test-and-set still runs at plan-time admission."""
+    if t.num_rows:
+        known = seen.contains_many(
+            [(s, url_key(u))
+             for s, u in zip(t["site"].to_pylist(), t["url"].to_pylist())]
+        )
+        t = t.filter(pa.array([not k for k in known]))
+    n = t.num_rows
+    return pa.table(
+        {"url": t["url"].cast(pa.string()), "site": t["site"].cast(pa.string()),
+         "host": t["host"].cast(pa.string()), "depth": t["depth"].cast(pa.int32()),
+         "wave": pa.array([wave] * n, pa.int32()),
+         "rank": pa.array([-1] * n, pa.int64()),
+         "parent_rank": t["parent_rank"].cast(pa.int64()),
+         "lpos": t["lpos"].cast(pa.int64())}
+    )
+
+
+def _write_chunk_sink(out_dir: str, epoch: int, chunk_id: int,
+                      final_tbl: pa.Table, now: float) -> None:
+    """Distributed partitioned sink, written INSIDE the split task that owns
+    the blocks: one file per (epoch, chunk) under documents/ refreshes/
+    visits/ — resumable layout (a restarted run skips finished epochs),
+    nothing funnels through the driver (ref sink semantics: Meilisearch
+    add_documents batches, crawler.py:682-758)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, f"epoch={epoch:05d}")
+    name = f"chunk-{chunk_id:05d}.parquet"
+    for sub, tbl in (("documents", _docs_from_batch(final_tbl, now)),
+                     ("refreshes", _refresh_from_batch(final_tbl, now)),
+                     ("visits", _visits_from_batch(final_tbl, epoch))):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, sub, name))
+
+
+def _wave_split_list(ctx: dict, epoch: int, chunk_id: int, refs: list):
+    """One split task per chunk of materialized wave blocks: confirm (the
+    two-phase propose barrier already passed at materialize) → metrics
+    partial → keep/retire/candidate routing → optional Parquet sink. The
+    five outputs stay in plasma as separate objects (num_returns=5); the
+    driver ray.gets ONLY the tiny meta dict — per-wave driver cost is
+    O(chunks), never O(pages)."""
+    import pyarrow.compute as pc
     import ray as _r
 
-    out: list[dict] = []
-    for batch in _r.get(refs):
-        out.extend(_wave_metrics_partial(batch).to_pylist())
-    return out
+    # drop schemaless empty blocks (an empty map_groups partition emits a
+    # zero-column block); an all-empty chunk returns static empty outputs
+    tbls = [t for t in _r.get(refs) if t.num_rows]
+    if not tbls:
+        empty_front = FRONTIER_SCHEMA.empty_table()
+        keep_out = (_defer_frontier_cols(empty_front, fill=-1)
+                    if ctx["defer"] else empty_front)
+        meta = {"metrics": [], "n_keep": 0, "n_cand": 0, "n_retire": 0,
+                "n_final": 0}
+        return (pa.table({}), keep_out, keep_out.slice(0, 0), empty_front,
+                meta)
+    tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    fetch_tbl = tbl.filter(pc.equal(tbl["action"], "fetch"))
+    confirm_fn = ctx["confirm_fn"]
+    if confirm_fn is not None:
+        bs = ctx["batch_size"]
+        outs = [confirm_fn(fetch_tbl.slice(lo, bs))
+                for lo in range(0, max(fetch_tbl.num_rows, 1), bs)]
+        fetch_tbl = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+    met = _wave_metrics_partial(fetch_tbl).to_pylist()
+    retire_tbl = _project_frontier(
+        tbl.filter(pc.equal(tbl["action"], "retire")))
+    keep_tbl = tbl.filter(pc.equal(tbl["action"], "keep"))
+    if ctx["defer"]:
+        keep_out = _defer_frontier_cols(keep_tbl, fill=-1)
+        cand_out = _to_cand_tbl(ctx["explode_fn"](fetch_tbl), ctx["seen"],
+                                epoch + 1)
+    else:
+        keep_out = _project_frontier(keep_tbl)
+        cand_out = keep_out.slice(0, 0)
+    if ctx["out_dir"] and fetch_tbl.num_rows:
+        _write_chunk_sink(ctx["out_dir"], epoch, chunk_id, fetch_tbl,
+                          ctx["now"])
+    final_out = fetch_tbl if ctx["want_final"] else fetch_tbl.slice(0, 0)
+    meta = {"metrics": met, "n_keep": keep_out.num_rows,
+            "n_cand": cand_out.num_rows, "n_retire": retire_tbl.num_rows,
+            "n_final": fetch_tbl.num_rows}
+    return final_out, keep_out, cand_out, retire_tbl, meta
 
 
 try:  # decorated lazily-importable: pipeline is imported before ray.init
     import ray as _ray_mod
 
-    _metrics_partial_task = _ray_mod.remote(num_cpus=0.5)(_metrics_partial_list)
+    _wave_split_task = _ray_mod.remote(num_cpus=0.5)(_wave_split_list)
 except Exception:  # pragma: no cover
-    _metrics_partial_task = None
+    _wave_split_task = None
 
 
 def _wave_metrics_partial(batch: pa.Table) -> pa.Table:
@@ -1014,23 +1037,6 @@ def _add_hpart(batch: pa.Table, n_parts: int) -> pa.Table:
     return batch.append_column("_hpart", pa.array(parts, pa.int32()))
 
 
-def _filter_eq(ds, col: str, val: str):
-    import pyarrow.compute as pc
-
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(t[col], val)), batch_format="pyarrow"
-    )
-
-
-def _filter_in(ds, col: str, vals: list[str]):
-    import pyarrow.compute as pc
-
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[col], value_set=pa.array(vals))),
-        batch_format="pyarrow",
-    )
-
-
 def _admit_candidates_pdf(seen, cand, blocked_sites):
     """Deferred-admission path: candidate rows (rank < 0, carrying
     parent_rank/lpos ordering) are admitted HERE, inside the plan pass —
@@ -1069,7 +1075,8 @@ def _admit_candidates_pdf(seen, cand, blocked_sites):
 
 
 def _make_planner(seen, politeness, exclude_patterns, remaining, window,
-                  grant_cap, blocked_sites=frozenset()):
+                  grant_cap, blocked_sites=frozenset(),
+                  retire_sites=frozenset()):
     """Wave planning over a coarse host partition (map_groups over
     crc32(host) % P, pandas): for every (site, host) group the priority walk
     applies the reference's pop-time skip ladder under politeness + site
@@ -1087,6 +1094,16 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window,
         import math
 
         import pandas as pd
+
+        # budget-exhausted sites retire here (rows pass through to the
+        # remainder with action='retire' — no separate frontier scan);
+        # their unadmitted defer-mode candidates retire unadmitted
+        retired = None
+        if retire_sites and len(gdf):
+            rmask = gdf["site"].isin(retire_sites)
+            if rmask.any():
+                retired = gdf[rmask]
+                gdf = gdf[~rmask]
 
         if len(gdf) and "rank" in gdf.columns and (gdf["rank"] < 0).any():
             cand = gdf[gdf["rank"] < 0]
@@ -1175,6 +1192,17 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window,
                 else:
                     out_cols["visit_pos"].append(-1)
                     out_cols["grant_ts"].append(math.nan)
+        if retired is not None:
+            k = len(retired)
+            out_cols["url"].extend(retired["url"].tolist())
+            out_cols["site"].extend(retired["site"].tolist())
+            out_cols["host"].extend(retired["host"].tolist())
+            out_cols["depth"].extend(retired["depth"].tolist())
+            out_cols["wave"].extend(retired["wave"].tolist())
+            out_cols["rank"].extend(retired["rank"].tolist())
+            out_cols["action"].extend(["retire"] * k)
+            out_cols["visit_pos"].extend([-1] * k)
+            out_cols["grant_ts"].extend([math.nan] * k)
         # emit ARROW with pinned types: pandas blocks mixed with arrow blocks
         # poison downstream sorts/unions (BlockType assertion)
         return pa.Table.from_pydict(
@@ -1223,7 +1251,9 @@ def _make_plan_process(planner, fetch_fn, extract_fn, decide_fn,
         import ray as _ray
 
         plan_tbl = planner(gdf)
-        keep_tbl = plan_tbl.filter(pc.equal(plan_tbl["action"], "keep"))
+        keep_tbl = plan_tbl.filter(
+            pc.is_in(plan_tbl["action"], value_set=pa.array(["keep", "retire"]))
+        )
         fetch_tbl = plan_tbl.filter(pc.equal(plan_tbl["action"], "fetch"))
         _tp0 = _t.perf_counter()
         outs = []
