@@ -252,16 +252,23 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    """Query matrix = embeddings of vec_id 0..n-1, pruned at the read: only
+    the first row group's two needed columns leave storage (the driver must
+    never scan the whole embeddings table for 5 query rows)."""
+    f = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    t = f.read_row_group(0, columns=["vec_id", "embedding"])
+    d = {v: e for v, e in zip(t["vec_id"].to_pylist(),
+                              t["embedding"].to_pylist())}
+    return np.array([d[i] for i in range(n)], dtype=np.float64)
+
+
 def q_embed_topk(sf_dir: str):
     """Brute-force cosine top-10 for queries = embeddings of vec_id 0..4."""
     from raycrawl.ops.similarity import brute_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    d = {v: e for v, e in zip(emb["vec_id"].to_pylist()[:64],
-                              emb["embedding"].to_pylist()[:64])}
-    queries = np.array([d[i] for i in range(5)], dtype=np.float64)
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return brute_topk(ds, queries, k=10)
+    return brute_topk(ds, _query_vectors(sf_dir), k=10)
 
 
 def q_embed_topk_lsh(sf_dir: str):
@@ -269,12 +276,8 @@ def q_embed_topk_lsh(sf_dir: str):
     asserted in tests)."""
     from raycrawl.ops.similarity import lsh_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    d = {v: e for v, e in zip(emb["vec_id"].to_pylist()[:64],
-                              emb["embedding"].to_pylist()[:64])}
-    queries = np.array([d[i] for i in range(5)], dtype=np.float64)
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_topk(ds, queries, k=10, probe_hamming=8)  # full probe = exact
+    return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_hamming=8)  # full probe = exact
 
 
 def q_embed_topk_ivf(sf_dir: str):
@@ -283,12 +286,8 @@ def q_embed_topk_ivf(sf_dir: str):
     exactly — pinned in tests; this entry uses a real nprobe (rows-only)."""
     from raycrawl.ops.similarity import ivf_topk
 
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    d = {v: e for v, e in zip(emb["vec_id"].to_pylist()[:64],
-                              emb["embedding"].to_pylist()[:64])}
-    queries = np.array([d[i] for i in range(5)], dtype=np.float64)
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, queries, k=10, n_centroids=32, nprobe=8)
+    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=32, nprobe=8)
 
 
 def q_text_tokens(sf_dir: str):
@@ -705,10 +704,32 @@ def q_search_top_queries(sf_dir: str):
 
 def q_cse_quota(sf_dir: str):
     """CSE daily-quota accounting (S12, ref cse_client.py:274-312): per-day
-    request/served/blocked counts at daily_quota=100."""
+    request/served/blocked counts at daily_quota=100 over the RAW request
+    log — a deliberate simplification (treats every request as an API
+    call) kept because it is exactly SQL-expressible and oracle-gated;
+    reference-parity accounting (cache hits don't consume quota) is
+    ``cse_quota_effective``."""
     from raycrawl.ops.searchapi import cse_daily_quota
 
     return cse_daily_quota(_search_log(sf_dir), daily_quota=100)
+
+
+def q_cse_quota_effective(sf_dir: str):
+    """Reference-parity quota: cache hits bypass _check_quota/_increment_
+    quota (cse_client.py:230-247), so only the cache replay's api_call
+    rows consume the daily quota. Rows-only (the TTL replay isn't
+    SQL-expressible); exact parity vs a sequential replay is asserted in
+    tests."""
+    from raycrawl.ops.searchapi import cse_cache_replay, cse_daily_quota
+
+    import pyarrow.compute as pc
+
+    replay = cse_cache_replay(_search_log(sf_dir), cache_days=7.0)
+    calls = replay.map_batches(
+        lambda t: t.filter(pc.equal(t["action"], "api_call")),
+        batch_format="pyarrow",
+    )
+    return cse_daily_quota(calls, daily_quota=100)
 
 
 def q_cse_cache(sf_dir: str):
@@ -736,6 +757,38 @@ def q_crawl_embeddings(sf_dir: str):
     ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
     emb = embed_dataset(ds, provider="fake", dim=8, concurrency=(1, 4))
     return embedding_components_ppm(emb, 8)
+
+
+def q_crawl_documents_embedded(sf_dir: str):
+    """Crawl with the embedding tier COMPOSED IN (CrawlConfig.embed — the
+    flush-time attach of ref crawler.py:682-758, 739-744): every indexed
+    document leaves the wave engine already carrying its fixed-width
+    embedding column. Output is the exploded (id, dim_idx, comp_ppm)
+    integer form so the DuckDB oracle gates the composed path bit-exactly
+    (same float32-roundtrip scheme as crawl_embeddings)."""
+    from raycrawl.fixtures import corpus_seeds
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+    dim = 6
+    docs = _docs_table(sf_dir)
+    pages = _pages_table(sf_dir)
+    r = CrawlEngine(
+        pages, corpus_seeds(docs.num_rows),
+        cfg=CrawlConfig(mode="wave", embed={"provider": "fake", "dim": dim}),
+    ).run()
+    tbl = r.docs
+    assert tbl.num_rows == 0 or all(tbl["embed_ok"].to_pylist())
+    n = tbl.num_rows
+    ids = tbl["id"].to_pylist()
+    v = np.asarray(tbl["embedding"].combine_chunks().flatten(),
+                   dtype=np.float32).reshape(n, dim)
+    comp = np.floor(v.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    return pa.table(
+        {"id": pa.array([i for i in ids for _ in range(dim)], pa.string()),
+         "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), n),
+                             pa.int64()),
+         "comp_ppm": pa.array(comp.reshape(-1), pa.int64())}
+    )
 
 
 def q_media_features(sf_dir: str):
@@ -821,10 +874,12 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_incremental": q_crawl_incremental,
         "dedup_embed": q_dedup_embed,
         "crawl_embeddings": q_crawl_embeddings,
+        "crawl_documents_embedded": q_crawl_documents_embedded,
         "crawl_fetch_join": q_crawl_fetch_join,
         "search_stats": q_search_stats,
         "search_top_queries": q_search_top_queries,
         "cse_quota": q_cse_quota,
+        "cse_quota_effective": q_cse_quota_effective,
         "cse_cache": q_cse_cache,
     }
 
@@ -1153,5 +1208,15 @@ def oracle_sql() -> dict[str, str]:
                             / 4294967296.0 AS REAL)::DOUBLE
                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS comp_ppm
             FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i) dims
+        """,
+        "crawl_documents_embedded": f"""
+            SELECT md5({_URL}) AS id, i AS dim_idx,
+                   CAST(floor(
+                       CAST(CAST(('0x' || substr(md5(text || ':'
+                                    || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                            / 4294967296.0 AS REAL)::DOUBLE
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS comp_ppm
+            FROM documents CROSS JOIN (SELECT unnest(range(6)) AS i) dims
+            WHERE length(text) >= {MIN_DOC_CHARS}
         """,
     }

@@ -96,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.sf_dir and not args.pages:
         p.error("one of --pages or --sf-dir is required")
+    if args.resume and not args.checkpoint_dir:
+        # without this, resume_from silently degrades to a fresh crawl
+        p.error("--resume requires --checkpoint-dir")
 
     import raycrawl  # noqa: F401  (register by-value before ray.init)
     import ray

@@ -141,6 +141,45 @@ class RemoteAPIEmbeddingProvider(EmbeddingProvider):
         return "huggingface"
 
 
+class GeminiEmbeddingProvider(EmbeddingProvider):
+    """Gemini API provider (ref ``embeddings.py:39-75``): fixed 768-dim,
+    one ``embed_content`` call per batch, batch errors degrade to
+    empty-list rows (NOT None — the reference returns ``[[] for _ in
+    texts]`` on error, embeddings.py:63-65). ``client`` is injectable
+    (an object with ``models.embed_content(model=, contents=)``); the
+    default constructor path needs the ``google-genai`` package, absent in
+    this sandbox, and raises ImportError exactly like the reference."""
+
+    def __init__(self, api_key: str, model_name: str = "text-embedding-004",
+                 client=None):
+        super().__init__(model_name)
+        self.embedding_dim = 768
+        if client is None:  # pragma: no cover - package absent in sandbox
+            try:
+                from google import genai
+            except ImportError as e:
+                raise ImportError(
+                    "'google-genai' package is required for Gemini"
+                ) from e
+            client = genai.Client(api_key=api_key)
+        self.client = client
+
+    def encode(self, texts: list[str]) -> list[list[float] | None]:
+        try:
+            result = self.client.models.embed_content(
+                model=f"models/{self.model_name}", contents=texts
+            )
+            return [e.values for e in result.embeddings]
+        except Exception:
+            return [[] for _ in texts]
+
+    def get_embedding_dim(self) -> int:
+        return self.embedding_dim
+
+    def get_provider_name(self) -> str:
+        return "gemini"
+
+
 class NoEmbeddingProvider(EmbeddingProvider):
     """Disabled tier (ref ``embeddings.py:199-217``)."""
 
@@ -165,6 +204,14 @@ def create_embedding_provider(provider_name: str | None = None,
     name = (provider_name or "fake").lower().strip()
     if name == "fake":
         return FakeHashEmbeddingProvider(**kwargs)
+    if name == "gemini":
+        # no api_key → disabled, init failure → disabled (ref :238-249)
+        if not kwargs.get("api_key"):
+            return NoEmbeddingProvider()
+        try:
+            return GeminiEmbeddingProvider(**kwargs)
+        except Exception:
+            return NoEmbeddingProvider()
     if name == "huggingface":
         try:
             return RemoteAPIEmbeddingProvider(

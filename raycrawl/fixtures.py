@@ -52,6 +52,11 @@ PAGES_SCHEMA = pa.schema(
         # supplementary columns beyond the input_hint core five:
         ("etag", pa.string()),
         ("content_type", pa.string()),
+        # HTTP-semantics columns (both nullable): the Last-Modified header
+        # the server sends with the page, and — for redirecting URLs — the
+        # URL the request finally lands on (crawler.py:993 str(response.url))
+        ("last_modified", pa.string()),
+        ("final_url", pa.string()),
     ]
 )
 
@@ -150,6 +155,8 @@ def synthesize_page_row(doc_id: int, text: str, lang: str, n_docs: int) -> dict:
         "lang": lang,
         "etag": _etag_for(text),
         "content_type": "text/html",
+        "last_modified": None,
+        "final_url": None,
     }
 
 
@@ -248,6 +255,8 @@ class WebBuilder:
         content_type: str = "text/html",
         html: str | None = None,
         expected_text: str | None = None,
+        etag: str | None = "auto",
+        last_modified: str | None = None,
     ) -> "WebBuilder":
         from .extract import clean_text
 
@@ -267,9 +276,23 @@ class WebBuilder:
                 "html": html.encode(),
                 "text": expected_text if expected_text is not None else clean_text(text),
                 "lang": lang,
-                "etag": _etag_for(text),
+                "etag": _etag_for(text) if etag == "auto" else etag,
                 "content_type": content_type,
+                "last_modified": last_modified,
+                "final_url": None,
             }
+        )
+        self._seq += 1
+        return self
+
+    def redirect(self, url: str, to: str) -> "WebBuilder":
+        """A redirecting URL: fetching ``url`` serves the body/headers of the
+        already-added page ``to`` with ``final_url = to`` (what an
+        ``allow_redirects`` GET reduces to, crawler.py:993)."""
+        target = next(r for r in self.rows if r["url"] == to)
+        self.rows.append(
+            {**target, "url": url, "final_url": to,
+             "warc_ts": EPOCH_BASE_US + self._seq * 1_000_000}
         )
         self._seq += 1
         return self
@@ -370,6 +393,21 @@ def scenario(name: str) -> dict:
             SiteSpec(name="fast", crawl="https://fasthost.example.org/p0", depth=9, delay=None),
             SiteSpec(name="slow", crawl="https://slowhost.example.org/p0", depth=9, delay=None),
         ]
+    elif name == "redirect":
+        # /old 301→ /new (doc keyed on final url); /new also linked directly
+        # (second fetch of same content → duplicate-content not_indexed);
+        # /moved 301→ /target where only the redirect is ever linked. The
+        # redirect target's relative links resolve against the FINAL url
+        # (crawler.py:1070 urljoin(final_url, href)).
+        base = "https://redir.example.org"
+        w.page(f"{base}/home", _long_text("rhome"),
+               links=["/old", "/new", "/moved"], title="RH")
+        w.page(f"{base}/new", _long_text("rnew"), links=["/deep"], title="RN")
+        w.page(f"{base}/deep", _long_text("rdeep"), title="RD")
+        w.page(f"{base}/target", _long_text("rtarget"), title="RT")
+        w.redirect(f"{base}/old", f"{base}/new")
+        w.redirect(f"{base}/moved", f"{base}/target")
+        seeds = [SiteSpec(name="redir", crawl=f"{base}/home", depth=4)]
     elif name == "hot_host":
         # one host holds ~30% of pages (skew), 6 cold hosts share the rest
         hot = "https://hot.example.org"

@@ -244,7 +244,12 @@ def get_parts(lookup: PartitionedLookup, part_ids) -> dict:
 
 
 def _matrix_rows(lookup: PartitionedLookup, ids: np.ndarray) -> np.ndarray:
-    """Vectorized gather of matrix-kind payload rows for ``ids``."""
+    """Vectorized gather of matrix-kind payload rows for ``ids``.
+
+    Precondition: every probed id must exist in the lookup's build side; a
+    lookup built from a filtered subset would make searchsorted return a
+    WRONG row silently (or index past the end) — asserted here rather than
+    corrupting the signature-estimate pruning downstream."""
     parts = lookup.parts_for(ids)
     loaded = get_parts(lookup, np.unique(parts))
     first = next(iter(loaded.values()))
@@ -253,6 +258,12 @@ def _matrix_rows(lookup: PartitionedLookup, ids: np.ndarray) -> np.ndarray:
     for p, (pid, mat) in loaded.items():
         m = parts == p
         idx = np.searchsorted(pid, ids[m])
+        if idx.size:
+            if idx.max() >= len(pid) or not (pid[idx] == ids[m]).all():
+                missing = ids[m][(idx >= len(pid)) | (pid[np.minimum(idx, len(pid) - 1)] != ids[m])]
+                raise KeyError(
+                    f"PartitionedLookup probe of {missing[:5]}... not in build side"
+                )
         out[m] = mat[idx]
     return out
 
@@ -532,11 +543,19 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
-def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
+def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
+                           max_bucket: int = 1000):
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk banding: 64 bits
     in 4 chunks — any pair within distance 3 shares ≥1 exact chunk
     (pigeonhole), so grouping by (chunk_idx, chunk_value) finds all of them
-    without an all-pairs scan."""
+    without an all-pairs scan.
+
+    Chunk buckets larger than ``max_bucket`` are DROPPED, mirroring
+    ``lsh_candidate_pairs``: a hot 16-bit chunk value (corpora of short
+    near-identical docs) would otherwise make one partition O(n²); such a
+    degenerate key needs salting + exact verify, not a blind pair
+    explosion. The Hamming check is vectorized (XOR + unpackbits popcount
+    over the bucket's pair matrix) — no Python pair loop."""
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids, shs = batch[id_col].to_pylist(), batch["simhash"].to_pylist()
@@ -554,24 +573,32 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
         )
 
     def pairs_partition(pdf):
-        import itertools
-
         import pandas as pd
 
-        out_a, out_b, out_d = [], [], []
+        parts_a, parts_b, parts_d = [], [], []
         for _, g in pdf.groupby(["chunk", "cval"], sort=True):
-            rows = sorted(set(zip(g["id"], g["sh"])))
-            for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
-                if ia == ib:
-                    continue
-                d = int(bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
-                if d <= max_hamming:
-                    out_a.append(ia)
-                    out_b.append(ib)
-                    out_d.append(d)
+            uniq = g.drop_duplicates("id").sort_values("id")
+            n = len(uniq)
+            if n < 2 or n > max_bucket:
+                continue  # degenerate hot chunk value — see docstring
+            ids = uniq["id"].to_numpy(np.int64)
+            sh = uniq["sh"].to_numpy(np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(n, 1)
+            x = sh[iu] ^ sh[ju]
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+                axis=1, dtype=np.int64)
+            keep = d <= max_hamming
+            if keep.any():
+                parts_a.append(ids[iu][keep])
+                parts_b.append(ids[ju][keep])
+                parts_d.append(d[keep])
+        if parts_a:
+            return pd.DataFrame({"a": np.concatenate(parts_a),
+                                 "b": np.concatenate(parts_b),
+                                 "hamming": np.concatenate(parts_d)})
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
         )
 
     def min_hamming_partition(pdf):
@@ -589,11 +616,17 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id"):
 
 def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
                        id_col: str = "vec_id", emb_col: str = "embedding",
-                       seed: int = 11):
+                       seed: int = 11, max_bucket: int = 1000):
     """Embedding-cosine near-dup via sign-random-projection bucketing:
     vectors sharing an LSH bucket get exact pairwise cosine (numpy matmul
     per bucket). Recall is probabilistic per bucket count — the exact
-    brute-force kernel lives in ops.similarity for oracle checks."""
+    brute-force kernel lives in ops.similarity for oracle checks.
+
+    Buckets larger than ``max_bucket`` are DROPPED (same skew guard as
+    ``lsh_candidate_pairs``): one dense bucket — e.g. a mass-duplicated
+    vector — would otherwise cost O(n²) time AND memory in a single
+    partition. Pair extraction from the sims matrix is a vectorized
+    ``triu_indices`` mask, not a Python combinations loop."""
     def bucketize(batch: pa.Table) -> pa.Table:
         # projection planes derived once per worker from the fixed seed
         # (function-attribute cache survives across batches in a process)
@@ -611,27 +644,27 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
         )
 
     def pair_cosine(gdf):
-        import itertools
-
         import pandas as pd
 
-        ids = gdf[id_col].tolist()
-        out_a, out_b, out_s = [], [], []
-        if ids:
+        n = len(gdf)
+        if 2 <= n <= max_bucket:
+            ids = gdf[id_col].to_numpy(np.int64)
             embs = np.array(gdf[emb_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(embs, axis=1, keepdims=True)
             norms[norms == 0] = 1
             embs = embs / norms
             sims = embs @ embs.T
-            for i, j in itertools.combinations(range(len(ids)), 2):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(round(float(sims[i, j]), 6))
+            iu, ju = np.triu_indices(n, 1)
+            keep = sims[iu, ju] >= threshold
+            if keep.any():
+                ai, bi = ids[iu][keep], ids[ju][keep]
+                return pd.DataFrame(
+                    {"a": np.minimum(ai, bi), "b": np.maximum(ai, bi),
+                     "cosine": np.round(sims[iu, ju][keep], 6)}
+                )
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-             "cosine": pd.Series(out_s, dtype="float64")}
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
         )
 
     from .grouping import grouped_apply

@@ -56,14 +56,14 @@ def cse_cache_replay(log_ds, cache_days: float = 7.0, n_parts: int | None = None
     partition (crc32 key hash); within a partition the scan is a pandas
     groupby walk — tiny islands, vectorization does not pay.
 
-    Returns (event_id, query, lang, action) with action ∈
+    Returns (event_id, ts, query, lang, action) with action ∈
     {'api_call', 'cache_hit'}."""
     from .grouping import partitioned_apply, resolve_parts
 
     ttl = pd.Timedelta(seconds=cache_days * 86400)
 
     def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_q, out_l, out_a = [], [], [], []
+        out_id, out_ts, out_q, out_l, out_a = [], [], [], [], []
         if len(pdf):
             pdf = pdf.sort_values(["query", "lang", "ts", "event_id"],
                                   kind="stable")
@@ -76,11 +76,13 @@ def cse_cache_replay(log_ds, cache_days: float = 7.0, n_parts: int | None = None
                         act = "api_call"
                         expires = ts + ttl
                     out_id.append(eid)
+                    out_ts.append(ts)
                     out_q.append(q)
                     out_l.append(l)
                     out_a.append(act)
         return pd.DataFrame(
             {"event_id": pd.Series(out_id, dtype="int64"),
+             "ts": pd.Series(out_ts, dtype="datetime64[us]"),
              "query": pd.Series(out_q, dtype="str"),
              "lang": pd.Series(out_l, dtype="str"),
              "action": pd.Series(out_a, dtype="str")}
@@ -92,11 +94,19 @@ def cse_cache_replay(log_ds, cache_days: float = 7.0, n_parts: int | None = None
 
 def cse_daily_quota(log_ds, daily_quota: int = 100,
                     n_parts: int | None = None):
-    """Daily quota accounting over would-be API calls: within each day
-    (UTC), requests ranked by (ts, event_id); rank > ``daily_quota`` is
-    quota-blocked (ref returns empty without incrementing, cse_client.py:
-    118-122). Returns per-day (day, n_requests, n_served, n_blocked) —
-    exactly SQL-expressible (window rank), so this one carries an oracle."""
+    """Daily quota accounting: within each day (UTC), requests ranked by
+    (ts, event_id); rank > ``daily_quota`` is quota-blocked (ref returns
+    empty without incrementing, cse_client.py:118-122). Returns per-day
+    (day, n_requests, n_served, n_blocked) — exactly SQL-expressible
+    (window rank), so this one carries an oracle.
+
+    NOTE the input contract: in the reference, cache hits bypass
+    ``_check_quota``/``_increment_quota`` entirely — only real API calls
+    consume quota. Feed this the ``api_call`` rows of ``cse_cache_replay``
+    for reference-parity accounting (``q_cse_quota_effective``); fed the
+    raw request log it deliberately over-counts (every request treated as
+    an API call — the oracle-gated ``q_cse_quota`` documents that
+    simplification)."""
     from .grouping import partitioned_apply, resolve_parts
 
     def part_fn(pdf: pd.DataFrame) -> pd.DataFrame:

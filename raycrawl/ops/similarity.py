@@ -72,24 +72,7 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    # tiny driver-side merge: num_batches × Q × k rows
-    best: dict[int, list] = {}
-    for r in partials:
-        heapq.heappush(best.setdefault(r["query_id"], []),
-                       (r["score"], -r["vec_id"]))
-        if len(best[r["query_id"]]) > k:
-            heapq.heappop(best[r["query_id"]])
-    rows = []
-    for qi, h in best.items():
-        ordered = sorted(h, key=lambda x: (-x[0], -x[1]))
-        for rank, (s, negid) in enumerate(ordered, 1):
-            rows.append({"query_id": qi, "rank": rank, "vec_id": -negid})
-    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
-                          ("vec_id", pa.int64())]),
-    )
+    return _merge_topk(partials, k)
 
 
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
@@ -139,23 +122,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    best: dict[int, list] = {}
-    for r in partials:
-        heapq.heappush(best.setdefault(r["query_id"], []),
-                       (r["score"], -r["vec_id"]))
-        if len(best[r["query_id"]]) > k:
-            heapq.heappop(best[r["query_id"]])
-    rows = []
-    for qi, h in best.items():
-        ordered = sorted(h, key=lambda x: (-x[0], -x[1]))
-        for rank, (s, negid) in enumerate(ordered, 1):
-            rows.append({"query_id": qi, "rank": rank, "vec_id": -negid})
-    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
-                          ("vec_id", pa.int64())]),
-    )
+    return _merge_topk(partials, k)
 
 
 def _merge_topk(partials, k: int) -> pa.Table:

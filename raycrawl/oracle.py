@@ -139,11 +139,19 @@ def crawl_oracle(
             if not batch:
                 continue
 
-            # gather preserves task order → results processed in batch order
+            # gather preserves task order → results processed in batch order.
+            # Conditional-GET cache READS are snapshotted at batch start: the
+            # reference fires the whole batch's fetch_page calls concurrently
+            # (crawler.py:1186), so each fetch reads cache_db BEFORE any
+            # same-batch update_cache lands — only across batches do cache
+            # writes become visible (matters when a redirect target's entry
+            # is written and its direct url fetched in the same batch).
+            cache_read = dict(cache)
             for url, depth in batch:
                 doc, links, event = _process_page(
                     url, depth, site, page_idx, cache, processed_hashes,
                     exclude, no_index, max_depth, now, cache_days, force,
+                    cache_read=cache_read,
                 )
                 visited.add(url)
                 in_progress.discard(url)
@@ -194,26 +202,39 @@ def crawl_oracle(
 
 
 def _process_page(url, depth, site: SiteSpec, page_idx, cache, processed_hashes,
-                  exclude, no_index, max_depth, now, cache_days, force):
+                  exclude, no_index, max_depth, now, cache_days, force,
+                  cache_read=None):
     """returns (doc|None, links, event)"""
     page = page_idx.get(url)
     if page is None:
         return None, [], "error"  # fetch failure after retries → None (crawler.py:1001)
-    cached = cache.get(url)
-    if cached and cached.get("etag") and cached["etag"] == page.get("etag"):
-        # conditional GET hit → 304 refresh doc, no links (crawler.py:1012-1016)
+    # lookup keyed on the REQUESTED url (crawler.py:973), against the
+    # batch-start snapshot (concurrent gather; see crawl_oracle)
+    cached = (cache_read if cache_read is not None else cache).get(url)
+    # conditional GET hit (either validator) → 304 refresh doc keyed on the
+    # REQUESTED url, no links (crawler.py:974-981 + 1012-1016)
+    etag_hit = (cached and cached.get("etag")
+                and cached["etag"] == page.get("etag"))
+    lm_hit = (cached and cached.get("last_modified")
+              and cached["last_modified"] == page.get("last_modified"))
+    if etag_hit or lm_hit:
         return ({"id": generate_doc_id(url), "url": url, "site": site.name},
                 [], "not_modified")
     if "text/html" not in (page.get("content_type") or "text/html"):
         return None, [], "skipped_content_type"  # crawler.py:987-989
+    # everything below keys on the POST-REDIRECT url: doc id, images/links
+    # base, no_index, cache entry (crawler.py:993, 1041-1060, 1070); note the
+    # reference quirk — the cache WRITE keys on final_url while the lookup
+    # above keys on the requested url, so redirecting urls never 304
+    final_url = page.get("final_url") or url
     html = page["html"]
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
-    d = ex.extract_document(html, url, site.selector, lang_default="fr")
+    d = ex.extract_document(html, final_url, site.selector, lang_default="fr")
     content, title, excerpt, images = d["content"], d["title"], d["excerpt"], d["images"]
     chash = d["content_hash"]
-    doc_id = generate_doc_id(url)
-    is_no_index = is_excluded(url, no_index)
+    doc_id = generate_doc_id(final_url)
+    is_no_index = is_excluded(final_url, no_index)
     is_dup = chash in processed_hashes
     skipped_by_cache = (
         not force
@@ -229,7 +250,7 @@ def _process_page(url, depth, site: SiteSpec, page_idx, cache, processed_hashes,
         doc = {
             "id": doc_id,
             "site": site.name,
-            "url": url,
+            "url": final_url,
             "title": title,
             "excerpt": excerpt,
             "content": content,
@@ -237,12 +258,12 @@ def _process_page(url, depth, site: SiteSpec, page_idx, cache, processed_hashes,
             "lang": d["lang"],
             "content_hash": chash,
         }
-        cache[url] = {
+        cache[final_url] = {
             "content_hash": chash,
             "doc_id": doc_id,
             "last_crawl": now,
             "etag": page.get("etag"),
-            "last_modified": None,
+            "last_modified": page.get("last_modified"),
             "site": site.name,
         }
         event = "indexed"

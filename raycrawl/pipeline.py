@@ -42,6 +42,7 @@ import os
 import pickle
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 
 from .fixtures import SiteSpec
@@ -123,6 +124,14 @@ class CrawlConfig:
     # distributed metrics partials either way)
     collect_docs: bool | None = None
     collect_visits: bool | None = None
+    # embedding tier composed into the crawl: indexed documents get an
+    # ``embedding`` (fixed-width list<float32>) + ``embed_ok`` column at
+    # flush time, exactly where the reference attaches _vectors to the
+    # Meilisearch batch (crawler.py:682-758, 739-744). Dict of
+    # embeddings.EmbedStage kwargs, e.g. {"provider": "fake", "dim": 8};
+    # the provider is built once per worker PROCESS (module cache) — the
+    # task-pool analogue of once-per-actor __init__.
+    embed: dict | None = None
     verbose: bool = False
 
 
@@ -176,23 +185,29 @@ def _doc_rows_from(final_rows: list[dict], now: float) -> tuple[list[dict], list
 
     docs, refreshes = [], []
     for r in final_rows:
+        # documents key on the post-redirect url (crawler.py:1045-1047);
+        # the 304 refresh keys on the requested url (final == requested
+        # there, crawler.py:981 + 1014)
+        fu = r.get("final_url") or r["url"]
         if r["outcome"] == "indexed":
-            docs.append(
-                {
-                    "id": generate_doc_id(r["url"]),
-                    "site": r["site"],
-                    "url": r["url"],
-                    "title": r["title"],
-                    "excerpt": r["excerpt"],
-                    "content": r["content"],
-                    "images": r["images"],
-                    "lang": r["doc_lang"],
-                    "timestamp": int(now),
-                    "indexed_at": _iso(now),
-                    "last_crawled_at": _iso(now),
-                    "content_hash": r["content_hash"],
-                }
-            )
+            d = {
+                "id": generate_doc_id(fu),
+                "site": r["site"],
+                "url": fu,
+                "title": r["title"],
+                "excerpt": r["excerpt"],
+                "content": r["content"],
+                "images": r["images"],
+                "lang": r["doc_lang"],
+                "timestamp": int(now),
+                "indexed_at": _iso(now),
+                "last_crawled_at": _iso(now),
+                "content_hash": r["content_hash"],
+            }
+            if "embedding" in r:  # embed-enabled crawl (crawler.py:739-744)
+                d["embedding"] = r["embedding"]
+                d["embed_ok"] = r["embed_ok"]
+            docs.append(d)
         elif r["outcome"] == "not_modified":
             refreshes.append(
                 {
@@ -215,17 +230,24 @@ def _docs_from_batch(batch: pa.Table, now: float) -> pa.Table:
     b = batch.filter(pc.equal(batch["outcome"], "indexed"))
     n = b.num_rows
     iso = _iso(now)
-    return pa.table(
-        {"id": pa.array([generate_doc_id(u) for u in b["url"].to_pylist()],
-                        pa.string()),
-         "site": b["site"], "url": b["url"], "title": b["title"],
-         "excerpt": b["excerpt"], "content": b["content"], "images": b["images"],
-         "lang": b["doc_lang"],
-         "timestamp": pa.array([int(now)] * n, pa.int64()),
-         "indexed_at": pa.array([iso] * n, pa.string()),
-         "last_crawled_at": pa.array([iso] * n, pa.string()),
-         "content_hash": b["content_hash"]}
-    ).cast(DOCS_SCHEMA)
+    fu = (b["final_url"] if "final_url" in b.column_names else b["url"])
+    cols = {"id": pa.array([generate_doc_id(u) for u in fu.to_pylist()],
+                           pa.string()),
+            "site": b["site"], "url": fu.cast(pa.string()), "title": b["title"],
+            "excerpt": b["excerpt"], "content": b["content"], "images": b["images"],
+            "lang": b["doc_lang"],
+            "timestamp": pa.array([int(now)] * n, pa.int64()),
+            "indexed_at": pa.array([iso] * n, pa.string()),
+            "last_crawled_at": pa.array([iso] * n, pa.string()),
+            "content_hash": b["content_hash"]}
+    schema = DOCS_SCHEMA
+    if "embedding" in b.column_names:  # embed-enabled crawl
+        cols["embedding"] = b["embedding"]
+        cols["embed_ok"] = b["embed_ok"]
+        emb_t = b.schema.field("embedding").type
+        schema = DOCS_SCHEMA.append(pa.field("embedding", emb_t)).append(
+            pa.field("embed_ok", pa.bool_()))
+    return pa.table(cols).cast(schema)
 
 
 def _refresh_from_batch(batch: pa.Table, now: float) -> pa.Table:
@@ -272,6 +294,16 @@ REFRESH_SCHEMA = pa.schema(
     [("id", pa.string()), ("site", pa.string()), ("url", pa.string()),
      ("last_crawled_at", pa.string())]
 )
+
+
+def _docs_schema(embed_dim: int | None = None) -> pa.Schema:
+    """DOCS_SCHEMA, plus the embedding columns when the crawl composes the
+    embedding tier (CrawlConfig.embed)."""
+    if not embed_dim:
+        return DOCS_SCHEMA
+    return DOCS_SCHEMA.append(
+        pa.field("embedding", pa.list_(pa.float32(), embed_dim))
+    ).append(pa.field("embed_ok", pa.bool_()))
 METRICS_SCHEMA = pa.schema(
     [
         ("stage", pa.string()),
@@ -330,10 +362,12 @@ class CrawlEngine:
             rt.host: s.delay for rt, s in zip(self.sites, seeds) if s.delay is not None
         }
         # cache records travel/store as slim tuples (hash, last_crawl, etag,
-        # site) — dict-per-key costs ~5x in RPC pickle and shard RAM
+        # site, last_modified) — dict-per-key costs ~5x in RPC pickle and
+        # shard RAM (fields: cache_db.py:17-29)
         self.prior_cache_entries = [
             (url_key(u), (rec.get("content_hash"), rec.get("last_crawl"),
-                          rec.get("etag"), rec.get("site")))
+                          rec.get("etag"), rec.get("site"),
+                          rec.get("last_modified")))
             for u, rec in (prior_cache or {}).items()
         ]
         self.selectors = {rt.name: rt.selector for rt in self.sites}
@@ -341,6 +375,19 @@ class CrawlEngine:
         self.exclude_patterns = {rt.name: rt.exclude for rt in self.sites}
         self.max_depth_by_site = {rt.name: rt.max_depth for rt in self.sites}
         self.seed_by_site = {rt.name: rt.seed for rt in self.sites}
+
+    # ------------------------------------------------------------------
+    def _robots_fetcher(self):
+        """Live robots tier: with an HTTP transport, hosts missing from the
+        injected ``robots`` bodies get their robots.txt fetched+cached lazily
+        inside the politeness shards (ref get_robot_parser,
+        crawler.py:411-428). Without a transport (sim fetch), None — injected
+        bodies stay authoritative and unknown hosts are allow-all."""
+        if self.transport is None:
+            return None
+        from .robots import make_robots_fetcher
+
+        return make_robots_fetcher(self.transport)
 
     # ------------------------------------------------------------------
     def run(self, resume_from: str | None = None) -> CrawlResult:
@@ -354,7 +401,8 @@ class CrawlEngine:
     def _run_strict(self) -> CrawlResult:
         cfg = self.cfg
         seen = SeenState(cfg.seen_mode)
-        politeness = HostPoliteness(self.robots_bodies, self.site_delays)
+        politeness = HostPoliteness(self.robots_bodies, self.site_delays,
+                                    robots_fetcher=self._robots_fetcher())
         if self.prior_cache_entries:
             seen.set_cache(self.prior_cache_entries)
         fetch = SimFetchStage(self.page_index, seen)
@@ -419,6 +467,8 @@ class CrawlEngine:
                     }
                 )
                 final = confirm(decide(extract(fetch(tbl))))
+                if cfg.embed:
+                    final = _attach_embeddings(final, cfg.embed)
                 seen.clear_pending()
                 rows = final.to_pylist()
                 for r in rows:
@@ -469,7 +519,8 @@ class CrawlEngine:
         ]
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
-            docs=pa.Table.from_pylist(all_docs, schema=DOCS_SCHEMA),
+            docs=pa.Table.from_pylist(
+                all_docs, schema=_docs_schema(cfg.embed and cfg.embed.get("dim", 8))),
             refreshes=pa.Table.from_pylist(all_refresh, schema=REFRESH_SCHEMA),
             counters=counters,
             frontier_remainder=pa.Table.from_pylist(remainder_rows, schema=FRONTIER_SCHEMA),
@@ -501,7 +552,8 @@ class CrawlEngine:
             n_pol = manifest0.get("n_polite_shards", n_pol)
         seen = ShardedSeen(n_seen, cfg.seen_mode)
         politeness = ShardedPoliteness(n_pol, self.robots_bodies,
-                                       self.site_delays)
+                                       self.site_delays,
+                                       robots_fetcher=self._robots_fetcher())
         pages_ref = ray.put(self.page_index)
 
         counters: dict[str, dict[str, int]] = {
@@ -606,6 +658,7 @@ class CrawlEngine:
             "want_final": want_final,
             "out_dir": self.out_dir,
             "now": cfg.now,
+            "embed": cfg.embed,
         })
 
         wall0 = _wall.monotonic()
@@ -715,8 +768,10 @@ class CrawlEngine:
                 # the visit log and the doc tables
                 vkeys = ["site", "url", "host", "depth", "wave", "rank",
                          "visit_pos", "grant_ts", "status", "outcome"]
-                ckeys = vkeys + ["title", "excerpt", "content", "images",
-                                 "doc_lang", "content_hash"]
+                ckeys = vkeys + ["final_url", "title", "excerpt", "content",
+                                 "images", "doc_lang", "content_hash"]
+                if cfg.embed:
+                    ckeys += ["embedding", "embed_ok"]
                 rows = [
                     r
                     for t in ray.get(final_refs)
@@ -795,7 +850,8 @@ class CrawlEngine:
                              counters, final_ok=True)
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
-            docs=pa.Table.from_pylist(all_docs, schema=DOCS_SCHEMA),
+            docs=pa.Table.from_pylist(
+                all_docs, schema=_docs_schema(cfg.embed and cfg.embed.get("dim", 8))),
             refreshes=pa.Table.from_pylist(all_refresh, schema=REFRESH_SCHEMA),
             counters=counters,
             frontier_remainder=remainder,
@@ -917,6 +973,43 @@ def _to_cand_tbl(t: pa.Table, seen, wave: int) -> pa.Table:
     )
 
 
+_EMBED_STAGES: dict = {}  # per-process EmbedStage cache (once per worker)
+
+
+def _embed_stage_for(embed_cfg: dict):
+    key = repr(sorted(embed_cfg.items()))
+    st = _EMBED_STAGES.get(key)
+    if st is None:
+        from .embeddings import EmbedStage
+
+        st = _EMBED_STAGES[key] = EmbedStage(**embed_cfg)
+    return st
+
+
+def _attach_embeddings(tbl: pa.Table, embed_cfg: dict) -> pa.Table:
+    """Append embedding/embed_ok columns for ``outcome == 'indexed'`` rows
+    (null elsewhere) — the flush-time attach point of the reference
+    (crawler.py:739-744). Runs inside the split task / strict loop; the
+    provider+LRU live once per worker process via ``_embed_stage_for``."""
+    stage = _embed_stage_for(embed_cfg)
+    outcomes = tbl["outcome"].to_pylist() if "outcome" in tbl.column_names else []
+    texts = tbl["content"].to_pylist() if "content" in tbl.column_names else []
+    n = tbl.num_rows
+    vals: list = [None] * n
+    oks: list = [None] * n
+    idx = [i for i, o in enumerate(outcomes) if o == "indexed"]
+    if idx:
+        vecs = stage._encode_cached([texts[i] or "" for i in idx])
+        for i, v in zip(idx, vecs):
+            good = v is not None and len(v) == stage.dim
+            oks[i] = bool(good)
+            vals[i] = (np.asarray(v, dtype=np.float32).tolist() if good
+                       else [0.0] * stage.dim)
+    return tbl.append_column(
+        "embedding", pa.array(vals, pa.list_(pa.float32(), stage.dim))
+    ).append_column("embed_ok", pa.array(oks, pa.bool_()))
+
+
 def _write_chunk_sink(out_dir: str, epoch: int, chunk_id: int,
                       final_tbl: pa.Table, now: float) -> None:
     """Distributed partitioned sink, written INSIDE the split task that owns
@@ -964,6 +1057,8 @@ def _wave_split_list(ctx: dict, epoch: int, chunk_id: int, refs: list):
         outs = [confirm_fn(fetch_tbl.slice(lo, bs))
                 for lo in range(0, max(fetch_tbl.num_rows, 1), bs)]
         fetch_tbl = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+    if ctx.get("embed") and fetch_tbl.num_rows:
+        fetch_tbl = _attach_embeddings(fetch_tbl, ctx["embed"])
     met = _wave_metrics_partial(fetch_tbl).to_pylist()
     retire_tbl = _project_frontier(
         tbl.filter(pc.equal(tbl["action"], "retire")))
@@ -1018,6 +1113,10 @@ def _wave_metrics_partial(batch: pa.Table) -> pa.Table:
         n_rows=("outcome", "size"), n_links=("n_links", "sum"),
         secs=("_proc_s", "first")
     )
+    # secs is the PARTITION's wall-time: emit it on one row per partition
+    # (0.0 on the rest) so summing secs over the table never over-counts by
+    # the partition's (site, outcome) fan-out
+    g["secs"] = g["secs"].where(~g.duplicated("_pblock"), 0.0)
     g["errors"] = (g["outcome"] == "error") * g["n_rows"]
     return pa.table(
         {"partition_id": pa.array(g["_pblock"].astype("int64")),

@@ -27,8 +27,11 @@ class HostPoliteness:
     actor for the wave engine)."""
 
     def __init__(self, robots_bodies: dict[str, str | None] | None = None,
-                 site_delays: dict[str, float] | None = None):
-        self.robots = RobotsTable(robots_bodies or {})
+                 site_delays: dict[str, float] | None = None,
+                 robots_fetcher=None):
+        # fetcher: lazy live robots.txt per host (ref crawler.py:411-428);
+        # each shard fetches/caches only its own hosts' robots
+        self.robots = RobotsTable(robots_bodies or {}, fetcher=robots_fetcher)
         self.site_delays = dict(site_delays or {})  # host → explicit site delay
         self.next_free: dict[str, float] = {}
         self._delay: dict[str, float] = {}
@@ -111,12 +114,13 @@ class ShardedPoliteness:
     """Routes host-keyed calls to P PolitenessShard actors."""
 
     def __init__(self, n_shards: int, robots_bodies: dict[str, str | None],
-                 site_delays: dict[str, float]):
+                 site_delays: dict[str, float], robots_fetcher=None):
         import ray
 
         cls = make_politeness_shard_cls()
         self.n = n_shards
-        self.shards = [cls.remote(robots_bodies, site_delays) for _ in range(n_shards)]
+        self.shards = [cls.remote(robots_bodies, site_delays, robots_fetcher)
+                       for _ in range(n_shards)]
         self._ray = ray
 
     def shard_for(self, host: str):

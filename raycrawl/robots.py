@@ -17,11 +17,19 @@ DEFAULT_DELAY = 0.5  # crawler.py:96
 
 
 class RobotsTable:
-    """Per-host robots verdicts from fixture bodies; allow-all fallback."""
+    """Per-host robots verdicts from fixture bodies; allow-all fallback.
+
+    With a ``fetcher`` (host → robots body | None), unknown hosts are
+    resolved LAZILY on first verdict and cached — the live tier of the
+    reference's per-domain fetch+cache (``get_robot_parser``,
+    crawler.py:411-428; fetch error → allow-all parser, cached). The
+    engine builds the fetcher from its injectable HTTP transport, so the
+    same fake transport that serves pages in tests serves robots.txt."""
 
     def __init__(self, bodies: dict[str, str | None] | None = None,
-                 user_agent: str = USER_AGENT):
+                 user_agent: str = USER_AGENT, fetcher=None):
         self.user_agent = user_agent
+        self.fetcher = fetcher
         self._parsers: dict[str, RobotFileParser | None] = {}
         for host, body in (bodies or {}).items():
             self._parsers[host] = self._parse(body)
@@ -34,15 +42,24 @@ class RobotsTable:
         p.parse(body.splitlines())
         return p
 
+    def _parser_of(self, host: str) -> RobotFileParser | None:
+        if host not in self._parsers and self.fetcher is not None:
+            try:
+                body = self.fetcher(host)
+            except Exception:
+                body = None
+            self._parsers[host] = self._parse(body)
+        return self._parsers.get(host)
+
     def can_fetch(self, host: str, url: str) -> bool:
-        p = self._parsers.get(host)
+        p = self._parser_of(host)
         if p is None:
             return True
         return p.can_fetch(self.user_agent, url)
 
     def crawl_delay(self, host: str) -> float | None:
         """robots Crawl-delay for our UA, or None (crawler.py:432-438)."""
-        p = self._parsers.get(host)
+        p = self._parser_of(host)
         if p is None:
             return None
         d = p.crawl_delay(self.user_agent)
@@ -55,6 +72,30 @@ class RobotsTable:
             return site_delay
         d = self.crawl_delay(host)
         return d if d is not None else DEFAULT_DELAY
+
+
+def make_robots_fetcher(transport, timeout: float = 10.0):
+    """host → robots.txt body | None, through the engine's injectable HTTP
+    transport (stages.LiveFetchStage protocol: ``transport(url, headers,
+    timeout) -> FetchResponse``). Non-200 or transport error → None
+    (allow-all, crawler.py:424-428). Picklable as long as the transport is —
+    it ships into the politeness shards."""
+
+    class _RobotsFetcher:
+        def __init__(self, tr, to):
+            self.tr = tr
+            self.to = to
+
+        def __call__(self, host: str) -> str | None:
+            try:
+                resp = self.tr(f"https://{host}/robots.txt", {}, self.to)
+                if resp.status == 200 and resp.body:
+                    return resp.body.decode("utf-8", errors="replace")
+            except Exception:
+                pass
+            return None
+
+    return _RobotsFetcher(transport, timeout)
 
 
 # ship this module's code with closures/actor classes so Ray workers never

@@ -44,22 +44,30 @@ FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
 
 
 def build_page_index(pages: pa.Table) -> dict[str, tuple]:
-    """url → (html_bytes, etag, content_type). Built once, broadcast via
-    ray.put; ~O(corpus) memory — the test-scale stand-in for the fetch tier."""
-    cols = pages.select(["url", "html", "etag", "content_type"]).to_pydict()
+    """url → (html_bytes, etag, content_type, last_modified, final_url).
+    Built once, broadcast via ray.put; ~O(corpus) memory — the test-scale
+    stand-in for the fetch tier. Older 5-column pages tables (no http
+    columns) yield 3-tuples; readers pad."""
+    want = ["url", "html", "etag", "content_type"]
+    extra = [c for c in ("last_modified", "final_url") if c in pages.column_names]
+    cols = pages.select(want + extra).to_pydict()
     return {
-        u: (h, e, c)
-        for u, h, e, c in zip(cols["url"], cols["html"], cols["etag"], cols["content_type"])
+        row[0]: tuple(row[1:])
+        for row in zip(*(cols[c] for c in want + extra))
     }
 
 
 class SimFetchStage:
     """Selected frontier rows → fetch result columns.
 
-    Adds: status:int32, html:binary, etag:string, cached_hash:string,
-    cached_last_crawl:float64 (cache metadata fetched in the same pass —
-    one batched seen-shard RPC per batch, used by the conditional-GET check
-    here and the TTL skip in the decide stage)."""
+    Adds: status:int32, html:binary, etag:string, last_modified:string,
+    final_url:string (post-redirect URL, = url when no redirect;
+    crawler.py:993), cached_hash:string, cached_last_crawl:float64 (cache
+    metadata fetched in the same pass — one batched seen-shard RPC per
+    batch, used by the conditional-GET check here and the TTL skip in the
+    decide stage). A 304 requires either validator to match: cached etag ==
+    served etag (If-None-Match) or cached Last-Modified == served
+    Last-Modified (If-Modified-Since) — crawler.py:974-979."""
 
     def __init__(self, page_index, seen_client, skip_cache: bool = False):
         import ray
@@ -84,10 +92,12 @@ class SimFetchStage:
         status = [0] * n
         htmls: list[bytes | None] = [None] * n
         etags: list[str | None] = [None] * n
+        lms: list[str | None] = [None] * n
+        finals: list[str | None] = list(urls)  # final_url = url unless redirected
         c_hash: list[str | None] = [None] * n
         c_last: list[float | None] = [None] * n
         for i, u in enumerate(urls):
-            rec = recs[i]  # (content_hash, last_crawl, etag, site) or None
+            rec = recs[i]  # (content_hash, last_crawl, etag, site[, last_modified])
             if rec:
                 c_hash[i] = rec[0]
                 c_last[i] = rec[1]
@@ -95,9 +105,13 @@ class SimFetchStage:
             if page is None:
                 status[i] = 0  # fetch error after retries
                 continue
-            html, etag, ctype = page
-            if rec and rec[2] and rec[2] == etag:
-                status[i] = 304
+            html, etag, ctype = page[0], page[1], page[2]
+            lm = page[3] if len(page) > 3 else None
+            final = page[4] if len(page) > 4 else None
+            rec_lm = rec[4] if rec and len(rec) > 4 else None
+            if rec and ((rec[2] and rec[2] == etag)
+                        or (rec_lm and rec_lm == lm)):
+                status[i] = 304  # 304 returns the REQUESTED url (crawler.py:981)
                 continue
             if "text/html" not in (ctype or "text/html"):
                 status[i] = 415
@@ -105,10 +119,15 @@ class SimFetchStage:
             status[i] = 200
             htmls[i] = html
             etags[i] = etag
+            lms[i] = lm
+            if final:
+                finals[i] = final
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("html", pa.array(htmls, pa.binary()))
             .append_column("etag", pa.array(etags, pa.string()))
+            .append_column("last_modified", pa.array(lms, pa.string()))
+            .append_column("final_url", pa.array(finals, pa.string()))
             .append_column("cached_hash", pa.array(c_hash, pa.string()))
             .append_column("cached_last_crawl", pa.array(c_last, pa.float64()))
         )
@@ -183,29 +202,34 @@ class LiveFetchStage:
 
         self.transport = transport
 
-    def _fetch_one(self, url: str,
-                   rec) -> tuple[int, bytes | None, str | None]:
+    def _fetch_one(self, url: str, rec) -> tuple:
+        """→ (status, body, etag, last_modified, final_url)."""
         headers: dict[str, str] = {}
         if rec:
-            # rec = (content_hash, last_crawl, etag, site)
+            # rec = (content_hash, last_crawl, etag, site[, last_modified])
             if rec[2]:
                 headers["If-None-Match"] = rec[2]
+            if len(rec) > 4 and rec[4]:
+                headers["If-Modified-Since"] = rec[4]  # crawler.py:977-978
         for attempt in range(self.max_retries):
             try:
                 resp = self.transport(url, headers, self.timeout_s)
                 if resp.status == 304:
-                    return 304, None, None
+                    # 304 short-path returns the REQUESTED url (crawler.py:981)
+                    return 304, None, None, None, url
                 ctype = resp.headers.get("Content-Type", "")
                 if "text/html" not in ctype.lower():
-                    return 415, None, None       # skipped, never retried
+                    return 415, None, None, None, url    # skipped, never retried
                 if resp.status >= 400:
                     raise IOError(f"HTTP {resp.status}")  # raise_for_status
                 return (resp.status, resp.body,
-                        resp.headers.get("ETag"))
+                        resp.headers.get("ETag"),
+                        resp.headers.get("Last-Modified"),
+                        resp.final_url or url)           # crawler.py:993
             except Exception:
                 if attempt + 1 < self.max_retries:
                     self.sleep(2 ** attempt)     # crawler.py:1000
-        return 0, None, None                     # error after retries
+        return 0, None, None, None, url          # error after retries
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from concurrent.futures import ThreadPoolExecutor
@@ -224,12 +248,16 @@ class LiveFetchStage:
         status = [r[0] for r in results]
         htmls = [r[1] for r in results]
         etags = [r[2] for r in results]
+        lms = [r[3] for r in results]
+        finals = [r[4] for r in results]
         c_hash = [r[0] if r else None for r in recs]
         c_last = [r[1] if r else None for r in recs]
         return (
             batch.append_column("status", pa.array(status, pa.int32()))
             .append_column("html", pa.array(htmls, pa.binary()))
             .append_column("etag", pa.array(etags, pa.string()))
+            .append_column("last_modified", pa.array(lms, pa.string()))
+            .append_column("final_url", pa.array(finals, pa.string()))
             .append_column("cached_hash", pa.array(c_hash, pa.string()))
             .append_column("cached_last_crawl", pa.array(c_last, pa.float64()))
         )
@@ -245,6 +273,10 @@ class ExtractIfHtml:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        # extraction (doc id, image/link urljoin base) keys on the
+        # POST-REDIRECT url (crawler.py:1045-1058, 1070)
+        finals = (batch["final_url"].to_pylist()
+                  if "final_url" in batch.column_names else urls)
         sites = batch["site"].to_pylist()
         statuses = batch["status"].to_pylist()
         htmls = batch["html"].to_pylist()
@@ -266,7 +298,8 @@ class ExtractIfHtml:
             h = htmls[i]
             if isinstance(h, (bytes, bytearray)):
                 h = h.decode("utf-8", errors="replace")
-            d = extract_document(h or "", urls[i], self.site_selectors.get(sites[i]))
+            d = extract_document(h or "", finals[i] or urls[i],
+                                 self.site_selectors.get(sites[i]))
             titles[i] = d["title"]
             contents[i] = d["content"]
             excerpts[i] = d["excerpt"]
@@ -316,6 +349,8 @@ class DecideProposeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        finals = (batch["final_url"].to_pylist()
+                  if "final_url" in batch.column_names else urls)
         sites = batch["site"].to_pylist()
         statuses = batch["status"].to_pylist()
         hashes = batch["content_hash"].to_pylist()
@@ -340,7 +375,9 @@ class DecideProposeStage:
                 and (self.now - c_last[i]) / SECONDS_PER_DAY < self.cache_days
             )
             cache_skip[i] = cs
-            no_idx = is_excluded(urls[i], self.no_index.get(sites[i], []))
+            # no_index tests the POST-REDIRECT url (crawler.py:1042)
+            no_idx = is_excluded(finals[i] or urls[i],
+                                 self.no_index.get(sites[i], []))
             stub = len(contents[i] or "") < MIN_CONTENT_CHARS
             if not cs and not no_idx and not stub:
                 eligible[i] = True
@@ -371,10 +408,14 @@ class ConfirmStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        finals = (batch["final_url"].to_pylist()
+                  if "final_url" in batch.column_names else urls)
         sites = batch["site"].to_pylist()
         statuses = batch["status"].to_pylist()
         hashes = batch["content_hash"].to_pylist()
         etags = batch["etag"].to_pylist()
+        lms = (batch["last_modified"].to_pylist()
+               if "last_modified" in batch.column_names else [None] * len(urls))
         eligible = batch["eligible"].to_pylist()
         cache_skip = batch["cache_skip"].to_pylist()
         depths = batch["depth"].to_pylist()
@@ -408,9 +449,11 @@ class ConfirmStage:
             for i, g in zip(idxs, granted):
                 if g:
                     outcomes[i] = "indexed"
+                    # cache entry keyed on the POST-REDIRECT url with both
+                    # validators stored (crawler.py:1059-1060, cache_db.py)
                     cache_updates.append(
-                        (url_key(urls[i]),
-                         (hashes[i], self.now, etags[i], sites[i]))
+                        (url_key(finals[i] or urls[i]),
+                         (hashes[i], self.now, etags[i], sites[i], lms[i]))
                     )
                 else:
                     outcomes[i] = "not_indexed"  # duplicate content
@@ -443,11 +486,15 @@ class AtomicDecideStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        finals = (batch["final_url"].to_pylist()
+                  if "final_url" in batch.column_names else urls)
         sites = batch["site"].to_pylist()
         statuses = batch["status"].to_pylist()
         hashes = batch["content_hash"].to_pylist()
         contents = batch["content"].to_pylist()
         etags = batch["etag"].to_pylist()
+        lms = (batch["last_modified"].to_pylist()
+               if "last_modified" in batch.column_names else [None] * len(urls))
         c_hash = batch["cached_hash"].to_pylist()
         c_last = batch["cached_last_crawl"].to_pylist()
         n = len(urls)
@@ -473,7 +520,8 @@ class AtomicDecideStage:
                 and (self.now - c_last[i]) / SECONDS_PER_DAY < self.cache_days
             )
             cache_skip[i] = cs
-            no_idx = is_excluded(urls[i], self.no_index.get(sites[i], []))
+            no_idx = is_excluded(finals[i] or urls[i],
+                                 self.no_index.get(sites[i], []))
             stub = len(contents[i] or "") < MIN_CONTENT_CHARS
             if not cs and not no_idx and not stub:
                 eligible[i] = True
@@ -489,8 +537,8 @@ class AtomicDecideStage:
                 if g:
                     outcomes[i] = "indexed"
                     cache_updates.append(
-                        (url_key(urls[i]),
-                         (hashes[i], self.now, etags[i], sites[i]))
+                        (url_key(finals[i] or urls[i]),
+                         (hashes[i], self.now, etags[i], sites[i], lms[i]))
                     )
                 else:
                     outcomes[i] = "not_indexed"

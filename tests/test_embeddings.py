@@ -35,6 +35,43 @@ def test_factory_fallbacks():
     assert isinstance(create_embedding_provider("none"), NoEmbeddingProvider)
     assert isinstance(create_embedding_provider("nonsense"),
                       NoEmbeddingProvider)
+    # gemini without an api_key → disabled (ref embeddings.py:238-241);
+    # with a key but no google-genai package → init failure → disabled
+    assert isinstance(create_embedding_provider("gemini"),
+                      NoEmbeddingProvider)
+    assert isinstance(create_embedding_provider("gemini", api_key="k"),
+                      NoEmbeddingProvider)
+
+
+def test_gemini_provider_with_injected_client():
+    """Gemini branch parity (ref embeddings.py:39-75): 768-dim, per-batch
+    embed_content, errors degrade to empty-list rows (not None)."""
+    from types import SimpleNamespace
+
+    from raycrawl.embeddings import GeminiEmbeddingProvider
+
+    class FakeModels:
+        def __init__(self):
+            self.calls = []
+
+        def embed_content(self, model, contents):
+            self.calls.append((model, list(contents)))
+            if contents and contents[0] == "boom":
+                raise RuntimeError("api error")
+            return SimpleNamespace(embeddings=[
+                SimpleNamespace(values=[float(len(t))] * 4) for t in contents
+            ])
+
+    fm = FakeModels()
+    p = create_embedding_provider(
+        "gemini", api_key="k", client=SimpleNamespace(models=fm))
+    assert isinstance(p, GeminiEmbeddingProvider)
+    assert p.get_provider_name() == "gemini"
+    assert p.get_embedding_dim() == 768
+    out = p.encode(["ab", "abcd"])
+    assert out == [[2.0] * 4, [4.0] * 4]
+    assert fm.calls[0][0] == "models/text-embedding-004"
+    assert p.encode(["boom"]) == [[]]  # error → empty rows, crawl continues
 
 
 def test_lru_dedups_provider_calls():

@@ -17,7 +17,8 @@ from raycrawl.fixtures import scenario
 from raycrawl.oracle import crawl_oracle
 from raycrawl.pipeline import CrawlConfig, CrawlEngine
 
-STRICT_SCENARIOS = ["line", "tree", "cycle", "dup_content", "filters", "budget"]
+STRICT_SCENARIOS = ["line", "tree", "cycle", "dup_content", "filters", "budget",
+                    "redirect"]
 
 
 def _visit_seq(visits_tbl: pa.Table) -> list[tuple[str, str]]:
@@ -100,6 +101,70 @@ def test_strict_incremental_and_304():
     assert r4.docs.num_rows == 4
 
 
+def test_strict_if_modified_since_304_without_etag():
+    """Etag-less servers still get 304s via Last-Modified / If-Modified-Since
+    (crawler.py:977-978; round-2 gap — only If-None-Match was sent)."""
+    from raycrawl.fixtures import SiteSpec, WebBuilder, _long_text
+
+    base = "https://lm.example.org"
+    w = WebBuilder()
+    w.page(f"{base}/a", _long_text("lma"), links=["/b"], etag=None,
+           last_modified="Mon, 01 Jan 2024 00:00:00 GMT")
+    w.page(f"{base}/b", _long_text("lmb"), etag=None,
+           last_modified="Tue, 02 Jan 2024 00:00:00 GMT")
+    seeds = [SiteSpec(name="lm", crawl=f"{base}/a", depth=3)]
+    o1 = crawl_oracle(w.table(), seeds, {})
+    r1 = CrawlEngine(w.table(), seeds, {}, cfg=CrawlConfig(mode="strict")).run()
+    assert r1.docs.num_rows == len(o1.docs) == 2
+    # stored cache carries last_modified (no etag) → second run 304s the
+    # seed, the chain stops at it exactly like the etag path
+    assert all(rec["etag"] is None and rec["last_modified"]
+               for rec in o1.final_cache.values())
+    o2 = crawl_oracle(w.table(), seeds, {}, prior_cache=o1.final_cache)
+    r2 = CrawlEngine(w.table(), seeds, {}, prior_cache=o1.final_cache,
+                     cfg=CrawlConfig(mode="strict")).run()
+    assert r2.docs.num_rows == len(o2.docs) == 0
+    assert r2.refreshes.num_rows == 1
+    assert r2.counters["lm"]["pages_not_modified"] == \
+        o2.counters["lm"]["pages_not_modified"] == 1
+
+
+def test_strict_redirect_semantics():
+    """Docs/ids/cache key on the post-redirect url; the 2nd fetch of the
+    same content is a duplicate; the redirect target's cache entry is
+    stored under final_url while lookups key on the requested url — the
+    reference's quirk means redirecting urls never 304 (crawler.py:973 vs
+    1059)."""
+    from raycrawl.urlnorm import generate_doc_id
+
+    s = scenario("redirect")
+    o = crawl_oracle(s["pages"], s["seeds"], s["robots"])
+    r = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                    cfg=CrawlConfig(mode="strict")).run()
+    docs = r.docs.to_pylist()
+    urls = [d["url"] for d in docs]
+    # /old fetched first → its doc keyed on /new; direct /new is a dup
+    assert "https://redir.example.org/new" in urls
+    assert "https://redir.example.org/target" in urls
+    assert all(u not in ("https://redir.example.org/old",
+                         "https://redir.example.org/moved") for u in urls)
+    for d in docs:
+        assert d["id"] == generate_doc_id(d["url"])
+    # outlinks of the redirect target resolve against the FINAL url
+    visited = {v["url"] for v in r.visits.to_pylist()}
+    assert "https://redir.example.org/deep" in visited
+    # second run: redirecting urls can't 304 (cache keyed on final url)
+    o2 = crawl_oracle(s["pages"], s["seeds"], s["robots"],
+                      prior_cache=o.final_cache)
+    r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     prior_cache=o.final_cache,
+                     cfg=CrawlConfig(mode="strict")).run()
+    assert r2.counters["redir"]["pages_not_modified"] == \
+        o2.counters["redir"]["pages_not_modified"]
+    assert r2.counters["redir"]["pages_skipped_cache"] == \
+        o2.counters["redir"]["pages_skipped_cache"]
+
+
 def test_strict_force_recrawl_ignores_cache():
     s = scenario("line")
     o1 = crawl_oracle(s["pages"], s["seeds"], s["robots"])
@@ -124,7 +189,8 @@ def test_strict_cuckoo_mode_equals_exact():
 # wave mode — the Ray Data engine
 # ---------------------------------------------------------------------------
 
-WAVE_SCENARIOS = ["tree", "dup_content", "filters", "budget", "hot_host"]
+WAVE_SCENARIOS = ["tree", "dup_content", "filters", "budget", "hot_host",
+                  "redirect"]
 
 
 @pytest.mark.parametrize("name", WAVE_SCENARIOS)

@@ -83,6 +83,54 @@ def test_entry_smoke(ray_session):
     assert "url" in df.columns
 
 
+def test_neardup_skew_guard_hot_bucket(ray_session):
+    """Adversarial skew: thousands of near-identical short docs land in ONE
+    simhash-chunk / LSH bucket. The max_bucket guard must drop the
+    degenerate bucket (no O(n²) pair explosion — the run completes in
+    seconds) while normal-sized buckets still yield their pairs."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import embedding_near_dup, simhash_near_dup_pairs
+
+    n_hot = 5000
+    texts = ["identical short spam doc"] * n_hot + \
+            ["a unique phrase about cats"] * 5
+    tbl = pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    t0 = time.time()
+    pairs = simhash_near_dup_pairs(
+        rd.from_arrow(tbl).repartition(4)).to_pandas()
+    assert time.time() - t0 < 60  # unguarded: 12.5M-pair explosion
+    got = set(zip(pairs["a"], pairs["b"]))
+    # hot bucket dropped entirely; the 5-doc family survives (C(5,2) pairs)
+    assert {(a, b) for a, b in got if a >= n_hot} == {
+        (a, b) for a in range(n_hot, n_hot + 5)
+        for b in range(a + 1, n_hot + 5)
+    }
+    assert not any(a < n_hot for a, _ in got)
+
+    # embedding flavor: one mass-duplicated vector + a small planted pair
+    rng = np.random.default_rng(7)
+    hot_vec = rng.standard_normal(16)
+    small = rng.standard_normal((2, 16))
+    vecs = np.vstack([np.tile(hot_vec, (3000, 1)), small, small * 1.1])
+    ids = list(range(len(vecs)))
+    etbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": pa.array([v.tolist() for v in vecs],
+                                           pa.list_(pa.float64()))})
+    t0 = time.time()
+    epairs = embedding_near_dup(rd.from_arrow(etbl).repartition(4)).to_pandas()
+    assert time.time() - t0 < 60
+    egot = set(zip(epairs["a"], epairs["b"]))
+    assert (3000, 3002) in egot and (3001, 3003) in egot  # scaled copies
+    assert not any(a < 3000 and b < 3000 for a, b in egot)  # hot bucket dropped
+
+
 def test_minhash_recall_vs_exact(ray_session):
     """LSH candidates must recover the exact Jaccard≥0.5 pairs."""
     exact = _canon(_to_pandas(entrymod.queries()["dedup_jaccard"](SF_DIR)))
@@ -184,6 +232,17 @@ def test_cse_cache_replay_matches_sequential(ray_session):
             expires[key] = ts + ttl
     got_map = dict(zip(got["event_id"].astype(int), got["action"]))
     assert got_map == want
+    # effective quota parity: only api_call rows consume the daily quota
+    # (ref cse_client.py:230-247 — cache hits bypass _check/_increment)
+    eff = _to_pandas(entrymod.queries()["cse_quota_effective"](SF_DIR))
+    ev["action"] = ev["event_id"].map(want)
+    calls = ev[ev["action"] == "api_call"].copy()
+    calls["day"] = calls["ts"].dt.strftime("%Y-%m-%d")
+    per_day = calls.groupby("day").size()
+    eff = eff.set_index("day").sort_index()
+    assert (eff["n_requests"] == per_day.sort_index()).all()
+    assert (eff["n_served"] == per_day.clip(upper=100).sort_index()).all()
+    assert (eff["n_blocked"] == eff["n_requests"] - eff["n_served"]).all()
 
 
 def test_ivf_topk_full_probe_equals_brute(ray_session):

@@ -101,6 +101,45 @@ def test_conditional_get_headers_and_304():
     assert out["status"].to_pylist() == [304]
     assert out["cached_hash"].to_pylist() == ["hash0"]
     assert out["cached_last_crawl"].to_pylist() == [1.5e9]
+    # 304 short-path returns the requested url (crawler.py:981)
+    assert out["final_url"].to_pylist() == ["https://a/x"]
+
+
+def test_if_modified_since_header_from_cached_last_modified():
+    """5-field cache records send BOTH validators (crawler.py:974-979);
+    etag-less records send If-Modified-Since alone — the round-2 gap where
+    etag-less servers could never 304."""
+    lm = "Mon, 01 Jan 2024 00:00:00 GMT"
+    rec_both = ("h", 1.5e9, "etag-1", "s", lm)
+    tr = Script({"https://a/x": [FetchResponse(304)]})
+    st = LiveFetchStage(seen_client=FakeSeen([rec_both]), transport=tr, threads=1)
+    st(_batch(["https://a/x"]))
+    assert tr.calls[0][1] == {"If-None-Match": "etag-1",
+                              "If-Modified-Since": lm}
+    rec_lm_only = ("h", 1.5e9, None, "s", lm)
+    tr2 = Script({"https://a/x": [FetchResponse(304)]})
+    st2 = LiveFetchStage(seen_client=FakeSeen([rec_lm_only]), transport=tr2,
+                         threads=1)
+    out = st2(_batch(["https://a/x"]))
+    assert tr2.calls[0][1] == {"If-Modified-Since": lm}
+    assert out["status"].to_pylist() == [304]
+
+
+def test_final_url_and_last_modified_propagate():
+    html = b"<html><head><title>T</title></head><body><p>%s</p></body></html>" % (
+        b"redirected body " * 20)
+    lm = "Tue, 02 Jan 2024 00:00:00 GMT"
+    tr = Script({"https://a/old": [
+        FetchResponse(200, {"Content-Type": "text/html", "ETag": "e7",
+                            "Last-Modified": lm}, html,
+                      final_url="https://a/new")]})
+    st = LiveFetchStage(transport=tr, threads=1)
+    out = st(_batch(["https://a/old"]))
+    assert out["final_url"].to_pylist() == ["https://a/new"]
+    assert out["last_modified"].to_pylist() == [lm]
+    # extraction keys image/link resolution and doc identity on final_url
+    ex = ExtractIfHtml()(out)
+    assert ex["final_url"].to_pylist() == ["https://a/new"]
 
 
 def test_schema_matches_sim_fetch_and_feeds_extraction():
@@ -141,12 +180,48 @@ class DictTransport:
         page = self.index.get(url)
         if page is None:
             raise ConnectionError(url)
-        html, etag, ctype = page
-        if etag and headers.get("If-None-Match") == etag:
+        html, etag, ctype = page[0], page[1], page[2]
+        lm = page[3] if len(page) > 3 else None
+        final = (page[4] if len(page) > 4 else None) or url
+        if (etag and headers.get("If-None-Match") == etag) or (
+                lm and headers.get("If-Modified-Since") == lm):
             return FetchResponse(304)
-        return FetchResponse(
-            200, {"Content-Type": ctype or "text/html",
-                  "ETag": etag or None}, html)
+        hdrs = {"Content-Type": ctype or "text/html", "ETag": etag or None}
+        if lm:
+            hdrs["Last-Modified"] = lm
+        return FetchResponse(200, hdrs, html, final_url=final)
+
+
+def test_live_robots_fetch_through_transport(ray_session):
+    """Live robots tier (ref get_robot_parser, crawler.py:411-428): with NO
+    injected robots bodies, the wave engine fetches robots.txt per host
+    through the same fake transport and honors Disallow — identical
+    verdicts to the injected-bodies run."""
+    from ray import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from raycrawl.fixtures import scenario
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+    from raycrawl.stages import build_page_index
+
+    s = scenario("filters")
+    idx = build_page_index(s["pages"])
+    # serve each fixture robots body at https://host/robots.txt
+    for host, body in s["robots"].items():
+        if body is not None:
+            idx[f"https://{host}/robots.txt"] = (body.encode(), None,
+                                                 "text/plain")
+    r_inj = CrawlEngine(None, s["seeds"], s["robots"],
+                        cfg=CrawlConfig(mode="wave"),
+                        transport=DictTransport(idx)).run()
+    r_live = CrawlEngine(None, s["seeds"], {},   # no bodies injected
+                         cfg=CrawlConfig(mode="wave"),
+                         transport=DictTransport(idx)).run()
+    assert r_live.counters == r_inj.counters
+    live_urls = sorted(v["url"] for v in r_live.visits.to_pylist())
+    assert live_urls == sorted(v["url"] for v in r_inj.visits.to_pylist())
+    # the robots-disallowed path was skipped, not fetched
+    assert "https://filters.example.org/private/x" not in live_urls
 
 
 def test_wave_crawl_over_live_tier_equals_sim(ray_session):
@@ -159,7 +234,7 @@ def test_wave_crawl_over_live_tier_equals_sim(ray_session):
     from raycrawl.pipeline import CrawlConfig, CrawlEngine
     from raycrawl.stages import build_page_index
 
-    for name in ("tree", "filters"):
+    for name in ("tree", "filters", "redirect"):
         s = scenario(name)
         r_sim = CrawlEngine(s["pages"], s["seeds"], s["robots"],
                             cfg=CrawlConfig(mode="wave")).run()
