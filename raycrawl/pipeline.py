@@ -698,37 +698,47 @@ class CrawlEngine:
             import time as _time
 
             # FUSED wave pass: plan + fetch + extract + decide run inside ONE
-            # groupby(host-partition).map_groups execution — planning RPCs
-            # and the heavy per-page compute share the task, so each wave
-            # pays for a single shuffle + a single Dataset execution. The
-            # output mixes action='keep'/'retire' rows (frontier carry-over /
+            # task per host partition. The shuffle that co-locates a host's
+            # rows is a DIY two-round task shuffle over the plasma-resident
+            # frontier blocks — round A hash-splits each block by
+            # crc32(host) % width (num_returns=width, sub-tables stay in
+            # plasma), round B concats a partition's slices and runs the
+            # fused pass. Replaces the per-wave repartition→sort-groupby
+            # Dataset execution, whose fixed multi-round overhead (~0.5-1 s
+            # per wave at every cluster size) was the dominant non-scaling
+            # term in the 8-vs-32 bracket (BASELINE.md round 3). The output
+            # mixes action='keep'/'retire' rows (frontier carry-over /
             # budget-exhausted, null processed columns) and action='fetch'
             # rows (fully processed), conformed to one deterministic schema.
             plan_process = _make_plan_process(planner, fetch_fn, extract_fn,
                                               decide_fn, cfg.fetch_batch_size)
             _t0 = _time.time()
-            # repartition first: the sort-groupby's output block count (=
-            # map_groups task count) follows its INPUT block count, and the
-            # fused task carries the wave's heavy compute — a 2-block
-            # frontier would serialize the whole wave onto 2 cores.
-            # fan-out sized to the wave: a 500-row wave across 32 blocks is
-            # pure scheduling overhead, a 60k-row wave wants the full width
+            # fan-out sized to the wave: a 500-row wave across 32 partitions
+            # is pure scheduling overhead, a 60k-row wave wants full width
             width = max(2, min(pp_width, n_frontier // 64 + 1))
-            pp = rd.from_arrow_refs(frontier_refs).repartition(width).map_batches(
-                lambda t: _add_hpart(t, cfg.plan_partitions), batch_format="pyarrow"
-            ).groupby("_hpart").map_groups(
-                plan_process, batch_format="pandas"
-            ).materialize()
+            split_refs = [
+                _hash_split_task.options(num_returns=width).remote(width, r)
+                for r in frontier_refs
+            ]
+            pp_fn = ray.put(plan_process)  # shipped once per wave, not per task
+            refs = [
+                _plan_process_task.remote(pp_fn, [sr[p] for sr in split_refs])
+                for p in range(width)
+            ]
             _t_plan = _time.time() - _t0
 
-            # SPLIT round: one lightweight task round over the materialized
-            # wave blocks (refs stay in plasma — no copies). Each task:
-            # confirm (two-phase barrier already passed at materialize) →
+            # SPLIT round: one lightweight task round over the processed wave
+            # blocks (refs stay in plasma — no copies). Each task: confirm →
             # metrics partial → keep/retire/candidate routing → optional
-            # Parquet sink. Replaces 3-4 Dataset executions per wave with
-            # O(blocks) tasks; only the tiny meta dict is ray.get'd.
+            # Parquet sink. Only the tiny meta dict is ray.get'd by the
+            # driver. Two-phase dedup needs the propose/confirm BARRIER the
+            # old materialize() provided: every plan task's proposals must
+            # land before any split task confirms — an explicit ray.wait on
+            # the full plan round (atomic mode skips it and lets split tasks
+            # pipeline behind plan stragglers).
             _t0 = _time.time()
-            refs = pp.to_arrow_refs()
+            if not atomic:
+                ray.wait(refs, num_returns=len(refs), fetch_local=False)
             n_chunks = min(len(refs), max(4, ncpu))
             csz = max(1, (len(refs) + n_chunks - 1) // n_chunks)
             outs = [
@@ -1080,10 +1090,46 @@ def _wave_split_list(ctx: dict, epoch: int, chunk_id: int, refs: list):
     return final_out, keep_out, cand_out, retire_tbl, meta
 
 
+def _hash_split_list(width: int, tbl: pa.Table):
+    """Shuffle round A: one frontier block → ``width`` sub-tables keyed by
+    crc32(host) % width (the stable host-partition hash used everywhere).
+    Sub-tables are zero-copy slices-by-mask that stay in plasma via
+    num_returns fan-out — the map side of the DIY hash shuffle."""
+    import zlib
+
+    import numpy as np_
+
+    if tbl.num_rows == 0 or "host" not in tbl.column_names:
+        # empty map_groups partitions emit zero-column blocks; round B
+        # drops zero-row slices
+        return tuple(tbl.slice(0, 0) for _ in range(width))
+    parts = np_.fromiter(
+        (zlib.crc32(h.encode()) % width for h in tbl["host"].to_pylist()),
+        dtype=np_.int64, count=tbl.num_rows,
+    )
+    return tuple(tbl.filter(pa.array(parts == p)) for p in range(width))
+
+
+def _plan_process_list(fn, slices: list):
+    """Shuffle round B + fused wave pass: concat one host-partition's
+    slices (already local or one plasma fetch each) and run
+    plan→fetch→extract→decide on the partition's pandas frame. Empty
+    partitions return a zero-column table the split round drops."""
+    import ray as _r
+
+    tbls = [t for t in _r.get(list(slices)) if t.num_rows]
+    if not tbls:
+        return pa.table({})
+    tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+    return fn(tbl.to_pandas())
+
+
 try:  # decorated lazily-importable: pipeline is imported before ray.init
     import ray as _ray_mod
 
     _wave_split_task = _ray_mod.remote(num_cpus=0.5)(_wave_split_list)
+    _hash_split_task = _ray_mod.remote(num_cpus=0.5)(_hash_split_list)
+    _plan_process_task = _ray_mod.remote(num_cpus=1)(_plan_process_list)
 except Exception:  # pragma: no cover
     _wave_split_task = None
 
