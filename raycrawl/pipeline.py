@@ -646,6 +646,12 @@ class CrawlEngine:
         else:
             frontier_refs = frontier.to_arrow_refs()
             n_frontier = frontier.count()
+        # partitioning state for the pass-through shuffle: seeds/resume
+        # blocks start mixed (unknown partitioning); pure_parts[p] holds the
+        # previous wave's partition-pure keep block for partition p
+        pure_parts: list[list] | None = None
+        pure_width = 0
+        mixed_refs = list(frontier_refs)
         # split-round context: shipped ONCE via ray.put, reused every wave
         explode = _make_explode(seed_by_site, max_depth_by_site)
         want_final = (not cfg.defer_admission) or collect_docs or collect_visits
@@ -716,13 +722,27 @@ class CrawlEngine:
             # fan-out sized to the wave: a 500-row wave across 32 partitions
             # is pure scheduling overhead, a 60k-row wave wants full width
             width = max(2, min(pp_width, n_frontier // 64 + 1))
+            # PARTITION-PURE PASS-THROUGH: a split task's keep output
+            # contains only its own partition's hosts, so when the width is
+            # unchanged those blocks re-enter partition p directly — round A
+            # re-routes ONLY new rows (candidates/admissions/seeds/resume).
+            # At design scale (10^10-row frontier, ~10^7 grants/wave) the
+            # per-wave shuffle moves O(new rows), not O(frontier).
+            if pure_parts is not None and width != pure_width:
+                mixed_refs = mixed_refs + [r for part in pure_parts
+                                           for r in part]
+                pure_parts = None
             split_refs = [
                 _hash_split_task.options(num_returns=width).remote(width, r)
-                for r in frontier_refs
+                for r in mixed_refs
             ]
             pp_fn = ray.put(plan_process)  # shipped once per wave, not per task
             refs = [
-                _plan_process_task.remote(pp_fn, [sr[p] for sr in split_refs])
+                _plan_process_task.remote(
+                    pp_fn,
+                    (pure_parts[p] if pure_parts is not None else [])
+                    + [sr[p] for sr in split_refs],
+                )
                 for p in range(width)
             ]
             _t_plan = _time.time() - _t0
@@ -739,13 +759,13 @@ class CrawlEngine:
             _t0 = _time.time()
             if not atomic:
                 ray.wait(refs, num_returns=len(refs), fetch_local=False)
-            n_chunks = min(len(refs), max(4, ncpu))
-            csz = max(1, (len(refs) + n_chunks - 1) // n_chunks)
+            # one split task PER plan partition (not per chunk): keeps the
+            # keep-output partition-pure for next wave's pass-through
             outs = [
                 _wave_split_task.options(num_returns=5).remote(
-                    split_ctx, epoch, ci, refs[i: i + csz]
+                    split_ctx, epoch, p, [refs[p]]
                 )
-                for ci, i in enumerate(range(0, len(refs), csz))
+                for p in range(width)
             ]
             final_refs = [o[0] for o in outs]
             keep_refs = [o[1] for o in outs]
@@ -797,19 +817,22 @@ class CrawlEngine:
                     all_docs.extend(docs)
                     all_refresh.extend(refreshes)
 
-            # next frontier = keep blocks + candidate/admitted blocks.
+            # next frontier = keep blocks (partition-pure, pass through) +
+            # candidate/admitted blocks (mixed, round-A-routed next wave).
             # Queue cap is PER SITE (the reference's 5000-entry heap cap is
             # per-site, crawler.py:1203): sites at/over cap stop admitting.
             _t0 = _time.time()
-            next_refs = [r for r, meta in zip(keep_refs, metas)
-                         if meta["n_keep"]]
+            pure_parts = [[r] if meta["n_keep"] else []
+                          for r, meta in zip(keep_refs, metas)]
+            pure_width = width
+            mixed_refs = []
             n_next = sum(meta["n_keep"] for meta in metas)
             if cfg.defer_admission:
                 # candidates ride the frontier unadmitted (rank = -1,
                 # carrying parent_rank/lpos order); the NEXT wave's plan
                 # pass admits them — zero extra executions this wave
-                next_refs.extend(r for r, meta in zip(cand_refs, metas)
-                                 if meta["n_cand"])
+                mixed_refs = [r for r, meta in zip(cand_refs, metas)
+                              if meta["n_cand"]]
                 n_next += sum(meta["n_cand"] for meta in metas)
             elif total_links > 0:
                 qc = seen.queued_counts([rt.name for rt in self.sites])
@@ -826,9 +849,9 @@ class CrawlEngine:
                 ).materialize()
                 n_adm = admitted.count()
                 if n_adm:
-                    next_refs.extend(admitted.to_arrow_refs())
+                    mixed_refs = admitted.to_arrow_refs()
                     n_next += n_adm
-            frontier_refs = next_refs
+            frontier_refs = [r for part in pure_parts for r in part] + mixed_refs
             n_frontier = n_next
             _t_admit = _time.time() - _t0
             if cfg.verbose:
