@@ -106,6 +106,14 @@ class CrawlConfig:
     fetch_batch_size: int = 512
     host_grant_cap: int = 1_000_000_000  # optional per-host per-epoch ceiling
     plan_partitions: int = 32            # coarse host partitions per wave
+    # hot-host skew guard ("salted repartitioning of hot domains"): when one
+    # host-partition's granted fetch set exceeds this many rows, its
+    # fetch+extract chunks fan out as nested Ray sub-tasks (gathered in
+    # plan order; plan and decide stay serial in the partition task, so
+    # ordering/dedup semantics are byte-identical to the serial path).
+    # None → auto (4 × fetch_batch_size); 0 disables. Sim tier only — the
+    # live tier keeps per-host serial fetching for politeness spacing.
+    hot_fanout_rows: int | None = None
     dedup_mode: str = "two_phase"        # "two_phase" (canonical winner) |
                                          # "atomic" (one pass, arrival winner)
     defer_admission: bool = False        # True: outlink candidates ride the
@@ -667,6 +675,14 @@ class CrawlEngine:
             "embed": cfg.embed,
         })
 
+        # hot-host skew guard: plasma-resident (fetch_fn, extract_fn) for
+        # the nested sub-tasks; live tier stays serial per host (politeness
+        # spacing relies on per-host serial fetch order)
+        hot_rows = (cfg.hot_fanout_rows if cfg.hot_fanout_rows is not None
+                    else 4 * cfg.fetch_batch_size)
+        fe_ref = (ray.put((fetch_fn, extract_fn))
+                  if (hot_rows and transport is None) else None)
+
         wall0 = _wall.monotonic()
         while True:
             if (cfg.max_duration_s is not None
@@ -717,7 +733,9 @@ class CrawlEngine:
             # budget-exhausted, null processed columns) and action='fetch'
             # rows (fully processed), conformed to one deterministic schema.
             plan_process = _make_plan_process(planner, fetch_fn, extract_fn,
-                                              decide_fn, cfg.fetch_batch_size)
+                                              decide_fn, cfg.fetch_batch_size,
+                                              fe_ref=fe_ref,
+                                              hot_rows=hot_rows)
             _t0 = _time.time()
             # fan-out sized to the wave: a 500-row wave across 32 partitions
             # is pure scheduling overhead, a 60k-row wave wants full width
@@ -1147,12 +1165,23 @@ def _plan_process_list(fn, slices: list):
     return fn(tbl.to_pandas())
 
 
+def _fetch_extract_list(fns, tbl: pa.Table) -> pa.Table:
+    """Hot-host sub-task: the stateless fetch+extract slice of the fused
+    wave pass (decide stays in the parent partition task — see
+    ``_make_plan_process``)."""
+    fetch_fn, extract_fn = fns
+    if tbl.num_rows == 0:
+        return tbl
+    return extract_fn(fetch_fn(tbl))
+
+
 try:  # decorated lazily-importable: pipeline is imported before ray.init
     import ray as _ray_mod
 
     _wave_split_task = _ray_mod.remote(num_cpus=0.5)(_wave_split_list)
     _hash_split_task = _ray_mod.remote(num_cpus=0.5)(_hash_split_list)
     _plan_process_task = _ray_mod.remote(num_cpus=1)(_plan_process_list)
+    _fetch_extract_task = _ray_mod.remote(num_cpus=1)(_fetch_extract_list)
 except Exception:  # pragma: no cover
     _wave_split_task = None
 
@@ -1404,17 +1433,25 @@ def _conform(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def _make_plan_process(planner, fetch_fn, extract_fn, decide_fn,
-                       batch_size: int):
+                       batch_size: int, fe_ref=None, hot_rows: int = 0):
     """Fused per-host-partition wave task: plan (politeness/budget walk) →
     fetch → extract → decide in one pass, emitting keep rows + processed
     rows under a single schema. Lineage columns (_pblock, _proc_s) stamp
     the partition's identity and fetch→extract wall-time for the metrics
-    tier."""
+    tier.
+
+    Hot-host skew guard: when the granted fetch set exceeds ``hot_rows``
+    (and ``fe_ref`` — a plasma ref to ``(fetch_fn, extract_fn)`` — is
+    provided), the stateless fetch+extract chunks run as nested Ray
+    sub-tasks gathered in plan order, while plan and decide stay serial in
+    this task. A domain holding most of a wave's grants then costs
+    ``ceil(rows / batch_size)`` parallel tasks instead of one task's
+    wall-clock; ordering, budget and dedup outcomes are identical because
+    every order-sensitive step still runs serially here."""
     import pyarrow.compute as pc
 
     def plan_process(gdf):
         import time as _t
-        import zlib as _zlib
 
         import ray as _ray
 
@@ -1425,6 +1462,22 @@ def _make_plan_process(planner, fetch_fn, extract_fn, decide_fn,
         fetch_tbl = plan_tbl.filter(pc.equal(plan_tbl["action"], "fetch"))
         _tp0 = _t.perf_counter()
         outs = []
+        if (hot_rows and fe_ref is not None
+                and fetch_tbl.num_rows > hot_rows):
+            # skew path: fetch+extract chunks in parallel sub-tasks (this
+            # worker's CPU is released while blocked in ray.get), decide
+            # serially in plan order
+            sub = [
+                _fetch_extract_task.remote(
+                    fe_ref,
+                    fetch_tbl.slice(lo, batch_size).drop_columns(["action"]))
+                for lo in range(0, fetch_tbl.num_rows, batch_size)
+            ]
+            for fe_out in _ray.get(sub):
+                outs.append(decide_fn(fe_out))
+            proc = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+            secs = _t.perf_counter() - _tp0
+            return _stamp_proc(proc, keep_tbl, secs)
         # schema probe: one empty pass through the stage chain gives the
         # full processed schema without computing anything (stages are
         # empty-input safe), so keep-only partitions emit the same schema
@@ -1434,24 +1487,34 @@ def _make_plan_process(planner, fetch_fn, extract_fn, decide_fn,
             outs.append(chain(chunk))
         proc = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
         secs = _t.perf_counter() - _tp0
-        try:
-            tid = _ray.get_runtime_context().get_task_id() or ""
-        except Exception:
-            tid = ""
-        pblock = _zlib.crc32(tid.encode()) if tid else os.getpid()
-        n = proc.num_rows
-        proc = proc.append_column(
-            "action", pa.array(["fetch"] * n, pa.string())
-        ).append_column(
-            "_pblock", pa.array([pblock] * n, pa.int64())
-        ).append_column(
-            "_proc_s", pa.array([secs] * n, pa.float64())
-        )
-        if keep_tbl.num_rows == 0:
-            return proc
-        return pa.concat_tables([proc, _conform(keep_tbl, proc.schema)])
+        return _stamp_proc(proc, keep_tbl, secs)
 
     return plan_process
+
+
+def _stamp_proc(proc: pa.Table, keep_tbl: pa.Table, secs: float) -> pa.Table:
+    """Stamp lineage columns on a partition's processed rows and conform
+    the keep/retire rows to the same schema."""
+    import zlib as _zlib
+
+    try:
+        import ray as _ray
+
+        tid = _ray.get_runtime_context().get_task_id() or ""
+    except Exception:
+        tid = ""
+    pblock = _zlib.crc32(tid.encode()) if tid else os.getpid()
+    n = proc.num_rows
+    proc = proc.append_column(
+        "action", pa.array(["fetch"] * n, pa.string())
+    ).append_column(
+        "_pblock", pa.array([pblock] * n, pa.int64())
+    ).append_column(
+        "_proc_s", pa.array([secs] * n, pa.float64())
+    )
+    if keep_tbl.num_rows == 0:
+        return proc
+    return pa.concat_tables([proc, _conform(keep_tbl, proc.schema)])
 
 
 def _make_explode(seed_by_site, max_depth_by_site):

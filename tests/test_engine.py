@@ -380,3 +380,53 @@ def test_wave_deferred_admission_matches_inline(ray_session):
                         key=lambda x: (x["epoch"], x["visit_pos"])):
             o_df[v["site"]].append(v["url"])
         assert dict(o_in) == dict(o_df), name
+
+
+def test_wave_hot_host_fanout_parity(ray_session):
+    """Hot-host skew guard: a wave whose grants concentrate on one domain
+    fans fetch+extract into sub-tasks; docs, visits, dedup outcomes and
+    counters must be byte-identical to the serial path (plan and decide
+    never leave the partition task)."""
+    from raycrawl.fixtures import SiteSpec, WebBuilder, _long_text
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+    w = WebBuilder()
+    base = "https://hot.example.org"
+    n = 90
+    kids = [f"/p{i}" for i in range(n)]
+    w.page(f"{base}/root", _long_text("hotroot"), links=kids, title="Root")
+    same = _long_text("dupbody")
+    for i in range(n):
+        # duplicate bodies scattered through the hot host exercise
+        # dedup-winner parity across the sub-task chunk boundary
+        dup = i % 10 == 0
+        w.page(f"{base}/p{i}", same if dup else _long_text(f"hot{i}"),
+               title="Same Title" if dup else f"P{i}")
+    w.page("https://tiny.example.org/home", _long_text("tinyroot"), title="T")
+    seeds = [SiteSpec(name="hot", crawl=f"{base}/root", depth=2),
+             SiteSpec(name="tiny", crawl="https://tiny.example.org/home",
+                      depth=1)]
+
+    def run(hot_rows: int):
+        cfg = CrawlConfig(mode="wave", fetch_batch_size=16,
+                          hot_fanout_rows=hot_rows,
+                          collect_docs=True, collect_visits=True)
+        return CrawlEngine(w.table(), seeds, {}, cfg=cfg).run()
+
+    r_serial = run(0)      # guard disabled: serial chunk loop
+    r_fan = run(8)         # 90-row hot wave ≫ 8: sub-task path
+
+    d_s = sorted(r_serial.docs.to_pylist(), key=lambda d: d["url"])
+    d_f = sorted(r_fan.docs.to_pylist(), key=lambda d: d["url"])
+    assert d_s == d_f
+    v_s = sorted(r_serial.visits.to_pylist(),
+                 key=lambda v: (v["site"], v["visit_pos"]))
+    v_f = sorted(r_fan.visits.to_pylist(),
+                 key=lambda v: (v["site"], v["visit_pos"]))
+    drop = {"grant_ts"}
+    assert ([{k: v for k, v in row.items() if k not in drop} for row in v_s]
+            == [{k: v for k, v in row.items() if k not in drop}
+                for row in v_f])
+    assert r_serial.counters == r_fan.counters
+    # the guard actually fired: the hot wave really exceeded the threshold
+    assert sum(1 for v in v_f if v["host"] == "hot.example.org") == n + 1
