@@ -307,10 +307,24 @@ def q_text_quality(sf_dir: str):
 
 
 def q_text_langid(sf_dir: str):
+    """Language-ID over the corpus with deterministic per-doc language
+    markers planted (``_LANG_MARKERS`` by doc_id % 5) so the stopword-vote
+    argmax and the CJK charset gate are both exercised non-vacuously; the
+    DuckDB oracle replays the same planting and vote in SQL."""
     from raycrawl.ops.textstats import langid_batch
 
-    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        langid_batch, batch_format="pyarrow"
+    def plant_markers(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        out = [_LANG_MARKERS.get(i % 5, "") + (t or "")
+               for i, t in zip(ids, txts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return (
+        _read_ds(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(plant_markers, batch_format="pyarrow")
+        .map_batches(langid_batch, batch_format="pyarrow")
     )
 
 
@@ -875,6 +889,70 @@ def q_media_features(sf_dir: str):
     )
 
 
+# Deterministic language markers prepended by doc_id % 5 so the langid
+# heuristic has a non-vacuous, SQL-reproducible decision to make (the raw
+# corpus is all-English): 0 → none, 1 → fr, 2 → de, 3 → es, 4 → zh. A single
+# marker repetition keeps the boundary contested — docs whose body carries
+# more English stopword hits than the marker's 10 still classify 'en'.
+_LANG_MARKERS = {
+    1: "le la les de des et un une est que ",
+    2: "der die das und ist ein eine nicht mit zu ",
+    3: "el la los de y un una es que en ",
+    4: "一二三 ",
+}
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified hash sample: stratum (source) rates derived
+    from md5(source), membership from md5(doc_id) — partition-independent,
+    retry-stable, integer-exact vs the DuckDB oracle."""
+    from raycrawl.ops.sampling import stratified_sample_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        stratified_sample_batch, batch_format="pyarrow"
+    )
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles (p50/p90/p99) via one
+    distributed sort + rank-located row picks — bit-identical to
+    ``quantile_disc`` because the result is an element of the input."""
+    from raycrawl.ops.quantiles import group_quantiles
+
+    return group_quantiles(
+        _read_ds(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
+def q_dedup_embed_exact(sf_dir: str):
+    """Exact embedding near-dup pairs (cosine ≥ 0.9) over the planted
+    corpus, via blocked all-pairs tasks — the zero-recall-loss counterpart
+    of the bucketed ``dedup_embed``, and the calibration oracle for it.
+    Background pair cosines top out ≈0.55 on this corpus (margin vs the
+    threshold asserted in tests), so the float64 kernel and the DuckDB
+    DOUBLE oracle cannot disagree at the boundary."""
+    from raycrawl.ops.dedup import plant_neardups
+    from raycrawl.ops.exactsim import exact_cosine_pairs
+
+    ds = plant_neardups(_read_ds(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    return exact_cosine_pairs(ds, threshold=0.9)
+
+
+def q_media_payload_stats(sf_dir: str):
+    """Integer-exact stats of the binary media payload column — the
+    oracle-gated half of the multimodal tier (the decode stub stays
+    rows-only by honest necessity)."""
+    import ray.data as rd
+
+    from raycrawl.ops.mediastats import payload_stats_batch
+    from raycrawl.ops.multimodal import synthesize_media
+
+    ds = rd.from_arrow(synthesize_media(120))
+    return ds.map_batches(payload_stats_batch, batch_size=32,
+                          batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -946,6 +1024,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cse_quota": q_cse_quota,
         "cse_quota_effective": q_cse_quota_effective,
         "cse_cache": q_cse_cache,
+        "doc_sample": q_doc_sample,
+        "events_quantiles": q_events_quantiles,
+        "dedup_embed_exact": q_dedup_embed_exact,
+        "media_payload_stats": q_media_payload_stats,
     }
 
 
@@ -959,6 +1041,47 @@ _URL = "'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/doc/' || 
 _TITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
 _EXCERPT = ("CASE WHEN length(text) <= 250 THEN text "
             "ELSE rtrim(substr(text, 1, 250)) || '...' END")
+
+
+def _langid_oracle_sql() -> str:
+    """SQL restatement of ``langid_batch`` over the marker-planted corpus:
+    per-language stopword hit counts (tokens = lower(text) split on a
+    single space, matching Python ``str.split(" ")``), argmax with
+    first-in-STOPWORDS-order tie break, CJK charset gate on the first 200
+    characters. Built from the same STOPWORDS/_LANG_MARKERS the Ray side
+    uses so the two cannot drift."""
+    from raycrawl.ops.textstats import STOPWORDS
+
+    def hits(lang: str) -> str:
+        words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        return ("len(list_filter(string_split(lower(text), ' '), "
+                f"x -> x in ({words})))")
+
+    marker_case = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   (CASE CAST(doc_id % 5 AS INT) {marker_case} ELSE '' END)
+                       || coalesce(text, '') AS text
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   {hits('en')} AS h_en, {hits('fr')} AS h_fr,
+                   {hits('de')} AS h_de, {hits('es')} AS h_es
+            FROM planted
+        )
+        SELECT doc_id,
+               CASE WHEN regexp_matches(substr(text, 1, 200),
+                                        '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+                    WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                    WHEN h_fr = greatest(h_fr, h_de, h_es) THEN 'fr'
+                    WHEN h_de = greatest(h_de, h_es) THEN 'de'
+                    ELSE 'es' END AS lang_pred
+        FROM scored
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1309,4 +1432,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents CROSS JOIN (SELECT unnest(range(6)) AS i) dims
             WHERE length(text) >= {MIN_DOC_CHARS}
         """,
+        "doc_sample": """
+            SELECT doc_id, source,
+                   1 + CAST('0x' || substr(md5(source), 1, 4) AS BIGINT) % 32
+                       AS rate_num
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) * 32
+                  < (1 + CAST('0x' || substr(md5(source), 1, 4) AS BIGINT)
+                         % 32) * 4294967296
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "dedup_embed_exact": """
+            WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            planted AS (
+                SELECT vec_id + 10000000 AS vec_id,
+                       CAST(list_transform(embedding, x -> 1.1 * x)
+                            AS FLOAT[]) AS embedding
+                FROM base WHERE vec_id % 50 = 0
+            ),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        """,
+        "media_payload_stats": """
+            SELECT i AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   32 * (4 + i % 7) AS payload_len,
+                   CAST((4 + i % 7) * list_sum(
+                       [CAST('0x' || substr(h, 2 * j + 1, 2) AS INT)
+                        for j in range(0, 32)]) AS BIGINT) AS payload_byte_sum,
+                   CAST('0x' || substr(h, 1, 8) AS BIGINT) AS head32
+            FROM (SELECT i, sha256('media-' || i) AS h FROM range(120) t(i))
+        """,
+        "text_langid": _langid_oracle_sql(),
     }

@@ -244,17 +244,18 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, n: int | None = None) -> dict:
-        # the sandbox host is oversubscribed and noisy (±30% run-to-run);
-        # min-of-n isolates the engine from transient contention
-        if n is None:
-            n = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-        runs = [one(ncpu) for _ in range(n)]
-        return min(runs, key=lambda r: r["value"])
-
+    # the sandbox host is oversubscribed and noisy (±30% run-to-run);
+    # min-of-n isolates the engine from transient contention, and the reps
+    # are INTERLEAVED across levels (2,8,32,2,8,32 …) so a slow half-hour
+    # cannot depress one whole level and corrupt the ratio
     levels = [int(x) for x in
               os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")]
-    results = {n: best_of(n) for n in levels}
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    runs: dict[int, list] = {n: [] for n in levels}
+    for _ in range(reps):
+        for n in levels:
+            runs[n].append(one(n))
+    results = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
     mp_curve = {n: calibrate_extract_rate(n) for n in (2, 4, 8, 16, 32)}
 
     def window(lo: int, hi: int) -> dict:

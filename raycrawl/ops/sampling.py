@@ -1,0 +1,86 @@
+"""Deterministic hash sampling — uniform and stratified-by-key Bernoulli.
+
+A training-data pipeline downsamples its corpus constantly (per-source
+quality quotas, eval holdouts, debug slices). Doing that with ``random()``
+is wrong at scale twice over: the sample changes on every retry of a failed
+block (non-resumable), and stratified rates need a shuffle to count strata
+first. Hash sampling fixes both — accept a row iff ``h(id) < rate·2^32``
+with a cryptographic-quality ``h`` — so membership is a pure row property:
+partition-independent, retry-stable, and joinable across tables (the same
+id always lands in the same split).
+
+Reference anchor: the reference crawler's per-site ``max_pages`` budget
+(crawler.py:1090-1119) is its only downsampling knob; this generalizes it
+to per-stratum rate control for corpus curation.
+
+Everything is integer arithmetic on the first 8 hex chars of md5 so the
+DuckDB oracle can reproduce decisions bit-exactly:
+
+    accept  iff  int(md5(str(id))[:8], 16) * DENOM < rate_num(key) * 2^32
+
+Stratified rates derive from the stratum key's own md5 (``1 + h16(key) %
+DENOM`` 32nds), so no side table of per-source rates needs broadcasting —
+any worker computes the rate from the key alone.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+DENOM = 32  # stratified rates are n/32, n in 1..32
+
+
+def _h32(s: str) -> int:
+    """First 32 bits of md5 of ``s`` (matches DuckDB
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _h16(s: str) -> int:
+    """First 16 bits of md5 of ``s``."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def stratum_rate_num(key: str) -> int:
+    """Deterministic per-stratum rate numerator in 1..DENOM (rate = n/DENOM)."""
+    return 1 + _h16(key) % DENOM
+
+
+def uniform_sample_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                         rate_num: int = 8, denom: int = DENOM) -> pa.Table:
+    """Keep rows where h32(id)·denom < rate_num·2^32 — a rate_num/denom
+    Bernoulli sample, deterministic in the row id alone."""
+    ids = batch[id_col].to_pylist()
+    thr = rate_num * (1 << 32)
+    mask = np.fromiter(
+        (_h32(str(i)) * denom < thr for i in ids), dtype=bool, count=len(ids)
+    )
+    return batch.filter(pa.array(mask))
+
+
+def stratified_sample_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                            key_col: str = "source",
+                            denom: int = DENOM) -> pa.Table:
+    """Per-stratum Bernoulli sample: stratum ``k`` keeps rows at rate
+    ``stratum_rate_num(k)/denom``. Rates are computed from the key's hash,
+    so the stage is stateless — no rate table is shipped per batch."""
+    ids = batch[id_col].to_pylist()
+    keys = batch[key_col].to_pylist()
+    rate_cache: dict[str, int] = {}
+    mask = np.empty(len(ids), dtype=bool)
+    for j, (i, k) in enumerate(zip(ids, keys)):
+        k = "" if k is None else str(k)
+        rn = rate_cache.get(k)
+        if rn is None:
+            rn = rate_cache[k] = stratum_rate_num(k)
+        mask[j] = _h32(str(i)) * denom < rn * (1 << 32)
+    out = batch.filter(pa.array(mask))
+    rnums = pa.array(
+        [rate_cache["" if k is None else str(k)]
+         for k in out[key_col].to_pylist()],
+        pa.int64(),
+    )
+    return out.append_column("rate_num", rnums)

@@ -1,0 +1,142 @@
+"""Distributed-behavior tests for sampling, exact quantiles, and blocked
+exact cosine pairs — the properties the DuckDB-oracle parity test can't
+see: partition independence, cross-block correctness, rank edge cases."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raycrawl.ops.exactsim import exact_cosine_pairs
+from raycrawl.ops.quantiles import group_quantiles
+from raycrawl.ops.sampling import (
+    stratified_sample_batch,
+    stratum_rate_num,
+    uniform_sample_batch,
+)
+
+
+def _sample_ids(tbl, nparts):
+    ds = rd.from_arrow(tbl).repartition(nparts)
+    out = ds.map_batches(stratified_sample_batch,
+                         batch_format="pyarrow").to_pandas()
+    return set(zip(out["doc_id"], out["rate_num"]))
+
+
+def test_hash_sample_partition_independent(ray_session):
+    """Membership is a pure row property: any repartitioning (including a
+    single block and a pathological 37-way split) yields the same sample."""
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(2000)), pa.int64()),
+        "source": pa.array([f"src{i % 7}" for i in range(2000)]),
+    })
+    a = _sample_ids(tbl, 1)
+    b = _sample_ids(tbl, 8)
+    c = _sample_ids(tbl, 37)
+    assert a == b == c
+    assert 0 < len(a) < 2000
+
+
+def test_stratified_rates_applied_per_stratum(ray_session):
+    """Each stratum's observed keep-rate must track its derived rate_num/32
+    (binomial tolerance), and rate_num must equal stratum_rate_num(key)."""
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(["hot" if i % 2 else "cold" for i in range(n)]),
+    })
+    out = stratified_sample_batch(tbl)
+    df = out.to_pandas()
+    for key in ("hot", "cold"):
+        rn = stratum_rate_num(key)
+        sub = df[df["source"] == key]
+        assert (sub["rate_num"] == rn).all()
+        expect = (n / 2) * rn / 32
+        assert abs(len(sub) - expect) < 5 * np.sqrt(expect + 1)
+
+
+def test_uniform_sample_deterministic():
+    tbl = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+    a = uniform_sample_batch(tbl, rate_num=8)
+    b = uniform_sample_batch(tbl, rate_num=8)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert 150 < a.num_rows < 350  # 8/32 = 25% ± binomial noise
+
+
+def test_group_quantiles_exact_vs_numpy(ray_session):
+    """Multi-block, skewed groups: one giant group spanning many sorted
+    blocks plus tiny groups (n=1, n=2) — ranks must match the
+    ceil(p·n)-th-smallest convention exactly."""
+    rng = np.random.default_rng(11)
+    keys = (["big"] * 5000) + (["one"]) + (["two"] * 2) + (["mid"] * 97)
+    vals = np.concatenate([
+        rng.standard_normal(5000) * 100,
+        [3.5], [7.0, 1.0],
+        rng.standard_normal(97),
+    ])
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(tbl).random_shuffle(seed=3).repartition(16)
+    got = group_quantiles(ds, "k", "v", {"p50": 0.5, "p90": 0.9,
+                                         "p99": 0.99}).to_pandas()
+    got = got.set_index("k")
+    import math
+
+    by_key = {}
+    for k, v in zip(keys, vals):
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        vs = sorted(vs)
+        for col, p in (("p50", .5), ("p90", .9), ("p99", .99)):
+            want = vs[max(1, math.ceil(p * len(vs))) - 1]
+            assert got.loc[k, col] == want, (k, col)
+
+
+def test_group_quantiles_null_values_ignored(ray_session):
+    tbl = pa.table({"k": pa.array(["a"] * 4),
+                    "v": pa.array([1.0, None, 3.0, 2.0], pa.float64())})
+    got = group_quantiles(rd.from_arrow(tbl), "k", "v",
+                          {"p50": 0.5}).to_pandas()
+    assert got.loc[0, "p50"] == 2.0  # ceil(.5*3)=2nd of [1,2,3]
+
+
+def test_exact_cosine_pairs_cross_block(ray_session):
+    """Planted duplicate pairs must be found when the two members land in
+    DIFFERENT blocks (exercises the off-diagonal tiles), and background
+    similarities must clear the threshold by a wide float margin."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((200, 16))
+    # pair (i, 1000+i): exact scaled copies, cosine 1.0, for i in 0..19
+    dup = base[:20] * 1.7
+    ids = list(range(200)) + [1000 + i for i in range(20)]
+    vecs = np.vstack([base, dup])
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float64()))})
+    # shuffle so pair members separate across the 9 blocks
+    ds = rd.from_arrow(tbl).random_shuffle(seed=1).repartition(9)
+    got = exact_cosine_pairs(ds, threshold=0.9).to_pandas()
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    assert found == {(i, 1000 + i) for i in range(20)}
+    # margin check: the nearest background similarity is far from 0.9
+    nm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    iu = np.triu_indices(len(vecs), 1)
+    bg = sims[iu][sims[iu] < 0.9]
+    assert (0.9 - bg.max()) > 1e-3
+
+
+def test_exact_cosine_pairs_empty(ray_session):
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((50, 8))
+    tbl = pa.table({"vec_id": pa.array(list(range(50)), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float64()))})
+    got = exact_cosine_pairs(rd.from_arrow(tbl), threshold=0.9999)
+    assert got.num_rows == 0
+    assert got.column_names == ["vec_a", "vec_b"]
