@@ -231,6 +231,40 @@ def q_dedup_jaccard(sf_dir: str):
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate-pair clustering: the exact Jaccard ≥ 0.5 pairs (same kernel
+    as q_dedup_jaccard) fed through distributed connected components
+    (iterative min-label propagation, ops/graph.py) → per-doc
+    (doc_id, cluster_id, keep) with cluster_id = min doc id of the
+    component and keep=1 on the canonical doc — the transitive near-dup
+    analogue of the reference's first-wins content-hash dedup. Oracle:
+    DuckDB recursive CTE over the same pair set."""
+    from raycrawl.ops.dedup import all_pairs_jaccard
+    from raycrawl.ops.graph import canonical_clusters
+
+    pairs = all_pairs_jaccard(
+        _docs_table(sf_dir).select(["doc_id", "text"]), threshold_ppm=500_000
+    )
+    return canonical_clusters(pairs, "a", "b")
+
+
+def q_search_hybrid(sf_dir: str):
+    """Hybrid keyword+vector search (meilisearch_client.py:100-122):
+    4 query terms over lang='en' docs, query vector = embedding of vec_id 0,
+    semantic_ratio 0.5, top-20 by blended score. Partitioned hash join
+    docs⋈embeddings; text column pruned before the shuffle."""
+    from raycrawl.ops.queryside import hybrid_search
+
+    emb_tbl = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).read_row_group(0, columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb_tbl["embedding"][0].as_py(), dtype=np.float64)
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text", "lang"])
+    emb = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return hybrid_search(docs, emb, ["hash", "merge", "vector", "window"],
+                         qvec, semantic_ratio=0.5, limit=20, lang="en")
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH pairs verified at Jaccard ≥ 0.5 (the scale path for
     q_dedup_jaccard; approximate recall — rows-only check, recall vs the
@@ -989,6 +1023,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_order": q_crawl_order,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "search_hybrid": q_search_hybrid,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embed_topk": q_embed_topk,
@@ -1144,6 +1180,68 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes za ON inter.a = za.doc_id
                        JOIN sizes zb ON inter.b = zb.doc_id
             WHERE (i * 1000000) // (za.n + zb.n - i) >= 500000
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 3, 2))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+                FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            ),
+            pairs AS (
+                SELECT a, b
+                FROM inter JOIN sizes za ON inter.a = za.doc_id
+                           JOIN sizes zb ON inter.b = zb.doc_id
+                WHERE (i * 1000000) // (za.n + zb.n - i) >= 500000
+            ),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            cc(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+                WHERE cc.lbl < e.v
+            )
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+                   CAST(node = MIN(lbl) AS BIGINT) AS keep
+            FROM cc GROUP BY node ORDER BY doc_id
+        """,
+        "search_hybrid": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            kw AS (
+                SELECT doc_id,
+                       (CASE WHEN position('hash' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('merge' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('vector' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('window' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END)::BIGINT AS kw_hits
+                FROM documents WHERE lang = 'en'
+            ),
+            scored AS (
+                SELECT kw.doc_id, kw.kw_hits,
+                       0.5 * (kw.kw_hits / 4.0)
+                     + 0.5 * (1.0 + list_cosine_similarity(e.embedding, q.qe))
+                           / 2.0 AS s
+                FROM kw JOIN embeddings e ON e.vec_id = kw.doc_id
+                        CROSS JOIN q
+            )
+            SELECT rank, doc_id, kw_hits FROM (
+                SELECT doc_id, kw_hits,
+                       ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 20
         """,
         "embed_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -1,0 +1,206 @@
+"""Distributed connected components over a duplicate-pair edge list.
+
+The dedup family (minhash / simhash / jaccard / embedding) emits *pairs*;
+an actual training-data pipeline must turn pairs into *clusters* and keep
+one canonical document per cluster (the reference keeps first-seen per
+content hash — ``crawler.py`` content-hash dedup — this is the transitive
+generalisation for near-dup pairs).
+
+Algorithm: hash-to-min label propagation (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds").  Every node
+starts labelled ``min(self, neighbors)``; each round a node takes the min
+of its own label, its neighbors' labels, and — the pointer-jumping
+accelerant — the label of its *label node*, so reach doubles per round and
+chains converge in O(log diameter) rounds instead of O(diameter).
+
+Execution is a DIY task hash shuffle, not a per-round ``Dataset.groupby``:
+iterative Dataset all-to-alls pay a multi-second executor floor per round
+(the same reason the crawl wave engine routes its frontier with raw task
+rounds).  Edges are symmetrized once and hash-partitioned by source node
+into plasma-resident Arrow tables that never move again; each round runs
+three O(width) task waves —
+
+  A. dynamic-edge round: partition p emits (label → node) request rows for
+     its relabelled nodes, routed by label hash (pointer jumping);
+  B. message round: partition p joins its static+dynamic edges to its own
+     label array (vectorized searchsorted) and emits (dst, src_label)
+     messages routed by dst hash;
+  C. reduce round: partition p min-reduces incoming messages into its
+     label array and returns only (sum, #changed) scalars to the driver.
+
+Per-round network traffic is fixed-width int64 pairs, O(E); the driver
+sees only per-partition counters.  Label tables stay in plasma between
+rounds (num_returns fan-out), so the per-round floor is task scheduling,
+not Dataset execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _np(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr, dtype=np.int64)
+
+
+def _min_per_node(node: np.ndarray, val: np.ndarray):
+    """(sorted unique nodes, min val per node) — vectorized reduceat."""
+    order = np.argsort(node, kind="stable")
+    sn, sv = node[order], val[order]
+    uniq, idx = np.unique(sn, return_index=True)
+    return uniq, np.minimum.reduceat(sv, idx)
+
+
+@ray.remote
+def _edge_split(width: int, tbl: pa.Table, a_col: str, b_col: str):
+    """Symmetrize one pair block and fan it out by src-node hash."""
+    a, b = _np(tbl[a_col]), _np(tbl[b_col])
+    node = np.concatenate([a, b])
+    nbr = np.concatenate([b, a])
+    p = node % width
+    return tuple(
+        pa.table({"node": node[p == i], "nbr": nbr[p == i]})
+        for i in range(width)
+    )
+
+
+@ray.remote(num_returns=2)
+def _init_partition(*slices):
+    """Concat a partition's edge slices (static for the whole run) and
+    compute round-0 labels = min(node, min neighbor)."""
+    tbls = [t for t in slices if t.num_rows]
+    if not tbls:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "nbr": pa.array([], pa.int64())}), empty
+    edges = pa.concat_tables(tbls)
+    node, nbr = _np(edges["node"]), _np(edges["nbr"])
+    uniq, minnbr = _min_per_node(node, nbr)
+    labels = pa.table({"node": uniq, "label": np.minimum(uniq, minnbr)})
+    return edges, labels
+
+
+@ray.remote
+def _dyn_edges(width: int, labels: pa.Table):
+    """Round A: (label → node) pointer-jump requests, routed by label."""
+    node, lbl = _np(labels["node"]), _np(labels["label"])
+    m = lbl != node
+    src, dst = lbl[m], node[m]
+    p = src % width
+    return tuple(
+        pa.table({"node": src[p == i], "nbr": dst[p == i]})
+        for i in range(width)
+    )
+
+
+@ray.remote
+def _messages(width: int, edges: pa.Table, labels: pa.Table, *dyn_slices):
+    """Round B: (dst, label[src]) messages over static + dynamic edges.
+    Every src in this partition's edges has a label row here (edges and
+    labels are partitioned by the same node hash)."""
+    ln, lv = _np(labels["node"]), _np(labels["label"])
+    srcs = [_np(edges["node"])]
+    dsts = [_np(edges["nbr"])]
+    for t in dyn_slices:
+        if t.num_rows:
+            srcs.append(_np(t["node"]))
+            dsts.append(_np(t["nbr"]))
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    if not len(src):
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    idx = np.searchsorted(ln, src)  # ln sorted (built via np.unique)
+    lab = lv[idx]
+    p = dst % width
+    return tuple(
+        pa.table({"node": dst[p == i], "label": lab[p == i]})
+        for i in range(width)
+    )
+
+
+@ray.remote(num_returns=2)
+def _reduce(labels: pa.Table, *msg_slices):
+    """Round C: min-reduce incoming labels; return new labels (plasma) and
+    (sum, changed) scalars (driver)."""
+    ln, lv = _np(labels["node"]), _np(labels["label"])
+    nodes = [ln]
+    vals = [lv]
+    for t in msg_slices:
+        if t.num_rows:
+            nodes.append(_np(t["node"]))
+            vals.append(_np(t["label"]))
+    uniq, minv = _min_per_node(np.concatenate(nodes), np.concatenate(vals))
+    # uniq == ln (messages only target existing nodes), but stay defensive:
+    # restrict to this partition's node set
+    if len(uniq) != len(ln) or not np.array_equal(uniq, ln):
+        keep = np.isin(uniq, ln)
+        uniq, minv = uniq[keep], minv[keep]
+    changed = int(np.count_nonzero(minv != lv))
+    return (pa.table({"node": uniq, "label": minv}),
+            (int(minv.sum()), changed))
+
+
+def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
+                         n_parts: int | None = None, max_rounds: int = 64):
+    """Labels every node that appears in ``pairs_ds`` with the min node id
+    of its connected component.  Returns a Dataset ``(node int64, label
+    int64)`` — one row per distinct node — built from the plasma-resident
+    partition tables."""
+    from raycrawl.ops.grouping import resolve_parts
+
+    width = resolve_parts(n_parts)
+    blocks = pairs_ds.to_arrow_refs()
+    split = [_edge_split.options(num_returns=width).remote(
+        width, b, a_col, b_col) for b in blocks]
+    parts = [_init_partition.remote(*[s[p] for s in split])
+             for p in range(width)]
+    edge_refs = [p[0] for p in parts]
+    label_refs = [p[1] for p in parts]
+
+    for _ in range(max_rounds):
+        dyn = [_dyn_edges.options(num_returns=width).remote(width, lr)
+               for lr in label_refs]
+        msgs = [
+            _messages.options(num_returns=width).remote(
+                width, edge_refs[p], label_refs[p], *[d[p] for d in dyn])
+            for p in range(width)
+        ]
+        outs = [
+            _reduce.remote(label_refs[p], *[m[p] for m in msgs])
+            for p in range(width)
+        ]
+        label_refs = [o[0] for o in outs]
+        stats = ray.get([o[1] for o in outs])
+        if sum(c for _, c in stats) == 0:
+            break
+    return rd.from_arrow_refs(label_refs)
+
+
+def canonical_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
+                       n_parts: int | None = None):
+    """Pairs → per-doc cluster assignment: ``(doc_id, cluster_id, keep)``
+    where cluster_id is the min doc id of the component and keep=1 marks
+    the canonical (kept) document — the transitive near-dup analogue of the
+    reference's first-wins content-hash dedup (crawler.py content_hash)."""
+    labels = connected_components(pairs_ds, a_col, b_col, n_parts=n_parts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.cast(pc.equal(batch["node"], batch["label"]), pa.int64())
+        return pa.table({"doc_id": batch["node"],
+                         "cluster_id": batch["label"], "keep": keep})
+
+    return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

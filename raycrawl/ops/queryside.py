@@ -122,6 +122,108 @@ def rerank_topk(results_ds, query_embedding: np.ndarray, top_k: int = 10):
     return scored.sort(["score_ppm", "url"], descending=[True, False]).limit(top_k)
 
 
+def hybrid_search(docs_ds, emb_ds, query_terms: list[str],
+                  query_embedding: np.ndarray, semantic_ratio: float = 0.5,
+                  limit: int = 20, lang: str | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vec_id_col: str = "vec_id", emb_col: str = "embedding",
+                  n_parts: int | None = None):
+    """Hybrid keyword+vector search — the reference's Meilisearch hybrid
+    query (meilisearch_client.py:100-122: searchable attributes, optional
+    ``lang`` filter, ``Hybrid(semantic_ratio=0.5)``, ranking score, top
+    ``limit``), re-expressed over Parquet columns with a documented score:
+
+        score = (1-ratio) · |terms present in lower(text)| / |terms|
+              + ratio · (1 + cosine(query_emb, doc_emb)) / 2
+
+    (the keyword leg is a deterministic stand-in for Meilisearch's internal
+    keyword ranking; the semantic leg is its cosine similarity mapped to
+    [0,1]). Returns (rank, doc_id, kw_hits) — rank 1-based by score desc,
+    doc_id asc.
+
+    Scale shape: the lang filter and keyword scan run BEFORE the join so
+    the wide text column never crosses a shuffle; docs⋈embeddings is a
+    partitioned hash join (both sides too big to broadcast at corpus
+    scale); the query vector is broadcast once via ray.put; each batch
+    emits only its local top-``limit`` partial, so the driver merges
+    O(blocks·limit) fixed-width rows."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .grouping import resolve_parts
+
+    terms = [t.lower() for t in query_terms]
+    qn = np.asarray(query_embedding, dtype=np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    q_ref = ray.put(qn)
+
+    def kw_score(batch: pa.Table) -> pa.Table:
+        if lang is not None:
+            batch = batch.filter(pc.equal(batch["lang"], lang))
+        low = pc.utf8_lower(batch[text_col])
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for t in terms:
+            hits += np.asarray(pc.match_substring(low, t), dtype=np.int64)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "kw_hits": pa.array(hits)})
+
+    kw = docs_ds.map_batches(kw_score, batch_format="pyarrow")
+
+    # Acero (the join kernel under Dataset.join) rejects list<float> payload
+    # columns — pack each embedding into fixed_size_binary for the shuffle
+    # (zero-copy from the float32 buffer) and unpack on the far side.
+    def pack_emb(batch: pa.Table) -> pa.Table:
+        arr = batch[emb_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        mat = np.ascontiguousarray(
+            np.asarray(arr.flatten(), dtype=np.float32)
+        ).reshape(len(batch), -1)
+        width = mat.shape[1] * 4
+        bin_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat), [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table({vec_id_col: batch[vec_id_col].cast(pa.int64()),
+                         "emb_bin": bin_arr})
+
+    packed = emb_ds.map_batches(pack_emb, batch_format="pyarrow")
+    joined = kw.join(packed, join_type="inner",
+                     num_partitions=resolve_parts(n_parts),
+                     on=(id_col,), right_on=(vec_id_col,))
+
+    def blend_partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        hits = np.asarray(batch["kw_hits"], dtype=np.int64)
+        col = batch["emb_bin"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = col.type.byte_width
+        mat = np.frombuffer(
+            col.buffers()[1], dtype=np.float32,
+            count=len(col) * (width // 4), offset=col.offset * width,
+        ).reshape(len(col), -1).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms[:, None]) @ q
+        score = ((1.0 - semantic_ratio) * hits / max(len(terms), 1)
+                 + semantic_ratio * (1.0 + cos) / 2.0)
+        kk = min(limit, len(ids))
+        idx = np.lexsort((ids, -score))[:kk]
+        return pa.table({
+            "doc_id": pa.array(ids[idx]),
+            "kw_hits": pa.array(hits[idx]),
+            "score": pa.array(score[idx], pa.float64()),
+        })
+
+    partials = joined.map_batches(blend_partial,
+                                  batch_format="pyarrow").take_all()
+    rows = sorted(partials, key=lambda r: (-r["score"], r["doc_id"]))[:limit]
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "kw_hits": pa.array([r["kw_hits"] for r in rows], pa.int64()),
+    })
+
+
 class SafetyFilter:
     """Vectorizable row filter with broadcast config (safety.py:103-188)."""
 

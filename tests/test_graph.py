@@ -1,0 +1,112 @@
+"""Distributed-behavior tests for connected components / cluster dedup and
+hybrid search — the properties the DuckDB-oracle parity check can't see:
+multi-round convergence on long chains, partition independence, and the
+hybrid ranking against a single-process reference computation."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from raycrawl.ops.graph import canonical_clusters, connected_components
+
+
+def _cc_dict(pairs, n_parts=8, nblocks=1):
+    tbl = pa.table({"a": pa.array([a for a, _ in pairs], pa.int64()),
+                    "b": pa.array([b for _, b in pairs], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(nblocks)
+    out = connected_components(ds, n_parts=n_parts).take_all()
+    return {r["node"]: r["label"] for r in out}
+
+
+def _cc_reference(pairs):
+    """Single-process union-find ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_long_chain_converges(ray_session):
+    """A 40-node chain needs many propagation rounds — exercises the
+    iterate-until-fixed-point loop, not just the 1-hop init."""
+    pairs = [(i, i + 1) for i in range(100, 140)]
+    got = _cc_dict(pairs)
+    assert got == {n: 100 for n in range(100, 141)}
+
+
+def test_cc_matches_union_find_random(ray_session):
+    rng = np.random.default_rng(5)
+    nodes = rng.choice(500, size=(120, 2), replace=True)
+    pairs = [(int(a), int(b)) for a, b in nodes if a != b]
+    assert _cc_dict(pairs) == _cc_reference(pairs)
+
+
+def test_cc_partition_independent(ray_session):
+    """Same labels regardless of block layout and shuffle width."""
+    pairs = [(i, i + 1) for i in range(0, 30, 2)] + [(3, 7), (11, 21)]
+    a = _cc_dict(pairs, n_parts=8, nblocks=1)
+    b = _cc_dict(pairs, n_parts=3, nblocks=7)
+    assert a == b == _cc_reference(pairs)
+
+
+def test_canonical_keep_marks_min(ray_session):
+    tbl = pa.table({"a": pa.array([1, 2, 10], pa.int64()),
+                    "b": pa.array([2, 3, 11], pa.int64())})
+    out = canonical_clusters(rd.from_arrow(tbl)).take_all()
+    kept = {r["doc_id"] for r in out if r["keep"] == 1}
+    assert kept == {1, 10}
+    assert all(r["cluster_id"] in kept for r in out)
+
+
+def test_hybrid_search_matches_local(ray_session):
+    """hybrid_search == the same blend computed single-process in numpy,
+    including lang filter, kw substring hits and tie order."""
+    from raycrawl.ops.queryside import hybrid_search
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 8
+    texts = [f"alpha beta{' gamma' if i % 3 == 0 else ''}"
+             f"{' delta' if i % 5 == 0 else ''} {i}" for i in range(n)]
+    langs = ["en" if i % 2 == 0 else "fr" for i in range(n)]
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    docs = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts), "lang": pa.array(langs)})
+    embs = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                     "embedding": pa.array(list(emb),
+                                           pa.list_(pa.float32()))})
+    q = emb[0].astype(np.float64)
+    terms = ["gamma", "delta"]
+    out = hybrid_search(rd.from_arrow(docs).repartition(5),
+                        rd.from_arrow(embs).repartition(4),
+                        terms, q, semantic_ratio=0.5, limit=15, lang="en")
+
+    # local reference
+    qn = q / np.linalg.norm(q)
+    rows = []
+    for i in range(n):
+        if langs[i] != "en":
+            continue
+        hits = sum(1 for t in terms if t in texts[i].lower())
+        v = emb[i].astype(np.float64)
+        cos = float(v @ qn / np.linalg.norm(v))
+        rows.append((0.5 * hits / len(terms) + 0.5 * (1 + cos) / 2, -i, i, hits))
+    rows.sort(reverse=True)
+    want = [(r + 1, i, h) for r, (_, _, i, h) in enumerate(rows[:15])]
+    got = [(r["rank"], r["doc_id"], r["kw_hits"]) for r in out.to_pylist()]
+    assert got == want
