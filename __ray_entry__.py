@@ -248,6 +248,35 @@ def q_dedup_clusters(sf_dir: str):
     return canonical_clusters(pairs, "a", "b")
 
 
+def q_dedup_kept_docs(sf_dir: str):
+    """End-to-end near-dup dedup pipeline: corpus in → deduped corpus out.
+    Exact Jaccard ≥ 0.5 pairs → connected components → drop every
+    non-canonical cluster member via a DISTRIBUTED left_anti hash join
+    (documents ⟕̸ drop-set on doc_id — no driver-side or broadcast drop
+    set; at scale the pair source is minhash_dedup, same contract).
+    Output: the surviving (doc_id, n_chars) rows."""
+    import pyarrow.compute as pc
+
+    from raycrawl.ops.dedup import all_pairs_jaccard
+    from raycrawl.ops.graph import connected_components
+    from raycrawl.ops.grouping import resolve_parts
+
+    pairs = all_pairs_jaccard(
+        _docs_table(sf_dir).select(["doc_id", "text"]), threshold_ppm=500_000
+    )
+    labels = connected_components(pairs, "a", "b")
+
+    def drops_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["node"], t["label"]))
+        return t.select(["node"]).rename_columns(["doc_id"])
+
+    drops = labels.map_batches(drops_only, batch_format="pyarrow")
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+    kept = docs.join(drops, join_type="left_anti",
+                     num_partitions=resolve_parts(None), on=("doc_id",))
+    return kept.sort("doc_id")
+
+
 def q_search_hybrid(sf_dir: str):
     """Hybrid keyword+vector search (meilisearch_client.py:100-122):
     4 query terms over lang='en' docs, query vector = embedding of vec_id 0,
@@ -1024,6 +1053,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_kept_docs": q_dedup_kept_docs,
         "search_hybrid": q_search_hybrid,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1213,6 +1243,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(lbl) AS cluster_id,
                    CAST(node = MIN(lbl) AS BIGINT) AS keep
             FROM cc GROUP BY node ORDER BY doc_id
+        """,
+        "dedup_kept_docs": """
+            WITH RECURSIVE pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 3, 2))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+                FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            ),
+            pairs AS (
+                SELECT a, b
+                FROM inter JOIN sizes za ON inter.a = za.doc_id
+                           JOIN sizes zb ON inter.b = zb.doc_id
+                WHERE (i * 1000000) // (za.n + zb.n - i) >= 500000
+            ),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            cc(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+                WHERE cc.lbl < e.v
+            ),
+            drops AS (
+                SELECT node FROM cc GROUP BY node HAVING node != MIN(lbl)
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM drops)
+            ORDER BY d.doc_id
         """,
         "search_hybrid": """
             WITH q AS (SELECT embedding AS qe FROM embeddings
