@@ -589,6 +589,22 @@ def q_tpch_revenue_nation(sf_dir: str):
     )
 
 
+def q_tpch_revenue_nation_dist(sf_dir: str):
+    """Same result and oracle as tpch_revenue_nation, but customer joins
+    as a fact-sized Dataset (partitioned hash join orders⋈customer on
+    custkey) — exercises the no-broadcast path a 100×-SF customer table
+    needs. Nation (25 rows by spec) is the only broadcast."""
+    from raycrawl.ops.relational import revenue_by_nation_dist
+
+    return revenue_by_nation_dist(
+        _read_ds(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"]),
+    )
+
+
 def q_wiki_documents(sf_dir: str):
     """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
     categories, refs) derived from documents → clean → filter → document
@@ -1074,6 +1090,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_nation": q_tpch_revenue_nation,
+        "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
         "json_documents": q_json_documents,
@@ -1151,7 +1168,7 @@ def _langid_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "crawl_extract": f"""
             SELECT {_URL} AS url, {_TITLE} AS title, text AS content, lang
             FROM documents
@@ -1639,3 +1656,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": _langid_oracle_sql(),
     }
+    # identical semantics, different physical join plan — same oracle
+    sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
+    return sql

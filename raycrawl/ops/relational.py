@@ -1,12 +1,12 @@
 """Relational operators over the TPC-H-ish tables: filtered grouped
 aggregates, broadcast hash joins, top-k.
 
-Join discipline (ray_guide "Joins and lookups"): dimension tables (nation,
-customer at these scales) are broadcast via ``ray.put`` and looked up inside
-``map_batches`` — no shuffle. A both-sides-large join would use the bucketed
-hash-join pattern (add ``bucket = hash(key) % B`` to both sides, groupby
-bucket, join per bucket); documented here, exercised by the crawl engine's
-frontier⋈pages join instead.
+Join discipline (ray_guide "Joins and lookups"): genuinely-tiny dimension
+tables (nation: 25 rows by spec) are broadcast via ``ray.put`` and looked
+up inside ``map_batches`` — no shuffle. ``revenue_by_nation`` additionally
+broadcasts customer (fine at these SFs, a multi-GB pickle per node at
+100×); ``revenue_by_nation_dist`` is the scale path — customer joins as a
+fact-sized Dataset through a partitioned hash join, same oracle.
 
 Money/quantity aggregates are computed in integer cents
 (``floor(x*100 + 0.5)``) so engine and DuckDB oracle agree bit-exactly —
@@ -111,6 +111,74 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
     right = orders_ds.map_batches(orders_to_nation, batch_format="pyarrow")
+    joined = li.join(right, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",))
+    return joined.map_batches(
+        lambda b: b.select(["n_name", "rev"]), batch_format="pyarrow"
+    ).groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
+
+
+def lineitem_rev_partials(lineitem_ds):
+    """lineitem → per-batch (l_orderkey, rev-cents) partials: pre-aggregated
+    so ~4× fewer rows cross the orderkey shuffle."""
+    import pandas as pd
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], dtype=np.float64)
+            * (1 - np.asarray(batch["l_discount"], dtype=np.float64))
+        )
+        df = pd.DataFrame({"l_orderkey": np.asarray(batch["l_orderkey"],
+                                                    dtype=np.int64),
+                           "rev": rev})
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    return lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+
+
+def revenue_by_nation_dist(lineitem_ds, orders_ds, customer_ds,
+                           nation_tbl: pa.Table, n_parts: int | None = None):
+    """Same result as ``revenue_by_nation``, but CUSTOMER joins as a
+    fact-sized Dataset: orders ⋈ customer is a partitioned hash join on
+    custkey — the path when the customer dimension outgrows a broadcast
+    (a 100×-SF TPC-H customer table is a multi-GB pickle per node as a
+    dict; see the round-2 verdict note). Only nation (25 rows, fixed by
+    the TPC-H spec) stays broadcast. The orders⋈customer result is
+    materialized before the second join: two hash joins pipelined in one
+    DAG stall Ray's streaming executor on aggregator-pool scheduling
+    (round-2 lesson, grouping.resolve_parts docstring)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+    nname = {k: v for k, v in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                  nation_tbl["n_name"].to_pylist())}
+    nref = ray.put(nname)
+
+    orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                            "o_custkey": b["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64()),
+                            "c_nationkey": b["c_nationkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        names = [nn.get(k, "") for k in batch["c_nationkey"].to_pylist()]
+        return pa.table({"l_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                         "n_name": pa.array(names, pa.string())})
+
+    right = oc.map_batches(to_nation, batch_format="pyarrow").materialize()
+    li = lineitem_rev_partials(lineitem_ds)
     joined = li.join(right, join_type="inner", num_partitions=n_parts,
                      on=("l_orderkey",))
     return joined.map_batches(
