@@ -635,6 +635,52 @@ def q_wiki_documents(sf_dir: str):
     )
 
 
+# (qid, search term, srlimit) — fixed query set over the corpus vocabulary;
+# restated as a VALUES list in the wiki_search oracle. 'zzznope' matches
+# nothing (empty-result path); qid 2 exercises a non-default srlimit.
+WIKI_SEARCH_QUERIES = [
+    (0, "join", 10),
+    (1, "merge sort", 10),
+    (2, "vector", 5),
+    (3, "spark", 10),
+    (4, "zzznope", 10),
+]
+_WIKI_SITE_URL = "https://fr.vikidia.org/wiki/index.php"
+_WIKI_API_URL = "https://fr.vikidia.org/w/api.php"
+
+
+def q_wiki_search(sf_dir: str):
+    """MediaWiki query-side search source (SURVEY.md S13, reference
+    wiki_client.py:103-161): a Dataset of search queries fans out over an
+    actor pool; each actor runs ``list=search`` against the injectable
+    endpoint and formats hits as SearchResult rows (id ``wiki_{pageid}``,
+    ``?curid=`` URL, snippet HTML kept in excerpt, score 1.0, lang
+    auto-detected from the API URL → 'fr' here). The in-memory corpus
+    server stands in for the remote wiki: built once, ``ray.put`` once,
+    fetched per actor — never re-shipped per batch. Its ranking
+    (occurrence count desc, pageid asc, top srlimit) and 150-char snippet
+    rule are deterministic and restated in the DuckDB oracle; the
+    reference's falsy-pageid-0 drop shows up as doc_id 0 missing."""
+    import ray
+    import ray.data as rd
+
+    from raycrawl.sources.mediawiki import CorpusWikiSearchAPI, WikiSearchStage
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    api_ref = ray.put(CorpusWikiSearchAPI(
+        ids, [f"Doc {i}" for i in ids], docs["text"].to_pylist()))
+    ds = rd.from_items(
+        [{"qid": q, "query": t, "srlimit": n} for q, t, n in WIKI_SEARCH_QUERIES]
+    )
+    return ds.repartition(len(WIKI_SEARCH_QUERIES)).map_batches(
+        WikiSearchStage, batch_format="pyarrow", concurrency=2, num_cpus=1,
+        fn_constructor_args=(api_ref, _WIKI_SITE_URL, "Vikidia",
+                             _WIKI_API_URL),
+    )
+
+
 def q_json_documents(sf_dir: str):
     """JSON API source: nested items (root path, {{id}} URL templating,
     multi-key content concatenation with array fan-out — M18-M20).
@@ -1093,6 +1139,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
+        "wiki_search": q_wiki_search,
         "json_documents": q_json_documents,
         "search_merge": q_search_merge,
         "search_rerank": q_search_rerank,
@@ -1168,6 +1215,8 @@ def _langid_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from raycrawl.sources.mediawiki import SNIPPET_WINDOW as SNIPPET_WINDOW_SQL
+
     sql = {
         "crawl_extract": f"""
             SELECT {_URL} AS url, {_TITLE} AS title, text AS content, lang
@@ -1449,6 +1498,46 @@ def oracle_sql() -> dict[str, str]:
                        AS content_hash
             FROM documents
             WHERE length(text) >= {MIN_DOC_CHARS}
+        """,
+        # wiki_search: VALUES list mirrors WIKI_SEARCH_QUERIES; ranking =
+        # non-overlapping case-insensitive occurrence count desc, pageid
+        # asc, top srlimit; snippet = 150-char window at the first match
+        # with the matched span wrapped (build_search_snippet). The
+        # doc_id <> 0 filter applies AFTER the rn <= lim cut because the
+        # reference drops falsy pageids client-side from an already-limited
+        # server response (wiki_client.py:140-143) — results can number
+        # fewer than srlimit.
+        "wiki_search": f"""
+            WITH q(qid, term, lim) AS (VALUES {", ".join(
+                f"({q}, '{t}', {n})" for q, t, n in WIKI_SEARCH_QUERIES)}),
+            cand AS (
+                SELECT q.qid, q.term, q.lim, d.doc_id, d.text,
+                       (length(lower(d.text))
+                        - length(replace(lower(d.text), lower(q.term), '')))
+                           // length(q.term) AS occ,
+                       position(lower(q.term) IN lower(d.text)) AS pos
+                FROM documents d CROSS JOIN q
+                WHERE position(lower(q.term) IN lower(d.text)) > 0
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY occ DESC, doc_id ASC) AS rn
+                FROM cand
+            )
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   'wiki_' || CAST(doc_id AS VARCHAR) AS id,
+                   '{_WIKI_SITE_URL}?curid=' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   '<span class="searchmatch">'
+                       || substr(text, pos, length(term)) || '</span>'
+                       || substr(text, pos + length(term),
+                                 {SNIPPET_WINDOW_SQL} - length(term)) AS excerpt,
+                   'wiki' AS source,
+                   'Vikidia' AS site,
+                   'fr' AS lang,
+                   CAST(1.0 AS DOUBLE) AS score
+            FROM ranked
+            WHERE rn <= lim AND doc_id <> 0
         """,
         "json_documents": """
             SELECT 'https://api.example.org/items/' || CAST(doc_id AS VARCHAR)

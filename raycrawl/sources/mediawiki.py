@@ -246,6 +246,156 @@ def wiki_crawl(api_get, namespaces=(0,), api_batch_size: int = 50,
                                batch_format="pyarrow")
 
 
+# -- query-side search source (S13) -----------------------------------------
+# Reimplements the reference's WikiClient.search result pipeline
+# (/root/reference/meilisearchcrawler/api/services/wiki_client.py:103-161):
+# a MediaWiki ``list=search`` call per query, each hit formatted as a
+# SearchResult row. The live HTTP/Cloudflare transport is out of sandbox
+# scope; the API is injectable exactly like the crawl-side tiers above.
+
+SNIPPET_WINDOW = 150
+
+
+def detect_wiki_lang(api_url: str) -> str:
+    """Language auto-detection from the API URL (wiki_client.py:37-50).
+    Mirrors the reference's asymmetry: en/fr match both wikipedia and
+    vikidia hosts, es/de only wikipedia; everything else falls to 'en'."""
+    if "en.wikipedia" in api_url or "en.vikidia" in api_url:
+        return "en"
+    if "fr.wikipedia" in api_url or "fr.vikidia" in api_url:
+        return "fr"
+    if "es.wikipedia" in api_url:
+        return "es"
+    if "de.wikipedia" in api_url:
+        return "de"
+    return "en"
+
+
+def build_search_snippet(text: str, term: str,
+                         window: int = SNIPPET_WINDOW) -> str:
+    """Deterministic stand-in for MediaWiki's search snippet: the
+    ``window``-char slice of the page text starting at the first
+    case-insensitive match, with the matched span wrapped in
+    ``<span class="searchmatch">`` (the reference keeps snippet HTML
+    verbatim in ``excerpt`` — wiki_client.py:152). Restated in ANSI SQL by
+    the ``wiki_search`` oracle, so keep the two in lockstep."""
+    idx = text.lower().find(term.lower())
+    if idx < 0:
+        return ""
+    n = len(term)
+    return ('<span class="searchmatch">' + text[idx: idx + n] + "</span>"
+            + text[idx + n: idx + window])
+
+
+class CorpusWikiSearchAPI:
+    """In-memory MediaWiki ``list=search`` endpoint over a page corpus —
+    the deterministic fake server behind ``WikiSearchStage`` in the
+    sandbox (the real endpoint is a remote wiki; rankings there are
+    opaque, so the fake defines them: non-overlapping case-insensitive
+    occurrence count desc, pageid asc, top ``srlimit``). Build once on the
+    driver and ``ray.put`` it — each search actor fetches the one plasma
+    copy, emulating "every worker talks to the same remote server"."""
+
+    def __init__(self, page_ids, titles, texts):
+        self.page_ids = list(page_ids)
+        self.titles = list(titles)
+        self.texts = list(texts)
+
+    def __call__(self, params: dict) -> dict:
+        if params.get("list") != "search":
+            return {}
+        term = params.get("srsearch", "")
+        limit = int(params.get("srlimit", 10))
+        if not term:
+            return {"query": {"search": []}}
+        t = term.lower()
+        scored = []
+        for pid, title, text in zip(self.page_ids, self.titles, self.texts):
+            occ = text.lower().count(t)
+            if occ > 0:
+                scored.append((-occ, pid, title, text))
+        scored.sort()
+        return {"query": {"search": [
+            {"pageid": pid, "title": title,
+             "snippet": build_search_snippet(text, term)}
+            for _, pid, title, text in scored[:limit]
+        ]}}
+
+
+class WikiSearchStage:
+    """Actor-pool ``map_batches`` stage: (qid, query, srlimit) rows →
+    SearchResult rows, one ``list=search`` API call per query row through
+    the injectable transport (wiki_client.py:103-161). Reference quirks
+    reproduced:
+
+    - request params ``srprop=snippet|titlesnippet`` and ``origin=*``
+      (:118-126);
+    - hits missing pageid OR title are skipped with ``all([...])``, so a
+      **falsy pageid 0 is dropped too** (:140-143);
+    - ``url = site_url + '?curid=' + pageid`` (:146), ``id = 'wiki_' +
+      pageid``, ``excerpt`` keeps the snippet HTML, ``source='wiki'``,
+      constant ``score=1.0`` (:148-158);
+    - a malformed/empty response yields no rows (:135-137);
+    - result ``lang`` auto-detected from the API URL unless given
+      (:36-50).
+
+    The reference searches one query at a time from the API process; here
+    the query batch is a Dataset and each actor holds its own transport —
+    fan-out is across queries, the per-query protocol is unchanged."""
+
+    def __init__(self, api_get, site_url: str, site_name: str,
+                 api_url: str = "", lang: str | None = None):
+        import ray
+
+        if isinstance(api_get, ray.ObjectRef):
+            api_get = ray.get(api_get)
+        self.api_get = api_get
+        self.site_url = site_url
+        self.site_name = site_name
+        self.lang = lang if lang is not None else detect_wiki_lang(api_url)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_pylist()
+        queries = batch["query"].to_pylist()
+        limits = (batch["srlimit"].to_pylist() if "srlimit" in batch.column_names
+                  else [10] * len(qids))
+        out = {k: [] for k in ("qid", "id", "url", "title", "excerpt",
+                               "source", "site", "lang", "score")}
+        for qid, query, limit in zip(qids, queries, limits):
+            data = self.api_get({
+                "action": "query", "format": "json", "list": "search",
+                "srsearch": query, "srlimit": limit,
+                "srprop": "snippet|titlesnippet", "origin": "*",
+            })
+            if not data or "query" not in data or "search" not in data["query"]:
+                continue
+            for item in data["query"]["search"]:
+                page_id = item.get("pageid")
+                title = item.get("title")
+                if not all([page_id, title]):
+                    continue
+                out["qid"].append(qid)
+                out["id"].append(f"wiki_{page_id}")
+                out["url"].append(f"{self.site_url}?curid={page_id}")
+                out["title"].append(title)
+                out["excerpt"].append(item.get("snippet", ""))
+                out["source"].append("wiki")
+                out["site"].append(self.site_name)
+                out["lang"].append(self.lang)
+                out["score"].append(1.0)
+        return pa.table({
+            "qid": pa.array(out["qid"], pa.int64()),
+            "id": pa.array(out["id"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "title": pa.array(out["title"], pa.string()),
+            "excerpt": pa.array(out["excerpt"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "site": pa.array(out["site"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "score": pa.array(out["score"], pa.float64()),
+        })
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

@@ -180,3 +180,89 @@ def test_wiki_crawl_end_to_end(ray_session):
     # content batches respected the 50-page request cap
     content_calls = [c for c in api.calls if "pageids" in c]
     assert all(len(c["pageids"].split("|")) <= 50 for c in content_calls)
+
+
+# -- query-side wiki search (S13, wiki_client.py:103-161) --------------------
+
+def test_detect_wiki_lang_reference_asymmetry():
+    from raycrawl.sources.mediawiki import detect_wiki_lang
+
+    # en/fr match wikipedia AND vikidia; es/de only wikipedia; default en
+    assert detect_wiki_lang("https://en.wikipedia.org/w/api.php") == "en"
+    assert detect_wiki_lang("https://fr.vikidia.org/w/api.php") == "fr"
+    assert detect_wiki_lang("https://es.wikipedia.org/w/api.php") == "es"
+    assert detect_wiki_lang("https://es.vikidia.org/w/api.php") == "en"
+    assert detect_wiki_lang("https://de.wikipedia.org/w/api.php") == "de"
+    assert detect_wiki_lang("https://wiki.example.org/api.php") == "en"
+
+
+def _search_batch(rows):
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "query": pa.array([r[1] for r in rows], pa.string()),
+        "srlimit": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def test_wiki_search_stage_ranking_snippet_and_quirks():
+    from raycrawl.sources.mediawiki import (
+        CorpusWikiSearchAPI, WikiSearchStage, build_search_snippet)
+
+    api = CorpusWikiSearchAPI(
+        page_ids=[0, 1, 2, 3],
+        titles=["Zero", "One", "Two", "Three"],
+        texts=["cat cat cat", "cat cat dog", "a cat", "dog only"],
+    )
+    calls = []
+
+    def spy(params):
+        calls.append(dict(params))
+        return api(params)
+
+    st = WikiSearchStage(spy, "https://fr.vikidia.org/wiki/index.php",
+                         "Vikidia", api_url="https://fr.vikidia.org/w/api.php")
+    out = st(_search_batch([(7, "cat", 2)]))
+    # pageid 0 tops the server's srlimit=2 response but is falsy → dropped
+    # client-side AFTER the limit (ref :140-143), so only one row survives —
+    # the reference does not refill the limit
+    assert out["id"].to_pylist() == ["wiki_1"]
+    assert out["url"].to_pylist()[0].endswith("?curid=1")
+    assert out["title"].to_pylist() == ["One"]
+    # at srlimit=3 the next page by (occ desc, pageid asc) appears
+    out3 = st(_search_batch([(7, "cat", 3)]))
+    assert out3["id"].to_pylist() == ["wiki_1", "wiki_2"]
+    assert out["excerpt"].to_pylist()[0] == (
+        '<span class="searchmatch">cat</span> cat dog')
+    assert out["lang"].to_pylist() == ["fr"]  # detected from api_url
+    assert out["site"].to_pylist() == ["Vikidia"]
+    assert out["source"].to_pylist() == ["wiki"]
+    assert out["score"].to_pylist() == [1.0]
+    # request protocol (ref :118-126)
+    assert calls[0]["list"] == "search" and calls[0]["srsearch"] == "cat"
+    assert calls[0]["srprop"] == "snippet|titlesnippet"
+    assert calls[0]["origin"] == "*"
+    # case-insensitive match, snippet preserves original casing
+    assert build_search_snippet("The Cat sat", "cat").startswith(
+        '<span class="searchmatch">Cat</span>')
+
+
+def test_wiki_search_stage_malformed_and_missing_fields():
+    from raycrawl.sources.mediawiki import WikiSearchStage
+
+    def bad_api(params):
+        q = params["srsearch"]
+        if q == "boom":
+            return {}                                     # malformed → no rows
+        if q == "partial":
+            return {"query": {"search": [
+                {"pageid": 5},                            # no title → skipped
+                {"title": "NoId"},                        # no pageid → skipped
+                {"pageid": 6, "title": "Ok", "snippet": "s"},
+            ]}}
+        return {"query": {}}                              # no 'search' key
+
+    st = WikiSearchStage(bad_api, "https://s", "S", lang="en")
+    out = st(_search_batch([(0, "boom", 5), (1, "partial", 5), (2, "other", 5)]))
+    assert out["id"].to_pylist() == ["wiki_6"]
+    assert out["qid"].to_pylist() == [1]
+    assert out["excerpt"].to_pylist() == ["s"]
