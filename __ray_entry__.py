@@ -648,6 +648,33 @@ WIKI_SEARCH_QUERIES = [
 _WIKI_SITE_URL = "https://fr.vikidia.org/wiki/index.php"
 _WIKI_API_URL = "https://fr.vikidia.org/w/api.php"
 
+# Shared CTE prefix for the CSE cache-replay oracles: the derived search
+# log (ops/searchapi.derive_search_log restated) and the recursive api_call
+# chain — per (query, lang) key, the next api_call is the first request at
+# or past the previous call's 7-day expiry (cse_client.py:222-273).
+_CSE_REPLAY_CTE = """
+            WITH RECURSIVE log AS (
+                SELECT event_id, ts,
+                       'q' || CAST(event_id % 97 AS VARCHAR) AS query,
+                       CASE WHEN event_id % 2 = 0 THEN 'fr' ELSE 'en' END
+                           AS lang
+                FROM events
+            ),
+            calls AS (
+                SELECT query, lang, min(ts) AS call_ts
+                FROM log GROUP BY query, lang
+                UNION ALL
+                SELECT c.query, c.lang,
+                       (SELECT min(l.ts) FROM log l
+                         WHERE l.query = c.query AND l.lang = c.lang
+                           AND l.ts >= c.call_ts + INTERVAL 7 DAY) AS call_ts
+                FROM calls c
+                WHERE EXISTS (SELECT 1 FROM log l
+                         WHERE l.query = c.query AND l.lang = c.lang
+                           AND l.ts >= c.call_ts + INTERVAL 7 DAY)
+            )
+"""
+
 
 def q_wiki_search(sf_dir: str):
     """MediaWiki query-side search source (SURVEY.md S13, reference
@@ -919,9 +946,10 @@ def q_cse_quota(sf_dir: str):
 def q_cse_quota_effective(sf_dir: str):
     """Reference-parity quota: cache hits bypass _check_quota/_increment_
     quota (cse_client.py:230-247), so only the cache replay's api_call
-    rows consume the daily quota. Rows-only (the TTL replay isn't
-    SQL-expressible); exact parity vs a sequential replay is asserted in
-    tests."""
+    rows consume the daily quota. Oracle-gated: the TTL replay's api_call
+    chain (each call's expiry gates the next) is a recursive CTE in the
+    SQL oracle — ≤ span/TTL iterations deep; exact parity vs a sequential
+    replay is additionally asserted in tests."""
     from raycrawl.ops.searchapi import cse_cache_replay, cse_daily_quota
 
     import pyarrow.compute as pc
@@ -936,9 +964,13 @@ def q_cse_quota_effective(sf_dir: str):
 
 def q_cse_cache(sf_dir: str):
     """CSE result-cache replay (S12, ref cse_client.py:222-273): per
-    (query, lang) TTL islands — api_call vs cache_hit per request
-    (rows-only; exact parity vs an independent sequential replay asserted
-    in tests)."""
+    (query, lang) TTL islands — api_call vs cache_hit per request.
+    Oracle-gated via the recursive-CTE call chain (see
+    ``cse_quota_effective``): a request is an api_call iff its (key, ts)
+    appears in the chain — exact because the synthetic log has no
+    duplicate (key, ts) pairs (verified at sf0.001/0.01/0.1); exact parity
+    vs an independent sequential replay is additionally asserted in
+    tests."""
     from raycrawl.ops.searchapi import cse_cache_replay
 
     out = cse_cache_replay(_search_log(sf_dir), cache_days=7.0)
@@ -1678,6 +1710,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) - least(COUNT(*), 100) AS BIGINT) AS n_blocked
             FROM events
             GROUP BY 1
+        """,
+        # cse_quota_effective / cse_cache: the 7-day-TTL cache replay as a
+        # recursive CTE. Each (query, lang) key's api_call chain advances
+        # one call per iteration (next call = first request at or past the
+        # previous call's expiry), so depth = ceil(span / TTL) ≈ 5 — NOT
+        # O(rows). cse_cache joins requests back on (key, ts): exact
+        # because the synthetic log has no duplicate (key, ts) pairs.
+        "cse_quota_effective": f"""
+            {_CSE_REPLAY_CTE}
+            SELECT strftime(call_ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   CAST(least(count(*), 100) AS BIGINT) AS n_served,
+                   CAST(count(*) - least(count(*), 100) AS BIGINT) AS n_blocked
+            FROM calls GROUP BY 1
+        """,
+        "cse_cache": f"""
+            {_CSE_REPLAY_CTE}
+            SELECT l.event_id,
+                   CASE WHEN c.call_ts IS NOT NULL
+                        THEN 'api_call' ELSE 'cache_hit' END AS action
+            FROM log l LEFT JOIN calls c
+              ON l.query = c.query AND l.lang = c.lang AND l.ts = c.call_ts
         """,
         # fake md5 embedding provider, reproduced exactly: component int
         # h = ('0x'||md5(text:i)[:8])::BIGINT, rounded to float32 (::REAL)
