@@ -852,8 +852,10 @@ def q_crawl_incremental(sf_dir: str):
     """Incremental-crawl semantics (T5/J1: conditional-GET 304s + cache/TTL
     skip): recrawl with the first run's cache → per-site counters. The
     seeds 304 (etag match) and yield no outlinks, so exactly one
-    not-modified visit per site and nothing indexed (rows-only check;
-    pinned exactly against the oracle in tests)."""
+    not-modified visit per site and nothing indexed — that invariant IS
+    the SQL oracle (one (1, 1, 0) counter row per host); the 304/TTL
+    mechanics behind it are pinned against the oracle simulator in
+    tests."""
     from raycrawl.fixtures import corpus_seeds
     from raycrawl.pipeline import CrawlConfig, CrawlEngine
 
@@ -1274,6 +1276,16 @@ def oracle_sql() -> dict[str, str]:
                        AS content_hash
             FROM documents
             WHERE length(text) >= {MIN_DOC_CHARS}
+        """,
+        # crawl_incremental: a recrawl with the first run's cache 304s
+        # every seed (etag match ⇒ no outlinks, nothing indexed), so the
+        # expected counters are exactly one (1, 1, 0) row per host.
+        "crawl_incremental": """
+            SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS site,
+                   CAST(1 AS BIGINT) AS pages_visited,
+                   CAST(1 AS BIGINT) AS pages_not_modified,
+                   CAST(0 AS BIGINT) AS pages_indexed
+            FROM documents GROUP BY 1
         """,
         "crawl_visit_stats": f"""
             SELECT source AS site,
