@@ -405,6 +405,18 @@ def q_token_top20(sf_dir: str):
     return token_histogram(_read_ds(sf_dir, "documents", ["doc_id", "text"]), 20)
 
 
+def q_text_chunk_dedup(sf_dir: str):
+    """Repeated-boilerplate removal (C4/CCNet-style): 20-token chunks with
+    document frequency ≥ 2 deleted from every doc. df via per-batch
+    Counter partials + small hash groupby; the hot blocklist broadcast
+    once via ray.put. Exact oracle: md5 chunks + df join in SQL."""
+    from raycrawl.ops.textstats import repeated_chunk_removal
+
+    return repeated_chunk_removal(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_tokens=20, min_df=2)
+
+
 def q_events_hourly(sf_dir: str):
     from raycrawl.ops.windows import tumbling_agg
 
@@ -1160,6 +1172,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_chunk_dedup": q_text_chunk_dedup,
         "token_top20": q_token_top20,
         "events_hourly": q_events_hourly,
         "events_hopping": q_events_hopping,
@@ -1808,6 +1821,40 @@ def oracle_sql() -> dict[str, str]:
                         for j in range(0, 32)]) AS BIGINT) AS payload_byte_sum,
                    CAST('0x' || substr(h, 1, 8) AS BIGINT) AS head32
             FROM (SELECT i, sha256('media-' || i) AS h FROM range(120) t(i))
+        """,
+        # text_chunk_dedup: 20-token chunks (last partial; '' for empty
+        # text), md5 keys, doc-frequency >= 2 ⇒ every occurrence removed;
+        # kept_text re-joins surviving chunks in order (string_agg skips
+        # the NULLed hot chunks; '' when everything was removed).
+        "text_chunk_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, w,
+                       unnest(range(CAST(ceil(len(w) / 20.0) AS BIGINT)))
+                           AS ci
+                FROM toks
+            ),
+            chunk_txt AS (
+                SELECT doc_id, ci,
+                       array_to_string(w[(ci*20+1):(ci*20+20)], ' ') AS ctext,
+                       md5(array_to_string(w[(ci*20+1):(ci*20+20)], ' ')) AS h
+                FROM chunks
+            ),
+            freq AS (
+                SELECT h, count(DISTINCT doc_id) AS df
+                FROM chunk_txt GROUP BY h
+            ),
+            hot AS (SELECT h FROM freq WHERE df >= 2)
+            SELECT c.doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN hot.h IS NULL THEN c.ctext END,
+                       ' ' ORDER BY c.ci), '') AS kept_text,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(count(hot.h) AS BIGINT) AS n_removed
+            FROM chunk_txt c LEFT JOIN hot ON c.h = hot.h
+            GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
     }

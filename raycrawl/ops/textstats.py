@@ -170,6 +170,80 @@ def token_histogram(ds, top_n: int = 20):
     return agg.sort(["occurrences", "token"], descending=[True, False]).limit(top_n)
 
 
+def _doc_chunks(text: str, chunk_tokens: int) -> list[str]:
+    """Non-overlapping ``chunk_tokens``-token blocks (last block partial);
+    tokens = split on a single space, the SQL-oracle-matched definition.
+    An empty text yields one empty chunk (''.split(' ') == [''])."""
+    toks = (text or "").split(" ")
+    n = (len(toks) + chunk_tokens - 1) // chunk_tokens
+    return [" ".join(toks[i * chunk_tokens: (i + 1) * chunk_tokens])
+            for i in range(n)]
+
+
+def repeated_chunk_removal(ds, chunk_tokens: int = 20, min_df: int = 2,
+                           max_hot: int = 1_000_000):
+    """C4/CCNet-style repeated-boilerplate removal: delete every
+    ``chunk_tokens``-token chunk whose document frequency is ≥ ``min_df``
+    (nav bars, cookie banners, licence footers — and planted near-dup
+    text in the synthetic corpus). Two passes over the corpus:
+
+    1. df: per-batch Counter over each doc's DISTINCT chunk md5s → one
+       (hash, df) partial row per chunk per batch → small ``groupby``
+       Sum. The shuffle moves 32-B hashes, never chunk text.
+    2. The hot set (df ≥ min_df) is driver-collected and broadcast ONCE
+       via ``ray.put`` — boilerplate is by definition a tiny fraction of
+       a corpus's distinct chunks, and ``max_hot`` guards the assumption:
+       the build raises rather than silently materializing an unexpectedly
+       huge blocklist (raise the cap or min_df if it fires).
+
+    Returns (doc_id, kept_text, n_chunks, n_removed); removal keeps chunk
+    order, so kept_text is the document minus its boilerplate blocks.
+    Exactly SQL-expressible (md5 chunks + doc-frequency join) — the
+    ``text_chunk_dedup`` oracle gates it end to end."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update({hashlib.md5(ch.encode()).hexdigest()
+                      for ch in _doc_chunks(t, chunk_tokens)})
+        hs = list(c.keys())
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "df": pa.array([c[h] for h in hs], pa.int64())})
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("h").aggregate(Sum("df", alias_name="df"))
+             .filter(expr=f"df >= {int(min_df)}"))
+    hot_rows = df_ds.take(max_hot + 1)
+    if len(hot_rows) > max_hot:
+        raise ValueError(
+            f"repeated_chunk_removal: >{max_hot} chunks with df>={min_df}; "
+            "raise max_hot or min_df — the broadcast-blocklist design "
+            "assumes boilerplate is a small fraction of distinct chunks")
+    hot_ref = ray.put(frozenset(r["h"] for r in hot_rows))
+
+    def remove(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        kept, n_chunks, n_removed = [], [], []
+        for t in batch["text"].to_pylist():
+            cs = _doc_chunks(t, chunk_tokens)
+            flags = [hashlib.md5(c.encode()).hexdigest() in hot for c in cs]
+            kept.append(" ".join(c for c, f in zip(cs, flags) if not f))
+            n_chunks.append(len(cs))
+            n_removed.append(sum(flags))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "kept_text": pa.array(kept, pa.string()),
+             "n_chunks": pa.array(n_chunks, pa.int64()),
+             "n_removed": pa.array(n_removed, pa.int64())}
+        )
+
+    return ds.map_batches(remove, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

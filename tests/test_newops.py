@@ -140,3 +140,61 @@ def test_exact_cosine_pairs_empty(ray_session):
     got = exact_cosine_pairs(rd.from_arrow(tbl), threshold=0.9999)
     assert got.num_rows == 0
     assert got.column_names == ["vec_a", "vec_b"]
+
+
+# -- repeated-chunk (boilerplate) removal ------------------------------------
+
+def _chunk_tbl(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_repeated_chunk_removal_cross_doc(ray_session):
+    from raycrawl.ops.textstats import repeated_chunk_removal
+
+    boiler = " ".join(["nav"] * 4)          # 4-token chunk at W=4
+    texts = [boiler + " " + " ".join(["alpha"] * 4),
+             boiler + " " + " ".join(["beta"] * 4),
+             " ".join(["gamma"] * 4)]
+    out = (repeated_chunk_removal(rd.from_arrow(_chunk_tbl(texts)),
+                                  chunk_tokens=4, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the shared leading chunk is removed from both docs, order preserved
+    assert out.loc[0, "kept_text"] == " ".join(["alpha"] * 4)
+    assert out.loc[1, "kept_text"] == " ".join(["beta"] * 4)
+    assert out.loc[2, "kept_text"] == texts[2]        # df=1 → untouched
+    assert out["n_chunks"].tolist() == [2, 2, 1]
+    assert out["n_removed"].tolist() == [1, 1, 0]
+
+
+def test_repeated_chunk_removal_within_doc_repeat_not_hot(ray_session):
+    from raycrawl.ops.textstats import repeated_chunk_removal
+
+    # a chunk repeated twice INSIDE one doc has df=1 (distinct per doc)
+    rep = " ".join(["x"] * 4)
+    out = (repeated_chunk_removal(
+        rd.from_arrow(_chunk_tbl([rep + " " + rep])), chunk_tokens=4,
+        min_df=2).to_pandas())
+    assert out.loc[0, "kept_text"] == rep + " " + rep
+    assert out.loc[0, "n_removed"] == 0
+
+
+def test_repeated_chunk_removal_hot_within_doc_removes_all(ray_session):
+    from raycrawl.ops.textstats import repeated_chunk_removal
+
+    # once hot (df>=2 across docs), EVERY occurrence is removed
+    rep = " ".join(["y"] * 4)
+    out = (repeated_chunk_removal(
+        rd.from_arrow(_chunk_tbl([rep + " " + rep, rep])), chunk_tokens=4,
+        min_df=2).to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["kept_text"].tolist() == ["", ""]
+    assert out["n_removed"].tolist() == [2, 1]
+
+
+def test_repeated_chunk_removal_max_hot_guard(ray_session):
+    from raycrawl.ops.textstats import repeated_chunk_removal
+
+    texts = [f"tok{i} filler" for i in range(6)] * 2   # 6 hot 2-token chunks
+    with pytest.raises(ValueError, match="max_hot"):
+        repeated_chunk_removal(rd.from_arrow(_chunk_tbl(texts * 1)),
+                               chunk_tokens=4, min_df=2, max_hot=3)
