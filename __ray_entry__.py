@@ -1084,6 +1084,34 @@ def q_doc_sample(sf_dir: str):
     )
 
 
+def q_domain_cap(sf_dir: str):
+    """Domain balancing: top-10 longest docs per source (n_chars desc,
+    doc_id asc), two-stage partial top-N — each batch pre-prunes to its
+    local winners, one key-hash shuffle merges and ranks; text never
+    crosses the exchange. Exact row_number oracle."""
+    from raycrawl.ops.sampling import domain_cap
+
+    return domain_cap(
+        _read_ds(sf_dir, "documents", ["doc_id", "source", "text"]), cap=10)
+
+
+def q_export_manifest(sf_dir: str):
+    """Resumable sharded export, verified by read-back: write documents as
+    16 hash-sharded Parquet directories (shard = h32(md5(doc_id)) % 16, a
+    stable row property; _SUCCESS marker per shard so a re-run skips
+    finished shards), then read the export back and count rows per shard.
+    The oracle recomputes the shard assignment in SQL — gating both the
+    assignment and that every row landed on disk exactly once."""
+    import tempfile
+
+    from raycrawl.ops.export import export_shards, read_manifest
+
+    out_dir = tempfile.mkdtemp(prefix="raycrawl_export_")
+    export_shards(_read_ds(sf_dir, "documents", ["doc_id", "source"]),
+                  out_dir, n_shards=16)
+    return read_manifest(out_dir)
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p90/p99) via one
     distributed sort + rank-located row picks — bit-identical to
@@ -1202,6 +1230,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cse_quota_effective": q_cse_quota_effective,
         "cse_cache": q_cse_cache,
         "doc_sample": q_doc_sample,
+        "domain_cap": q_domain_cap,
+        "export_manifest": q_export_manifest,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -1790,6 +1820,23 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) * 32
                   < (1 + CAST('0x' || substr(md5(source), 1, 4) AS BIGINT)
                          % 32) * 4294967296
+        """,
+        "domain_cap": """
+            SELECT source, doc_id, n_chars, rnk FROM (
+                SELECT source, doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY length(text) DESC, doc_id ASC)
+                            AS BIGINT) AS rnk
+                FROM documents)
+            WHERE rnk <= 10
+        """,
+        "export_manifest": """
+            SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 16 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1
         """,
         "events_quantiles": """
             SELECT event_type,

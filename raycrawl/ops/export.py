@@ -1,0 +1,102 @@
+"""Resumable sharded Parquet export for training-data corpora.
+
+At 100 TB an export MUST be restartable without rewriting finished work
+(the round brief's "resumable output" requirement; the reference's
+counterpart is the session checkpoint + incremental cache that lets a
+crawl resume, crawler.py:384-390). Design:
+
+- shard assignment is a pure row property — ``h32(md5(id)) % n_shards`` —
+  so rows land in the same shard on every run/retry regardless of block
+  partitioning (same stable-hash discipline as ``ops/sampling``), and the
+  assignment is SQL-checkable;
+- one DIRECTORY per shard (``shard=K/``), many files inside (one per
+  write task) — never one giant file;
+- a ``_SUCCESS`` marker per shard directory, written only after the
+  shard's rows are on disk; a re-run lists markers first and filters
+  finished shards out of the read, so a failed run resumes with only the
+  missing shards' rows crossing the pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from .sampling import _h32
+
+SUCCESS = "_SUCCESS"
+
+
+def _shard_dir(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard={shard}")
+
+
+def finished_shards(out_dir: str, n_shards: int) -> set[int]:
+    """Shards whose ``_SUCCESS`` marker exists from a previous run."""
+    done = set()
+    for s in range(n_shards):
+        if os.path.exists(os.path.join(_shard_dir(out_dir, s), SUCCESS)):
+            done.add(s)
+    return done
+
+
+def export_shards(ds, out_dir: str, n_shards: int = 16,
+                  id_col: str = "doc_id") -> dict:
+    """Write ``ds`` as ``n_shards`` hash-sharded Parquet directories,
+    skipping shards already marked ``_SUCCESS`` (resume). Returns
+    ``{"written": [...], "skipped": [...]}``.
+
+    The skip happens BEFORE the write — pending-shard rows are filtered
+    with a vectorized mask inside ``map_batches``, so a resume moves only
+    the unfinished fraction of the corpus through the pipeline."""
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_shards(out_dir, n_shards)
+    pending = sorted(set(range(n_shards)) - done)
+    if not pending:
+        return {"written": [], "skipped": sorted(done)}
+    pending_arr = np.array(pending, dtype=np.int64)
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        shards = np.array([_h32(str(i)) % n_shards for i in ids],
+                          dtype=np.int64)
+        keep = np.isin(shards, pending_arr)
+        out = batch.filter(pa.array(keep))
+        return out.append_column("shard",
+                                 pa.array(shards[keep], pa.int64()))
+
+    (ds.map_batches(assign_and_filter, batch_format="pyarrow")
+       .write_parquet(out_dir, partition_cols=["shard"]))
+    for s in pending:
+        os.makedirs(_shard_dir(out_dir, s), exist_ok=True)
+        with open(os.path.join(_shard_dir(out_dir, s), SUCCESS), "w"):
+            pass
+    return {"written": pending, "skipped": sorted(done)}
+
+
+def read_manifest(out_dir: str):
+    """Read the export back and count rows per shard (the verification
+    pass a pipeline runs after an export). Returns a Dataset of
+    (shard, n_rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(out_dir)
+
+    # hive partition values come back as strings — pin shard to int64
+    def fix(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("shard")
+        return batch.set_column(
+            idx, "shard", batch["shard"].cast(pa.int64()))
+
+    return (ds.map_batches(fix, batch_format="pyarrow")
+            .groupby("shard").aggregate(Count(alias_name="n_rows")))
+
+
+# ship by value for Ray workers
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

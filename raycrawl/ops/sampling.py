@@ -84,3 +84,58 @@ def stratified_sample_batch(batch: pa.Table, *, id_col: str = "doc_id",
         pa.int64(),
     )
     return out.append_column("rate_num", rnums)
+
+
+def domain_cap(ds, cap: int = 10, key_col: str = "source",
+               id_col: str = "doc_id", text_col: str = "text",
+               n_parts: int | None = None):
+    """Domain balancing: keep at most ``cap`` documents per ``key_col``
+    stratum, preferring the longest (n_chars desc, id asc — fully
+    deterministic). The webtext-curation counterpart of the reference's
+    per-site ``max_pages`` budget (crawler.py:1090-1119): caps a corpus
+    where one domain would otherwise dominate training data.
+
+    Two-stage top-N so the exchange never carries losers: each input batch
+    pre-prunes to its own local top-``cap`` per key (a batch can contribute
+    at most ``cap`` winners), then one hash shuffle on the key merges the
+    partial winners and ranks. Only (key, id, n_chars) rows move — the
+    text column is dropped at the first stage.
+
+    Returns (key_col, id_col, n_chars, rnk), rnk 1..cap per key. Exactly
+    SQL-expressible (row_number window) — oracle ``domain_cap``."""
+    import pandas as pd
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {key_col: batch[key_col].to_pylist(),
+             id_col: np.asarray(batch[id_col], np.int64),
+             "n_chars": [len(t or "") for t in batch[text_col].to_pylist()]}
+        )
+        pdf = pdf.sort_values([key_col, "n_chars", id_col],
+                              ascending=[True, False, True], kind="stable")
+        pdf = pdf.groupby(key_col, sort=False).head(cap)
+        return pa.table(
+            {key_col: pa.array(pdf[key_col], pa.string()),
+             id_col: pa.array(pdf[id_col], pa.int64()),
+             "n_chars": pa.array(pdf["n_chars"], pa.int64())}
+        )
+
+    def final_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="str"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "n_chars": pd.Series([], dtype="int64"),
+                 "rnk": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values([key_col, "n_chars", id_col],
+                              ascending=[True, False, True], kind="stable")
+        pdf = pdf.groupby(key_col, sort=False).head(cap).copy()
+        pdf["rnk"] = pdf.groupby(key_col, sort=False).cumcount() + 1
+        return pdf.astype({id_col: "int64", "n_chars": "int64",
+                           "rnk": "int64"})
+
+    pruned = ds.map_batches(partial_top, batch_format="pyarrow")
+    return partitioned_apply(pruned, [key_col], final_top,
+                             resolve_parts(n_parts))

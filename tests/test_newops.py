@@ -198,3 +198,93 @@ def test_repeated_chunk_removal_max_hot_guard(ray_session):
     with pytest.raises(ValueError, match="max_hot"):
         repeated_chunk_removal(rd.from_arrow(_chunk_tbl(texts * 1)),
                                chunk_tokens=4, min_df=2, max_hot=3)
+
+
+# -- domain balancing (per-source top-N cap) ---------------------------------
+
+def test_domain_cap_cross_batch_winners(ray_session):
+    from raycrawl.ops.sampling import domain_cap
+
+    # one domain split across many blocks; winners scattered so the
+    # two-stage partial top-N must merge across batches, losers pruned
+    n = 60
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(["d0" if i % 2 == 0 else "d1" for i in range(n)]),
+        "text": pa.array(["x" * ((i * 37) % 100 + 1) for i in range(n)]),
+    })
+    out = (domain_cap(rd.from_arrow(tbl).repartition(12), cap=3)
+           .to_pandas().sort_values(["source", "rnk"]).reset_index(drop=True))
+    # brute-force expectation
+    import pandas as pd
+    pdf = tbl.to_pandas()
+    pdf["n_chars"] = pdf["text"].str.len()
+    exp = (pdf.sort_values(["source", "n_chars", "doc_id"],
+                           ascending=[True, False, True])
+           .groupby("source").head(3))
+    exp["rnk"] = exp.groupby("source").cumcount() + 1
+    exp = exp[["source", "doc_id", "n_chars", "rnk"]].reset_index(drop=True)
+    assert out[["source", "doc_id", "n_chars", "rnk"]].equals(exp)
+
+
+def test_domain_cap_tie_break_and_small_domain(ray_session):
+    from raycrawl.ops.sampling import domain_cap
+
+    tbl = pa.table({
+        "doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+        "source": pa.array(["a", "a", "a", "b"]),
+        "text": pa.array(["zz", "zz", "zz", "w"]),   # all-tie lengths in 'a'
+    })
+    out = (domain_cap(rd.from_arrow(tbl), cap=2)
+           .to_pandas().sort_values(["source", "rnk"]).reset_index(drop=True))
+    # equal lengths → doc_id asc wins; domain below cap keeps everything
+    assert out[out.source == "a"]["doc_id"].tolist() == [3, 5]
+    assert out[out.source == "b"]["doc_id"].tolist() == [1]
+    assert out[out.source == "b"]["rnk"].tolist() == [1]
+
+
+# -- resumable sharded export -------------------------------------------------
+
+def test_export_shards_resume_skips_finished(ray_session, tmp_path):
+    import glob
+    import shutil
+
+    from raycrawl.ops.export import (export_shards, finished_shards,
+                                     read_manifest)
+
+    out = str(tmp_path / "exp")
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array([f"t{i}" for i in range(200)])})
+    r1 = export_shards(rd.from_arrow(tbl).repartition(4), out, n_shards=8)
+    assert r1["written"] == list(range(8)) and r1["skipped"] == []
+    m1 = read_manifest(out).to_pandas()
+    assert m1["n_rows"].sum() == 200
+
+    # simulate a failed run: one shard lost its data AND its marker
+    shutil.rmtree(out + "/shard=3")
+    assert finished_shards(out, 8) == set(range(8)) - {3}
+
+    r2 = export_shards(rd.from_arrow(tbl).repartition(4), out, n_shards=8)
+    assert r2["written"] == [3] and len(r2["skipped"]) == 7
+    # finished shards were NOT rewritten (same files as after run 1)
+    m2 = read_manifest(out).to_pandas().sort_values("shard")
+    assert m2["n_rows"].sum() == 200
+    assert m2[m2.shard == 3]["n_rows"].iloc[0] == m1.set_index("shard")["n_rows"][3]
+
+    # fully-finished export: third run is a no-op
+    r3 = export_shards(rd.from_arrow(tbl).repartition(4), out, n_shards=8)
+    assert r3["written"] == []
+    assert read_manifest(out).to_pandas()["n_rows"].sum() == 200
+
+
+def test_export_shard_assignment_is_stable(ray_session, tmp_path):
+    from raycrawl.ops.export import export_shards, read_manifest
+
+    # identical ids → identical shard layout regardless of partitioning
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    a = str(tmp_path / "a"); b = str(tmp_path / "b")
+    export_shards(rd.from_arrow(tbl).repartition(2), a, n_shards=8)
+    export_shards(rd.from_arrow(tbl).repartition(16), b, n_shards=8)
+    ma = read_manifest(a).to_pandas().sort_values("shard").reset_index(drop=True)
+    mb = read_manifest(b).to_pandas().sort_values("shard").reset_index(drop=True)
+    assert ma.equals(mb)
