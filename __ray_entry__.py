@@ -1095,6 +1095,33 @@ def q_domain_cap(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source", "text"]), cap=10)
 
 
+# fixed retrieval vocabulary over the corpus; mirrored by the VALUES list
+# in the postings / keyword_search oracles
+KEYWORD_TERMS = ["join", "hash", "vector", "spark", "merge"]
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index postings for the fixed vocabulary: (token, doc_id,
+    tf) — the Dataset-native counterpart of the reference's Meilisearch
+    index sink (crawler.py:682-758). Per-batch Counter partials emit one
+    row per distinct (token, doc), never one per occurrence."""
+    from raycrawl.ops.index import term_doc_tf
+
+    return term_doc_tf(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                       terms=KEYWORD_TERMS)
+
+
+def q_keyword_search(sf_dir: str):
+    """Exact keyword retrieval over the postings: score = Σ_term
+    (1e6·tf) // df (integer tf-over-df), top-10 by (score desc, doc_id
+    asc). Query-term filter inside the first pass, df broadcast once,
+    doc-keyed Sum shuffle, per-batch top-k partials."""
+    from raycrawl.ops.index import keyword_topk
+
+    return keyword_topk(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                        KEYWORD_TERMS, k=10)
+
+
 def q_export_manifest(sf_dir: str):
     """Resumable sharded export, verified by read-back: write documents as
     16 hash-sharded Parquet directories (shard = h32(md5(doc_id)) % 16, a
@@ -1232,6 +1259,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "domain_cap": q_domain_cap,
         "export_manifest": q_export_manifest,
+        "postings": q_postings,
+        "keyword_search": q_keyword_search,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -1837,6 +1866,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 16 AS shard,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM documents GROUP BY 1
+        """,
+        # postings / keyword_search: tokens = split on ' ', tf per
+        # (token, doc); score = per-term (1e6*tf) // df summed, top-10 by
+        # (score desc, doc_id asc) — all-integer so hashes match exactly.
+        "postings": f"""
+            SELECT w AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+            GROUP BY w, doc_id
+        """,
+        "keyword_search": f"""
+            WITH tf AS (
+                SELECT w AS token, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY w, doc_id
+            ),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            scores AS (
+                SELECT tf.doc_id,
+                       CAST(sum((1000000 * tf.tf) // df.df) AS BIGINT)
+                           AS score_ppm
+                FROM tf JOIN df ON tf.token = df.token
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM scores
+            ORDER BY score_ppm DESC, doc_id ASC
+            LIMIT 10
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -288,3 +288,36 @@ def test_export_shard_assignment_is_stable(ray_session, tmp_path):
     ma = read_manifest(a).to_pandas().sort_values("shard").reset_index(drop=True)
     mb = read_manifest(b).to_pandas().sort_values("shard").reset_index(drop=True)
     assert ma.equals(mb)
+
+
+# -- inverted index + keyword retrieval --------------------------------------
+
+def test_keyword_topk_rare_term_outweighs_common(ray_session):
+    from raycrawl.ops.index import keyword_topk
+
+    # 'rare' appears in one doc, 'common' in all → one 'rare' hit scores
+    # 1e6 while each 'common' tf contributes 1e6/4; ranking must put the
+    # rare-term doc first despite lower total tf
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["common common common", "common rare",
+                          "common common", "common"]),
+    })
+    out = keyword_topk(rd.from_arrow(tbl).repartition(4),
+                       ["common", "rare"], k=4).to_pandas()
+    assert out["doc_id"].tolist()[0] == 1          # rare-term doc wins
+    assert out.loc[0, "score_ppm"] == 1_000_000 + 250_000
+    assert out["rnk"].tolist() == [1, 2, 3, 4]
+    # doc 0 (tf=3 of common): 750000; doc 2: 500000; doc 3: 250000
+    assert out["score_ppm"].tolist() == [1_250_000, 750_000, 500_000, 250_000]
+
+
+def test_keyword_topk_tie_breaks_by_doc_id(ray_session):
+    from raycrawl.ops.index import keyword_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([7, 2, 5], pa.int64()),
+        "text": pa.array(["x y", "x y", "x y"]),
+    })
+    out = keyword_topk(rd.from_arrow(tbl).repartition(3), ["x"], k=2).to_pandas()
+    assert out["doc_id"].tolist() == [2, 5]        # equal scores → id asc
