@@ -52,11 +52,20 @@ def export_shards(ds, out_dir: str, n_shards: int = 16,
     the unfinished fraction of the corpus through the pipeline."""
     import numpy as np
 
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     done = finished_shards(out_dir, n_shards)
     pending = sorted(set(range(n_shards)) - done)
     if not pending:
         return {"written": [], "skipped": sorted(done)}
+    # a crashed run can leave PARTIAL files in a shard dir that never got
+    # its marker; rewriting on top would duplicate those rows — clear
+    # unfinished shard dirs before the write
+    for s in pending:
+        d = _shard_dir(out_dir, s)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     pending_arr = np.array(pending, dtype=np.int64)
 
     def assign_and_filter(batch: pa.Table) -> pa.Table:

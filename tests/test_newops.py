@@ -321,3 +321,22 @@ def test_keyword_topk_tie_breaks_by_doc_id(ray_session):
     })
     out = keyword_topk(rd.from_arrow(tbl).repartition(3), ["x"], k=2).to_pandas()
     assert out["doc_id"].tolist() == [2, 5]        # equal scores → id asc
+
+
+def test_export_shards_cleans_partial_unmarked_shard(ray_session, tmp_path):
+    import os
+
+    from raycrawl.ops.export import export_shards, read_manifest
+
+    out = str(tmp_path / "exp2")
+    tbl = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                    "text": pa.array([f"t{i}" for i in range(200)])})
+    export_shards(rd.from_arrow(tbl).repartition(4), out, n_shards=8)
+    total = read_manifest(out).to_pandas()["n_rows"].sum()
+
+    # simulate a crash mid-shard: marker gone, PARTIAL data files remain
+    os.remove(os.path.join(out, "shard=5", "_SUCCESS"))
+    r = export_shards(rd.from_arrow(tbl).repartition(4), out, n_shards=8)
+    assert r["written"] == [5]
+    # the partial files were cleared, not appended to — no duplicate rows
+    assert read_manifest(out).to_pandas()["n_rows"].sum() == total
