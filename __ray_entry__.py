@@ -1139,6 +1139,55 @@ def q_export_manifest(sf_dir: str):
     return read_manifest(out_dir)
 
 
+def q_link_pagerank(sf_dir: str):
+    """Fixed-iteration integer PageRank over the corpus link graph (the
+    binary-tree-per-host edges the fixture pages embed — restated here by
+    the same arithmetic the fixture generator uses, and by a self-join in
+    the SQL oracle). 5 iterations, all-integer contribution floors, so the
+    distributed task-shuffle run (ops/pagerank.py) and the unrolled-CTE
+    oracle agree bit-exactly; dangling leaves drop their mass by rule."""
+    from raycrawl.ops.pagerank import pagerank
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n  # doc_ids are 0..N-1 (TESTDATA.md); child must exist
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = pagerank(e, nodes, n_iters=5)
+    return out.map_batches(lambda t: t.rename_columns(["doc_id", "rank_ppm"]),
+                           batch_format="pyarrow")
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training: global token offsets in doc_id order
+    (distributed prefix sum — ops/packing.py) and the 512-token training
+    sequences each document spans. Window-cumsum oracle, all integers."""
+    from raycrawl.ops.packing import pack_offsets
+
+    return pack_offsets(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                        seq_len=512)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by id hash
+    (ops/sampling.split_batch): bucket = h32(doc_id) % 100 — a pure row
+    property, so membership is partition-independent and retry-stable."""
+    from raycrawl.ops.sampling import split_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        split_batch, batch_format="pyarrow")
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p90/p99) via one
     distributed sort + rank-located row picks — bit-identical to
@@ -1261,6 +1310,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "export_manifest": q_export_manifest,
         "postings": q_postings,
         "keyword_search": q_keyword_search,
+        "link_pagerank": q_link_pagerank,
+        "pack_sequences": q_pack_sequences,
+        "doc_split": q_doc_split,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -1317,6 +1369,46 @@ def _langid_oracle_sql() -> str:
                     WHEN h_de = greatest(h_de, h_es) THEN 'de'
                     ELSE 'es' END AS lang_pred
         FROM scored
+    """
+
+
+def _pagerank_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled-CTE restatement of ops/pagerank.py: one CTE per iteration
+    (the iteration count is a fixed constant, so no recursion is needed),
+    edges from the fixture's binary-tree arithmetic via a self-join (child
+    must exist ⇔ the Ray side's ``dst < n`` mask over 0..N-1 ids), the same
+    per-contribution integer floor applied BEFORE the sum."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM
+
+    iters = []
+    for k in range(n_iters):
+        iters.append(f"""
+            r{k + 1} AS (
+                SELECT n.node AS node,
+                       CAST({BASE_PPM} + coalesce(
+                           SUM((r.r * {DAMP_PCT}) // (100 * d.d)), 0)
+                            AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{k} r ON r.node = e.src
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.node
+            )""")
+    return f"""
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            edges AS (
+                SELECT p.doc_id AS src, c.doc_id AS dst
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 1)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 2)
+            ),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS r FROM nodes),
+            {",".join(iters)}
+            SELECT node AS doc_id, r AS rank_ppm FROM r{n_iters}
     """
 
 
@@ -1899,6 +1991,40 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
             ORDER BY score_ppm DESC, doc_id ASC
             LIMIT 10
+        """,
+        "link_pagerank": _pagerank_oracle_sql(5),
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                           AS start_tok
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   start_tok // 512 AS first_seq,
+                   (start_tok + n_tokens - 1) // 512 AS last_seq,
+                   (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+                       AS n_seqs
+            FROM c
+        """,
+        "doc_split": """
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 8) AS BIGINT) % 100 < 90
+                        THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 8) AS BIGINT) % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
         """,
         "events_quantiles": """
             SELECT event_type,

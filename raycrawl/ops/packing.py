@@ -1,0 +1,91 @@
+"""Sequence packing for LLM training: global token-offset assignment.
+
+Training pipelines concatenate the tokenized corpus in a canonical document
+order and slice it into fixed-length sequences; the operator every such
+pipeline needs is "where does my document land?" — a distributed prefix
+sum over per-document token counts.  The output maps each doc to its global
+token span and the training-sequence ids that span covers:
+
+    start_tok  = Σ n_tokens of all docs ordered before it (doc_id asc)
+    first_seq  = start_tok // seq_len
+    last_seq   = (start_tok + n_tokens - 1) // seq_len
+    n_seqs     = last_seq - first_seq + 1
+
+All integers — the DuckDB oracle is a window cumsum, bit-exact.
+
+Scale shape (the ``ops/quantiles.py`` metadata discipline):
+
+  1. ``map_batches`` → (doc_id, n_tokens) — text is dropped immediately;
+     only two int64 columns ever move again;
+  2. one range-partitioned ``sort(doc_id)`` — the only shuffle;
+  3. per-block token SUMS to the driver — O(blocks) scalars, not rows;
+  4. the driver exclusive-scans the block sums (O(blocks) integers) and
+     broadcasts each block its start offset;
+  5. per-block cumsum + offset finalizes rows where they already live.
+
+No stage materializes more than a block; the driver never sees row data.
+Token counts use whitespace ``split(' ')`` — the same convention as
+``ops/textstats.token_stats_batch`` and its oracle (empty text counts 1,
+matching ``string_split``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+@ray.remote
+def _block_sum(tbl: pa.Table) -> int:
+    if tbl.num_rows == 0:
+        return 0
+    return int(np.asarray(tbl["n_tokens"], dtype=np.int64).sum())
+
+
+@ray.remote
+def _finalize(tbl: pa.Table, offset: int, seq_len: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "start_tok": pa.array([], pa.int64()),
+                         "first_seq": pa.array([], pa.int64()),
+                         "last_seq": pa.array([], pa.int64()),
+                         "n_seqs": pa.array([], pa.int64())})
+    n = np.asarray(tbl["n_tokens"], dtype=np.int64)
+    start = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+    first = start // seq_len
+    last = (start + n - 1) // seq_len
+    return pa.table({"doc_id": tbl["doc_id"],
+                     "n_tokens": pa.array(n),
+                     "start_tok": pa.array(start),
+                     "first_seq": pa.array(first),
+                     "last_seq": pa.array(last),
+                     "n_seqs": pa.array(last - first + 1)})
+
+
+def pack_offsets(ds, seq_len: int = 512, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Global sequence-packing offsets in ``id_col`` order. Returns a
+    Dataset ``(doc_id, n_tokens, start_tok, first_seq, last_seq,
+    n_seqs)`` — one row per input doc."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = [len((t or "").split(" ")) for t in batch[text_col].to_pylist()]
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    import ray.data as rd
+
+    slim = ds.map_batches(counts, batch_format="pyarrow")
+    blocks = slim.sort(id_col).to_arrow_refs()
+    sums = ray.get([_block_sum.remote(b) for b in blocks])
+    offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)[:-1]))
+    out = [_finalize.remote(b, int(o), seq_len)
+           for b, o in zip(blocks, offsets)]
+    return rd.from_arrow_refs(out)
+
+
+# ship by value so workers never import the package from disk
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -86,6 +86,24 @@ def stratified_sample_batch(batch: pa.Table, *, id_col: str = "doc_id",
     return out.append_column("rate_num", rnums)
 
 
+def split_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                train_pct: int = 90, val_pct: int = 5) -> pa.Table:
+    """Deterministic train/val/test split: bucket = h32(id) % 100, train
+    below ``train_pct``, val below ``train_pct + val_pct``, else test.
+    Same pure-row-property guarantees as the samplers: a doc's split never
+    changes across partitions, retries, or table joins — the property an
+    eval holdout must have (a doc that migrates splits between pipeline
+    runs contaminates the eval set)."""
+    ids = batch[id_col].to_pylist()
+    buckets = np.fromiter((_h32(str(i)) % 100 for i in ids),
+                          dtype=np.int64, count=len(ids))
+    split = np.where(buckets < train_pct, "train",
+                     np.where(buckets < train_pct + val_pct, "val", "test"))
+    return pa.table({id_col: batch[id_col],
+                     "bucket": pa.array(buckets),
+                     "split": pa.array(split.tolist(), pa.string())})
+
+
 def domain_cap(ds, cap: int = 10, key_col: str = "source",
                id_col: str = "doc_id", text_col: str = "text",
                n_parts: int | None = None):

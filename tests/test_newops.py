@@ -340,3 +340,112 @@ def test_export_shards_cleans_partial_unmarked_shard(ray_session, tmp_path):
     assert r["written"] == [5]
     # the partial files were cleared, not appended to — no duplicate rows
     assert read_manifest(out).to_pandas()["n_rows"].sum() == total
+
+
+# ---------------------------------------------------------------------------
+# pagerank / packing / split
+# ---------------------------------------------------------------------------
+
+def _pr_reference(edges, nodes, n_iters):
+    """Single-process integer PageRank oracle (same formula as the op)."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: INIT_PPM for v in nodes}
+    for _ in range(n_iters):
+        nxt = {v: BASE_PPM for v in nodes}
+        for s, d in edges:
+            nxt[d] += (rank[s] * DAMP_PCT) // (100 * outdeg[s])
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_and_partition_independent(ray_session):
+    from raycrawl.ops.pagerank import pagerank
+
+    rng = np.random.default_rng(7)
+    nodes = list(range(60))
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 60, size=(300, 2))
+                    if a != b})
+    want = _pr_reference(edges, nodes, n_iters=4)
+
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    for parts, nblocks in [(3, 1), (8, 5)]:
+        out = pagerank(rd.from_arrow(e_tbl).repartition(nblocks),
+                       rd.from_arrow(n_tbl).repartition(nblocks),
+                       n_iters=4, n_parts=parts).to_pandas()
+        got = dict(zip(out["node"], out["rank_ppm"]))
+        assert got == want, f"mismatch at n_parts={parts}"
+
+
+def test_pagerank_dangling_and_isolated_nodes(ray_session):
+    """A leaf (no out-edges) drops its mass; an isolated node (no edges at
+    all) holds rank BASE after the first iteration."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM, pagerank
+
+    # 0 -> 1 (1 is dangling), 2 isolated
+    e_tbl = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1, 2], pa.int64())})
+    out = pagerank(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                   n_iters=2, n_parts=2).to_pandas()
+    got = dict(zip(out["node"], out["rank_ppm"]))
+    r1_node1 = BASE_PPM + (INIT_PPM * DAMP_PCT) // 100
+    assert got[0] == BASE_PPM
+    assert got[1] == BASE_PPM + (BASE_PPM * DAMP_PCT) // 100
+    assert got[2] == BASE_PPM
+    assert r1_node1 > got[1]  # mass decays once the source stops feeding
+
+
+def test_pagerank_rejects_unknown_endpoint(ray_session):
+    from raycrawl.ops.pagerank import pagerank
+
+    e_tbl = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([99], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1], pa.int64())})
+    with pytest.raises(Exception, match="not in node set"):
+        pagerank(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                 n_iters=1, n_parts=2).to_pandas()
+
+
+def test_pack_offsets_straddle_and_multiblock(ray_session):
+    """Offsets are a global scan regardless of block layout; a doc that
+    straddles a sequence boundary spans both sequences."""
+    from raycrawl.ops.packing import pack_offsets
+
+    texts = ["a " * 9 + "a",          # 10 tokens: seqs cover 0..9
+             "b " * 7 + "b",          # 8 tokens: 10..17 — straddles 16
+             "",                      # '' -> 1 token at 18
+             "d " * 2 + "d"]          # 3 tokens: 19..21
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    for nblocks in (1, 4):
+        out = pack_offsets(rd.from_arrow(tbl).repartition(nblocks),
+                           seq_len=16).to_pandas().sort_values("doc_id")
+        assert out["start_tok"].tolist() == [0, 10, 18, 19]
+        assert out["first_seq"].tolist() == [0, 0, 1, 1]
+        assert out["last_seq"].tolist() == [0, 1, 1, 1]
+        assert out["n_seqs"].tolist() == [1, 2, 1, 1]
+
+
+def test_split_batch_partition_independent_and_complete(ray_session):
+    from raycrawl.ops.sampling import split_batch
+
+    tbl = pa.table({"doc_id": pa.array(list(range(500)), pa.int64())})
+
+    def run(nparts):
+        out = rd.from_arrow(tbl).repartition(nparts).map_batches(
+            split_batch, batch_format="pyarrow").to_pandas()
+        return dict(zip(out["doc_id"], out["split"]))
+
+    a, b = run(1), run(7)
+    assert a == b
+    assert set(a) == set(range(500))          # every doc assigned once
+    counts = {s: sum(1 for v in a.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
