@@ -1188,6 +1188,18 @@ def q_doc_split(sf_dir: str):
         split_batch, batch_format="pyarrow")
 
 
+def q_span_pairs(sf_dir: str):
+    """Winnowing-style shared-fingerprint doc pairs (ops/spans.py): 5-token
+    gram md5 hashes, radius-4 local-min selection, pairs weighted by the
+    number of shared fingerprints — the oracle-gated member of the
+    fingerprinting family (the crc32 winnower stays rows-only because SQL
+    has no crc32). Every step is replayed in the DuckDB oracle, including
+    the max-bucket degenerate-gram guard."""
+    from raycrawl.ops.spans import shared_span_pairs
+
+    return shared_span_pairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p90/p99) via one
     distributed sort + rank-located row picks — bit-identical to
@@ -1313,6 +1325,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": q_link_pagerank,
         "pack_sequences": q_pack_sequences,
         "doc_split": q_doc_split,
+        "span_pairs": q_span_pairs,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -2025,6 +2038,47 @@ def oracle_sql() -> dict[str, str]:
                                                  1, 8) AS BIGINT) % 100 < 95
                         THEN 'val' ELSE 'test' END AS split
             FROM documents
+        """,
+        # span_pairs: the radius-local-min fingerprint scheme restated —
+        # grams are 1-based list slices w[(i+1):(i+5)] == Python
+        # tokens[i:i+5]; the window MIN over ±3 positions is the selection
+        # rule; HAVING 2..1000 is the same max_bucket guard the engine
+        # applies at pair generation.
+        "span_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, w,
+                       unnest(range(len(w) - 4)) AS i
+                FROM toks WHERE len(w) >= 5
+            ),
+            hs AS (
+                SELECT doc_id, i,
+                       CAST('0x' || substr(md5(
+                           array_to_string(w[(i+1):(i+5)], ' ')), 1, 8)
+                            AS BIGINT) AS h
+                FROM grams
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, h FROM (
+                    SELECT doc_id, h,
+                           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                               AS mn
+                    FROM hs
+                ) WHERE h = mn
+            ),
+            bucketed AS (
+                SELECT h FROM sel GROUP BY h
+                HAVING count(*) >= 2 AND count(*) <= 1000
+            )
+            SELECT f1.doc_id AS a, f2.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sel f1 JOIN sel f2
+              ON f1.h = f2.h AND f1.doc_id < f2.doc_id
+            WHERE f1.h IN (SELECT h FROM bucketed)
+            GROUP BY 1, 2
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -449,3 +449,58 @@ def test_split_batch_partition_independent_and_complete(ray_session):
     counts = {s: sum(1 for v in a.values() if v == s)
               for s in ("train", "val", "test")}
     assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+
+# ---------------------------------------------------------------------------
+# shared-fingerprint spans
+# ---------------------------------------------------------------------------
+
+def test_span_pairs_planted_shared_run(ray_session):
+    """Two docs sharing a long verbatim token run must pair up; a doc with
+    disjoint vocabulary must not appear. Partitioning must not matter."""
+    from raycrawl.ops.spans import shared_span_pairs
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    texts = [shared + " aaa bbb", "xxx yyy " + shared,
+             " ".join(f"other{i}" for i in range(40))]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def run(nblocks, nparts):
+        out = shared_span_pairs(rd.from_arrow(tbl).repartition(nblocks),
+                                n_parts=nparts).to_pandas()
+        return {(r.a, r.b): r.n_shared for r in out.itertuples()}
+
+    a = run(1, 4)
+    b = run(3, 9)
+    assert a == b
+    assert set(a) == {(1, 2)}
+    assert a[(1, 2)] >= 1  # the 30-token run guarantees selected overlap
+
+
+def test_span_pairs_max_bucket_drops_boilerplate_gram(ray_session):
+    """A gram shared by more docs than max_bucket is dropped entirely —
+    the degenerate-boilerplate guard."""
+    from raycrawl.ops.spans import shared_span_pairs
+
+    # identical texts ⇒ identical fingerprint sets ⇒ every bucket holds
+    # exactly all 5 docs (doc-specific prefixes would make boundary-region
+    # selection doc-dependent and leave sub-cap buckets behind)
+    shared = " ".join(f"tok{i}" for i in range(30))
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array([shared] * 5, pa.string()),
+    })
+    full = shared_span_pairs(rd.from_arrow(tbl)).to_pandas()
+    assert len(full) == 10  # C(5,2): everyone shares the run
+    capped = shared_span_pairs(rd.from_arrow(tbl), max_bucket=4).to_pandas()
+    # every shared fingerprint sits in a 5-doc bucket > cap -> all dropped
+    assert len(capped) == 0
+
+
+def test_span_fingerprints_short_and_empty_text(ray_session):
+    from raycrawl.ops.spans import fingerprint_rows
+
+    assert len(fingerprint_rows("")) == 0
+    assert len(fingerprint_rows("a b c d")) == 0      # < 5 tokens
+    assert len(fingerprint_rows("a b c d e")) == 1    # exactly one gram
