@@ -1188,6 +1188,19 @@ def q_doc_split(sf_dir: str):
         split_batch, batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The composed end-to-end curation pipeline (ops/curation.py): stub
+    filter → exact dedup (winner hash join) → per-source cap 10 → train
+    split → 512-token sequence packing. Every stage is individually
+    oracle-gated elsewhere; this entry gates the COMPOSITION — the joins,
+    the stage ordering, and the packing scan over the surviving set — as
+    one CTE chain."""
+    from raycrawl.ops.curation import curate_corpus
+
+    return curate_corpus(
+        _read_ds(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
 def q_span_pairs(sf_dir: str):
     """Winnowing-style shared-fingerprint doc pairs (ops/spans.py): 5-token
     gram md5 hashes, radius-4 local-min selection, pairs weighted by the
@@ -1326,6 +1339,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
+        "curation_pipeline": q_curation_pipeline,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -2038,6 +2052,53 @@ def oracle_sql() -> dict[str, str]:
                                                  1, 8) AS BIGINT) % 100 < 95
                         THEN 'val' ELSE 'test' END AS split
             FROM documents
+        """,
+        # curation_pipeline: the composed stage chain — stub filter, exact
+        # dedup winners, per-source cap (length desc, id asc), train slice
+        # of the id-hash split, then the packing cumsum over survivors in
+        # doc_id order. All integers end to end.
+        "curation_pipeline": f"""
+            WITH base AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE length(text) >= {MIN_DOC_CHARS}
+            ),
+            winners AS (
+                SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)
+            ),
+            surv AS (
+                SELECT b.* FROM base b JOIN winners w ON b.doc_id = w.doc_id
+            ),
+            capped AS (
+                SELECT doc_id, source, text,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY length(text) DESC, doc_id ASC) AS rnk
+                FROM surv
+            ),
+            train AS (
+                SELECT doc_id, source, text FROM capped
+                WHERE rnk <= 10
+                  AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 100 < 90
+            ),
+            t AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM train
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                           AS start_tok
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, start_tok,
+                   start_tok // 512 AS first_seq,
+                   (start_tok + n_tokens - 1) // 512 AS last_seq,
+                   (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+                       AS n_seqs
+            FROM c
         """,
         # span_pairs: the radius-local-min fingerprint scheme restated —
         # grams are 1-based list slices w[(i+1):(i+5)] == Python

@@ -61,6 +61,35 @@ def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
     ).groupby("_part").map_groups(per_partition, batch_format="pandas")
 
 
+def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):
+    """Strip zero-row blocks from a Dataset before a ``Dataset.join``.
+
+    Ray's hash aggregate (groupby().aggregate / map_groups) emits
+    ZERO-COLUMN empty blocks for key-less partitions, and ``Dataset.join``
+    rejects them ("No match ... for key field reference" from Acero).
+    They can't be conformed in-stream either: ``map_batches`` skips empty
+    blocks without calling the UDF. So: execute the upstream plan, keep the
+    non-empty plasma blocks (rows never move — the driver sees O(blocks)
+    booleans), and rebuild the Dataset from those refs. If everything is
+    empty, emit one typed empty block from ``empty_schema`` (required then,
+    since no schema survives otherwise)."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def nonempty(t: pa.Table) -> bool:
+        return t.num_rows > 0
+
+    refs = ds.to_arrow_refs()
+    keep = [r for r, ok in zip(refs, ray.get([nonempty.remote(r)
+                                              for r in refs])) if ok]
+    if not keep:
+        if empty_schema is None:
+            raise ValueError("all blocks empty and no empty_schema given")
+        return rd.from_arrow(empty_schema.empty_table())
+    return rd.from_arrow_refs(keep)
+
+
 def grouped_apply(ds, key_cols: list[str], pandas_fn, n_parts: int = 32):
     """Apply ``pandas_fn(group_df) -> DataFrame`` per distinct key tuple."""
 

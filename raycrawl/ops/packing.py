@@ -45,34 +45,40 @@ def _block_sum(tbl: pa.Table) -> int:
 @ray.remote
 def _finalize(tbl: pa.Table, offset: int, seq_len: int) -> pa.Table:
     if tbl.num_rows == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_tokens": pa.array([], pa.int64()),
-                         "start_tok": pa.array([], pa.int64()),
-                         "first_seq": pa.array([], pa.int64()),
-                         "last_seq": pa.array([], pa.int64()),
-                         "n_seqs": pa.array([], pa.int64())})
+        cols = {c: tbl[c] for c in tbl.column_names if c != "n_tokens"}
+        cols |= {"n_tokens": pa.array([], pa.int64()),
+                 "start_tok": pa.array([], pa.int64()),
+                 "first_seq": pa.array([], pa.int64()),
+                 "last_seq": pa.array([], pa.int64()),
+                 "n_seqs": pa.array([], pa.int64())}
+        return pa.table(cols)
     n = np.asarray(tbl["n_tokens"], dtype=np.int64)
     start = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
     first = start // seq_len
     last = (start + n - 1) // seq_len
-    return pa.table({"doc_id": tbl["doc_id"],
-                     "n_tokens": pa.array(n),
-                     "start_tok": pa.array(start),
-                     "first_seq": pa.array(first),
-                     "last_seq": pa.array(last),
-                     "n_seqs": pa.array(last - first + 1)})
+    cols = {c: tbl[c] for c in tbl.column_names if c != "n_tokens"}
+    cols |= {"n_tokens": pa.array(n),
+             "start_tok": pa.array(start),
+             "first_seq": pa.array(first),
+             "last_seq": pa.array(last),
+             "n_seqs": pa.array(last - first + 1)}
+    return pa.table(cols)
 
 
 def pack_offsets(ds, seq_len: int = 512, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", keep_cols: list[str] | None = None):
     """Global sequence-packing offsets in ``id_col`` order. Returns a
-    Dataset ``(doc_id, n_tokens, start_tok, first_seq, last_seq,
-    n_seqs)`` — one row per input doc."""
+    Dataset ``(doc_id, *keep_cols, n_tokens, start_tok, first_seq,
+    last_seq, n_seqs)`` — one row per input doc. ``keep_cols`` ride along
+    the exchange (they must be narrow — ids/keys, not text)."""
 
     def counts(batch: pa.Table) -> pa.Table:
         toks = [len((t or "").split(" ")) for t in batch[text_col].to_pylist()]
-        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
-                         "n_tokens": pa.array(toks, pa.int64())})
+        cols = {"doc_id": batch[id_col].cast(pa.int64())}
+        for c in keep_cols or []:
+            cols[c] = batch[c]
+        cols["n_tokens"] = pa.array(toks, pa.int64())
+        return pa.table(cols)
 
     import ray.data as rd
 

@@ -504,3 +504,41 @@ def test_span_fingerprints_short_and_empty_text(ray_session):
     assert len(fingerprint_rows("")) == 0
     assert len(fingerprint_rows("a b c d")) == 0      # < 5 tokens
     assert len(fingerprint_rows("a b c d e")) == 1    # exactly one gram
+
+
+def test_curate_corpus_stage_semantics(ray_session):
+    """Composed pipeline: stubs dropped, exact dup loses to min id, cap
+    keeps longest per source, only train-split ids survive, offsets are a
+    global doc_id-ordered scan with source riding through."""
+    from raycrawl.ops.curation import curate_corpus
+    from raycrawl.ops.sampling import _h32
+
+    long = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, "a", long("w", 60)),           # kept
+        (1, "a", long("w", 60)),           # exact dup of 0 -> dropped
+        (2, "a", "tiny"),                  # stub -> dropped
+        (3, "b", long("x", 40)),           # kept
+        (4, "b", long("y", 30)),           # kept (cap 1 drops it below)
+    ]
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "source": pa.array([r[1] for r in rows], pa.string()),
+                    "text": pa.array([r[2] for r in rows], pa.string())})
+    out = curate_corpus(rd.from_arrow(tbl).repartition(3), cap=1,
+                        train_pct=100, seq_len=32).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # cap=1 keeps the longest per source: 0 (a, 60 tok) and 3 (b, 40 tok)
+    assert out["doc_id"].tolist() == [0, 3]
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_tokens"].tolist() == [60, 40]
+    assert out["start_tok"].tolist() == [0, 60]
+    assert out["first_seq"].tolist() == [0, 1]   # 60 // 32 = 1
+    # doc 0: tokens 0..59 -> seqs 0..1; doc 3: tokens 60..99 -> seqs 1..3
+    assert out["n_seqs"].tolist() == [2, 3]
+
+    # train_pct really gates on the split hash: with the default 90 the
+    # survivors are exactly the ids whose bucket is < 90
+    out90 = curate_corpus(rd.from_arrow(tbl), cap=1,
+                          train_pct=90).to_pandas()
+    expect = [i for i in (0, 3) if _h32(str(i)) % 100 < 90]
+    assert sorted(out90["doc_id"].tolist()) == expect
