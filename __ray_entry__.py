@@ -1213,6 +1213,18 @@ def q_span_pairs(sf_dir: str):
     return shared_span_pairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_contamination(sf_dir: str):
+    """Train/eval contamination gate (ops/contamination.py): train-split
+    docs scanned against the test split's distinct 8-token grams — eval
+    grams broadcast ONCE via ray.put (guarded; an eval set is small by
+    construction), the train scan is shuffle-free map_batches. One row per
+    train doc with its eval-gram hit count."""
+    from raycrawl.ops.contamination import eval_contamination
+
+    return eval_contamination(_read_ds(sf_dir, "documents",
+                                       ["doc_id", "text"]))
+
+
 def q_events_quantiles(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p90/p99) via one
     distributed sort + rank-located row picks — bit-identical to
@@ -1340,6 +1352,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
+        "contamination": q_contamination,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -2099,6 +2112,36 @@ def oracle_sql() -> dict[str, str]:
                    (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
                        AS n_seqs
             FROM c
+        """,
+        # contamination: the split rule, 8-token grams as 1-based list
+        # slices, eval = test slice (bucket >= 95), distinct-gram join,
+        # LEFT JOIN so gram-less/clean train docs keep their zero row.
+        "contamination": """
+            WITH split AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 100 AS b
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, b, string_split(text, ' ') AS w
+                     FROM split),
+            g AS (
+                SELECT doc_id, b,
+                       array_to_string(w[(i+1):(i+8)], ' ') AS gram
+                FROM (SELECT doc_id, b, w, unnest(range(len(w) - 7)) AS i
+                      FROM toks WHERE len(w) >= 8)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE b >= 95),
+            tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE b < 90),
+            hits AS (
+                SELECT tg.doc_id, count(*) AS n
+                FROM tg JOIN ev USING (gram) GROUP BY tg.doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_grams,
+                   CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+            FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            WHERE s.b < 90
         """,
         # span_pairs: the radius-local-min fingerprint scheme restated —
         # grams are 1-based list slices w[(i+1):(i+5)] == Python

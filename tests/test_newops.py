@@ -542,3 +542,43 @@ def test_curate_corpus_stage_semantics(ray_session):
                           train_pct=90).to_pandas()
     expect = [i for i in (0, 3) if _h32(str(i)) % 100 < 90]
     assert sorted(out90["doc_id"].tolist()) == expect
+
+
+def test_eval_contamination_planted_overlap(ray_session):
+    """A train doc carrying a verbatim eval passage is flagged with the
+    right gram count; clean train docs keep zero rows; eval/val docs are
+    not scanned. Buckets are forced by picking ids with known splits."""
+    from raycrawl.ops.contamination import eval_contamination
+    from raycrawl.ops.sampling import _h32
+
+    train_ids = [i for i in range(300) if _h32(str(i)) % 100 < 90][:3]
+    test_ids = [i for i in range(300) if _h32(str(i)) % 100 >= 95][:1]
+    assert len(train_ids) == 3 and len(test_ids) == 1
+    passage = " ".join(f"ev{i}" for i in range(12))   # 12 toks -> 5 8-grams
+    rows = {
+        train_ids[0]: "lead tokens " + passage,       # contaminated
+        train_ids[1]: " ".join(f"c{i}" for i in range(20)),  # clean
+        train_ids[2]: "short text",                   # < 8 tokens -> 0 row
+        test_ids[0]: passage,
+    }
+    tbl = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string())})
+    out = eval_contamination(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    got = {r.doc_id: (r.n_eval_grams, r.contaminated)
+           for r in out.itertuples()}
+    assert set(got) == set(train_ids)                 # eval doc not scanned
+    assert got[train_ids[0]] == (5, 1)
+    assert got[train_ids[1]] == (0, 0)
+    assert got[train_ids[2]] == (0, 0)
+
+
+def test_eval_contamination_guard_fires(ray_session):
+    from raycrawl.ops.contamination import eval_contamination
+    from raycrawl.ops.sampling import _h32
+
+    tid = next(i for i in range(300) if _h32(str(i)) % 100 >= 95)
+    tbl = pa.table({"doc_id": pa.array([tid], pa.int64()),
+                    "text": pa.array([" ".join(f"t{i}" for i in range(40))],
+                                     pa.string())})
+    with pytest.raises(ValueError, match="eval grams"):
+        eval_contamination(rd.from_arrow(tbl), max_eval_grams=5).to_pandas()
