@@ -221,6 +221,13 @@ def run_bench() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "pages_per_sec": round(visited / crawl_s, 1) if crawl_s else None,
+        # the north_rule's second throughput surface: frontier pops/s
+        # (fetch grants + excluded/robots/extension skips all dequeue)
+        "frontier_urls_per_sec": (
+            round(sum((r.frontier_dequeued or {}).values()) / crawl_s, 1)
+            if crawl_s and r.frontier_dequeued else None),
+        "frontier_dequeued": (sum((r.frontier_dequeued or {}).values())
+                              if r.frontier_dequeued else None),
         "extract_pages_per_sec": round(n_extract / timings["extract_flat"], 1),
         "pages": n_pages,
         "replicas": replicas,

@@ -166,6 +166,9 @@ class CrawlResult:
     # per-partition lineage + fetch/extract metrics (north_rule): one row
     # per (stage, epoch, partition, site, outcome), aggregated worker-side
     metrics: pa.Table | None = None
+    # cumulative per-site frontier dequeues (pops incl. excluded/robots/
+    # extension skips) — the north_rule's frontier-dequeue-URLs/s numerator
+    frontier_dequeued: dict[str, int] | None = None
 
 
 def _site_runtime(s: SiteSpec) -> SiteRuntime:
@@ -908,6 +911,8 @@ class CrawlEngine:
             frontier_remainder=remainder,
             epochs=epoch,
             metrics=pa.Table.from_pylist(metrics_rows, schema=METRICS_SCHEMA),
+            frontier_dequeued=seen.popped_counts(
+                [rt.name for rt in self.sites]),
         )
 
     # ------------------------------------------------------------------

@@ -109,6 +109,7 @@ class SeenState:
         self.pending: dict[str, dict[str, tuple]] = {}  # per-wave hash proposals
         self.cache: dict[bytes, dict] = {}        # cross-run incremental state
         self.active: dict[str, int] = {}          # per-site active-frontier counters
+        self.popped: dict[str, int] = {}          # cumulative frontier dequeues
 
     # -- membership -------------------------------------------------------
     def _visited_contains(self, site: str, key: bytes) -> bool:
@@ -161,9 +162,18 @@ class SeenState:
     def adjust_active(self, deltas: dict[str, int]) -> None:
         for site, d in deltas.items():
             self.active[site] = self.active.get(site, 0) + d
+            if d < 0:
+                # negative deltas are exactly the pop paths (fetch /
+                # extension-skip inplace notes + excluded/robots removals)
+                # -> a cumulative frontier-dequeue counter for free, the
+                # north_rule's second throughput metric
+                self.popped[site] = self.popped.get(site, 0) - d
 
     def get_active(self, sites: list[str]) -> list[int]:
         return [self.active.get(s, 0) for s in sites]
+
+    def get_popped(self, sites: list[str]) -> list[int]:
+        return [self.popped.get(s, 0) for s in sites]
 
     # -- multi-site batched variants (one RPC per shard per wave partition,
     # regardless of how many sites/hosts the partition holds) --------------
@@ -278,6 +288,7 @@ class SeenState:
                 },
                 "cuckoo_capacity": self.cuckoo_capacity,
                 "active": self.active,
+                "popped": self.popped,
             }
         )
 
@@ -290,6 +301,7 @@ class SeenState:
         self.cache = d["cache"]
         self.cuckoo_capacity = d["cuckoo_capacity"]
         self.active = d.get("active", {})
+        self.popped = d.get("popped", {})
         self.visited_ck = {}
         for s, (nb, table, stash, count) in d["visited_ck"].items():
             ck = CuckooFilter(nb * 4)
@@ -443,6 +455,12 @@ class ShardedSeen:
         """Per-site ACTIVE frontier size (counter on shard 0)."""
         return dict(zip(sites, self._ray.get(
             self.shards[0].get_active.remote(sites)
+        )))
+
+    def popped_counts(self, sites: list[str]) -> dict[str, int]:
+        """Cumulative per-site frontier dequeues (pops), counter on shard 0."""
+        return dict(zip(sites, self._ray.get(
+            self.shards[0].get_popped.remote(sites)
         )))
 
     def get_cache(self, keys: list[bytes]) -> list[dict | None]:

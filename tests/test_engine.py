@@ -430,3 +430,41 @@ def test_wave_hot_host_fanout_parity(ray_session):
     assert r_serial.counters == r_fan.counters
     # the guard actually fired: the hot wave really exceeded the threshold
     assert sum(1 for v in v_f if v["host"] == "hot.example.org") == n + 1
+
+
+def test_seen_popped_counter_mechanics(ray_session):
+    """The shard-0 pop counter sums exactly the two pop paths (inplace
+    notes + excluded/robots removals); admissions don't count."""
+    from raycrawl.seen import ShardedSeen
+
+    seen = ShardedSeen(n_shards=2)
+    ks = [f"k{i}".encode().ljust(20, b"\0") for i in range(5)]
+    assert seen.admit_many([("s", k) for k in ks]) == [True] * 5
+    assert seen.popped_counts(["s"]) == {"s": 0}
+    seen.note_popped_inplace({"s": 2})            # fetched / ext-skip pops
+    seen.on_popped_many([("s", ks[0]), ("s", ks[1])])  # excluded/robots pops
+    seen.on_popped_many([("s", ks[0])])           # re-pop of a removed key:
+    assert seen.popped_counts(["s"]) == {"s": 4}  # no longer queued -> no-op
+
+
+@pytest.mark.parametrize("name", ["tree", "filters"])
+def test_wave_frontier_dequeue_counter(ray_session, name):
+    """frontier_dequeued counts every pop — fetch grants AND pop-time
+    excluded/robots/extension skips. Pop counts are schedule-dependent
+    (an excluded url discarded at pop is re-admittable when re-linked,
+    ref crawler.py:1162 — the wave engine may pop the boilerplate footer
+    link once per wave where the depth-first oracle pops it once), so the
+    pinned invariants are: >= visits everywhere, strictly > visits when
+    pop-time skips exist, and every extra pop is a skip not a re-fetch
+    (visit uniqueness is pinned by the seen/doc parity tests above)."""
+    s = scenario(name)
+    o = crawl_oracle(s["pages"], s["seeds"], s["robots"])
+    r = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                    cfg=CrawlConfig(mode="wave")).run()
+    visits = collections.Counter(v["site"] for v in r.visits.to_pylist())
+    got = {site: n for site, n in (r.frontier_dequeued or {}).items() if n}
+    assert set(got) == set(visits)
+    for site, n in got.items():
+        assert n >= visits[site]
+    if o.skips:  # scenario has pop-time skips -> dequeues must exceed visits
+        assert sum(got.values()) > sum(visits.values())
