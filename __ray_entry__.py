@@ -1213,6 +1213,107 @@ def q_span_pairs(sf_dir: str):
     return shared_span_pairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_search_pipeline(sf_dir: str):
+    """The reference's federated /api/search DAG (§3.3, api/routes/
+    search.py:56-186) composed END TO END as one batch pipeline over the
+    corpus: hybrid keyword+vector source (meilisearch stand-in, limit 2k)
+    ∥ a deterministic CSE-like secondary source → per-source SafetyFilter
+    (domain blacklist) → merge_results (norm-url first-wins dedup,
+    0.7/0.3 weights, top-2k) → join_embeddings (hash join; every 4th doc
+    vector-less, reranker.py ×0.1 penalty) → rerank_topk → final top-10
+    ranks. The primary source's score derives from its hybrid RANK
+    ((2k-rank+1)/2k), keeping every merge input integer-derived so the
+    oracle floors identically."""
+    import ray.data as rd
+
+    from raycrawl.ops.grouping import drop_empty_blocks
+    from raycrawl.ops.queryside import (
+        SafetyFilter,
+        hybrid_search,
+        join_embeddings,
+        merge_results,
+        rerank_topk,
+    )
+
+    K, LIM = 10, 20
+    emb_tbl = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).read_row_group(0, columns=["vec_id", "embedding"])
+    qvec = np.asarray(emb_tbl["embedding"][0].as_py(), dtype=np.float64)
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text", "lang"])
+    emb = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # source 1 (meilisearch stand-in): hybrid top-2k over lang='en'
+    hs = hybrid_search(docs, emb, ["hash", "merge", "vector", "window"],
+                       qvec, semantic_ratio=0.5, limit=LIM, lang="en")
+    ids = hs["doc_id"].to_pylist()
+    ranks = hs["rank"].to_pylist()
+    primary = rd.from_arrow(pa.table({
+        "url": pa.array(
+            [f"https://www.src{i % 20}.example.org/doc/{i}/" for i in ids]),
+        "title": pa.array([f"Doc {i}" for i in ids]),
+        "score": pa.array([(LIM - r + 1) / LIM for r in ranks], pa.float64()),
+    }))
+
+    # source 2 (CSE-like): every 3rd doc, #fragment url spelling
+    def secondary_rows(batch: pa.Table) -> pa.Table:
+        sids = [i for i in batch["doc_id"].to_pylist() if i % 3 == 0]
+        return pa.table({
+            "url": pa.array(
+                [f"https://src{i % 20}.example.org/doc/{i}#frag" for i in sids]),
+            "title": pa.array([f"Doc {i}" for i in sids]),
+            "score": pa.array([((i % 89) + 1) / 100.0 for i in sids],
+                              pa.float64()),
+        })
+
+    secondary = _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        secondary_rows, batch_format="pyarrow")
+
+    # per-source safety (search.py:140-142), then the federated merge
+    safe = SafetyFilter(blocked_domains=["src3.example.org"])
+    merged = merge_results(primary.map_batches(safe, batch_format="pyarrow"),
+                           secondary.map_batches(safe, batch_format="pyarrow"),
+                           0.7, 0.3, limit=LIM)
+    merged = drop_empty_blocks(
+        merged.map_batches(
+            lambda t: t.select(["norm_url", "score_ppm"]),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("norm_url", pa.string()),
+                                ("score_ppm", pa.int64())]))
+
+    # vector attach (hash join) + vector-less simulation + rerank
+    def with_id(batch: pa.Table) -> pa.Table:
+        urls = batch["norm_url"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[-1]) for u in urls],
+                               pa.int64()),
+            "url": batch["norm_url"],
+            "score": pa.array(
+                [s / 1_000_000.0 for s in batch["score_ppm"].to_pylist()],
+                pa.float64()),
+        })
+
+    rer_in = join_embeddings(merged.map_batches(with_id,
+                                                batch_format="pyarrow"), emb)
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        ids_ = batch["doc_id"].to_pylist()
+        embs = batch["embedding"].to_pylist()
+        return pa.table({
+            "url": batch["url"], "score": batch["score"],
+            "embedding": pa.array(
+                [None if i % 4 == 0 else e for i, e in zip(ids_, embs)],
+                pa.list_(pa.float64())),
+        })
+
+    out = rerank_topk(rer_in.map_batches(nullify, batch_format="pyarrow"),
+                      qvec, top_k=K)
+    rows = out.take_all()
+    return pa.Table.from_pylist(
+        [{"rank": i + 1, "url": r["url"]} for i, r in enumerate(rows)])
+
+
 def q_contamination(sf_dir: str):
     """Train/eval contamination gate (ops/contamination.py): train-split
     docs scanned against the test split's distinct 8-token grams — eval
@@ -1353,6 +1454,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
         "contamination": q_contamination,
+        "search_pipeline": q_search_pipeline,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -2112,6 +2214,87 @@ def oracle_sql() -> dict[str, str]:
                    (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
                        AS n_seqs
             FROM c
+        """,
+        # search_pipeline: the federated search DAG restated end to end —
+        # hybrid rank (same blend as search_hybrid), rank-derived primary
+        # score, CSE-like secondary, safety (doc_id%20<>3), first-wins
+        # merge with the exact ppm floors, vector-less ×0.1 penalty,
+        # cosine rerank; output is rank+url (floats order, never hash).
+        "search_pipeline": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            kw AS (
+                SELECT doc_id,
+                       (CASE WHEN position('hash' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('merge' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('vector' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END
+                      + CASE WHEN position('window' IN lower(text)) > 0
+                             THEN 1 ELSE 0 END)::BIGINT AS kw_hits
+                FROM documents WHERE lang = 'en'
+            ),
+            hscored AS (
+                SELECT kw.doc_id,
+                       0.5 * (kw.kw_hits / 4.0)
+                     + 0.5 * (1.0 + list_cosine_similarity(e.embedding, q.qe))
+                           / 2.0 AS s
+                FROM kw JOIN embeddings e ON e.vec_id = kw.doc_id
+                        CROSS JOIN q
+            ),
+            hybrid AS (
+                SELECT doc_id, rnk FROM (
+                    SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY s DESC, doc_id ASC) AS rnk
+                    FROM hscored
+                ) WHERE rnk <= 20
+            ),
+            prim AS (
+                SELECT doc_id,
+                       'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS norm_url,
+                       0 AS priority,
+                       CAST(floor((21 - rnk) / 20.0 * 0.7 * 1000000 + 0.5)
+                            AS BIGINT) AS score_ppm
+                FROM hybrid WHERE doc_id % 20 <> 3
+            ),
+            sec AS (
+                SELECT doc_id,
+                       'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS norm_url,
+                       1 AS priority,
+                       CAST(floor(((doc_id % 89) + 1) / 100.0 * 0.3 * 1000000
+                                  + 0.5) AS BIGINT) AS score_ppm
+                FROM documents WHERE doc_id % 3 = 0 AND doc_id % 20 <> 3
+            ),
+            u AS (SELECT * FROM prim UNION ALL SELECT * FROM sec),
+            d AS (
+                SELECT doc_id, norm_url, score_ppm,
+                       ROW_NUMBER() OVER (PARTITION BY norm_url
+                                          ORDER BY priority ASC) AS rn
+                FROM u
+            ),
+            merged AS (
+                SELECT doc_id, norm_url, score_ppm FROM d WHERE rn = 1
+                ORDER BY score_ppm DESC, norm_url ASC LIMIT 20
+            ),
+            rer AS (
+                SELECT m.norm_url AS url,
+                       CASE WHEN m.doc_id % 4 = 0
+                            THEN CAST(floor((m.score_ppm / 1000000.0) * 0.1
+                                            * 1000000 + 0.5) AS BIGINT)
+                            ELSE CAST(floor(list_cosine_similarity(
+                                     e.embedding, q.qe) * 1000000 + 0.5)
+                                 AS BIGINT) END AS rsc
+                FROM merged m JOIN embeddings e ON e.vec_id = m.doc_id
+                              CROSS JOIN q
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY rsc DESC, url ASC) AS rank,
+                   url
+            FROM rer ORDER BY rsc DESC, url ASC LIMIT 10
         """,
         # contamination: the split rule, 8-token grams as 1-based list
         # slices, eval = test slice (bucket >= 95), distinct-gram join,

@@ -87,6 +87,52 @@ def merge_results(primary_ds, secondary_ds, w_primary: float = 0.7,
     return deduped.sort(["score_ppm", "norm_url"], descending=[True, False]).limit(limit)
 
 
+def join_embeddings(results_ds, emb_ds, id_col: str = "doc_id",
+                    vec_id_col: str = "vec_id", n_parts: int | None = None):
+    """Attach each result row's embedding via a partitioned hash join —
+    the vector-attach step between merge and rerank in the reference's
+    search DAG (the reranker reads ``_vectors`` off each hit).
+
+    Acero (under ``Dataset.join``) rejects ``list<float>`` payload columns,
+    so embeddings cross the exchange packed as fixed_size_binary
+    (zero-copy from the float32 buffer) and unpack to ``list<float64>``
+    on the result side. Rows whose id has no embedding are dropped
+    (inner join) — nullify afterwards to simulate vector-less hits."""
+    from .grouping import resolve_parts
+
+    def pack_emb(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        mat = np.ascontiguousarray(
+            np.asarray(arr.flatten(), dtype=np.float32)
+        ).reshape(len(batch), -1)
+        width = mat.shape[1] * 4
+        bin_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat), [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table({vec_id_col: batch[vec_id_col].cast(pa.int64()),
+                         "emb_bin": bin_arr})
+
+    packed = emb_ds.map_batches(pack_emb, batch_format="pyarrow")
+    joined = results_ds.join(packed, join_type="inner",
+                             num_partitions=resolve_parts(n_parts),
+                             on=(id_col,), right_on=(vec_id_col,))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        col = batch["emb_bin"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = col.type.byte_width
+        mat = np.frombuffer(
+            col.buffers()[1], dtype=np.float32,
+            count=len(col) * (width // 4), offset=col.offset * width,
+        ).reshape(len(col), -1).astype(np.float64)
+        out = batch.drop_columns(["emb_bin"])
+        return out.append_column(
+            "embedding", pa.array(list(mat), pa.list_(pa.float64())))
+
+    return joined.map_batches(unpack, batch_format="pyarrow")
+
+
 def rerank_topk(results_ds, query_embedding: np.ndarray, top_k: int = 10):
     """Semantic rerank: cosine(query, row.embedding) replaces the score for
     rows with vectors; rows without keep score×0.1 (reranker.py:77-81);

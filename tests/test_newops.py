@@ -582,3 +582,23 @@ def test_eval_contamination_guard_fires(ray_session):
                                      pa.string())})
     with pytest.raises(ValueError, match="eval grams"):
         eval_contamination(rd.from_arrow(tbl), max_eval_grams=5).to_pandas()
+
+
+def test_join_embeddings_roundtrip(ray_session):
+    """Vectors survive the packed fixed_size_binary exchange bit-exactly at
+    float32 precision, joined to the right ids."""
+    from raycrawl.ops.queryside import join_embeddings
+
+    vecs = {1: [0.5, -1.25, 3.0], 7: [2.0, 0.0, -0.125], 9: [1.0, 2.0, 4.0]}
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+    })).repartition(2)
+    res = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 1], pa.int64()),
+        "score": pa.array([0.3, 0.9], pa.float64()),
+    }))
+    out = join_embeddings(res, emb).to_pandas()
+    got = {r.doc_id: list(r.embedding) for r in out.itertuples()}
+    assert got == {7: vecs[7], 1: vecs[1]}          # 9 not requested
+    assert set(out.columns) == {"doc_id", "score", "embedding"}
