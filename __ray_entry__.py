@@ -1213,6 +1213,32 @@ def q_span_pairs(sf_dir: str):
     return shared_span_pairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing (ops/textstats.pii_scrub_batch): deterministic emails
+    and 9+-digit identifiers planted by doc_id residue (the raw corpus has
+    none), then redacted with counts. The oracle replants and replays the
+    same RE2-compatible regexes via regexp_replace/regexp_extract_all."""
+    from raycrawl.ops.textstats import pii_scrub_batch
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, txts):
+            t = t or ""
+            if i % 4 == 0:
+                t += f" contact{i}@mail.example.org"
+            if i % 5 == 0:
+                t += f" ref {900000000 + i}"
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return (_read_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(pii_scrub_batch, batch_format="pyarrow"))
+
+
 def q_search_pipeline(sf_dir: str):
     """The reference's federated /api/search DAG (§3.3, api/routes/
     search.py:56-186) composed END TO END as one batch pipeline over the
@@ -1455,6 +1481,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "contamination": q_contamination,
         "search_pipeline": q_search_pipeline,
+        "pii_scrub": q_pii_scrub,
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
@@ -2214,6 +2241,38 @@ def oracle_sql() -> dict[str, str]:
                    (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
                        AS n_seqs
             FROM c
+        """,
+        # pii_scrub: replant the emails/ids, then the same two RE2
+        # patterns — counts BEFORE replacement, emails replaced first.
+        "pii_scrub": """
+            WITH planted AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' contact' || CAST(doc_id AS VARCHAR)
+                                    || '@mail.example.org' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' ref '
+                                    || CAST(900000000 + doc_id AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            em AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t2
+                FROM planted
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '[0-9]{9,}', '<ID>', 'g') AS clean_text,
+                   n_emails,
+                   CAST(len(regexp_extract_all(t2, '[0-9]{9,}')) AS BIGINT)
+                       AS n_ids
+            FROM em
         """,
         # search_pipeline: the federated search DAG restated end to end —
         # hybrid rank (same blend as search_hybrid), rank-derived primary

@@ -180,6 +180,38 @@ def _doc_chunks(text: str, chunk_tokens: int) -> list[str]:
             for i in range(n)]
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{9,}"
+
+
+def pii_scrub_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """C4-style PII scrub: replace email addresses with ``<EMAIL>`` and
+    9+-digit runs (account/phone-shaped identifiers) with ``<ID>``, emails
+    first. Patterns are RE2-compatible (no backrefs/lookaround) so the
+    DuckDB oracle's ``regexp_replace(..., 'g')`` applies the IDENTICAL
+    semantics; counts are taken before replacement. Stateless vectorizable
+    batch fn — the scrub a training corpus runs over every document."""
+    import re as _re
+
+    em = _re.compile(PII_EMAIL_RE)
+    ln = _re.compile(PII_LONGNUM_RE)
+    ids = batch[id_col].to_pylist()
+    out_t, n_em, n_id = [], [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        n_em.append(len(em.findall(t)))
+        t2 = em.sub("<EMAIL>", t)
+        n_id.append(len(ln.findall(t2)))
+        out_t.append(ln.sub("<ID>", t2))
+    return pa.table({
+        "doc_id": batch[id_col].cast(pa.int64()),
+        "clean_text": pa.array(out_t, pa.string()),
+        "n_emails": pa.array(n_em, pa.int64()),
+        "n_ids": pa.array(n_id, pa.int64()),
+    })
+
+
 def repeated_chunk_removal(ds, chunk_tokens: int = 20, min_df: int = 2,
                            max_hot: int = 1_000_000):
     """C4/CCNet-style repeated-boilerplate removal: delete every

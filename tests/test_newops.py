@@ -602,3 +602,27 @@ def test_join_embeddings_roundtrip(ray_session):
     got = {r.doc_id: list(r.embedding) for r in out.itertuples()}
     assert got == {7: vecs[7], 1: vecs[1]}          # 9 not requested
     assert set(out.columns) == {"doc_id", "score", "embedding"}
+
+
+def test_pii_scrub_edge_cases():
+    from raycrawl.ops.textstats import pii_scrub_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@x-y.example.co and d@e.org here",
+            "card 1234567890123 and pin 12345678",     # 13 digits vs 8
+            "user123456789@mail.org",                  # digits inside email
+            None,
+        ], pa.string()),
+    })
+    out = pii_scrub_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_ids"] == 0
+    assert "a.b+c@x-y.example.co" not in out.loc[0, "clean_text"]
+    assert out.loc[0, "clean_text"].count("<EMAIL>") == 2
+    # only the 9+-digit run is an id; the 8-digit pin survives
+    assert out.loc[1, "n_ids"] == 1 and "12345678" in out.loc[1, "clean_text"]
+    assert "<ID>" in out.loc[1, "clean_text"]
+    # email scrub runs FIRST: its digits never double-count as an id
+    assert out.loc[2, "n_emails"] == 1 and out.loc[2, "n_ids"] == 0
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_emails"] == 0
