@@ -369,6 +369,29 @@ def q_text_quality(sf_dir: str):
     )
 
 
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (integer numerators) per
+    document — duplicate line/paragraph mass and top-bigram mass, plus the
+    0/1 Gopher keep gate. Exactly SQL-expressible (string_split + per-doc
+    group counts + a ROW_NUMBER top-1 bigram), so the oracle gates the full
+    per-doc arithmetic including the tie-break (max count, then
+    lexicographically smallest bigram)."""
+    from raycrawl.ops.textstats import repetition_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def q_text_rarity(sf_dir: str):
+    """CCNet-style corpus-unigram rarity proxy: vocabulary built
+    distributed (partial Counters → groupby Sum), broadcast once, scored
+    per batch. Integer-exact (n_tokens, sum_token_freq)."""
+    from raycrawl.ops.textstats import unigram_rarity
+
+    return unigram_rarity(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_text_langid(sf_dir: str):
     """Language-ID over the corpus with deterministic per-doc language
     markers planted (``_LANG_MARKERS`` by doc_id % 5) so the stopword-vote
@@ -1439,6 +1462,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_repetition": q_text_repetition,
+        "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
         "text_chunk_dedup": q_text_chunk_dedup,
         "token_top20": q_token_top20,
@@ -1783,6 +1808,79 @@ def oracle_sql() -> dict[str, str]:
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
                        AS digit_chars
             FROM documents
+        """,
+        "text_repetition": """
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ), lg AS (
+                SELECT doc_id, line, COUNT(*) AS c
+                FROM lines GROUP BY doc_id, line
+            ), lstat AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+                       CAST(SUM((c - 1) * length(line)) AS BIGINT)
+                           AS dup_line_chars
+                FROM lg GROUP BY doc_id
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10) || chr(10))) AS para
+                FROM documents
+            ), pg AS (
+                SELECT doc_id, para, COUNT(*) AS c
+                FROM paras GROUP BY doc_id, para
+            ), pstat AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_paras,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_paras
+                FROM pg GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), bigr AS (
+                SELECT doc_id,
+                       unnest([ts[i] || ' ' || ts[i + 1]
+                               for i in range(1, len(ts))]) AS bg
+                FROM toks WHERE len(ts) >= 2
+            ), bgc AS (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM bigr GROUP BY doc_id, bg
+            ), best AS (
+                SELECT doc_id,
+                       CAST(c AS BIGINT) AS top_bigram_count,
+                       CAST(c * length(bg) AS BIGINT) AS top_bigram_chars
+                FROM (SELECT doc_id, bg, c,
+                             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY c DESC, bg ASC) AS rn
+                      FROM bgc) WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   l.n_lines, l.dup_lines, l.dup_line_chars,
+                   p.n_paras, p.dup_paras,
+                   COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+                   COALESCE(b.top_bigram_chars, 0) AS top_bigram_chars,
+                   CAST(l.dup_lines * 10 < 3 * l.n_lines
+                        AND p.dup_paras * 10 < 3 * p.n_paras
+                        AND COALESCE(b.top_bigram_chars, 0) * 5
+                            < greatest(length(d.text), 1)
+                        AS BIGINT) AS keep_repetition
+            FROM documents d
+            JOIN lstat l USING (doc_id)
+            JOIN pstat p USING (doc_id)
+            LEFT JOIN best b USING (doc_id)
+        """,
+        "text_rarity": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(c.c) AS BIGINT) AS sum_token_freq
+            FROM toks t JOIN cnt c USING (token)
+            GROUP BY t.doc_id
         """,
         "token_top20": """
             SELECT token, COUNT(*) AS occurrences FROM (

@@ -276,6 +276,127 @@ def repeated_chunk_removal(ds, chunk_tokens: int = 20, min_df: int = 2,
     return ds.map_batches(remove, batch_format="pyarrow")
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    "Scaling Language Models", quality-filter table): duplicate-line and
+    duplicate-paragraph fractions plus the most-frequent word-bigram's mass.
+    All outputs are raw INTEGER numerators/denominators (not floats) so the
+    DuckDB oracle hashes bit-identically; a consumer derives the Gopher
+    fractions as dup_lines/n_lines, dup_line_chars/n_chars, etc.
+
+    Per row:
+      n_lines / dup_lines        — lines split on '\\n'; dup = occurrences
+                                   beyond the first of each distinct line
+      dup_line_chars             — sum((count-1) * len(line)) over lines
+      n_paras / dup_paras        — same on '\\n\\n' paragraph blocks
+      top_bigram_count           — count of the most frequent token bigram
+                                   (ties → lexicographically smallest)
+      top_bigram_chars           — count * len(bigram string)
+      keep_repetition            — 0/1 Gopher gate: dup-line frac < 0.30
+                                   AND dup-para frac < 0.30 AND top-bigram
+                                   char mass < 0.20 of n_chars (integer
+                                   cross-multiplied, no float compare)
+
+    Stateless vectorizable batch fn; tokenization is the corpus-wide
+    split-on-' ' convention shared with token_stats_batch so every text op
+    agrees with the same SQL oracle tokenizer."""
+    ids = batch["doc_id"]
+    texts = batch["text"].to_pylist()
+    n_lines, dup_lines, dup_line_chars = [], [], []
+    n_paras, dup_paras = [], []
+    tb_count, tb_chars, keep = [], [], []
+    for t in texts:
+        t = t or ""
+        lines = t.split("\n")
+        lc = Counter(lines)
+        n_lines.append(len(lines))
+        dup_lines.append(sum(c - 1 for c in lc.values() if c > 1))
+        dup_line_chars.append(
+            sum((c - 1) * len(l) for l, c in lc.items() if c > 1))
+        paras = t.split("\n\n")
+        pc = Counter(paras)
+        n_paras.append(len(paras))
+        dup_paras.append(sum(c - 1 for c in pc.values() if c > 1))
+        toks = t.split(" ")
+        if len(toks) >= 2:
+            bc = Counter(a + " " + b for a, b in zip(toks, toks[1:]))
+            best = min(bc.items(), key=lambda kv: (-kv[1], kv[0]))
+            tb_count.append(best[1])
+            tb_chars.append(best[1] * len(best[0]))
+        else:
+            tb_count.append(0)
+            tb_chars.append(0)
+        nch = len(t)
+        keep.append(int(dup_lines[-1] * 10 < 3 * n_lines[-1]
+                        and dup_paras[-1] * 10 < 3 * n_paras[-1]
+                        and tb_chars[-1] * 5 < max(nch, 1)))
+    return pa.table({
+        "doc_id": ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "dup_lines": pa.array(dup_lines, pa.int64()),
+        "dup_line_chars": pa.array(dup_line_chars, pa.int64()),
+        "n_paras": pa.array(n_paras, pa.int64()),
+        "dup_paras": pa.array(dup_paras, pa.int64()),
+        "top_bigram_count": pa.array(tb_count, pa.int64()),
+        "top_bigram_chars": pa.array(tb_chars, pa.int64()),
+        "keep_repetition": pa.array(keep, pa.int64()),
+    })
+
+
+def unigram_rarity(ds, max_vocab: int = 5_000_000):
+    """CCNet-style corpus-LM rarity proxy: score each document by the
+    corpus-wide frequency of its own unigrams (a document of rare tokens
+    has low mean document frequency — the cheap stand-in for the KenLM
+    perplexity CCNet buckets on). Two passes:
+
+    1. Vocabulary: per-batch Counter partials (one (token, n) row per
+       token per batch) → small groupby Sum — the shuffle moves partials,
+       never documents.
+    2. The vocabulary is driver-collected and broadcast ONCE via
+       ``ray.put`` (the CCNet pattern: the LM is a model artifact shipped
+       to every worker, not a join side). ``max_vocab`` guards the
+       broadcast assumption — a corpus whose distinct-token count exceeds
+       it should prune with a min-count cut or switch to the
+       hash-partitioned PartitionedLookup used by minhash dedup
+       (raycrawl/ops/dedup.py) rather than silently shipping gigabytes.
+
+    Returns (doc_id, n_tokens, sum_token_freq) — integer-exact; mean
+    token document-frequency = sum_token_freq / n_tokens. Oracle-gated
+    end to end by the ``text_rarity`` SQL (explode → count → join → sum)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        toks = list(c.keys())
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array([c[k] for k in toks], pa.int64())})
+
+    vocab_ds = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+                .groupby("token").aggregate(Sum("n", alias_name="n")))
+    rows = vocab_ds.take(max_vocab + 1)
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"unigram_rarity: vocabulary exceeds {max_vocab} tokens; apply "
+            "a min-count prune or switch to a PartitionedLookup join")
+    vocab_ref = ray.put({r["token"]: r["n"] for r in rows})
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        n_toks, sums = [], []
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split(" ")
+            n_toks.append(len(toks))
+            sums.append(sum(vocab[w] for w in toks))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n_toks, pa.int64()),
+                         "sum_token_freq": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

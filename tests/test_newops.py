@@ -626,3 +626,68 @@ def test_pii_scrub_edge_cases():
     # email scrub runs FIRST: its digits never double-count as an id
     assert out.loc[2, "n_emails"] == 1 and out.loc[2, "n_ids"] == 0
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_emails"] == 0
+
+
+def test_repetition_signals_hand_computed():
+    from raycrawl.ops.textstats import repetition_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a\na\nb",                 # 3 lines, 'a' twice -> 1 dup, 1 char
+            "p q\n\np q\n\nr",         # paras: 'p q' twice -> 1 dup para
+            "x y x y x y",             # bigram 'x y' x3 vs 'y x' x2
+            "solo",                    # single token: no bigrams
+        ], pa.string()),
+    })
+    out = repetition_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 3 and out.loc[0, "dup_lines"] == 1
+    assert out.loc[0, "dup_line_chars"] == 1
+    assert out.loc[1, "n_paras"] == 3 and out.loc[1, "dup_paras"] == 1
+    assert out.loc[2, "top_bigram_count"] == 3
+    assert out.loc[2, "top_bigram_chars"] == 3 * len("x y")
+    assert out.loc[3, "top_bigram_count"] == 0
+    # doc 0: dup_line frac 1/3 >= 0.30 -> dropped by the Gopher gate
+    assert out.loc[0, "keep_repetition"] == 0
+    assert out.loc[3, "keep_repetition"] == 1
+
+
+def test_repetition_bigram_tie_breaks_lexicographic():
+    from raycrawl.ops.textstats import repetition_batch
+
+    # 'b c' and 'a b' both occur twice -> smallest bigram string wins
+    tbl = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c a b c"], pa.string()),
+    })
+    out = repetition_batch(tbl).to_pandas()
+    assert out.loc[0, "top_bigram_count"] == 2
+    assert out.loc[0, "top_bigram_chars"] == 2 * len("a b")
+
+
+def test_unigram_rarity_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import unigram_rarity
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a a b", "a c", "d"], pa.string()),
+    }))
+    out = unigram_rarity(ds).to_pandas().set_index("doc_id").sort_index()
+    # corpus counts: a=3, b=1, c=1, d=1
+    assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "sum_token_freq"] == 7
+    assert out.loc[1, "n_tokens"] == 2 and out.loc[1, "sum_token_freq"] == 4
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "sum_token_freq"] == 1
+
+
+def test_unigram_rarity_vocab_guard(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from raycrawl.ops.textstats import unigram_rarity
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c d e"], pa.string()),
+    }))
+    with _pytest.raises(ValueError, match="vocabulary exceeds"):
+        unigram_rarity(ds, max_vocab=3).to_pandas()
