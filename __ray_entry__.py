@@ -392,6 +392,40 @@ def q_text_rarity(sf_dir: str):
     return unigram_rarity(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_text_c4_filter(sf_dir: str):
+    """C4-style line retention + document gate (terminal-punct ≥5-word
+    lines, ≥3 survivors, no brace / lorem-ipsum). The raw corpus is a flat
+    token stream (no newlines/punctuation), so — as with pii_scrub — a
+    5-line document is planted deterministically by doc_id residue from
+    the doc's own tokens, exercising every branch: the word-count floor,
+    each terminal-punct variant, the brace gate (doc_id%3) and the
+    case-insensitive lorem-ipsum gate (doc_id%7). The oracle replants
+    identically in SQL."""
+    from raycrawl.ops.textstats import c4_line_filter_batch
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            toks = (t or "").split(" ")
+            lines = [
+                " ".join(toks[:6]) + ".",
+                "tiny line",
+                " ".join(toks[6:11]) + ("!" if i % 2 == 0 else ""),
+                ("brace { in this long line." if i % 3 == 0
+                 else "another good sentence is here?"),
+                ("Lorem Ipsum dolor sit amet text." if i % 7 == 0
+                 else 'quoted line with five words here."'),
+            ]
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return (_read_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(c4_line_filter_batch, batch_format="pyarrow"))
+
+
 def q_text_langid(sf_dir: str):
     """Language-ID over the corpus with deterministic per-doc language
     markers planted (``_LANG_MARKERS`` by doc_id % 5) so the stopword-vote
@@ -1463,6 +1497,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,
+        "text_c4_filter": q_text_c4_filter,
         "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
         "text_chunk_dedup": q_text_chunk_dedup,
@@ -1868,6 +1903,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN lstat l USING (doc_id)
             JOIN pstat p USING (doc_id)
             LEFT JOIN best b USING (doc_id)
+        """,
+        "text_c4_filter": """
+            WITH built AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 6), ' ') || '.' AS l1,
+                       'tiny line' AS l2,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  7, 11), ' ')
+                           || CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END
+                           AS l3,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'brace { in this long line.'
+                            ELSE 'another good sentence is here?' END AS l4,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'Lorem Ipsum dolor sit amet text.'
+                            ELSE 'quoted line with five words here."' END
+                           AS l5
+                FROM documents
+            ), planted AS (
+                SELECT doc_id,
+                       l1 || chr(10) || l2 || chr(10) || l3 || chr(10)
+                          || l4 || chr(10) || l5 AS text
+                FROM built
+            ), lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM planted
+            ), kept AS (
+                SELECT doc_id, len(ls) AS n_lines,
+                       [l for l in ls
+                        if len(string_split(l, ' ')) >= 5
+                           and (l LIKE '%.' OR l LIKE '%!'
+                                OR l LIKE '%?' OR l LIKE '%"')] AS ks
+                FROM lines
+            )
+            SELECT doc_id, n_lines,
+                   len(ks) AS kept_lines,
+                   COALESCE(array_to_string(ks, chr(10)), '') AS kept_text,
+                   CAST(len(ks) >= 3
+                        AND NOT contains(COALESCE(array_to_string(ks,
+                                                  chr(10)), ''), '{')
+                        AND NOT contains(lower(COALESCE(array_to_string(ks,
+                                                  chr(10)), '')),
+                                         'lorem ipsum')
+                        AS BIGINT) AS keep_c4
+            FROM kept
         """,
         "text_rarity": """
             WITH toks AS (

@@ -343,6 +343,37 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
+    """C4-style line/document cleaning (Raffel et al. 2020 §2.2): keep only
+    lines with ≥5 whitespace tokens that end in terminal punctuation
+    ('.', '!', '?', '"'); then gate the document — keep iff ≥3 lines
+    survived, the retained text contains no '{' (code/markup tell) and no
+    'lorem ipsum' (placeholder tell, case-insensitive). Emits the retained
+    text plus integer counters and the 0/1 gate; stateless vectorizable
+    batch fn, exactly reproduced by the DuckDB list-comprehension oracle."""
+    ids = batch["doc_id"]
+    texts = batch["text"].to_pylist()
+    n_lines, kept_lines, kept_text, keep = [], [], [], []
+    for t in texts:
+        t = t or ""
+        lines = t.split("\n")
+        ks = [l for l in lines
+              if len(l.split(" ")) >= 5 and l.endswith((".", "!", "?", '"'))]
+        kt = "\n".join(ks)
+        n_lines.append(len(lines))
+        kept_lines.append(len(ks))
+        kept_text.append(kt)
+        keep.append(int(len(ks) >= 3 and "{" not in kt
+                        and "lorem ipsum" not in kt.lower()))
+    return pa.table({
+        "doc_id": ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "kept_lines": pa.array(kept_lines, pa.int64()),
+        "kept_text": pa.array(kept_text, pa.string()),
+        "keep_c4": pa.array(keep, pa.int64()),
+    })
+
+
 def unigram_rarity(ds, max_vocab: int = 5_000_000):
     """CCNet-style corpus-LM rarity proxy: score each document by the
     corpus-wide frequency of its own unigrams (a document of rare tokens

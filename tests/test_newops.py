@@ -691,3 +691,27 @@ def test_unigram_rarity_vocab_guard(ray_session):
     }))
     with _pytest.raises(ValueError, match="vocabulary exceeds"):
         unigram_rarity(ds, max_vocab=3).to_pandas()
+
+
+def test_c4_line_filter_hand_computed():
+    from raycrawl.ops.textstats import c4_line_filter_batch
+
+    doc = ("Good line one is right here.\n"      # kept
+           "short\n"                              # <5 words
+           "No terminal punctuation on this\n"    # no punct
+           "Another proper sentence ends well!\n"  # kept
+           "Does this one have five words?")       # kept
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            doc,
+            doc + "\nbrace { inside this long sentence.",   # gate: brace
+            "one kept sentence is not enough.",              # gate: <3
+        ], pa.string()),
+    })
+    out = c4_line_filter_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "kept_lines"] == 3
+    assert out.loc[0, "kept_text"].count("\n") == 2
+    assert out.loc[0, "keep_c4"] == 1
+    assert out.loc[1, "kept_lines"] == 4 and out.loc[1, "keep_c4"] == 0
+    assert out.loc[2, "kept_lines"] == 1 and out.loc[2, "keep_c4"] == 0
