@@ -426,6 +426,31 @@ def q_text_c4_filter(sf_dir: str):
             .map_batches(c4_line_filter_batch, batch_format="pyarrow"))
 
 
+def q_text_normalize(sf_dir: str):
+    """CCNet-style normalization (lowercase + accent fold). Accented
+    markers are planted by doc_id residue (the raw corpus is plain ASCII)
+    so the fold path is exercised non-vacuously; the oracle replants and
+    applies DuckDB's lower(strip_accents(...)) — the identical fold."""
+    from raycrawl.ops.textstats import normalize_text_batch
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            if i % 3 == 0:
+                t += " Éléphant Über"
+            if i % 5 == 0:
+                t += " FAÇADE naïve"
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return (_read_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(normalize_text_batch, batch_format="pyarrow"))
+
+
 def q_text_langid(sf_dir: str):
     """Language-ID over the corpus with deterministic per-doc language
     markers planted (``_LANG_MARKERS`` by doc_id % 5) so the stopword-vote
@@ -1498,6 +1523,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,
         "text_c4_filter": q_text_c4_filter,
+        "text_normalize": q_text_normalize,
         "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
         "text_chunk_dedup": q_text_chunk_dedup,
@@ -1949,6 +1975,22 @@ def oracle_sql() -> dict[str, str]:
                                          'lorem ipsum')
                         AS BIGINT) AS keep_c4
             FROM kept
+        """,
+        "text_normalize": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                         || CASE WHEN doc_id % 3 = 0
+                                 THEN ' Éléphant Über' ELSE '' END
+                         || CASE WHEN doc_id % 5 = 0
+                                 THEN ' FAÇADE naïve' ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   lower(strip_accents(text)) AS norm_text,
+                   CAST(lower(strip_accents(text)) <> lower(text) AS BIGINT)
+                       AS changed
+            FROM planted
         """,
         "text_rarity": """
             WITH toks AS (

@@ -374,6 +374,30 @@ def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """CCNet-style pre-LM text normalization: lowercase + accent folding
+    (NFD decompose, drop combining marks — the same fold DuckDB's
+    ``strip_accents`` applies, verified char-for-char for latin accents,
+    so the ``lower(strip_accents(text))`` oracle is exact). Emits the
+    normalized text plus a 0/1 ``changed`` flag (fold altered something
+    beyond plain lowercasing). Stateless vectorizable batch fn."""
+    import unicodedata
+
+    texts = batch["text"].to_pylist()
+    norm, changed = [], []
+    for t in texts:
+        t = t or ""
+        nfd = unicodedata.normalize("NFD", t)
+        n = "".join(c for c in nfd if not unicodedata.combining(c)).lower()
+        norm.append(n)
+        changed.append(int(n != t.lower()))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": pa.array(norm, pa.string()),
+        "changed": pa.array(changed, pa.int64()),
+    })
+
+
 def unigram_rarity(ds, max_vocab: int = 5_000_000):
     """CCNet-style corpus-LM rarity proxy: score each document by the
     corpus-wide frequency of its own unigrams (a document of rare tokens

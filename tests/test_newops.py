@@ -715,3 +715,19 @@ def test_c4_line_filter_hand_computed():
     assert out.loc[0, "keep_c4"] == 1
     assert out.loc[1, "kept_lines"] == 4 and out.loc[1, "keep_c4"] == 0
     assert out.loc[2, "kept_lines"] == 1 and out.loc[2, "keep_c4"] == 0
+
+
+def test_normalize_text_fold():
+    from raycrawl.ops.textstats import normalize_text_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["Crème BRÛLÉE à la façon", "PLAIN ascii", None],
+                         pa.string()),
+    })
+    out = normalize_text_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[0, "norm_text"] == "creme brulee a la facon"
+    assert out.loc[0, "changed"] == 1
+    assert out.loc[1, "norm_text"] == "plain ascii"
+    assert out.loc[1, "changed"] == 0          # lowercase-only is not a fold
+    assert out.loc[2, "norm_text"] == "" and out.loc[2, "changed"] == 0
