@@ -353,6 +353,27 @@ def q_embed_topk_ivf(sf_dir: str):
     return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=32, nprobe=8)
 
 
+def q_embed_clusters(sf_dir: str):
+    """Semantic cluster assignment over the embeddings table (data-mixing /
+    SemDeDup building block): deterministic distributed Lloyd, then one
+    assignment pass. Rows-only (iterative, not SQL-expressible); integer
+    sim_ppm keeps the output hash-stable across runs."""
+    from raycrawl.ops.similarity import cluster_assign
+
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster_assign(ds, n_centroids=16, iters=2)
+
+
+def q_text_compression(sf_dir: str):
+    """zlib compression-ratio quality proxy — deterministic rows-only
+    (deflate is not SQL-expressible)."""
+    from raycrawl.ops.textstats import compression_stats_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        compression_stats_batch, batch_format="pyarrow"
+    )
+
+
 def q_text_tokens(sf_dir: str):
     from raycrawl.ops.textstats import token_stats_batch
 
@@ -1524,6 +1545,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_text_repetition,
         "text_c4_filter": q_text_c4_filter,
         "text_normalize": q_text_normalize,
+        "text_compression": q_text_compression,
+        "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
         "text_chunk_dedup": q_text_chunk_dedup,

@@ -3,11 +3,11 @@
 ``Dataset.groupby(key).map_groups(fn)`` materializes one pandas frame per
 group; with thousands of tiny groups (LSH buckets, simhash chunks, pair
 keys) the per-group overhead dominates by orders of magnitude. The pattern
-here hash-partitions the keys into ``n_parts`` coarse groups (one shuffle,
-same cost class as groupby) and processes each partition with vectorized
-pandas. Correctness is identical: all rows of a key land in exactly one
-partition (crc32 of the key), so partition functions always see complete
-key groups.
+here hash-partitions the keys into ``n_parts`` coarse groups (one DIY
+two-round task hash shuffle — no sort, blocks stay in plasma) and processes
+each partition with vectorized pandas. Correctness is identical: all rows
+of a key land in exactly one partition (vectorized siphash of the key), so
+partition functions always see complete key groups.
 
 - ``partitioned_apply``: fn sees the whole partition (use pandas groupby /
   drop_duplicates inside — the fast C path).
@@ -19,10 +19,9 @@ for empty input — that is the schema contract.
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
+import ray as _ray
 
 
 def resolve_parts(n_parts: int | None) -> int:
@@ -40,25 +39,80 @@ def resolve_parts(n_parts: int | None) -> int:
     return 32
 
 
-def _add_part(batch: pa.Table, key_cols: list[str], n_parts: int) -> pa.Table:
-    if len(key_cols) == 1:
-        keys = batch[key_cols[0]].to_pylist()
+def _part_masks(batch: pa.Table, key_cols: list[str], n_parts: int):
+    """Vectorized partition assignment: per-column ``pd.util.hash_array``
+    (siphash with a fixed key — stable across worker processes), columns
+    mixed by odd-multiplier accumulate. Only within-call consistency
+    matters (every row of a key tuple lands in one partition); the 3 M-row
+    pair-unique split was a per-row Python crc32 loop before this."""
+    import numpy as np
+
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        col = batch[c].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(col, categorize=False)
+        acc = acc * np.uint64(0x9E3779B1) + h
+    return (acc % np.uint64(n_parts)).astype(np.int32)
+
+
+@_ray.remote
+def _part_split(tbl: pa.Table, key_cols: list[str], n_parts: int):
+    import numpy as np
+
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        # hash aggregates upstream can emit zero-row (even zero-column)
+        # blocks; the old map_batches path skipped them implicitly
+        return tuple(tbl.slice(0, 0) for _ in range(n_parts))
+    parts = _part_masks(tbl, key_cols, n_parts)
+    return tuple(tbl.take(np.nonzero(parts == p)[0])
+                 for p in range(n_parts))
+
+
+@_ray.remote
+def _part_apply(partition_fn, *slices: pa.Table) -> pa.Table:
+    live = [s for s in slices if s.num_rows]
+    if live:
+        pdf = pa.concat_tables(live, promote_options="permissive").to_pandas()
     else:
-        keys = list(zip(*[batch[c].to_pylist() for c in key_cols]))
-    parts = [zlib.crc32(str(v).encode()) % n_parts for v in keys]
-    return batch.append_column("_part", pa.array(parts, pa.int32()))
+        # schema contract: partition_fn returns a correctly-typed (possibly
+        # empty) frame for empty input; prefer a slice that carries columns
+        ref = next((s for s in slices if s.num_columns), slices[0])
+        pdf = ref.schema.empty_table().to_pandas()
+    out = partition_fn(pdf)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
-    """One shuffle on crc32(key) % n_parts; ``partition_fn(pdf)`` runs per
-    partition with complete key groups."""
+    """``partition_fn(pdf)`` runs once per partition with complete key
+    groups, co-located by hash(key) % n_parts.
 
-    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        return partition_fn(pdf.drop(columns=["_part"]))
+    The exchange is a DIY two-round task hash shuffle (the same pattern as
+    the wave engine's frontier routing and pagerank): round A hash-splits
+    each upstream plasma block into ``n_parts`` sub-tables
+    (``num_returns`` fan-out — slices never leave plasma), round B concats
+    one partition's slices and applies ``partition_fn``. This replaces the
+    previous ``groupby(_part).map_groups`` execution, whose sort-based
+    all-to-all dominated wall time on wide pair sets (measured 21 s → ~1 s
+    on the minhash pair-unique pass over 3 M rows at sf0.1, 32 CPUs) —
+    a hash exchange needs no global order, so sorting was pure overhead."""
+    import ray
+    import ray.data as rd
 
-    return ds.map_batches(
-        lambda b: _add_part(b, key_cols, n_parts), batch_format="pyarrow"
-    ).groupby("_part").map_groups(per_partition, batch_format="pandas")
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return ds
+    if n_parts == 1:
+        slices = [[r] for r in refs]
+    else:
+        slices = [
+            _part_split.options(num_returns=n_parts).remote(
+                r, key_cols, n_parts)
+            for r in refs
+        ]
+    fn_ref = ray.put(partition_fn)
+    outs = [_part_apply.remote(fn_ref, *[s[p] for s in slices])
+            for p in range(n_parts)]
+    return rd.from_arrow_refs(outs)
 
 
 def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):

@@ -232,6 +232,39 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 64,
     return _merge_topk(partials, k)
 
 
+def cluster_assign(ds, n_centroids: int = 64, iters: int = 2,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Semantic clustering for data mixing (the SemDeDup / cluster-balanced
+    sampling building block): assign every vector to its nearest k-means
+    centroid (cosine) after the deterministic distributed Lloyd training
+    above. One extra streaming pass; the centroid table broadcasts once via
+    ``ray.put``. Emits (vec_id, cluster, sim_ppm) with the similarity as a
+    ×1e6-floored integer so downstream compares are float-free.
+    Deterministic but not SQL-expressible (iterative algorithm) —
+    rows-only driver check, pinned by determinism + partition-independence
+    tests."""
+    import ray
+
+    C = kmeans_centroids(ds, n_centroids, iters, emb_col)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        sims = emb @ cc.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(ids)), a]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": pa.array(a, pa.int64()),
+             "sim_ppm": pa.array(np.floor(best * 1e6).astype(np.int64),
+                                 pa.int64())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

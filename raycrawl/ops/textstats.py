@@ -374,6 +374,31 @@ def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def compression_stats_batch(batch: pa.Table) -> pa.Table:
+    """Compression-ratio quality proxy (entropy stand-in used by several
+    published corpus filters: highly repetitive boilerplate compresses far
+    below prose): zlib level-6 deflate length over the UTF-8 bytes, plus
+    ratio_ppm = floor(1e6 · zlib_len / max(n_bytes, 1)). Deterministic
+    (zlib output is fully specified by input + level) but not
+    SQL-expressible — rows-only driver check with determinism tests."""
+    import zlib
+
+    texts = batch["text"].to_pylist()
+    n_bytes, z_len, ppm = [], [], []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        z = len(zlib.compress(b, 6))
+        n_bytes.append(len(b))
+        z_len.append(z)
+        ppm.append(z * 1_000_000 // max(len(b), 1))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bytes": pa.array(n_bytes, pa.int64()),
+        "zlib_len": pa.array(z_len, pa.int64()),
+        "ratio_ppm": pa.array(ppm, pa.int64()),
+    })
+
+
 def normalize_text_batch(batch: pa.Table) -> pa.Table:
     """CCNet-style pre-LM text normalization: lowercase + accent folding
     (NFD decompose, drop combining marks — the same fold DuckDB's

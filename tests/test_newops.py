@@ -731,3 +731,42 @@ def test_normalize_text_fold():
     assert out.loc[1, "norm_text"] == "plain ascii"
     assert out.loc[1, "changed"] == 0          # lowercase-only is not a fold
     assert out.loc[2, "norm_text"] == "" and out.loc[2, "changed"] == 0
+
+
+def test_cluster_assign_partition_independent(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from raycrawl.ops.similarity import cluster_assign
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(120, 8).tolist()
+    tbl = pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+
+    def run(nblocks):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        df = cluster_assign(ds, n_centroids=8, iters=2).to_pandas()
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    a, b = run(2), run(7)
+    # centroid init is ds.limit(k) = stable input order, partials sum in
+    # integer-safe float64 per centroid -> assignment must not depend on
+    # the partitioning
+    assert a.equals(b)
+    assert a["cluster"].between(0, 7).all()
+    assert (a["sim_ppm"] <= 1_000_000).all()
+
+
+def test_compression_stats_repetitive_vs_prose():
+    from raycrawl.ops.textstats import compression_stats_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["spam " * 400,
+                          "A varied sentence with unusual zebra quartz."],
+                         pa.string()),
+    })
+    out = compression_stats_batch(tbl).to_pandas().set_index("doc_id")
+    # boilerplate compresses far below prose - the signal the filter keys on
+    assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"] / 5
+    assert out.loc[0, "n_bytes"] == 2000
