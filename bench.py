@@ -204,7 +204,11 @@ def run_bench() -> dict:
     # 3. ops pipelines (skippable for scaling legs, where only the headline
     # crawl + extract tiers are under measurement)
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
-        timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count())
+        # min-of-2 for the heavy dedup pipeline too: it's the largest
+        # single-run number in the artifact and the host's minute-scale
+        # drift otherwise dominates it (BASELINE.md)
+        timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count(),
+              reps=headline_reps)
         timed("embed_topk", lambda: em.q_embed_topk(sf_dir).num_rows)
         timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
         timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())

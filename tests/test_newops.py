@@ -770,3 +770,58 @@ def test_compression_stats_repetitive_vs_prose():
     # boilerplate compresses far below prose - the signal the filter keys on
     assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"] / 5
     assert out.loc[0, "n_bytes"] == 2000
+
+
+def test_partitioned_apply_complete_groups_and_empties(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.grouping import partitioned_apply
+
+    # 200 rows over 23 string keys, scattered across 11 blocks: every key's
+    # rows must arrive in exactly one partition_fn call (complete groups)
+    tbl = pa.table({
+        "k": pa.array([f"key-{i % 23}" for i in range(200)], pa.string()),
+        "v": pa.array(range(200), pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(11)
+
+    def per_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"k": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        g = pdf.groupby("k", sort=True)["v"]
+        return pd.DataFrame({"k": list(g.groups), "n": g.count().values,
+                             "s": g.sum().values})
+
+    out = partitioned_apply(ds, ["k"], per_part, n_parts=5).to_pandas()
+    # one output row per key (no split groups), exact counts/sums
+    assert len(out) == 23 and out["k"].is_unique
+    want_n = {f"key-{j}": len([i for i in range(200) if i % 23 == j])
+              for j in range(23)}
+    want_s = {f"key-{j}": sum(i for i in range(200) if i % 23 == j)
+              for j in range(23)}
+    got = out.set_index("k")
+    for k in want_n:
+        assert got.loc[k, "n"] == want_n[k] and got.loc[k, "s"] == want_s[k]
+
+
+def test_partitioned_apply_multi_key_and_single_part(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.grouping import partitioned_apply
+
+    tbl = pa.table({
+        "a": pa.array([1, 1, 2, 2, 1], pa.int64()),
+        "b": pa.array(["x", "x", "y", "y", "z"], pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+
+    def per_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.drop_duplicates(["a", "b"])
+
+    out = partitioned_apply(ds, ["a", "b"], per_part, n_parts=1).to_pandas()
+    assert len(out) == 3
+    out4 = partitioned_apply(ds, ["a", "b"], per_part, n_parts=4).to_pandas()
+    assert sorted(map(tuple, out4.values.tolist())) == sorted(
+        map(tuple, out.values.tolist()))
