@@ -413,38 +413,93 @@ def q_text_rarity(sf_dir: str):
     return unigram_rarity(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _plant_c4_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic 5-line document per row from the doc's own tokens
+    (doc_id residues) — the raw corpus is a flat token stream, so sentence
+    structure is planted to exercise the C4 filter's branches: word-count
+    floor, each terminal-punct variant, the brace gate (doc_id%3) and the
+    case-insensitive lorem-ipsum gate (doc_id%7). The SQL oracle replants
+    identically (shared by text_c4_filter and quality_funnel)."""
+    ids = batch["doc_id"].to_pylist()
+    out = []
+    for i, t in zip(ids, batch["text"].to_pylist()):
+        toks = (t or "").split(" ")
+        lines = [
+            " ".join(toks[:6]) + ".",
+            "tiny line",
+            " ".join(toks[6:11]) + ("!" if i % 2 == 0 else ""),
+            ("brace { in this long line." if i % 3 == 0
+             else "another good sentence is here?"),
+            ("Lorem Ipsum dolor sit amet text." if i % 7 == 0
+             else 'quoted line with five words here."'),
+        ]
+        out.append("\n".join(lines))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pa.array(out, pa.string())})
+
+
 def q_text_c4_filter(sf_dir: str):
     """C4-style line retention + document gate (terminal-punct ≥5-word
-    lines, ≥3 survivors, no brace / lorem-ipsum). The raw corpus is a flat
-    token stream (no newlines/punctuation), so — as with pii_scrub — a
-    5-line document is planted deterministically by doc_id residue from
-    the doc's own tokens, exercising every branch: the word-count floor,
-    each terminal-punct variant, the brace gate (doc_id%3) and the
-    case-insensitive lorem-ipsum gate (doc_id%7). The oracle replants
-    identically in SQL."""
+    lines, ≥3 survivors, no brace / lorem-ipsum) over the planted
+    sentence structure (see _plant_c4_lines)."""
     from raycrawl.ops.textstats import c4_line_filter_batch
 
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        out = []
-        for i, t in zip(ids, batch["text"].to_pylist()):
-            toks = (t or "").split(" ")
-            lines = [
-                " ".join(toks[:6]) + ".",
-                "tiny line",
-                " ".join(toks[6:11]) + ("!" if i % 2 == 0 else ""),
-                ("brace { in this long line." if i % 3 == 0
-                 else "another good sentence is here?"),
-                ("Lorem Ipsum dolor sit amet text." if i % 7 == 0
-                 else 'quoted line with five words here."'),
-            ]
-            out.append("\n".join(lines))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(out, pa.string())})
-
     return (_read_ds(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(_plant_c4_lines, batch_format="pyarrow")
             .map_batches(c4_line_filter_batch, batch_format="pyarrow"))
+
+
+def q_quality_funnel(sf_dir: str):
+    """The composed document-quality funnel a training-corpus build runs:
+    C4 line/doc gate (planted sentence structure) ∧ Gopher repetition gate
+    (raw corpus) ∧ corpus-relative rarity band (doc mean token document
+    frequency ≤ corpus mean, integer cross-multiplied — scale-free, no
+    tuned constant). Three filter families composed via two distributed
+    hash joins on doc_id plus one global integer aggregate; the oracle
+    gates the COMPOSITION end to end (each member op is oracle-gated on
+    its own elsewhere)."""
+    from ray.data.aggregate import Sum
+
+    from raycrawl.ops.grouping import resolve_parts
+    from raycrawl.ops.textstats import (c4_line_filter_batch,
+                                        repetition_batch, unigram_rarity)
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    rep = docs.map_batches(
+        repetition_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "keep_repetition"])
+    c4 = (docs.map_batches(_plant_c4_lines, batch_format="pyarrow")
+          .map_batches(c4_line_filter_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "keep_c4"]))
+    rar = unigram_rarity(docs).materialize()
+    tot = rar.aggregate(Sum("n_tokens", alias_name="tt"),
+                        Sum("sum_token_freq", alias_name="tf"))
+    tt, tf = int(tot["tt"]), int(tot["tf"])
+
+    width = resolve_parts(None)
+    j = rar.join(rep, join_type="inner", num_partitions=width,
+                 on=("doc_id",))
+    j = j.join(c4, join_type="inner", num_partitions=width, on=("doc_id",))
+
+    def gate(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ntok = np.asarray(t["n_tokens"], np.int64)
+        freq = np.asarray(t["sum_token_freq"], np.int64)
+        kc4 = np.asarray(t["keep_c4"], np.int64)
+        krep = np.asarray(t["keep_repetition"], np.int64)
+        below = (freq * tt <= ntok * tf).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "keep_c4": t["keep_c4"],
+            "keep_repetition": t["keep_repetition"],
+            "below_mean_rarity": pa.array(below, pa.int64()),
+            "keep_quality": pa.array(
+                ((kc4 == 1) & (krep == 1) & (below == 1)).astype(np.int64),
+                pa.int64()),
+        })
+
+    return j.map_batches(gate, batch_format="pyarrow")
 
 
 def q_text_normalize(sf_dir: str):
@@ -1544,6 +1599,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_repetition": q_text_repetition,
         "text_c4_filter": q_text_c4_filter,
+        "quality_funnel": q_quality_funnel,
         "text_normalize": q_text_normalize,
         "text_compression": q_text_compression,
         "embed_clusters": q_embed_clusters,
@@ -1998,6 +2054,125 @@ def oracle_sql() -> dict[str, str]:
                                          'lorem ipsum')
                         AS BIGINT) AS keep_c4
             FROM kept
+        """,
+        "quality_funnel": """
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ), lg AS (
+                SELECT doc_id, line, COUNT(*) AS c
+                FROM lines GROUP BY doc_id, line
+            ), lstat AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_lines
+                FROM lg GROUP BY doc_id
+            ), paras AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10) || chr(10))) AS para
+                FROM documents
+            ), pg AS (
+                SELECT doc_id, para, COUNT(*) AS c
+                FROM paras GROUP BY doc_id, para
+            ), pstat AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+                       CAST(SUM(c - 1) AS BIGINT) AS dup_paras
+                FROM pg GROUP BY doc_id
+            ), dtoks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), bigr AS (
+                SELECT doc_id,
+                       unnest([ts[i] || ' ' || ts[i + 1]
+                               for i in range(1, len(ts))]) AS bg
+                FROM dtoks WHERE len(ts) >= 2
+            ), bgc AS (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM bigr GROUP BY doc_id, bg
+            ), best AS (
+                SELECT doc_id,
+                       CAST(c * length(bg) AS BIGINT) AS top_bigram_chars
+                FROM (SELECT doc_id, bg, c,
+                             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY c DESC, bg ASC) AS rn
+                      FROM bgc) WHERE rn = 1
+            ), rep AS (
+                SELECT d.doc_id,
+                       CAST(l.dup_lines * 10 < 3 * l.n_lines
+                            AND p.dup_paras * 10 < 3 * p.n_paras
+                            AND COALESCE(b.top_bigram_chars, 0) * 5
+                                < greatest(length(d.text), 1)
+                            AS BIGINT) AS keep_repetition
+                FROM documents d
+                JOIN lstat l USING (doc_id)
+                JOIN pstat p USING (doc_id)
+                LEFT JOIN best b USING (doc_id)
+            ), built AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 6), ' ') || '.' AS l1,
+                       'tiny line' AS l2,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  7, 11), ' ')
+                           || CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END
+                           AS l3,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'brace { in this long line.'
+                            ELSE 'another good sentence is here?' END AS l4,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'Lorem Ipsum dolor sit amet text.'
+                            ELSE 'quoted line with five words here."' END
+                           AS l5
+                FROM documents
+            ), planted AS (
+                SELECT doc_id,
+                       l1 || chr(10) || l2 || chr(10) || l3 || chr(10)
+                          || l4 || chr(10) || l5 AS text
+                FROM built
+            ), c4lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM planted
+            ), c4kept AS (
+                SELECT doc_id,
+                       [l for l in ls
+                        if len(string_split(l, ' ')) >= 5
+                           and (l LIKE '%.' OR l LIKE '%!'
+                                OR l LIKE '%?' OR l LIKE '%"')] AS ks
+                FROM c4lines
+            ), c4 AS (
+                SELECT doc_id,
+                       CAST(len(ks) >= 3
+                            AND NOT contains(COALESCE(array_to_string(ks,
+                                                      chr(10)), ''), '{')
+                            AND NOT contains(lower(COALESCE(
+                                                   array_to_string(ks,
+                                                   chr(10)), '')),
+                                             'lorem ipsum')
+                            AS BIGINT) AS keep_c4
+                FROM c4kept
+            ), toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+            ), rar AS (
+                SELECT t.doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(c.c) AS BIGINT) AS sum_token_freq
+                FROM toks t JOIN cnt c USING (token)
+                GROUP BY t.doc_id
+            ), tot AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+                       CAST(SUM(sum_token_freq) AS BIGINT) AS tf
+                FROM rar
+            )
+            SELECT r.doc_id, c4.keep_c4, rep.keep_repetition,
+                   CAST(r.sum_token_freq * tot.tt <= r.n_tokens * tot.tf
+                        AS BIGINT) AS below_mean_rarity,
+                   CAST(c4.keep_c4 = 1 AND rep.keep_repetition = 1
+                        AND r.sum_token_freq * tot.tt <= r.n_tokens * tot.tf
+                        AS BIGINT) AS keep_quality
+            FROM rar r
+            JOIN rep USING (doc_id)
+            JOIN c4 USING (doc_id)
+            CROSS JOIN tot
         """,
         "text_normalize": """
             WITH planted AS (
