@@ -374,6 +374,24 @@ def q_text_compression(sf_dir: str):
     )
 
 
+def q_token_distinct(sf_dir: str):
+    """Exact distributed distinct-token count (1 row)."""
+    from raycrawl.ops.textstats import distinct_token_count
+
+    return distinct_token_count(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_token_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct-token estimate (p=12, deterministic md5
+    hashing) — rows-only; the ≤5% error bound vs the exact count is
+    pinned in tests."""
+    from raycrawl.ops.textstats import hll_distinct_tokens
+
+    return hll_distinct_tokens(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_text_tokens(sf_dir: str):
     from raycrawl.ops.textstats import token_stats_batch
 
@@ -1602,6 +1620,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "quality_funnel": q_quality_funnel,
         "text_normalize": q_text_normalize,
         "text_compression": q_text_compression,
+        "token_distinct": q_token_distinct,
+        "token_distinct_hll": q_token_distinct_hll,
         "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
@@ -2202,6 +2222,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c.c) AS BIGINT) AS sum_token_freq
             FROM toks t JOIN cnt c USING (token)
             GROUP BY t.doc_id
+        """,
+        "token_distinct": """
+            SELECT COUNT(DISTINCT token) AS n_distinct FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
         """,
         "token_top20": """
             SELECT token, COUNT(*) AS occurrences FROM (

@@ -477,6 +477,65 @@ def unigram_rarity(ds, max_vocab: int = 5_000_000):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def distinct_token_count(ds):
+    """Exact corpus-wide distinct-token count, fully distributed: per-batch
+    DISTINCT partials (one row per token per batch) → groupby → count of
+    groups. The shuffle moves (token) keys once per batch they appear in,
+    never per occurrence. Returns a 1-row (n_distinct) table; the SQL
+    oracle is COUNT(DISTINCT token)."""
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        s = set()
+        for t in batch["text"].to_pylist():
+            s.update((t or "").split(" "))
+        return pa.table({"token": pa.array(sorted(s), pa.string())})
+
+    n = (ds.map_batches(tok_partial, batch_format="pyarrow")
+         .groupby("token").count().count())
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def hll_distinct_tokens(ds, p: int = 12):
+    """HyperLogLog distinct-token estimate — the sketch path for corpus
+    vocabulary stats at scales where even the exact distinct shuffle is
+    unwelcome. Deterministic: token → md5 64-bit int, register = top ``p``
+    bits, rho = leading zeros of the rest + 1. Per-batch partials emit one
+    dense 2^p-byte register row; registers merge by elementwise max —
+    commutative/associative, so any partition or fold order gives the
+    identical sketch. The driver folds O(blocks) 4-KB rows (the same cost
+    class as the crawl counters). Standard HLL bias correction; expected
+    error ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12 (pinned against the exact count
+    in tests). Rows-only (not SQL-expressible)."""
+    import hashlib
+
+    m = 1 << p
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        seen: set[str] = set()
+        for t in batch["text"].to_pylist():
+            seen.update((t or "").split(" "))
+        for w in seen:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            idx = h >> (64 - p)
+            rest = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p) - rest.bit_length() + 1
+            if rho > regs[idx]:
+                regs[idx] = rho
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for row in ds.map_batches(sketch_partial,
+                              batch_format="pyarrow").take_all():
+        regs = np.maximum(regs, np.frombuffer(row["regs"], dtype=np.uint8))
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range linear counting
+    return pa.table({"est_distinct": pa.array([int(round(est))], pa.int64())})
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -825,3 +825,23 @@ def test_partitioned_apply_multi_key_and_single_part(ray_session):
     out4 = partitioned_apply(ds, ["a", "b"], per_part, n_parts=4).to_pandas()
     assert sorted(map(tuple, out4.values.tolist())) == sorted(
         map(tuple, out.values.tolist()))
+
+
+def test_hll_distinct_within_bound(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import distinct_token_count, hll_distinct_tokens
+
+    # 20k distinct tokens scattered over 2k docs, multiple blocks
+    texts = [" ".join(f"tok{i}_{j}" for j in range(10)) for i in range(2000)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(9)
+    exact = distinct_token_count(ds)["n_distinct"][0].as_py()
+    assert exact == 20000
+    est = hll_distinct_tokens(ds)["est_distinct"][0].as_py()
+    assert abs(est - exact) / exact < 0.05
+    # register merge is order-independent: same estimate from a different
+    # partitioning
+    est2 = hll_distinct_tokens(ds.repartition(3))["est_distinct"][0].as_py()
+    assert est2 == est
