@@ -100,7 +100,10 @@ def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
 
     refs = list(ds.to_arrow_refs())
     if not refs:
-        return ds
+        # zero-block input (no caller constructs one today): callers expect
+        # the OUTPUT schema, which only partition_fn can produce
+        return rd.from_arrow(pa.Table.from_pandas(
+            partition_fn(pd.DataFrame()), preserve_index=False))
     if n_parts == 1:
         slices = [[r] for r in refs]
     else:
