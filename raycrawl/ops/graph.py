@@ -145,7 +145,7 @@ def _reduce(labels: pa.Table, *msg_slices):
         uniq, minv = uniq[keep], minv[keep]
     changed = int(np.count_nonzero(minv != lv))
     return (pa.table({"node": uniq, "label": minv}),
-            (int(minv.sum()), changed))
+            (int(minv.sum()), changed, len(uniq)))
 
 
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
@@ -179,9 +179,13 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         ]
         label_refs = [o[0] for o in outs]
         stats = ray.get([o[1] for o in outs])
-        if sum(c for _, c in stats) == 0:
+        if sum(c for _, c, _ in stats) == 0:
             break
-    return rd.from_arrow_refs(label_refs)
+    # drop empty label partitions (keep one for schema): an empty block
+    # skips downstream map_batches UDFs and reaches joins with a stale
+    # schema (Acero rejects it on the key FieldRef)
+    keep = [r for r, (_, _, rows) in zip(label_refs, stats) if rows > 0]
+    return rd.from_arrow_refs(keep if keep else label_refs[:1])
 
 
 def canonical_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",

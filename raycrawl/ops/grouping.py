@@ -68,8 +68,8 @@ def _part_split(tbl: pa.Table, key_cols: list[str], n_parts: int):
                  for p in range(n_parts))
 
 
-@_ray.remote
-def _part_apply(partition_fn, *slices: pa.Table) -> pa.Table:
+@_ray.remote(num_returns=2)
+def _part_apply(partition_fn, *slices: pa.Table):
     live = [s for s in slices if s.num_rows]
     if live:
         pdf = pa.concat_tables(live, promote_options="permissive").to_pandas()
@@ -78,8 +78,8 @@ def _part_apply(partition_fn, *slices: pa.Table) -> pa.Table:
         # empty) frame for empty input; prefer a slice that carries columns
         ref = next((s for s in slices if s.num_columns), slices[0])
         pdf = ref.schema.empty_table().to_pandas()
-    out = partition_fn(pdf)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = pa.Table.from_pandas(partition_fn(pdf), preserve_index=False)
+    return out, out.num_rows
 
 
 def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
@@ -115,7 +115,16 @@ def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
     fn_ref = ray.put(partition_fn)
     outs = [_part_apply.remote(fn_ref, *[s[p] for s in slices])
             for p in range(n_parts)]
-    return rd.from_arrow_refs(outs)
+    # Drop empty output partitions (keep one so the output schema
+    # survives): an empty block would skip downstream ``map_batches``
+    # UDFs — surviving with a STALE schema past renames/projections —
+    # and Acero's ``Dataset.join`` rejects schema-less blocks. The old
+    # sort-groupby path only emitted realized groups; match that.
+    counts = ray.get([o[1] for o in outs])
+    keep = [o[0] for o, c in zip(outs, counts) if c > 0]
+    if not keep:
+        keep = [outs[0][0]]
+    return rd.from_arrow_refs(keep)
 
 
 def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):
