@@ -270,9 +270,28 @@ def q_dedup_kept_docs(sf_dir: str):
         t = t.filter(pc.not_equal(t["node"], t["label"]))
         return t.select(["node"]).rename_columns(["doc_id"])
 
-    drops = labels.map_batches(drops_only, batch_format="pyarrow")
+    import ray
+    import ray.data as rd
+
+    # Acero rejects even correctly-TYPED zero-row blocks on a join side
+    # (not just schema-less ones) — a label partition of all-canonical
+    # nodes yields an empty drops block. Strip empties before the join
+    # (O(blocks) driver booleans, rows never move), and when NOTHING is
+    # dropped skip the join entirely (an all-empty right side is equally
+    # unjoinable).
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    drop_refs = labels.map_batches(
+        drops_only, batch_format="pyarrow").to_arrow_refs()
+    live = [r for r, n in zip(drop_refs,
+                              ray.get([_nrows.remote(r) for r in drop_refs]))
+            if n > 0]
     docs = _read_ds(sf_dir, "documents", ["doc_id", "n_chars"])
-    kept = docs.join(drops, join_type="left_anti",
+    if not live:
+        return docs.sort("doc_id")
+    kept = docs.join(rd.from_arrow_refs(live), join_type="left_anti",
                      num_partitions=resolve_parts(None), on=("doc_id",))
     return kept.sort("doc_id")
 

@@ -110,3 +110,27 @@ def test_hybrid_search_matches_local(ray_session):
     want = [(r + 1, i, h) for r, (_, _, i, h) in enumerate(rows[:15])]
     got = [(r["rank"], r["doc_id"], r["kw_hits"]) for r in out.to_pylist()]
     assert got == want
+
+
+def test_components_empty_partitions_survive_rename_join(ray_session, tmp_path):
+    """Regression: with far fewer duplicate nodes than partitions, label
+    partitions come back empty — and a partition holding only a CANONICAL
+    node produces a zero-row drops block after the rename. Acero rejects
+    even correctly-typed zero-row blocks on a join side, so the dedup
+    query must strip empties (and skip the join when nothing drops)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    dup = "the same exact text body repeated for the dedup test"
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([dup, dup, dup,
+                          "a completely different document body"], pa.string()),
+        "n_chars": pa.array([len(dup)] * 3 + [36], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    kept = entrymod.q_dedup_kept_docs(str(tmp_path)).to_pandas()
+    # component {1,2,3} keeps min id 1; unique doc 4 survives untouched
+    assert sorted(kept["doc_id"]) == [1, 4]
