@@ -1587,6 +1587,55 @@ def q_media_payload_stats(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_source_quality(sf_dir: str):
+    """Host-level corpus gate (ops/hostagg.py): block sources whose mean
+    document length falls below the corpus mean — the integer
+    cross-multiplied, scale-free form, so Ray and the SQL oracle compare
+    exact integers. Per-source stats are a tiny groupby broadcast once;
+    the doc pass is shuffle-free."""
+    from raycrawl.ops.hostagg import source_quality_filter
+
+    return source_quality_filter(
+        _read_ds(sf_dir, "documents", ["doc_id", "source", "n_chars"]))
+
+
+def _anchor_edges(sf_dir: str):
+    """Synthesize the anchored link graph: each doc links to the three
+    targets ``(7·d + 11·s) % N`` for s∈{0,1,2}, with anchor text
+    ``lower(text[dst%20 : dst%20+8])`` cut from the SOURCE document —
+    the same arithmetic the SQL oracle restates (substr is 1-based
+    there). In-degree varies (collisions intended), exercising the
+    per-target aggregation non-vacuously."""
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        dsts, anchors = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            for s in (0, 1, 2):
+                dst = (7 * d + 11 * s) % n
+                off = dst % 20
+                dsts.append(dst)
+                anchors.append(t[off: off + 8].lower())
+        return pa.table({"dst": pa.array(dsts, pa.int64()),
+                         "anchor": pa.array(anchors, pa.string())})
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        edges, batch_format="pyarrow")
+
+
+def q_anchor_stats(sf_dir: str):
+    """Anchor-text aggregation per link target (ops/hostagg.py): in-link
+    count, distinct anchors, lexicographically-min representative anchor.
+    Shuffle carries only (dst, anchor, cnt) per-batch partials."""
+    from raycrawl.ops.hostagg import anchor_stats
+
+    return anchor_stats(_anchor_edges(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1689,6 +1738,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q_events_quantiles,
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
+        "source_quality": q_source_quality,
+        "anchor_stats": q_anchor_stats,
     }
 
 
@@ -2956,6 +3007,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # source_quality: mean(source) >= mean(corpus) cross-multiplied —
+        # SUM() is HUGEINT in DuckDB, so every aggregate is cast back to
+        # BIGINT before the comparison the Ray side does in int64
+        "source_quality": """
+            WITH s AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS src_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS src_chars
+                FROM documents GROUP BY source
+            ),
+            t AS (
+                SELECT CAST(SUM(src_docs) AS BIGINT) AS td,
+                       CAST(SUM(src_chars) AS BIGINT) AS tc
+                FROM s
+            )
+            SELECT d.doc_id, d.source, s.src_docs, s.src_chars,
+                   CAST(CASE WHEN s.src_chars * t.td >= t.tc * s.src_docs
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_source
+            FROM documents d JOIN s ON s.source = d.source CROSS JOIN t
+        """,
+        # anchor_stats: the (7d+11s) % N link fan-out with source-text
+        # anchors, re-stated with 1-based substr
+        "anchor_stats": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+                SELECT (7 * d.doc_id + 11 * s.s) % n.n AS dst,
+                       lower(substr(
+                           d.text,
+                           1 + ((7 * d.doc_id + 11 * s.s) % n.n) % 20,
+                           8)) AS anchor
+                FROM documents d
+                CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS s) s
+                CROSS JOIN n
+            )
+            SELECT dst AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT anchor) AS BIGINT)
+                       AS n_distinct_anchors,
+                   MIN(anchor) AS top_anchor
+            FROM e GROUP BY dst
+        """,
     }
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]

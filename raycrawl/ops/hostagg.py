@@ -1,0 +1,146 @@
+"""Host/source-level corpus curation: per-source quality gating and
+anchor-text aggregation over the link graph.
+
+Large webtext builds (RefinedWeb, C4, CCNet) all apply *host-level*
+filters on top of per-document ones: a host whose documents are
+systematically short/boilerplate gets blocklisted wholesale (the UT1
+blocklist pattern), and the anchor texts pointing AT a page are a
+classic quality/relevance signal aggregated per target (the original
+PageRank-era web-corpus feature). The reference crawler's per-site
+``max_pages``/exclude lists (crawler.py:368-378) are the single-site
+ancestor of these; here they become distributed corpus operators.
+
+Scale shape:
+- ``source_quality_filter``: stage 1 moves only (source, n_docs,
+  sum_chars) per-batch partials into a #sources-row groupby; the
+  per-source stats table is tiny BY CONSTRUCTION (hosts, not docs) and
+  is broadcast once via ``ray.put`` — guarded by ``max_sources`` so a
+  corpus with a pathological source cardinality raises instead of
+  silently broadcasting something corpus-sized. The doc pass is then
+  shuffle-free.
+- ``anchor_stats``: anchors are pre-aggregated per batch (pandas
+  groupby on (dst, anchor) — counts, never raw rows), so the exchange
+  carries one fixed-width row per distinct (dst, anchor) per batch;
+  the second groupby reduces per dst. Anchor strings are short by
+  construction (they're link labels); document text never crosses a
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def source_quality_filter(docs_ds, *, id_col: str = "doc_id",
+                          source_col: str = "source",
+                          chars_col: str = "n_chars",
+                          max_sources: int = 1_000_000):
+    """Block sources whose mean document length falls below the corpus
+    mean. Scale-free rule (no tuned constant): source kept iff
+    ``sum_chars(source) * total_docs >= total_chars * n_docs(source)``
+    — the integer cross-multiplied form of
+    ``mean(source) >= mean(corpus)``, so the Ray path and the SQL
+    oracle compare exact integers, never floats.
+
+    Returns one row per document:
+    ``(doc_id, source, src_docs, src_chars, keep_source)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch[source_col].to_pylist(),
+            "n": 1,
+            "c": batch[chars_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("source", as_index=False).agg(
+            n=("n", "sum"), c=("c", "sum"))
+        return pa.table({
+            "source": pa.array(g["source"], pa.string()),
+            "n": pa.array(g["n"].astype("int64")),
+            "c": pa.array(g["c"].astype("int64")),
+        })
+
+    stats = (docs_ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n", alias_name="src_docs"),
+                        Sum("c", alias_name="src_chars")))
+    rows = stats.take(max_sources + 1)
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"source_quality_filter: >{max_sources} distinct sources; "
+            "the per-source stats table must stay broadcast-small — "
+            "raise max_sources only if it truly fits every worker")
+    total_docs = sum(r["src_docs"] for r in rows)
+    total_chars = sum(r["src_chars"] for r in rows)
+    table_ref = ray.put({
+        r["source"]: (int(r["src_docs"]), int(r["src_chars"]))
+        for r in rows})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(table_ref)
+        srcs = batch[source_col].to_pylist()
+        nd, nc, keep = [], [], []
+        for s in srcs:
+            n, c = lut[s]
+            nd.append(n)
+            nc.append(c)
+            keep.append(int(c * total_docs >= total_chars * n))
+        return pa.table({
+            "doc_id": batch[id_col],
+            "source": batch[source_col],
+            "src_docs": pa.array(nd, pa.int64()),
+            "src_chars": pa.array(nc, pa.int64()),
+            "keep_source": pa.array(keep, pa.int64()),
+        })
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow")
+
+
+def anchor_stats(edges_ds, *, dst_col: str = "dst",
+                 anchor_col: str = "anchor"):
+    """Aggregate the anchor texts pointing at each target: in-link count,
+    distinct-anchor count, and the lexicographically smallest anchor (a
+    deterministic representative — ties can't flap across partitionings).
+
+    ``edges_ds`` carries (dst, anchor) — one row per link. Returns
+    ``(doc_id, n_links, n_distinct_anchors, top_anchor)`` keyed by dst.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "dst": batch[dst_col].to_numpy(zero_copy_only=False),
+            "anchor": batch[anchor_col].to_pylist(),
+            "cnt": 1,
+        })
+        g = df.groupby(["dst", "anchor"], as_index=False)["cnt"].sum()
+        return pa.table({
+            "dst": pa.array(g["dst"].astype("int64")),
+            "anchor": pa.array(g["anchor"], pa.string()),
+            "cnt": pa.array(g["cnt"].astype("int64")),
+        })
+
+    pairs = (edges_ds.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["dst", "anchor"])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+    out = (pairs.groupby("dst")
+           .aggregate(Sum("cnt", alias_name="n_links"),
+                      Count(alias_name="n_distinct_anchors"),
+                      Min("anchor", alias_name="top_anchor")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["dst"].cast(pa.int64()),
+            "n_links": t["n_links"].cast(pa.int64()),
+            "n_distinct_anchors": t["n_distinct_anchors"].cast(pa.int64()),
+            "top_anchor": t["top_anchor"],
+        }),
+        batch_format="pyarrow")
+
+
+# ship by value so workers never import the package from disk
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

@@ -845,3 +845,61 @@ def test_hll_distinct_within_bound(ray_session):
     # partitioning
     est2 = hll_distinct_tokens(ds.repartition(3))["est_distinct"][0].as_py()
     assert est2 == est
+
+
+def test_source_quality_filter_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.hostagg import source_quality_filter
+
+    # srcA mean 100, srcB mean 10 → corpus mean 55: keep A, block B
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+        "n_chars": pa.array([90, 110, 5, 15], pa.int64()),
+    })
+    out = source_quality_filter(
+        rd.from_arrow(tbl).repartition(3)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["keep_source"].tolist() == [1, 1, 0, 0]
+    assert out["src_docs"].tolist() == [2, 2, 2, 2]
+    assert out["src_chars"].tolist() == [200, 200, 20, 20]
+    # boundary: a source AT the corpus mean is kept (>=)
+    tbl2 = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "source": pa.array(["x", "y"], pa.string()),
+        "n_chars": pa.array([50, 50], pa.int64()),
+    })
+    out2 = source_quality_filter(rd.from_arrow(tbl2)).to_pandas()
+    assert out2["keep_source"].tolist() == [1, 1]
+
+
+def test_source_quality_guard_fires(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from raycrawl.ops.hostagg import source_quality_filter
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "source": pa.array([f"s{i}" for i in range(10)], pa.string()),
+        "n_chars": pa.array([10] * 10, pa.int64()),
+    })
+    with _pytest.raises(ValueError, match="distinct sources"):
+        source_quality_filter(rd.from_arrow(tbl), max_sources=5)
+
+
+def test_anchor_stats_cross_batch_aggregation(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.hostagg import anchor_stats
+
+    # target 7 receives links from three batches: anchors z/a/a —
+    # count 3, distinct 2, min "a"; target 9 gets one link
+    tbl = pa.table({
+        "dst": pa.array([7, 7, 7, 9], pa.int64()),
+        "anchor": pa.array(["zeta", "alpha", "alpha", "solo"], pa.string()),
+    })
+    out = anchor_stats(rd.from_arrow(tbl).repartition(4)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [7, 9]
+    assert out["n_links"].tolist() == [3, 1]
+    assert out["n_distinct_anchors"].tolist() == [2, 1]
+    assert out["top_anchor"].tolist() == ["alpha", "solo"]
