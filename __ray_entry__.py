@@ -1636,6 +1636,39 @@ def q_anchor_stats(sf_dir: str):
     return anchor_stats(_anchor_edges(sf_dir))
 
 
+def q_recrawl_diff(sf_dir: str):
+    """Two-epoch recrawl diff (ops/recrawl.py): epoch 2 is planted from
+    epoch 1 by residue rules (%13=5 deleted, %7=3 modified, %11=0 spawns
+    a new url at doc_id+N), then classified by ONE full_outer hash join
+    over (id, md5) rows — bodies never cross the exchange. The oracle
+    replants identically and diffs with SQL FULL OUTER JOIN."""
+    from raycrawl.ops.recrawl import epoch_diff
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def epoch2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        oi, ot = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if d % 13 == 5:
+                continue  # deleted in epoch 2
+            oi.append(d)
+            ot.append(t + " [rev2]" if d % 7 == 3 else t)
+        for d, t in zip(ids, texts):
+            if d % 11 == 0:
+                oi.append(d + n)
+                ot.append("new:" + (t or ""))
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    e2 = docs.map_batches(epoch2, batch_format="pyarrow")
+    return epoch_diff(docs, e2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1740,6 +1773,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "media_payload_stats": q_media_payload_stats,
         "source_quality": q_source_quality,
         "anchor_stats": q_anchor_stats,
+        "recrawl_diff": q_recrawl_diff,
     }
 
 
@@ -3047,6 +3081,27 @@ def oracle_sql() -> dict[str, str]:
                        AS n_distinct_anchors,
                    MIN(anchor) AS top_anchor
             FROM e GROUP BY dst
+        """,
+        # recrawl_diff: the %13/%7/%11 epoch-2 plant + FULL OUTER diff
+        "recrawl_diff": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            e1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+            e2 AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+                            ELSE text END) AS h
+                FROM documents WHERE doc_id % 13 <> 5
+                UNION ALL
+                SELECT d.doc_id + n.n, md5('new:' || d.text)
+                FROM documents d CROSS JOIN n
+                WHERE d.doc_id % 11 = 0
+            )
+            SELECT coalesce(e1.doc_id, e2.doc_id) AS doc_id,
+                   CASE WHEN e2.h IS NULL THEN 'deleted'
+                        WHEN e1.h IS NULL THEN 'new'
+                        WHEN e1.h = e2.h THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM e1 FULL OUTER JOIN e2 ON e1.doc_id = e2.doc_id
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -903,3 +903,35 @@ def test_anchor_stats_cross_batch_aggregation(ray_session):
     assert out["n_links"].tolist() == [3, 1]
     assert out["n_distinct_anchors"].tolist() == [2, 1]
     assert out["top_anchor"].tolist() == ["alpha", "solo"]
+
+
+def test_epoch_diff_all_statuses(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.recrawl import epoch_diff
+
+    e1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["same", "was", "gone", "also same"],
+    })).repartition(2)
+    e2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+        "text": ["same", "now", "also same", "brand new"],
+    })).repartition(3)
+    out = epoch_diff(e1, e2).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 9]
+    assert out["status"].tolist() == [
+        "unchanged", "modified", "deleted", "unchanged", "new"]
+
+
+def test_epoch_diff_empty_epoch(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.recrawl import epoch_diff
+
+    e1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5], pa.int64()), "text": ["x"]}))
+    e2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = epoch_diff(e1, e2).to_pandas()
+    assert out["status"].tolist() == ["deleted"]
