@@ -1669,6 +1669,30 @@ def q_recrawl_diff(sf_dir: str):
     return epoch_diff(docs, e2)
 
 
+def q_para_dedup(sf_dir: str):
+    """Paragraph-level first-occurrence dedup (ops/dedup.py
+    paragraph_first_dedup). The raw corpus is a flat token stream, so
+    each doc is planted as 3 paragraphs: a shared boilerplate line per
+    4-doc group (guaranteed cross-doc duplicates) plus two slices of its
+    own text. Winner = global min (doc_id, idx) per md5; the oracle
+    restates the plant + a ROW_NUMBER window in SQL."""
+    from raycrawl.ops.dedup import paragraph_first_dedup
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            out.append(f"shared-{d // 4} boilerplate text\n\n"
+                       f"{t[:40]}\n\n{t[40:80]}")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return paragraph_first_dedup(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1774,6 +1798,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "source_quality": q_source_quality,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
+        "para_dedup": q_para_dedup,
     }
 
 
@@ -3102,6 +3127,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN e1.h = e2.h THEN 'unchanged'
                         ELSE 'modified' END AS status
             FROM e1 FULL OUTER JOIN e2 ON e1.doc_id = e2.doc_id
+        """,
+        # para_dedup: replant the 3-paragraph structure, elect the global
+        # first occurrence per md5 with a ROW_NUMBER window (the Ray side's
+        # Min(doc_id*64+idx) is exactly ORDER BY doc_id, idx)
+        "para_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       'shared-' || CAST(doc_id // 4 AS VARCHAR)
+                       || ' boilerplate text'
+                       || chr(10) || chr(10) || substr(text, 1, 40)
+                       || chr(10) || chr(10) || substr(text, 41, 40)
+                           AS text2
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, r.i AS idx,
+                       list_extract(
+                           string_split(text2, chr(10) || chr(10)),
+                           r.i + 1) AS para
+                FROM t CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) r
+            ),
+            w AS (
+                SELECT doc_id, idx, para,
+                       ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, idx) AS rn
+                FROM p
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(coalesce(SUM(CASE WHEN rn = 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_kept,
+                   CAST(coalesce(SUM(CASE WHEN rn = 1 THEN (1 << idx) END),
+                                 0) AS BIGINT) AS keep_mask,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) || chr(10) ORDER BY idx),
+                            '') AS kept_text
+            FROM w GROUP BY doc_id
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -705,6 +705,93 @@ def plant_neardups(ds, every: int = 50, id_offset: int = 10_000_000,
     return ds.map_batches(plant, batch_format="pyarrow")
 
 
+def paragraph_first_dedup(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", sep: str = "\n\n",
+                          max_paras: int = 64, n_parts: int | None = None):
+    """Paragraph-level FIRST-OCCURRENCE dedup (RefinedWeb/Falcon-style):
+    across the whole corpus, each distinct paragraph survives only in the
+    earliest position it appears — ``min(doc_id, para_idx)`` — and every
+    later copy is stripped, preserving each document's remaining paragraph
+    order. Contrast ``textstats.repeated_chunk_removal``, which drops ALL
+    occurrences of hot chunks; this keeps exactly one.
+
+    Shuffle discipline: the winner election moves only
+    ``(md5(para), packed)`` rows where ``packed = doc_id·max_paras + idx``
+    (so ``Min(packed)`` IS lexicographic (doc_id, idx) order — one int64
+    carries the whole tie-break); the winner set folds to one
+    ``keep_mask`` bitmask row per doc; document text crosses exactly one
+    partitioned hash join for the rebuild.
+
+    Returns ``(doc_id, n_paras, n_kept, keep_mask, kept_text)`` — one row
+    per input doc (docs that lose every paragraph keep mask 0, empty
+    text)."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs, packed = [], []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            paras = (t or "").split(sep)
+            if len(paras) > max_paras:
+                raise ValueError(
+                    f"paragraph_first_dedup: doc {d} has {len(paras)} "
+                    f"paragraphs > max_paras={max_paras}; raise max_paras "
+                    "(packed ids and keep_mask must stay in int64)")
+            for i, ptxt in enumerate(paras):
+                hs.append(hashlib.md5(ptxt.encode()).hexdigest())
+                packed.append(d * max_paras + i)
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "packed": pa.array(packed, pa.int64())})
+
+    winners = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("h").aggregate(Min("packed", alias_name="w")))
+
+    def to_mask_partial(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch["w"], np.int64)
+        return pa.table({
+            id_col: pa.array(w // max_paras, pa.int64()),
+            "bit": pa.array(
+                np.left_shift(np.int64(1), w % max_paras), pa.int64()),
+        })
+
+    masks = drop_empty_blocks(
+        (winners.map_batches(to_mask_partial, batch_format="pyarrow")
+         .groupby(id_col).aggregate(Sum("bit", alias_name="keep_mask"))),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("keep_mask", pa.int64())]))
+
+    j = ds.join(masks, join_type="left_outer", num_partitions=width,
+                on=(id_col,))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        mask_col = batch["keep_mask"].to_pylist()
+        n_paras, n_kept, kept = [], [], []
+        for t, m in zip(texts, mask_col):
+            paras = (t or "").split(sep)
+            m = m or 0
+            keep = [p for i, p in enumerate(paras) if m >> i & 1]
+            n_paras.append(len(paras))
+            n_kept.append(len(keep))
+            kept.append(sep.join(keep))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "keep_mask": pa.array([m or 0 for m in mask_col], pa.int64()),
+            "kept_text": pa.array(kept, pa.string()),
+        })
+
+    return j.map_batches(rebuild, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -935,3 +935,50 @@ def test_epoch_diff_empty_epoch(ray_session):
         "text": pa.array([], pa.string())}))
     out = epoch_diff(e1, e2).to_pandas()
     assert out["status"].tolist() == ["deleted"]
+
+
+def test_paragraph_first_dedup_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.dedup import paragraph_first_dedup
+
+    # "dup" appears in docs 0(idx1), 1(idx0), 2(idx0 AND idx2):
+    # only doc 0 idx 1 survives; doc 2 also repeats it internally
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["own0\n\ndup", "dup\n\nown1", "dup\n\nown2\n\ndup"],
+    })
+    out = paragraph_first_dedup(
+        rd.from_arrow(docs).repartition(3)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_paras"].tolist() == [2, 2, 3]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+    assert out["keep_mask"].tolist() == [0b11, 0b10, 0b010]
+    assert out["kept_text"].tolist() == ["own0\n\ndup", "own1", "own2"]
+
+
+def test_paragraph_first_dedup_doc_loses_everything(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.dedup import paragraph_first_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a\n\nb", "a\n\nb"],
+    })
+    out = paragraph_first_dedup(rd.from_arrow(docs)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_kept"].tolist() == [2, 0]
+    assert out["kept_text"].tolist() == ["a\n\nb", ""]
+    assert out["keep_mask"].tolist() == [3, 0]
+
+
+def test_paragraph_first_dedup_max_paras_guard(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from raycrawl.ops.dedup import paragraph_first_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": ["\n\n".join(f"p{i}" for i in range(70))],
+    })
+    with _pytest.raises(Exception, match="max_paras"):
+        paragraph_first_dedup(rd.from_arrow(docs)).to_pandas()
