@@ -1693,6 +1693,20 @@ def q_para_dedup(sf_dir: str):
     return paragraph_first_dedup(docs)
 
 
+def q_contamination_bloom(sf_dir: str):
+    """The SCALE path of the contamination gate (ops/contamination.py
+    eval_contamination_bloom): eval grams folded into a fixed 2^18-bit
+    Bloom filter (OR-merged packed partials, HLL-register discipline)
+    instead of broadcasting the unbounded gram set. Both md5 probes are
+    SQL-expressible, so the oracle simulates the exact bit set — false
+    positives INCLUDED — making even the approximate path exactly
+    gateable."""
+    from raycrawl.ops.contamination import eval_contamination_bloom
+
+    return eval_contamination_bloom(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1799,6 +1813,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
         "para_dedup": q_para_dedup,
+        "contamination_bloom": q_contamination_bloom,
     }
 
 
@@ -3164,6 +3179,59 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) || chr(10) ORDER BY idx),
                             '') AS kept_text
             FROM w GROUP BY doc_id
+        """,
+        # contamination_bloom: the exact-simulated Bloom filter — the bit
+        # set is the distinct md5-derived probe positions of the eval
+        # grams; a train gram "hits" iff BOTH its probes are set (false
+        # positives reproduced exactly)
+        "contamination_bloom": """
+            WITH split AS (
+                SELECT doc_id, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 100 AS b
+                FROM documents
+            ),
+            toks AS (SELECT doc_id, b, string_split(text, ' ') AS w
+                     FROM split),
+            g AS (
+                SELECT doc_id, b,
+                       array_to_string(w[(i+1):(i+8)], ' ') AS gram
+                FROM (SELECT doc_id, b, w, unnest(range(len(w) - 7)) AS i
+                      FROM toks WHERE len(w) >= 8)
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE b >= 95),
+            bloom AS (
+                SELECT DISTINCT p FROM (
+                    SELECT CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                           % 262144 AS p FROM ev
+                    UNION
+                    SELECT CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT)
+                           % 262144 FROM ev
+                )
+            ),
+            tg AS (
+                SELECT DISTINCT doc_id, gram FROM g WHERE b < 90
+            ),
+            tgp AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                           % 262144 AS p1,
+                       CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT)
+                           % 262144 AS p2
+                FROM tg
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n
+                FROM tgp
+                WHERE p1 IN (SELECT p FROM bloom)
+                  AND p2 IN (SELECT p FROM bloom)
+                GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_bloom_hits,
+                   CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+            FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            WHERE s.b < 90
         """,
     }
     # identical semantics, different physical join plan — same oracle

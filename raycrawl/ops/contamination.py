@@ -88,6 +88,90 @@ def eval_contamination(ds, *, gram_tokens: int = GRAM_TOKENS,
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def eval_contamination_bloom(ds, *, gram_tokens: int = GRAM_TOKENS,
+                             train_pct: int = 90, val_pct: int = 5,
+                             m_bits: int = 1 << 18,
+                             id_col: str = "doc_id",
+                             text_col: str = "text"):
+    """The SCALE path of ``eval_contamination``: instead of broadcasting
+    the eval split's gram set (unbounded — it grows with the eval corpus),
+    fold the grams into a fixed-size Bloom filter and broadcast THAT.
+
+    k=2 probes per gram, both md5-derived (``int(md5[:8],16) % m`` and
+    ``int(md5[8:16],16) % m``) so the filter is deterministic and the SQL
+    oracle can simulate the exact bit set — false positives included —
+    making even the approximate path exactly gateable.
+
+    Pass 1 emits one packed ``m_bits/8``-byte register row per batch
+    (32 KB at the default 2^18 bits); registers merge by bitwise OR —
+    commutative/associative, so any partition or fold order yields the
+    identical filter (the HLL-register discipline). Pass 2 is a
+    shuffle-free ``map_batches`` scan of the train slice against the
+    broadcast filter.
+
+    Output: ``(doc_id, n_bloom_hits, contaminated)`` per train doc —
+    a superset of the exact op's hits (Bloom never false-negatives)."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from .sampling import _h32
+
+    test_floor = train_pct + val_pct
+    words = m_bits // 64
+
+    def bucket_of(i) -> int:
+        return _h32(str(i)) % 100
+
+    def probes(gram: str):
+        h = hashlib.md5(gram.encode()).hexdigest()
+        return int(h[:8], 16) % m_bits, int(h[8:16], 16) % m_bits
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            if bucket_of(i) < test_floor:
+                continue
+            for gram in _doc_grams(t, gram_tokens):
+                for p in probes(gram):
+                    bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros(words, dtype=np.uint64)
+    for row in ds.map_batches(bloom_partial,
+                              batch_format="pyarrow").take_all():
+        bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(bits)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+
+        def is_set(p: int) -> bool:
+            return bool(bl[p >> 6] >> np.uint64(p & 63) & np.uint64(1))
+
+        ids, hits = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            if bucket_of(i) >= train_pct:
+                continue
+            n = 0
+            for gram in _doc_grams(t, gram_tokens):
+                p1, p2 = probes(gram)
+                if is_set(p1) and is_set(p2):
+                    n += 1
+            ids.append(i)
+            hits.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bloom_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array([int(h > 0) for h in hits], pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

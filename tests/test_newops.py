@@ -982,3 +982,38 @@ def test_paragraph_first_dedup_max_paras_guard(ray_session):
     })
     with _pytest.raises(Exception, match="max_paras"):
         paragraph_first_dedup(rd.from_arrow(docs)).to_pandas()
+
+
+def test_contamination_bloom_superset_of_exact(ray_session):
+    """Bloom never false-negatives: every exact hit is a bloom hit with
+    at least the same count, and planted overlaps are fully detected.
+    Partitioning must not change the filter (OR-merge commutes)."""
+    from raycrawl.ops.contamination import (eval_contamination,
+                                            eval_contamination_bloom)
+    from raycrawl.ops.sampling import _h32
+
+    train_ids = [i for i in range(300) if _h32(str(i)) % 100 < 90][:3]
+    test_ids = [i for i in range(300) if _h32(str(i)) % 100 >= 95][:1]
+    passage = " ".join(f"ev{i}" for i in range(12))
+    rows = {
+        train_ids[0]: "lead tokens " + passage,
+        train_ids[1]: " ".join(f"c{i}" for i in range(20)),
+        train_ids[2]: "short text",
+        test_ids[0]: passage,
+    }
+    tbl = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                    "text": pa.array(list(rows.values()), pa.string())})
+    ds = rd.from_arrow(tbl)
+    exact = {r.doc_id: r.n_eval_grams for r in
+             eval_contamination(ds).to_pandas().itertuples()}
+    bloom = {r.doc_id: r.n_bloom_hits for r in
+             eval_contamination_bloom(ds.repartition(3))
+             .to_pandas().itertuples()}
+    assert set(bloom) == set(exact)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    assert bloom[train_ids[0]] == 5
+    bloom2 = {r.doc_id: r.n_bloom_hits for r in
+              eval_contamination_bloom(ds.repartition(2))
+              .to_pandas().itertuples()}
+    assert bloom2 == bloom
