@@ -1707,6 +1707,16 @@ def q_contamination_bloom(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_token_cms_top20(sf_dir: str):
+    """Count-min-sketch heavy hitters (ops/textstats.cms_token_topk): the
+    fixed-memory sibling of `token_top20`. The md5 probe rows make every
+    sketch counter a SQL-computable sum over hash-colliding tokens, so
+    the estimates are exactly oracle-gated — overestimates included."""
+    from raycrawl.ops.textstats import cms_token_topk
+
+    return cms_token_topk(_read_ds(sf_dir, "documents", ["text"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1814,6 +1824,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "recrawl_diff": q_recrawl_diff,
         "para_dedup": q_para_dedup,
         "contamination_bloom": q_contamination_bloom,
+        "token_cms_top20": q_token_cms_top20,
     }
 
 
@@ -3232,6 +3243,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
             FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
             WHERE s.b < 90
+        """,
+        # token_cms_top20: each sketch counter is the SUM of counts of all
+        # tokens whose md5 probe lands in that cell; estimate = LEAST over
+        # the 4 rows — the overestimates are reproduced exactly
+        "token_cms_top20": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY token
+            ),
+            pos AS (
+                SELECT token, c,
+                       CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                           % 2048 AS p0,
+                       CAST('0x' || substr(md5(token), 9, 8) AS BIGINT)
+                           % 2048 AS p1,
+                       CAST('0x' || substr(md5(token), 17, 8) AS BIGINT)
+                           % 2048 AS p2,
+                       CAST('0x' || substr(md5(token), 25, 8) AS BIGINT)
+                           % 2048 AS p3
+                FROM cnt
+            ),
+            r0 AS (SELECT p0 AS p, CAST(SUM(c) AS BIGINT) AS s
+                   FROM pos GROUP BY p0),
+            r1 AS (SELECT p1 AS p, CAST(SUM(c) AS BIGINT) AS s
+                   FROM pos GROUP BY p1),
+            r2 AS (SELECT p2 AS p, CAST(SUM(c) AS BIGINT) AS s
+                   FROM pos GROUP BY p2),
+            r3 AS (SELECT p3 AS p, CAST(SUM(c) AS BIGINT) AS s
+                   FROM pos GROUP BY p3),
+            top AS (
+                SELECT token, c FROM cnt
+                ORDER BY c DESC, token ASC LIMIT 20
+            )
+            SELECT t.token, t.c AS occurrences,
+                   CAST(LEAST(q0.s, q1.s, q2.s, q3.s) AS BIGINT)
+                       AS cms_estimate
+            FROM top t
+            JOIN pos p ON p.token = t.token
+            JOIN r0 q0 ON q0.p = p.p0
+            JOIN r1 q1 ON q1.p = p.p1
+            JOIN r2 q2 ON q2.p = p.p2
+            JOIN r3 q3 ON q3.p = p.p3
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -536,6 +536,60 @@ def hll_distinct_tokens(ds, p: int = 12):
     return pa.table({"est_distinct": pa.array([int(round(est))], pa.int64())})
 
 
+def cms_token_topk(ds, *, top_n: int = 20, width: int = 2048,
+                   depth: int = 4):
+    """Count-min-sketch heavy hitters: the fixed-memory sibling of
+    ``token_histogram`` (which is exact but shuffles one row per distinct
+    token per batch — at open-web vocabulary scale even that exchange is
+    unwelcome; the sketch is ``depth×width`` int64 counters, period).
+
+    Deterministic md5 probes: row ``r`` uses hex chars ``[8r, 8r+8)`` of
+    ``md5(token)`` mod ``width`` — the four rows exactly consume the
+    digest, and each probe is SQL-expressible, so the sketch counters
+    (sums over hash-colliding tokens) and therefore the estimates are
+    EXACTLY oracle-gateable, overestimates included. Per-batch partials
+    emit one dense ``depth·width·8``-byte register row; registers merge
+    by elementwise SUM — commutative, so any partition/fold order yields
+    the identical sketch (HLL-register discipline). The driver folds
+    O(blocks) 64-KB rows.
+
+    Returns the exact top-``top_n`` tokens (count desc, token asc — the
+    ``token_histogram`` order) with both the exact count and the CMS
+    estimate: ``(token, occurrences, cms_estimate)``,
+    ``cms_estimate >= occurrences`` always."""
+    import hashlib
+
+    def probes(tok: str):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return [int(h[8 * r: 8 * r + 8], 16) % width for r in range(depth)]
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for tok, n in c.items():
+            for r, p in enumerate(probes(tok)):
+                regs[r, p] += n
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    regs = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(sketch_partial,
+                              batch_format="pyarrow").take_all():
+        regs += np.frombuffer(row["regs"], dtype=np.int64).reshape(
+            depth, width)
+
+    top = token_histogram(ds, top_n).take_all()
+    toks = [r["token"] for r in top]
+    ests = [int(min(regs[r, p] for r, p in enumerate(probes(t))))
+            for t in toks]
+    return pa.table({
+        "token": pa.array(toks, pa.string()),
+        "occurrences": pa.array([r["occurrences"] for r in top], pa.int64()),
+        "cms_estimate": pa.array(ests, pa.int64()),
+    })
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -1017,3 +1017,17 @@ def test_contamination_bloom_superset_of_exact(ray_session):
               eval_contamination_bloom(ds.repartition(2))
               .to_pandas().itertuples()}
     assert bloom2 == bloom
+
+
+def test_cms_topk_overestimates_and_partition_independent(ray_session):
+    from raycrawl.ops.textstats import cms_token_topk
+
+    texts = ["hot " * 50 + "warm " * 10 + f"rare{i}" for i in range(200)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    out = cms_token_topk(ds.repartition(5), top_n=3).to_pandas()
+    assert out["token"].tolist()[0] == "hot"
+    # CMS never undercounts; with 200 docs of tiny vocab it's near-exact
+    assert (out["cms_estimate"] >= out["occurrences"]).all()
+    assert (out["cms_estimate"] <= out["occurrences"] * 1.2).all()
+    out2 = cms_token_topk(ds.repartition(2), top_n=3).to_pandas()
+    assert out2["cms_estimate"].tolist() == out["cms_estimate"].tolist()
