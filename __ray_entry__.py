@@ -1717,6 +1717,17 @@ def q_token_cms_top20(sf_dir: str):
     return cms_token_topk(_read_ds(sf_dir, "documents", ["text"]))
 
 
+def q_keyword_bm25(sf_dir: str):
+    """BM25 retrieval (ops/index.bm25_topk): integer-exact rational
+    variant (k1=1.2, b=0.75, idf=(N+1)/(df+1), all denominators cleared
+    into one floor division) so the DuckDB HUGEINT oracle matches
+    bit-exactly. Top-20 by (score desc, doc_id asc)."""
+    from raycrawl.ops.index import bm25_topk
+
+    return bm25_topk(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                     KEYWORD_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1825,6 +1836,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "contamination_bloom": q_contamination_bloom,
         "token_cms_top20": q_token_cms_top20,
+        "keyword_bm25": q_keyword_bm25,
     }
 
 
@@ -2760,6 +2772,48 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
             ORDER BY score_ppm DESC, doc_id ASC
             LIMIT 10
+        """,
+        # keyword_bm25: the rational BM25 (k1=1.2, b=0.75 cleared into one
+        # integer floor division); products overflow BIGINT at corpus
+        # scale, so every factor is lifted to HUGEINT before multiplying
+        "keyword_bm25": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(len(w)) AS HUGEINT) AS t
+                FROM toks
+            ),
+            dls AS (SELECT doc_id, CAST(len(w) AS HUGEINT) AS dl
+                    FROM toks),
+            post AS (
+                SELECT doc_id, token, CAST(count(*) AS HUGEINT) AS tf
+                FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+                WHERE token IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, CAST(count(*) AS HUGEINT) AS df
+                   FROM post GROUP BY token),
+            scores AS (
+                SELECT p.doc_id,
+                       CAST(SUM(
+                           (1000000 * (s.n + 1) * 22 * p.tf * s.t)
+                           // ((d.df + 1) * (10 * p.tf * s.t + 3 * s.t
+                                             + 9 * l.dl * s.n))
+                       ) AS BIGINT) AS bm25_ppm
+                FROM post p
+                JOIN df d ON d.token = p.token
+                JOIN dls l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, bm25_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY bm25_ppm DESC, doc_id ASC) AS BIGINT) AS rnk
+            FROM scores
+            ORDER BY bm25_ppm DESC, doc_id ASC
+            LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
         "pack_sequences": """

@@ -105,6 +105,99 @@ def keyword_topk(ds, terms: list[str], k: int = 10,
     )
 
 
+def bm25_topk(ds, terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 retrieval, integer-exact rational variant (k1=1.2, b=0.75,
+    idf = (N+1)/(df+1) — the log is dropped so every score is ONE integer
+    floor-division, bit-identical between Python bignums and the DuckDB
+    HUGEINT oracle; the ranking behavior — tf saturation, length
+    normalization, rarity weighting — is standard BM25). Per posting row:
+
+        score_ppm = (1e6·(N+1)·22·tf·T) // ((df+1)·(10·tf·T + 3·T + 9·dl·N))
+
+    which is ``1e6 · idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    avgdl = T/N and all denominators cleared (T = corpus token count).
+    Intermediate products exceed int64 at corpus scale, so the kernel
+    scores in Python ints (exact bignum) and emits int64 results.
+
+    Same scale shape as ``keyword_topk``: query-term filter in the first
+    pass, df/N/T broadcast as O(|terms|) scalars, doc-keyed Sum shuffle,
+    per-batch top-k partials; rows to the driver are O(batches·k)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    # corpus stats: one partial-agg pass, two scalars to the driver
+    def len_partial(batch: pa.Table) -> pa.Table:
+        dls = [len((t or "").split(" "))
+               for t in batch[text_col].to_pylist()]
+        return pa.table({"n": pa.array([len(dls)], pa.int64()),
+                         "t": pa.array([sum(dls)], pa.int64())})
+
+    tot = (ds.map_batches(len_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t")))
+    n_docs, t_toks = int(tot["n"]), int(tot["t"])
+
+    term_set = frozenset(terms)
+
+    def posting_partial(batch: pa.Table) -> pa.Table:
+        toks_out, ids_out, tf_out, dl_out = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            words = (t or "").split(" ")
+            c = Counter(words)
+            for tok in term_set:
+                if c[tok]:
+                    toks_out.append(tok)
+                    ids_out.append(did)
+                    tf_out.append(c[tok])
+                    dl_out.append(len(words))
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         id_col: pa.array(ids_out, pa.int64()),
+                         "tf": pa.array(tf_out, pa.int64()),
+                         "dl": pa.array(dl_out, pa.int64())})
+
+    postings = ds.map_batches(posting_partial,
+                              batch_format="pyarrow").materialize()
+    df_rows = postings.groupby("token").aggregate(
+        Count(alias_name="df")).take_all()
+    df_ref = ray.put({r["token"]: int(r["df"]) for r in df_rows})
+
+    def weight(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        w = []
+        for tok, tf, dl in zip(batch["token"].to_pylist(),
+                               batch["tf"].to_pylist(),
+                               batch["dl"].to_pylist()):
+            # Python ints: (N+1)·22·tf·T overflows int64 at corpus scale
+            num = 1_000_000 * (n_docs + 1) * 22 * tf * t_toks
+            den = (df[tok] + 1) * (10 * tf * t_toks + 3 * t_toks
+                                   + 9 * dl * n_docs)
+            w.append(num // den)
+        return pa.table({id_col: batch[id_col],
+                         "w": pa.array(w, pa.int64())})
+
+    sums = (postings.map_batches(weight, batch_format="pyarrow")
+            .groupby(id_col).aggregate(Sum("w", alias_name="bm25_ppm")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        s = np.asarray(batch["bm25_ppm"], np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, -s))[:k]
+            ids, s = ids[top], s[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bm25_ppm": pa.array(s, pa.int64())})
+
+    rows = sums.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["bm25_ppm"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "bm25_ppm": pa.array([r["bm25_ppm"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())}
+    )
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

@@ -1031,3 +1031,33 @@ def test_cms_topk_overestimates_and_partition_independent(ray_session):
     assert (out["cms_estimate"] <= out["occurrences"] * 1.2).all()
     out2 = cms_token_topk(ds.repartition(2), top_n=3).to_pandas()
     assert out2["cms_estimate"].tolist() == out["cms_estimate"].tolist()
+
+
+def test_bm25_ranking_properties(ray_session):
+    """BM25 behaviors the integer variant must preserve: rarity weighting
+    (rare term outranks common at equal tf/dl), tf saturation (2x tf
+    < 2x score), and length normalization (same tf, shorter doc wins)."""
+    from raycrawl.ops.index import bm25_topk
+
+    pad = lambda n: " ".join(f"x{i}" for i in range(n))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "rare " + pad(20),            # rare term, dl 21
+            "common " + pad(20),          # common term, dl 21
+            "common common " + pad(19),   # tf 2, dl 21
+            "common " + pad(10),          # tf 1, shorter doc
+        ],
+    })
+    # make "common" appear in many docs to raise its df
+    extra = pa.table({
+        "doc_id": pa.array(range(100, 110), pa.int64()),
+        "text": pa.array(["common filler"] * 10, pa.string()),
+    })
+    ds = rd.from_arrow(pa.concat_tables([docs, extra])).repartition(3)
+    out = bm25_topk(ds, ["rare", "common"], k=14).to_pandas()
+    score = dict(zip(out["doc_id"], out["bm25_ppm"]))
+    assert score[1] > score[2]            # rarity: df(rare)=1 < df(common)
+    assert score[3] > score[2]            # more tf still scores higher...
+    assert score[3] < 2 * score[2]        # ...but saturates below linear
+    assert score[4] > score[2]            # shorter doc, same tf, wins
