@@ -1728,6 +1728,21 @@ def q_keyword_bm25(sf_dir: str):
                      KEYWORD_TERMS, k=20)
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Refresh scheduling (ops/recrawl.recrawl_priority): per-source churn
+    ranking composed from the recrawl_diff epochs — the stage that decides
+    where the next crawl's politeness budget goes. One hash join + a
+    #sources groupby; the oracle chains the diff CTE into a GROUP BY with
+    a ROW_NUMBER rank."""
+    from raycrawl.ops.recrawl import recrawl_priority
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    diff = q_recrawl_diff(sf_dir)
+    src = _read_ds(sf_dir, "documents", ["doc_id", "source"])
+    return recrawl_priority(diff, src, origin_mod=n)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1837,6 +1852,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "contamination_bloom": q_contamination_bloom,
         "token_cms_top20": q_token_cms_top20,
         "keyword_bm25": q_keyword_bm25,
+        "recrawl_priority": q_recrawl_priority,
     }
 
 
@@ -3207,6 +3223,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN e1.h = e2.h THEN 'unchanged'
                         ELSE 'modified' END AS status
             FROM e1 FULL OUTER JOIN e2 ON e1.doc_id = e2.doc_id
+        """,
+        # recrawl_priority: the diff CTE re-keyed to its origin doc
+        # (doc_id % N attributes epoch-2's new urls), rolled up per source
+        "recrawl_priority": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            e1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+            e2 AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]'
+                            ELSE text END) AS h
+                FROM documents WHERE doc_id % 13 <> 5
+                UNION ALL
+                SELECT d.doc_id + n.n, md5('new:' || d.text)
+                FROM documents d CROSS JOIN n
+                WHERE d.doc_id % 11 = 0
+            ),
+            diff AS (
+                SELECT coalesce(e1.doc_id, e2.doc_id) AS doc_id,
+                       CASE WHEN e2.h IS NULL THEN 'deleted'
+                            WHEN e1.h IS NULL THEN 'new'
+                            WHEN e1.h = e2.h THEN 'unchanged'
+                            ELSE 'modified' END AS status
+                FROM e1 FULL OUTER JOIN e2 ON e1.doc_id = e2.doc_id
+            ),
+            agg AS (
+                SELECT d.source,
+                       CAST(count(*) AS BIGINT) AS n_urls,
+                       CAST(SUM(CASE WHEN status = 'modified' THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_modified,
+                       CAST(SUM(CASE WHEN status = 'new' THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_new,
+                       CAST(SUM(CASE WHEN status = 'deleted' THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_deleted
+                FROM diff CROSS JOIN n
+                JOIN documents d ON d.doc_id = diff.doc_id % n.n
+                GROUP BY d.source
+            )
+            SELECT source, n_urls, n_modified, n_new, n_deleted,
+                   n_modified + n_new + n_deleted AS churn,
+                   CAST(row_number() OVER (
+                       ORDER BY n_modified + n_new + n_deleted DESC,
+                                source ASC) AS BIGINT) AS priority_rank
+            FROM agg
         """,
         # para_dedup: replant the 3-paragraph structure, elect the global
         # first occurrence per md5 with a ROW_NUMBER window (the Ray side's

@@ -111,6 +111,66 @@ def epoch_diff(epoch1_ds, epoch2_ds, *, id_col: str = "doc_id",
     return j.map_batches(classify, batch_format="pyarrow")
 
 
+def recrawl_priority(diff_ds, source_ds, *, origin_mod: int,
+                     id_col: str = "doc_id", source_col: str = "source",
+                     n_parts: int | None = None):
+    """Refresh scheduling: rank sources by churn between two crawl
+    epochs. The reference recrawls every site on every run (crawler.py's
+    per-site loop); at corpus scale the scheduler must instead spend its
+    politeness budget where content actually changes — churn per source =
+    modified + new + deleted urls from ``epoch_diff``.
+
+    ``diff_ds`` is ``epoch_diff`` output; ``source_ds`` carries
+    ``(doc_id, source)``. New urls are attributed to their origin doc via
+    ``doc_id % origin_mod`` (the epoch-2 synthesis parks new urls at
+    ``origin + N``). One partitioned hash join (fixed-width rows only) +
+    a #sources-row groupby; the final ranking sorts the tiny per-source
+    table on the driver.
+
+    Returns ``(source, n_urls, n_modified, n_new, n_deleted, churn,
+    priority_rank)`` — rank 1 = highest (churn desc, source asc)."""
+    from ray.data.aggregate import Sum
+
+    from .grouping import resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def origin_and_flags(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        st = batch["status"].to_pylist()
+        return pa.table({
+            id_col: pa.array([d % origin_mod for d in ids], pa.int64()),
+            "n_urls": pa.array([1] * len(ids), pa.int64()),
+            "n_modified": pa.array(
+                [int(s == "modified") for s in st], pa.int64()),
+            "n_new": pa.array([int(s == "new") for s in st], pa.int64()),
+            "n_deleted": pa.array(
+                [int(s == "deleted") for s in st], pa.int64()),
+        })
+
+    flagged = diff_ds.map_batches(origin_and_flags, batch_format="pyarrow")
+    j = flagged.join(source_ds, join_type="inner", num_partitions=width,
+                     on=(id_col,))
+    agg = j.groupby(source_col).aggregate(
+        Sum("n_urls", alias_name="n_urls"),
+        Sum("n_modified", alias_name="n_modified"),
+        Sum("n_new", alias_name="n_new"),
+        Sum("n_deleted", alias_name="n_deleted"))
+    rows = agg.take_all()  # #sources rows — bounded by construction
+    for r in rows:
+        r["churn"] = r["n_modified"] + r["n_new"] + r["n_deleted"]
+    rows.sort(key=lambda r: (-r["churn"], r[source_col]))
+    return pa.table({
+        "source": pa.array([r[source_col] for r in rows], pa.string()),
+        "n_urls": pa.array([r["n_urls"] for r in rows], pa.int64()),
+        "n_modified": pa.array([r["n_modified"] for r in rows], pa.int64()),
+        "n_new": pa.array([r["n_new"] for r in rows], pa.int64()),
+        "n_deleted": pa.array([r["n_deleted"] for r in rows], pa.int64()),
+        "churn": pa.array([r["churn"] for r in rows], pa.int64()),
+        "priority_rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+    })
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

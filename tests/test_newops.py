@@ -1061,3 +1061,24 @@ def test_bm25_ranking_properties(ray_session):
     assert score[3] > score[2]            # more tf still scores higher...
     assert score[3] < 2 * score[2]        # ...but saturates below linear
     assert score[4] > score[2]            # shorter doc, same tf, wins
+
+
+def test_recrawl_priority_ranks_churn(ray_session):
+    from raycrawl.ops.recrawl import recrawl_priority
+
+    diff = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 10, 11], pa.int64()),
+        "status": ["unchanged", "modified", "modified", "deleted",
+                   "new", "new"],
+    })).repartition(2)
+    # origin_mod 10: urls 10/11 are new spawns of docs 0/1
+    src = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": ["quiet", "busy", "busy", "quiet"],
+    }))
+    out = recrawl_priority(diff, src, origin_mod=10).to_pandas()
+    # busy: modified(1,2) + new(11→1) = 3; quiet: deleted(3) + new(10→0) = 2
+    assert out["source"].tolist() == ["busy", "quiet"]
+    assert out["churn"].tolist() == [3, 2]
+    assert out["priority_rank"].tolist() == [1, 2]
+    assert out["n_urls"].tolist() == [3, 3]
