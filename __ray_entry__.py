@@ -1743,6 +1743,17 @@ def q_recrawl_priority(sf_dir: str):
     return recrawl_priority(diff, src, origin_mod=n)
 
 
+def q_length_outliers(sf_dir: str):
+    """Per-source Tukey-fence length outlier filter (ops/hostagg.py
+    length_outlier_filter): exact discrete quantiles via the distributed
+    sort+rank machinery, 0.5·IQR fences compared integer-cross-multiplied.
+    The oracle is quantile_disc + the same fence arithmetic."""
+    from raycrawl.ops.hostagg import length_outlier_filter
+
+    return length_outlier_filter(
+        _read_ds(sf_dir, "documents", ["doc_id", "source", "n_chars"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1853,6 +1864,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "token_cms_top20": q_token_cms_top20,
         "keyword_bm25": q_keyword_bm25,
         "recrawl_priority": q_recrawl_priority,
+        "length_outliers": q_length_outliers,
     }
 
 
@@ -2788,6 +2800,21 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
             ORDER BY score_ppm DESC, doc_id ASC
             LIMIT 10
+        """,
+        # length_outliers: quantile_disc IS the engine's discrete-rank
+        # convention; fences cross-multiplied (0.5·IQR tight fence)
+        "length_outliers": """
+            WITH q AS (
+                SELECT source,
+                       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1,
+                       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3
+                FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars, q.q1, q.q3,
+                   CAST(CASE WHEN 2 * d.n_chars >= 2 * q.q1 - (q.q3 - q.q1)
+                              AND 2 * d.n_chars <= 2 * q.q3 + (q.q3 - q.q1)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_len
+            FROM documents d JOIN q USING (source)
         """,
         # keyword_bm25: the rational BM25 (k1=1.2, b=0.75 cleared into one
         # integer floor division); products overflow BIGINT at corpus

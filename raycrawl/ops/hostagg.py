@@ -140,6 +140,66 @@ def anchor_stats(edges_ds, *, dst_col: str = "dst",
         batch_format="pyarrow")
 
 
+def length_outlier_filter(docs_ds, *, fence_halves: int = 1,
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          chars_col: str = "n_chars",
+                          max_sources: int = 1_000_000):
+    """Tukey-fence length-outlier filter per source: keep a document iff
+    ``q1 − f·IQR ≤ n_chars ≤ q3 + f·IQR`` within its source, where
+    ``f = fence_halves/2`` (the classic 1.5·IQR fence is
+    ``fence_halves=3``; the default 0.5·IQR is a tight curation fence).
+    Compared integer-cross-multiplied — ``2·n_chars`` vs
+    ``2·q1 − fence_halves·IQR`` — so no float ever enters the gate.
+
+    Quantiles are EXACT per-source discrete quantiles from
+    ``quantiles.group_quantiles`` (one range-partitioned sort, metadata
+    rank arithmetic — no group materializes anywhere); the per-source
+    fence table is tiny by construction and broadcast once via
+    ``ray.put`` under the same ``max_sources`` guard as
+    ``source_quality_filter``. The doc pass is shuffle-free.
+
+    Returns ``(doc_id, source, n_chars, q1, q3, keep_len)`` per doc."""
+    import ray
+
+    from .quantiles import group_quantiles
+
+    q = group_quantiles(docs_ds, source_col, chars_col,
+                        {"q1": 0.25, "q3": 0.75})
+    if q.num_rows > max_sources:
+        raise ValueError(
+            f"length_outlier_filter: >{max_sources} distinct sources; "
+            "the fence table must stay broadcast-small")
+    # discrete quantiles ARE input elements — integral by construction
+    lut_ref = ray.put({
+        s: (int(a), int(b))
+        for s, a, b in zip(q[source_col].to_pylist(),
+                           q["q1"].to_pylist(), q["q3"].to_pylist())})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        srcs = batch[source_col].to_pylist()
+        chars = batch[chars_col].to_pylist()
+        q1s, q3s, keep = [], [], []
+        for s, c in zip(srcs, chars):
+            q1, q3 = lut[s]
+            iqr = q3 - q1
+            q1s.append(q1)
+            q3s.append(q3)
+            keep.append(int(2 * c >= 2 * q1 - fence_halves * iqr
+                            and 2 * c <= 2 * q3 + fence_halves * iqr))
+        return pa.table({
+            "doc_id": batch[id_col],
+            "source": batch[source_col],
+            "n_chars": pa.array(chars, pa.int64()),
+            "q1": pa.array(q1s, pa.int64()),
+            "q3": pa.array(q3s, pa.int64()),
+            "keep_len": pa.array(keep, pa.int64()),
+        })
+
+    return docs_ds.map_batches(tag, batch_format="pyarrow")
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

@@ -1082,3 +1082,27 @@ def test_recrawl_priority_ranks_churn(ray_session):
     assert out["churn"].tolist() == [3, 2]
     assert out["priority_rank"].tolist() == [1, 2]
     assert out["n_urls"].tolist() == [3, 3]
+
+
+def test_length_outlier_filter_hand_computed(ray_session):
+    from raycrawl.ops.hostagg import length_outlier_filter
+
+    # source "a": values 10..19 + one 100-outlier; n=11 →
+    # q1 = ceil(.25·11)=3rd = 12, q3 = ceil(.75·11)=9th = 18, IQR 6
+    # 0.5·IQR fences: [12-3, 18+3] = [9, 21] → only 100 dropped
+    vals = list(range(10, 20)) + [100]
+    tbl = pa.table({
+        "doc_id": pa.array(range(11), pa.int64()),
+        "source": pa.array(["a"] * 11, pa.string()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    out = length_outlier_filter(
+        rd.from_arrow(tbl).repartition(3)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["q1"].tolist() == [12] * 11
+    assert out["q3"].tolist() == [18] * 11
+    assert out["keep_len"].tolist() == [1] * 10 + [0]
+    # classic 1.5·IQR fence keeps everything up to 27: 100 still out
+    out2 = length_outlier_filter(rd.from_arrow(tbl),
+                                 fence_halves=3).to_pandas()
+    assert out2.sort_values("doc_id")["keep_len"].tolist() == [1]*10 + [0]
