@@ -1754,6 +1754,29 @@ def q_length_outliers(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source", "n_chars"]))
 
 
+def q_url_patterns(sf_dir: str):
+    """Crawl-trap detection (ops/urlstats.url_pattern_stats): URLs planted
+    with pagination/session-id variants by doc_id residue, digit runs
+    collapsed to N, top-50 (host, pattern) groups by count with the min
+    URL as the deterministic example."""
+    from raycrawl.ops.urlstats import url_pattern_stats
+
+    def plant(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            u = f"https://src{d % 20}.example.org/doc/{d}"
+            if d % 3 == 0:
+                u += f"/page/{d // 3}"
+            if d % 5 == 0:
+                u += f"?session={d * 7}"
+            urls.append(u)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    urls = _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow")
+    return url_pattern_stats(urls, top_n=50)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1865,6 +1888,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "keyword_bm25": q_keyword_bm25,
         "recrawl_priority": q_recrawl_priority,
         "length_outliers": q_length_outliers,
+        "url_patterns": q_url_patterns,
     }
 
 
@@ -2800,6 +2824,40 @@ def oracle_sql() -> dict[str, str]:
             FROM scores
             ORDER BY score_ppm DESC, doc_id ASC
             LIMIT 10
+        """,
+        # url_patterns: the residue URL plant + the digit-run fold;
+        # split_part(url,'/',3) is exactly Python's split('/',3)[2]
+        "url_patterns": """
+            WITH u AS (
+                SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN '/page/' || CAST(doc_id // 3 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN '?session=' || CAST(doc_id * 7 AS VARCHAR)
+                          ELSE '' END AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT split_part(url, '/', 3) AS host,
+                       regexp_replace(url, '[0-9]+', 'N', 'g') AS pattern,
+                       url
+                FROM u
+            ),
+            a AS (
+                SELECT host, pattern,
+                       CAST(COUNT(*) AS BIGINT) AS n_urls,
+                       MIN(url) AS example_url
+                FROM p GROUP BY host, pattern
+            )
+            SELECT host, pattern, n_urls, example_url,
+                   CAST(row_number() OVER (
+                       ORDER BY n_urls DESC, host, pattern) AS BIGINT)
+                       AS rnk
+            FROM a
+            ORDER BY n_urls DESC, host, pattern
+            LIMIT 50
         """,
         # length_outliers: quantile_disc IS the engine's discrete-rank
         # convention; fences cross-multiplied (0.5·IQR tight fence)

@@ -1,0 +1,89 @@
+"""URL pattern mining: crawl-trap detection over the frontier/seen set.
+
+Calendar pages, session ids, paginated archives and faceted search are
+the classic crawler traps (the reference defends with per-site
+``max_pages``/`exclude` substrings, crawler.py:112-119, 1152-1154; a
+corpus engine wants the measurement too): collapse every digit run in
+the URL to ``N`` and count URLs per (host, pattern) — a pattern whose
+count explodes relative to its host's page count is a trap candidate,
+and the output feeds exclusion rules for the next crawl.
+
+Scale shape: the pattern fold is a vectorized regex inside
+``map_batches``; per-batch pandas groupby partials pre-aggregate (one
+row per distinct (host, pattern) per batch — never one per URL); a
+fixed-width groupby reduces globally; the final top-``n`` sorts only
+(host, pattern) aggregate rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+_DIGITS = re.compile(r"[0-9]+")
+
+
+def host_of(url: str) -> str:
+    """scheme://HOST/... — no urlparse dependency in the hot loop."""
+    try:
+        return url.split("/", 3)[2]
+    except IndexError:
+        return ""
+
+
+def url_pattern_stats(urls_ds, *, url_col: str = "url", top_n: int = 50):
+    """Top-``top_n`` (host, pattern) groups by URL count, with the
+    lexicographically-min member URL as the deterministic example.
+    Pattern = the URL with every digit run collapsed to ``N`` (the same
+    fold DuckDB's ``regexp_replace(url, '[0-9]+', 'N', 'g')`` applies).
+    Order: (n_urls desc, host asc, pattern asc); ``rnk`` is 1-based."""
+    from ray.data.aggregate import Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        df = pd.DataFrame({
+            "host": [host_of(u or "") for u in urls],
+            "pattern": [_DIGITS.sub("N", u or "") for u in urls],
+            "url": urls,
+            "cnt": 1,
+        })
+        g = df.groupby(["host", "pattern"], as_index=False).agg(
+            cnt=("cnt", "sum"), example_url=("url", "min"))
+        return pa.table({
+            "host": pa.array(g["host"], pa.string()),
+            "pattern": pa.array(g["pattern"], pa.string()),
+            "cnt": pa.array(g["cnt"].astype("int64")),
+            "example_url": pa.array(g["example_url"], pa.string()),
+        })
+
+    agg = (urls_ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["host", "pattern"])
+           .aggregate(Sum("cnt", alias_name="n_urls"),
+                      Min("example_url", alias_name="example_url")))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_urls", "host", "pattern"],
+                            ascending=[False, True, True],
+                            kind="stable").head(top_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = (agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: (-r["n_urls"], r["host"], r["pattern"]))
+    out = rows[:top_n]
+    return pa.table({
+        "host": pa.array([r["host"] for r in out], pa.string()),
+        "pattern": pa.array([r["pattern"] for r in out], pa.string()),
+        "n_urls": pa.array([r["n_urls"] for r in out], pa.int64()),
+        "example_url": pa.array([r["example_url"] for r in out],
+                                pa.string()),
+        "rnk": pa.array(range(1, len(out) + 1), pa.int64()),
+    })
+
+
+# ship by value so workers never import the package from disk
+import raycrawl as _raycrawl_pkg
+
+_raycrawl_pkg.register_by_value()

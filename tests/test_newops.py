@@ -1106,3 +1106,21 @@ def test_length_outlier_filter_hand_computed(ray_session):
     out2 = length_outlier_filter(rd.from_arrow(tbl),
                                  fence_halves=3).to_pandas()
     assert out2.sort_values("doc_id")["keep_len"].tolist() == [1]*10 + [0]
+
+
+def test_url_pattern_stats_trap_detection(ray_session):
+    from raycrawl.ops.urlstats import url_pattern_stats
+
+    urls = ([f"https://a.com/cal/2024/{i}" for i in range(30)]     # trap
+            + [f"https://a.com/post/{i}" for i in range(5)]
+            + ["https://b.com/about", "https://b.com/about"])
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = url_pattern_stats(ds.repartition(4), top_n=10).to_pandas()
+    assert out.loc[0, "pattern"] == "https://a.com/cal/N/N"
+    assert out.loc[0, "n_urls"] == 30
+    assert out.loc[0, "example_url"] == "https://a.com/cal/2024/0"
+    assert out.loc[0, "host"] == "a.com"
+    assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+    # cross-batch counts aggregate: the about page appears once as count 2
+    row_b = out[out["host"] == "b.com"]
+    assert row_b["n_urls"].tolist() == [2]
