@@ -1000,7 +1000,11 @@ def q_search_rerank(sf_dir: str):
     vectors get score×0.1; top-10 by rank."""
     from raycrawl.ops.queryside import rerank_topk
 
-    emb_tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    # pruned read: one row group, two columns — only the query vector is
+    # needed on the driver (the corpus streams through the rerank below)
+    emb_tbl = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).read_row_group(
+        0, columns=["vec_id", "embedding"])
     qvec = np.array(emb_tbl["embedding"][0].as_py(), dtype=np.float64)
 
     def results(batch: pa.Table) -> pa.Table:
@@ -1406,6 +1410,22 @@ def q_span_pairs(sf_dir: str):
     from raycrawl.ops.spans import shared_span_pairs
 
     return shared_span_pairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_span_trim(sf_dir: str):
+    """Bounded exact-substring dedup (ops/substring.duplicate_span_trim,
+    the Lee et al. 2022 trim at 20-gram resolution): the globally-first
+    occurrence of every duplicated 20-token run survives, every later
+    occurrence is trimmed out of its document. Winner election and loser
+    emission happen in one gram-hash exchange of fixed-width
+    (md5, packed int64) rows; loser positions fold into one per-doc
+    bitmap row; text crosses exactly one partitioned hash join. The
+    DuckDB oracle replays the identical rule: same md5 gram keys, same
+    doc_id*4096+i packed tie-break, same position-set union."""
+    from raycrawl.ops.substring import duplicate_span_trim
+
+    return duplicate_span_trim(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]), run_tokens=20)
 
 
 def q_pii_scrub(sf_dir: str):
@@ -1889,6 +1909,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": q_recrawl_priority,
         "length_outliers": q_length_outliers,
         "url_patterns": q_url_patterns,
+        "span_trim": q_span_trim,
     }
 
 
@@ -3180,6 +3201,55 @@ def oracle_sql() -> dict[str, str]:
               ON f1.h = f2.h AND f1.doc_id < f2.doc_id
             WHERE f1.h IN (SELECT h FROM bucketed)
             GROUP BY 1, 2
+        """,
+        # span_trim: the bounded exact-substring trim restated — grams are
+        # full md5 hex strings over 1-based list slices w[(i+1):(i+20)] ==
+        # Python tokens[i:i+20]; the winner per gram is MIN(doc_id*4096+i)
+        # (4096 == the engine's max_tokens packing base); losers mark
+        # [i, i+20) and marked position sets union via DISTINCT.
+        "span_trim": """
+            WITH toks AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, w, unnest(range(len(w) - 19)) AS i
+                FROM toks WHERE len(w) >= 20
+            ),
+            hs AS (
+                SELECT doc_id, i,
+                       md5(array_to_string(w[(i+1):(i+20)], ' ')) AS h
+                FROM grams
+            ),
+            win AS (SELECT h, MIN(doc_id * 4096 + i) AS wp FROM hs GROUP BY h),
+            losers AS (
+                SELECT hs.doc_id, hs.i FROM hs JOIN win ON hs.h = win.h
+                WHERE hs.doc_id * 4096 + hs.i <> win.wp
+            ),
+            marked AS (
+                SELECT DISTINCT doc_id, i + j AS p
+                FROM losers, unnest(range(20)) t(j)
+            ),
+            tokpos AS (
+                SELECT doc_id, unnest(range(len(w))) AS p, unnest(w) AS tok
+                FROM toks
+            ),
+            kept AS (
+                SELECT t.doc_id, t.p, t.tok
+                FROM tokpos t LEFT JOIN marked m
+                  ON t.doc_id = m.doc_id AND t.p = m.p
+                WHERE m.doc_id IS NULL
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(mc.n, 0) AS BIGINT) AS n_trimmed,
+                   coalesce(k.txt, '') AS trimmed_text
+            FROM toks t
+            LEFT JOIN (SELECT doc_id, count(*) AS n FROM marked
+                       GROUP BY doc_id) mc USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY p) AS txt
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -1124,3 +1124,84 @@ def test_url_pattern_stats_trap_detection(ray_session):
     # cross-batch counts aggregate: the about page appears once as count 2
     row_b = out[out["host"] == "b.com"]
     assert row_b["n_urls"].tolist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# bounded exact-substring trim (duplicate_span_trim)
+
+
+def _trim_df(tbl, nparts, **kw):
+    from raycrawl.ops.substring import duplicate_span_trim
+
+    out = duplicate_span_trim(rd.from_arrow(tbl).repartition(nparts),
+                              **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_span_trim_winner_keeps_loser_trims(ray_session):
+    """The globally-first occurrence (min doc_id*max_tokens+i) of a
+    duplicated run survives verbatim; the later occurrence loses exactly
+    the run's positions — and the result is partition-independent."""
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c d x y z w", "p q a b c d r s"]),
+    })
+    for nparts in (1, 5):
+        out = _trim_df(tbl, nparts, run_tokens=4)
+        assert out["n_tokens"].tolist() == [8, 8]
+        assert out["n_trimmed"].tolist() == [0, 4]
+        assert out["trimmed_text"].tolist() == ["a b c d x y z w", "p q r s"]
+
+
+def test_span_trim_overlapping_runs_union(ray_session):
+    """Overlapping duplicated grams merge via the position-set union: a
+    duplicated 5-token run at 4-gram resolution trims 5 tokens, not 8."""
+    tbl = pa.table({
+        "doc_id": pa.array([3, 4], pa.int64()),
+        "text": pa.array(["m n o p q", "z m n o p q y"]),
+    })
+    out = _trim_df(tbl, 3, run_tokens=4)
+    assert out["n_trimmed"].tolist() == [0, 5]
+    assert out["trimmed_text"].tolist() == ["m n o p q", "z y"]
+
+
+def test_span_trim_no_duplicates_and_short_docs(ray_session):
+    """Unique corpora pass through the no-marks fast path byte-identically;
+    docs shorter than run_tokens (incl. empty text) emit no grams."""
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["one two three four five", "tiny", ""]),
+    })
+    out = _trim_df(tbl, 2, run_tokens=4)
+    assert out["n_trimmed"].tolist() == [0, 0, 0]
+    # ''.split(' ') == [''] — one empty token, rebuilt as ''
+    assert out["n_tokens"].tolist() == [5, 1, 1]
+    assert out["trimmed_text"].tolist() == ["one two three four five",
+                                            "tiny", ""]
+
+
+def test_span_trim_identical_docs_first_survives(ray_session):
+    """Three byte-identical docs: the lowest doc_id keeps everything, the
+    other two trim to empty — one corpus copy survives, as in Lee et al."""
+    txt = " ".join(f"w{i}" for i in range(6))
+    tbl = pa.table({
+        "doc_id": pa.array([7, 5, 9], pa.int64()),
+        "text": pa.array([txt, txt, txt]),
+    })
+    out = _trim_df(tbl, 2, run_tokens=4)
+    assert out["doc_id"].tolist() == [5, 7, 9]
+    assert out["n_trimmed"].tolist() == [0, 6, 6]
+    assert out["trimmed_text"].tolist() == [txt, "", ""]
+
+
+def test_span_trim_max_tokens_guard(ray_session):
+    """Docs longer than the int64 packing base fail loudly, not wrongly."""
+    from raycrawl.ops.substring import duplicate_span_trim
+
+    tbl = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(["x"] * 40)]),
+    })
+    with pytest.raises(Exception, match="max_tokens"):
+        duplicate_span_trim(rd.from_arrow(tbl), run_tokens=4,
+                            max_tokens=16).to_pandas()
