@@ -334,6 +334,31 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def q_minhash_sig(sf_dir: str):
+    """Bit-exact MinHash signature kernel (ops/dedup.minhash_signatures_md5)
+    — the exactly-gated sibling of the crc32 throughput path: 31-bit
+    md5_number_lower shingle hashes, 16 fixed-seed (a·x+b) mod (2^61-1)
+    permutations, min over each doc's DISTINCT 5-char shingles. Exploded
+    (doc_id, perm, sig) rows so the DuckDB oracle compares every signature
+    cell; the oracle inlines the same coefficients as literals."""
+    from raycrawl.ops.dedup import minhash_signatures_md5
+
+    return minhash_signatures_md5(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_sig(sf_dir: str):
+    """Bit-exact SimHash kernel (ops/dedup.simhash_chunks_md5) — the
+    exactly-gated sibling of the crc32 simhash_batch: md5_number_lower
+    token hashes (every occurrence counts), bit j set iff the signed ±1
+    sum is > 0, emitted as the four little-endian 16-bit chunks the
+    Hamming-≤3 pigeonhole bucketing groups by."""
+    from raycrawl.ops.dedup import simhash_chunks_md5
+
+    return simhash_chunks_md5(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
     """Query matrix = embeddings of vec_id 0..n-1, pruned at the read: only
     the first row group's two needed columns leave storage (the driver must
@@ -1838,6 +1863,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "search_hybrid": q_search_hybrid,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "minhash_sig": q_minhash_sig,
+        "simhash_sig": q_simhash_sig,
         "embed_topk": q_embed_topk,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
@@ -3561,4 +3588,72 @@ def oracle_sql() -> dict[str, str]:
     }
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
+
+    # minhash_sig: the md5 MinHash sibling replayed cell-for-cell. The
+    # (a, b) permutation coefficients come from the SAME fixed-seed
+    # generator the engine uses (dedup.minhash_coeffs) and are inlined as
+    # literals — the SQL itself stays pure ANSI. Shingle set semantics:
+    # DISTINCT over the 31-bit hash values (collisions collapse, exactly
+    # as in the Python set of hashes); docs shorter than 5 chars (incl.
+    # empty text) hash the whole text once.
+    from raycrawl.ops.dedup import minhash_coeffs
+
+    _a, _b = minhash_coeffs()
+    _perm_rows = ",\n                ".join(
+        f"({p}, {int(_a[p])}, {int(_b[p])})" for p in range(len(_a)))
+    sql["minhash_sig"] = f"""
+        WITH docs AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, substr(t, CAST(i + 1 AS INT), 5) AS g
+            FROM docs, unnest(range(length(t) - 4)) u(i)
+            WHERE length(t) >= 5
+            UNION ALL
+            SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
+        ),
+        xs AS (
+            SELECT DISTINCT doc_id,
+                   CAST(md5_number_lower(g) & 2147483647 AS BIGINT) AS x
+            FROM grams
+        ),
+        perms(p, a, b) AS (
+            VALUES {_perm_rows}
+        )
+        SELECT doc_id, p AS perm,
+               MIN((a * x + b) % 2305843009213693951) AS sig
+        FROM xs CROSS JOIN perms
+        GROUP BY doc_id, p
+    """
+    # simhash_sig: md5 SimHash chunks replayed bit-for-bit — every token
+    # OCCURRENCE contributes ±1 per bit position (string_split keeps
+    # duplicates, '' splits to one empty token, matching Python
+    # ''.split(' ')); bit j is set iff the signed sum is > 0; chunks are
+    # little-endian 16-bit windows (c0 = bits 0-15).
+    sql["simhash_sig"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS tok
+            FROM documents
+        ),
+        hs AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+        bits AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hs, unnest(range(64)) u(j)
+            GROUP BY doc_id, j
+        ),
+        ch AS (
+            SELECT doc_id, j // 16 AS c,
+                   SUM(CASE WHEN s > 0 THEN 1 << CAST(j % 16 AS INT)
+                            ELSE 0 END) AS v
+            FROM bits GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(coalesce(MAX(CASE WHEN c = 0 THEN v END), 0) AS BIGINT) AS c0,
+               CAST(coalesce(MAX(CASE WHEN c = 1 THEN v END), 0) AS BIGINT) AS c1,
+               CAST(coalesce(MAX(CASE WHEN c = 2 THEN v END), 0) AS BIGINT) AS c2,
+               CAST(coalesce(MAX(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS c3
+        FROM ch GROUP BY doc_id
+    """
     return sql

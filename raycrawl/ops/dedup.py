@@ -792,6 +792,118 @@ def paragraph_first_dedup(ds, *, id_col: str = "doc_id",
     return j.map_batches(rebuild, batch_format="pyarrow")
 
 
+def minhash_coeffs(num_perm: int = 16, seed: int = 7):
+    """The (a, b) permutation coefficients shared by the md5 MinHash
+    sibling and its SQL oracle (which inlines them as literals). Same
+    generator discipline as MinHasher: a, b < 2^31 so a·x+b < 2^62 stays
+    exact in int64 before the Mersenne mod."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, 1 << 31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _md5_lower64(s: str) -> int:
+    """Lower 8 digest bytes of md5, little-endian — bit-identical to
+    DuckDB's ``md5_number_lower`` scalar."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def minhash_signatures_md5(ds, num_perm: int = 16, shingle_k: int = 5,
+                           seed: int = 7, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """SQL-replayable MinHash signature kernel: the exactly-gated sibling
+    of ``minhash_signatures`` (whose crc32 shingle hash SQL cannot
+    express). Shingle hash = ``md5_number_lower(shingle) & 0x7FFFFFFF``
+    (31-bit, so a·x+b fits int64), signature per permutation =
+    ``min((a·x + b) mod (2^61-1))`` over the doc's DISTINCT shingles —
+    set semantics, matching ``_shingles``. Docs shorter than ``shingle_k``
+    (incl. empty text) hash the whole text as their single shingle.
+
+    Output is EXPLODED ``(doc_id, perm, sig)`` rows so a DuckDB oracle can
+    compare every signature cell. Stateless map_batches — the md5-per-
+    shingle Python loop makes this the verification kernel; the crc32
+    ``MinHasher`` stays the throughput path (same math, C-speed hash)."""
+    a, b = minhash_coeffs(num_perm, seed)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        out_id, out_p, out_s = [], [], []
+        perms = np.arange(num_perm, dtype=np.int64)
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            t = t or ""
+            if len(t) < shingle_k:
+                grams = {t}
+            else:
+                grams = {t[i: i + shingle_k]
+                         for i in range(len(t) - shingle_k + 1)}
+            xs = np.fromiter(
+                {_md5_lower64(g) & 0x7FFFFFFF for g in grams},
+                dtype=np.int64)
+            sig = (xs[None, :] * a[:, None] + b[:, None]) % MERSENNE
+            out_id.extend([d] * num_perm)
+            out_p.extend(perms.tolist())
+            out_s.extend(sig.min(axis=1).tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "perm": pa.array(out_p, pa.int64()),
+                         "sig": pa.array(out_s, pa.int64())})
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def simhash_chunks_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """SQL-replayable SimHash kernel: the exactly-gated sibling of
+    ``simhash_batch`` (whose crc32 token hash SQL cannot express). Token
+    hash = ``md5_number_lower(token)`` (full uint64); each OCCURRENCE of a
+    token (duplicates count, like the crc32 kernel) contributes ±1 per bit
+    position; bit j of the simhash is 1 iff the signed sum is > 0.
+
+    Output is ``(doc_id, c0, c1, c2, c3)`` — the four 16-bit chunks the
+    Hamming-≤3 pigeonhole bucketing groups by (``simhash_near_dup_pairs``),
+    little-endian (c0 = bits 0-15). Chunks sidestep int64 sign issues for
+    bit 63 in both Arrow and SQL. Vectorized like ``simhash_batch``:
+    per-batch vocab, one md5 per DISTINCT token, bit-unpack broadcast +
+    ``add.reduceat`` over doc ranges."""
+
+    def chunk_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        vocab: dict[str, int] = {}
+        tok_ix: list[int] = []
+        doc_len = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            doc_len.append(len(toks))
+            for w in toks:
+                ix = vocab.get(w)
+                if ix is None:
+                    ix = len(vocab)
+                    vocab[w] = ix
+                tok_ix.append(ix)
+        n = len(texts)
+        cols = {id_col: batch[id_col]}
+        if n == 0:
+            for c in range(4):
+                cols[f"c{c}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        h = np.fromiter((_md5_lower64(w) for w in vocab), dtype=np.uint64,
+                        count=len(vocab))
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+                   * 2 - 1)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(doc_len[:-1], out=starts[1:])
+        acc = np.add.reduceat(contrib[np.asarray(tok_ix, dtype=np.int64)],
+                              starts, axis=0)  # (docs, 64)
+        bits = (acc > 0).astype(np.int64)
+        w16 = (1 << np.arange(16, dtype=np.int64))
+        for c in range(4):
+            vals = (bits[:, c * 16:(c + 1) * 16] * w16).sum(axis=1)
+            cols[f"c{c}"] = pa.array(vals.tolist(), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

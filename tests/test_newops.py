@@ -1205,3 +1205,71 @@ def test_span_trim_max_tokens_guard(ray_session):
     with pytest.raises(Exception, match="max_tokens"):
         duplicate_span_trim(rd.from_arrow(tbl), run_tokens=4,
                             max_tokens=16).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# md5 verification siblings: minhash_signatures_md5 / simhash_chunks_md5
+
+
+def test_minhash_sig_md5_set_semantics_and_partitions(ray_session):
+    """Identical docs get identical signature rows; a text whose shingles
+    all collapse to one distinct value signs like the single-shingle doc
+    (set semantics); results are partition-count independent."""
+    from raycrawl.ops.dedup import minhash_signatures_md5
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["hello world text", "hello world text",
+                          "aaaaaaaaa", "aaaaa", ""]),
+    })
+    outs = []
+    for nparts in (1, 4):
+        out = (minhash_signatures_md5(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas().sort_values(["doc_id", "perm"])
+               .reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    # 16 perms per doc, every doc (incl. the empty text, whose single
+    # shingle is '')
+    assert out.groupby("doc_id").size().tolist() == [16] * 5
+    by = {d: g["sig"].tolist() for d, g in out.groupby("doc_id")}
+    assert by[1] == by[2]          # identical text, identical signature
+    assert by[3] == by[4]          # all-'aaaaa' shingles == one shingle
+    assert by[1] != by[5]
+
+
+def test_simhash_chunks_md5_reference_kernel(ray_session):
+    """The vectorized chunk op matches a per-doc pure-Python md5 SimHash
+    reference (occurrence counting, sum>0 bit rule, little-endian 16-bit
+    chunks), including empty text and duplicated tokens."""
+    import hashlib as _hl
+
+    from raycrawl.ops.dedup import simhash_chunks_md5
+
+    def ref_chunks(text):
+        acc = [0] * 64
+        for w in (text or "").split(" "):
+            h = int.from_bytes(_hl.md5(w.encode()).digest()[8:16], "little")
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        bits = [1 if a > 0 else 0 for a in acc]
+        return [sum(bits[c * 16 + k] << k for k in range(16))
+                for c in range(4)]
+
+    texts = ["the quick brown fox", "the the the quick", "", "solo",
+             "x y z x y z"]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = (simhash_chunks_md5(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        want = ref_chunks(t)
+        got = [int(out.loc[i, f"c{c}"]) for c in range(4)]
+        assert got == want, (t, got, want)
+    # duplicated tokens count per occurrence: 'the the the quick' must not
+    # equal a dedup-token variant unless the math says so — check it
+    # differs from the single-'the' doc built the same way
+    assert ref_chunks("the quick") != ref_chunks("the the the quick")
