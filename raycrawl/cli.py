@@ -81,6 +81,23 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--resume", action="store_true",
                      help="resume from the latest checkpoint in "
                           "--checkpoint-dir")
+    run.add_argument("--force", action="store_true",
+                     help="force full re-crawl: ignore the content-hash "
+                          "cache (every fetched page re-indexes) and any "
+                          "--resume session, like the reference's --force "
+                          "(crawler.py:1035,1102,1351)")
+    run.add_argument("--site", help="crawl only the named site from "
+                     "--sites (reference --site, crawler.py:1457-1460)")
+    run.add_argument("--workers", type=int, default=None,
+                     help="strict-mode global fetch budget (reference "
+                          "--workers → CONCURRENT_REQUESTS)")
+    run.add_argument("--embeddings", action="store_true",
+                     help="attach embedding + embed_ok columns to indexed "
+                          "documents (reference --embeddings; provider "
+                          "from $RAYCRAWL_EMBED_PROVIDER, default 'fake')")
+    run.add_argument("--persistent-cache", action="store_true",
+                     help="never expire the content-hash cache (reference "
+                          "--persistent-cache: ignore CACHE_DAYS)")
     run.add_argument("--mode", default="wave", choices=["wave", "strict"])
     run.add_argument("--seen-mode", default="exact",
                      choices=["exact", "cuckoo"])
@@ -133,18 +150,41 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[raycrawl] skipping non-web site {name!r} (type={typ}; "
               f"use raycrawl.sources.*)", file=sys.stderr)
 
+    if args.force and args.resume:
+        # reference parity (crawler.py:1102): force wins over a saved
+        # session — start from seeds, don't silently resume
+        print("[raycrawl] --force ignores --resume: starting from seeds",
+              file=sys.stderr)
+    if args.site:
+        match = [s for s in seeds if s.name.lower() == args.site.lower()]
+        if not match:
+            p.error(f"site {args.site!r} not found in --sites "
+                    f"(have: {', '.join(s.name for s in seeds)})")
+        seeds = match
+    cfg_extra = {}
+    if args.workers is not None:
+        cfg_extra["concurrent_requests"] = args.workers
+    if args.persistent_cache:
+        cfg_extra["cache_days"] = float("inf")
+    if args.embeddings:
+        cfg_extra["embed"] = {
+            "provider": os.environ.get("RAYCRAWL_EMBED_PROVIDER", "fake")}
     cfg = CrawlConfig(
         mode=args.mode,
         seen_mode=args.seen_mode,
         dedup_mode=args.dedup_mode,
+        force=args.force,
         max_epochs=args.max_epochs,
         max_duration_s=args.max_duration_s,
         checkpoint_dir=args.checkpoint_dir,
         collect_docs=not args.out_dir,   # docs go to the sink when present
         collect_visits=False,            # counters via distributed partials
+        **cfg_extra,
     )
     engine = CrawlEngine(pages, seeds, cfg=cfg, out_dir=args.out_dir)
-    r = engine.run(resume_from=args.checkpoint_dir if args.resume else None)
+    resume_from = (args.checkpoint_dir
+                   if args.resume and not args.force else None)
+    r = engine.run(resume_from=resume_from)
 
     visited = sum(c["pages_visited"] for c in r.counters.values())
     indexed = sum(c["pages_indexed"] for c in r.counters.values())

@@ -83,3 +83,61 @@ def test_wall_clock_budget_checkpoint_resume(ray_session, tmp_path):
     assert sorted(d["url"] for d in r_res.docs.to_pylist()) == sorted(
         d["url"] for d in r_full.docs.to_pylist())
     assert r_res.counters == r_full.counters
+
+
+def test_cli_force_recrawl_reindexes_and_ignores_resume(
+        ray_session, tmp_path, capsys):
+    """--force flag plumbing, reference parity (crawler.py:1102, 1351):
+    --resume is overridden with a warning — the crawl restarts from seeds
+    and still indexes everything. (The cache-bypass semantics of
+    cfg.force itself are pinned by test_strict_force_recrawl_ignores_cache
+    in test_engine.py.)"""
+    ckpt = tmp_path / "ckpt"
+    args = ["--sf-dir", "/root/testdata/sf0.001",
+            "--checkpoint-dir", str(ckpt), "--quiet"]
+
+    rc = main(args)
+    assert rc == 0
+    first = json.loads([l for l in capsys.readouterr().out.splitlines()
+                        if l.startswith("{")][-1])
+    assert first["pages_indexed"] == 499
+
+    # force + resume: resume is ignored (fresh crawl from seeds), cache
+    # bypassed — everything re-indexes instead of 0 skips-as-unchanged
+    rc = main(args + ["--force", "--resume"])
+    assert rc == 0
+    err_out = capsys.readouterr()
+    forced = json.loads([l for l in err_out.out.splitlines()
+                         if l.startswith("{")][-1])
+    assert "--force ignores --resume" in err_out.err
+    assert forced["pages_visited"] == 500
+    assert forced["pages_indexed"] == 499
+
+
+def test_cli_site_filter_and_embeddings(ray_session, tmp_path, capsys):
+    """--site restricts the crawl to one named site (reference
+    crawler.py:1457-1460, error when unknown); --embeddings attaches the
+    embedding columns to sink documents (reference --embeddings)."""
+    out_dir = tmp_path / "out"
+    rc = main(["--sf-dir", "/root/testdata/sf0.001",
+               "--site", "SRC1",          # case-insensitive, like the ref
+               "--embeddings",
+               "--out-dir", str(out_dir), "--quiet"])
+    assert rc == 0
+    summary = json.loads([l for l in capsys.readouterr().out.splitlines()
+                          if l.startswith("{")][-1])
+    assert summary["sites"] == 1
+    assert 0 < summary["pages_visited"] < 500
+    found = 0
+    for root, _, files in os.walk(out_dir):
+        for f in files:
+            if root.endswith("documents") and f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(root, f))
+                assert "embedding" in t.column_names
+                assert "embed_ok" in t.column_names
+                found += t.num_rows
+    assert found == summary["pages_indexed"] > 0
+
+    with pytest.raises(SystemExit):
+        main(["--sf-dir", "/root/testdata/sf0.001", "--site", "nope",
+              "--quiet"])
