@@ -60,6 +60,40 @@ def load_sites(path: str):
     return out, skipped
 
 
+def cache_stats(checkpoint_dir: str) -> dict:
+    """Reference ``show_cache_stats`` parity (crawler.py:1365-1384,
+    cache_db.get_stats): total cached URLs, per-site breakdown, oldest and
+    newest crawl timestamps — computed from the LATEST checkpoint's
+    seen-shard cache records (the engine's SQLite-cache analogue).
+    Driver-side pickle loads over O(cache-records) small tuples: a stats
+    utility, not a data path."""
+    import pickle
+
+    epochs = sorted(
+        e for e in os.listdir(checkpoint_dir)
+        if os.path.exists(os.path.join(checkpoint_dir, e, "manifest.json")))
+    out = {"total_urls": 0, "sites": {}, "oldest_crawl": None,
+           "newest_crawl": None}
+    if not epochs:
+        return out
+    d = os.path.join(checkpoint_dir, epochs[-1])
+    with open(os.path.join(d, "manifest.json")) as f:
+        n_shards = json.load(f)["n_seen_shards"]
+    for i in range(n_shards):
+        with open(os.path.join(d, f"seen_{i}.bin"), "rb") as f:
+            snap = pickle.loads(f.read())
+        for rec in snap["cache"].values():
+            # (content_hash, last_crawl, etag, site[, last_modified])
+            out["total_urls"] += 1
+            site, last = rec[3], rec[1]
+            out["sites"][site] = out["sites"].get(site, 0) + 1
+            if out["oldest_crawl"] is None or last < out["oldest_crawl"]:
+                out["oldest_crawl"] = last
+            if out["newest_crawl"] is None or last > out["newest_crawl"]:
+                out["newest_crawl"] = last
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="raycrawl",
@@ -98,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--persistent-cache", action="store_true",
                      help="never expire the content-hash cache (reference "
                           "--persistent-cache: ignore CACHE_DAYS)")
+    run.add_argument("--stats-only", action="store_true",
+                     help="print cache stats from the latest checkpoint in "
+                          "--checkpoint-dir and exit without crawling "
+                          "(reference --stats-only / show_cache_stats)")
     run.add_argument("--mode", default="wave", choices=["wave", "strict"])
     run.add_argument("--seen-mode", default="exact",
                      choices=["exact", "cuckoo"])
@@ -111,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
+    if args.stats_only:
+        if not args.checkpoint_dir:
+            p.error("--stats-only requires --checkpoint-dir")
+        print(json.dumps(cache_stats(args.checkpoint_dir), sort_keys=True))
+        return 0
     if not args.sf_dir and not args.pages:
         p.error("one of --pages or --sf-dir is required")
     if args.resume and not args.checkpoint_dir:

@@ -141,3 +141,30 @@ def test_cli_site_filter_and_embeddings(ray_session, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["--sf-dir", "/root/testdata/sf0.001", "--site", "nope",
               "--quiet"])
+
+
+def test_cli_stats_only_reads_checkpoint_cache(ray_session, tmp_path,
+                                               capsys):
+    """--stats-only parity with the reference's show_cache_stats
+    (crawler.py:1365-1384): totals, per-site breakdown and oldest/newest
+    crawl timestamps from the latest checkpoint's seen-shard cache — no
+    crawl runs."""
+    ckpt = tmp_path / "ckpt"
+    rc = main(["--sf-dir", "/root/testdata/sf0.001",
+               "--checkpoint-dir", str(ckpt), "--quiet"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["--stats-only", "--checkpoint-dir", str(ckpt)])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    # 499, not 500: the <50-char stub is never indexed, so it gets no
+    # cache record — same as the reference, which update_cache()s only
+    # indexed pages
+    assert stats["total_urls"] == 499
+    assert sum(stats["sites"].values()) == 499
+    assert len(stats["sites"]) == 20
+    assert stats["oldest_crawl"] <= stats["newest_crawl"]
+
+    with pytest.raises(SystemExit):
+        main(["--stats-only"])  # requires --checkpoint-dir
