@@ -1402,6 +1402,19 @@ def q_pack_sequences(sf_dir: str):
                         seq_len=512)
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Seed-stable global training shuffle (ops/packing.deterministic_
+    shuffle): every doc's epoch position = rank of md5('{doc_id}:1') with
+    id tie-break — reproducible across reruns/cluster sizes, unlike
+    Dataset.random_shuffle. One fixed-width sort is the only shuffle;
+    positions finalize per block after an O(blocks) driver scan. The
+    DuckDB oracle is ROW_NUMBER over the same md5 key."""
+    from raycrawl.ops.packing import deterministic_shuffle
+
+    return deterministic_shuffle(_read_ds(sf_dir, "documents", ["doc_id"]),
+                                 seed=1)
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by id hash
     (ops/sampling.split_batch): bucket = h32(doc_id) % 100 — a pure row
@@ -1917,6 +1930,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "link_pagerank": q_link_pagerank,
         "pack_sequences": q_pack_sequences,
+        "epoch_shuffle": q_epoch_shuffle,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3589,6 +3603,14 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
 
+    # epoch_shuffle: rank of md5('{doc_id}:1'), id tie-break, 0-based
+    sql["epoch_shuffle"] = """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id
+               ) - 1 AS pos
+        FROM documents
+    """
     # minhash_sig: the md5 MinHash sibling replayed cell-for-cell. The
     # (a, b) permutation coefficients come from the SAME fixed-seed
     # generator the engine uses (dedup.minhash_coeffs) and are inlined as

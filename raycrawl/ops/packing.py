@@ -91,6 +91,53 @@ def pack_offsets(ds, seq_len: int = 512, id_col: str = "doc_id",
     return rd.from_arrow_refs(out)
 
 
+@ray.remote
+def _block_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _pos_finalize(tbl: pa.Table, offset: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    return pa.table({
+        "doc_id": tbl["doc_id"],
+        "pos": pa.array(offset + np.arange(tbl.num_rows, dtype=np.int64)),
+    })
+
+
+def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id"):
+    """Seed-stable global shuffle order for a training corpus: each doc's
+    position is the rank of ``md5('{id}:{seed}')`` (ties — md5 collisions —
+    broken by id). Unlike ``Dataset.random_shuffle``, the permutation is
+    REPRODUCIBLE across reruns, cluster sizes and partitionings — the
+    property epoch shuffling of a 100-TB corpus needs for resumable /
+    re-creatable training runs (vary ``seed`` per epoch).
+
+    Scale shape (the ``pack_offsets`` discipline): the md5 key is a
+    map_batches column, ONE range-partitioned sort of fixed-width
+    (id, 32-B key) rows is the only shuffle, then per-block row counts →
+    O(blocks) driver exclusive scan → positions finalize where the rows
+    live. Returns ``(doc_id, pos)``, pos in [0, n)."""
+    import hashlib
+
+    import ray.data as rd
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ks = [hashlib.md5(f"{d}:{seed}".encode()).hexdigest() for d in ids]
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "skey": pa.array(ks, pa.string())})
+
+    blocks = (ds.map_batches(key, batch_format="pyarrow")
+              .sort(["skey", "doc_id"]).to_arrow_refs())
+    rows = ray.get([_block_rows.remote(b) for b in blocks])
+    offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
+    return rd.from_arrow_refs(
+        [_pos_finalize.remote(b, int(o)) for b, o in zip(blocks, offsets)])
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

@@ -1273,3 +1273,26 @@ def test_simhash_chunks_md5_reference_kernel(ray_session):
     # equal a dedup-token variant unless the math says so — check it
     # differs from the single-'the' doc built the same way
     assert ref_chunks("the quick") != ref_chunks("the the the quick")
+
+
+# ---------------------------------------------------------------------------
+# deterministic (seed-stable) training shuffle
+
+
+def test_deterministic_shuffle_is_a_seeded_permutation(ray_session):
+    """Positions are a permutation of [0, n); the same seed reproduces the
+    identical order at any partition count; a different seed produces a
+    different order (w.h.p. for 200 docs)."""
+    from raycrawl.ops.packing import deterministic_shuffle
+
+    tbl = pa.table({"doc_id": pa.array(list(range(200)), pa.int64())})
+
+    def run(nparts, seed):
+        out = deterministic_shuffle(
+            rd.from_arrow(tbl).repartition(nparts), seed=seed).to_pandas()
+        return out.sort_values("doc_id")["pos"].tolist()
+
+    p1 = run(1, seed=7)
+    assert sorted(p1) == list(range(200))
+    assert run(5, seed=7) == p1            # partition-count independent
+    assert run(3, seed=8) != p1            # seed changes the permutation
