@@ -1402,6 +1402,26 @@ def q_pack_sequences(sf_dir: str):
                         seq_len=512)
 
 
+def q_url_surt(sf_dir: str):
+    """SURT canonical keys (urlnorm.surt_key) over the corpus URLs — the
+    CDX/web-archive URL-seen key whose sort order co-locates each host's
+    frontier rows under range partitioning (host-locality for politeness
+    + dedup at 10^10-frontier scale). Stateless map_batches; the full
+    rule (schemes, mixed case, ports, bare hosts) is pinned by unit
+    tests, the oracle replays it over the corpus's https URLs."""
+    from raycrawl.urlnorm import surt_key
+
+    def to_surt(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        return pa.table({"url": t["url"],
+                         "surt": pa.array([surt_key(u) for u in urls],
+                                          pa.string())})
+
+    return (_pages_ds(sf_dir)
+            .map_batches(lambda t: t.select(["url"]), batch_format="pyarrow")
+            .map_batches(to_surt, batch_format="pyarrow"))
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Seed-stable global training shuffle (ops/packing.deterministic_
     shuffle): every doc's epoch position = rank of md5('{doc_id}:1') with
@@ -1931,6 +1951,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": q_link_pagerank,
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
+        "url_surt": q_url_surt,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3603,6 +3624,25 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
 
+    # url_surt: the SURT key replayed over the corpus's https URLs —
+    # strip 'https://' (substr from 9), host = up to the first '/', rest
+    # after it; dot-reversed comma-joined host + ')' + lowercased path
+    # (corpus urls carry no ports/uppercase; those edges are unit-pinned)
+    sql["url_surt"] = f"""
+        WITH u AS (SELECT {_URL} AS url FROM documents),
+        s AS (SELECT url, substr(url, 9) AS t FROM u),
+        p AS (
+            SELECT url, split_part(t, '/', 1) AS host,
+                   substr(t, length(split_part(t, '/', 1)) + 1) AS rest
+            FROM s
+        )
+        SELECT url,
+               array_to_string(list_reverse(string_split(lower(host), '.')),
+                               ',')
+               || ')' ||
+               CASE WHEN rest = '' THEN '/' ELSE lower(rest) END AS surt
+        FROM p
+    """
     # epoch_shuffle: rank of md5('{doc_id}:1'), id tie-break, 0-based
     sql["epoch_shuffle"] = """
         SELECT doc_id,

@@ -126,6 +126,37 @@ def join_and_normalize(base_url: str, href: str) -> str:
     return normalize_url(urljoin(base_url, href))
 
 
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key — the
+    URL-seen-set / CDX index key format of web archives and Common-Crawl
+    tooling. Rules (documented subset): scheme dropped, host lowercased
+    and dot-reversed with comma joints, default ports (:80/:443) dropped,
+    ``)`` closes the host, path+query lowercased, bare hosts get ``/``.
+    ``'https://Src1.Example.org:443/Doc/9?B=2'`` →
+    ``'org,example,src1)/doc/9?b=2'``.
+
+    Why it exists at 10^10-frontier scale: SURT keys cluster one
+    registered domain's URLs contiguously under range partitioning, so a
+    sort/range-partition by SURT co-locates each host's frontier and
+    seen-set entries (host-locality for politeness + dedup) where raw URL
+    order scatters them by scheme/subdomain."""
+    u = url.strip()
+    low = u.lower()
+    for sch in ("https://", "http://"):
+        if low.startswith(sch):
+            u = u[len(sch):]
+            break
+    host, sep, rest = u.partition("/")
+    host = host.lower()
+    port = ""
+    if ":" in host:
+        host, _, p = host.rpartition(":")
+        if p not in ("80", "443"):
+            port = ":" + p  # non-default ports survive, after the host
+    key = ",".join(reversed(host.split("."))) + port + ")"
+    return key + ("/" + rest.lower() if sep else "/")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

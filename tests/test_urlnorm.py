@@ -65,3 +65,25 @@ def test_join_and_normalize():
     assert join_and_normalize("https://a.org/dir/page", "../up") == "https://a.org/up"
     assert join_and_normalize("https://a.org/d/", "child#s") == "https://a.org/d/child"
     assert join_and_normalize("https://a.org/d", "https://b.org/x/") == "https://b.org/x"
+
+
+def test_surt_key_rules():
+    """SURT subset: scheme drop, host lowercase + dot-reverse + commas,
+    default-port drop (non-default ports kept), ')' close, lowercased
+    path+query, bare hosts get '/'."""
+    from raycrawl.urlnorm import surt_key
+
+    assert surt_key("https://Src1.Example.org/Doc/9?B=2") == \
+        "org,example,src1)/doc/9?b=2"
+    assert surt_key("http://www.example.org:80/A/B") == \
+        "org,example,www)/a/b"
+    assert surt_key("https://example.org:443/x") == "org,example)/x"
+    assert surt_key("https://example.org:8443/x") == "org,example:8443)/x"
+    assert surt_key("https://example.org") == "org,example)/"
+    assert surt_key("https://example.org/") == "org,example)/"
+    # sort order clusters a registered domain's hosts contiguously
+    keys = sorted(surt_key(u) for u in [
+        "https://b.example.org/1", "https://a.example.org/2",
+        "https://a.zzz.net/3", "https://example.org/0"])
+    assert keys == ["net,zzz,a)/3", "org,example)/0",
+                    "org,example,a)/2", "org,example,b)/1"]
