@@ -19,6 +19,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -1231,6 +1232,62 @@ def q_crawl_embeddings(sf_dir: str):
     return embedding_components_ppm(emb, 8)
 
 
+def q_embed_refresh(sf_dir: str):
+    """Incremental embedding refresh (embeddings.embed_refresh): a planted
+    previous epoch — docs with doc_id%7==0 are NEW (absent), docs with
+    doc_id%3==0 are MODIFIED (previous text differs), the rest UNCHANGED —
+    joins the current corpus; unchanged docs REUSE their stored vector,
+    modified/new docs re-encode through the actor pool. Reuse is
+    OBSERVABLE, not assumed: the planted previous vectors carry a
+    deterministic +7 integer offset over the fake provider's components,
+    so a recomputation would produce different ppm values than the
+    pass-through. The oracle replays: +7-marked md5 components where
+    doc_id%7!=0 and %3!=0 (reused), fresh md5 components elsewhere,
+    refreshed = the same residue rule."""
+    from raycrawl.embeddings import FakeHashEmbeddingProvider, embed_refresh
+
+    comp = FakeHashEmbeddingProvider.component_int
+    DIM = 8
+
+    def prev_epoch(b: pa.Table) -> pa.Table:
+        ids, texts, out_i, out_h, out_v = [], [], [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if d % 7 == 0:
+                continue  # new in the current epoch
+            pt = (t or "") + " (v1)" if d % 3 == 0 else (t or "")
+            out_i.append(d)
+            out_h.append(hashlib.md5(pt.encode()).hexdigest())
+            out_v.append([np.float32((comp(pt, i) + 7) / 2.0**32)
+                          for i in range(DIM)])
+        return pa.table({
+            "doc_id": pa.array(out_i, pa.int64()),
+            "text_hash": pa.array(out_h, pa.string()),
+            "embedding": pa.array(out_v, pa.list_(pa.float32())),
+        })
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    prev = docs.map_batches(prev_epoch, batch_format="pyarrow")
+    out = embed_refresh(docs, prev, provider="fake", dim=DIM,
+                        concurrency=(1, 4))
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        ref = np.asarray(b["refreshed"], dtype=np.int64)
+        v = np.asarray(b["embedding"].combine_chunks().flatten(),
+                       dtype=np.float32).reshape(n, DIM)
+        ppm = np.floor(v.astype(np.float64) * 1_000_000.0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, DIM), pa.int64()),
+            "refreshed": pa.array(np.repeat(ref, DIM), pa.int64()),
+            "dim_idx": pa.array(np.tile(np.arange(DIM, dtype=np.int64), n),
+                                pa.int64()),
+            "comp_ppm": pa.array(ppm.reshape(-1), pa.int64()),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
 def q_crawl_documents_embedded(sf_dir: str):
     """Crawl with the embedding tier COMPOSED IN (CrawlConfig.embed — the
     flush-time attach of ref crawler.py:682-758, 739-744): every indexed
@@ -1936,6 +1993,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_incremental": q_crawl_incremental,
         "dedup_embed": q_dedup_embed,
         "crawl_embeddings": q_crawl_embeddings,
+        "embed_refresh": q_embed_refresh,
         "crawl_documents_embedded": q_crawl_documents_embedded,
         "crawl_fetch_join": q_crawl_fetch_join,
         "search_stats": q_search_stats,
@@ -2834,6 +2892,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(
                        CAST(CAST(('0x' || substr(md5(text || ':'
                                     || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                            / 4294967296.0 AS REAL)::DOUBLE
+                       * CAST(1000000 AS DOUBLE)) AS BIGINT) AS comp_ppm
+            FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i) dims
+        """,
+        # embed_refresh: the incremental-refresh plant replayed — docs
+        # with id%7==0 are new, id%3==0 modified (both re-encode the
+        # CURRENT text: fresh md5 components); the rest reuse the planted
+        # previous vector, whose +7 integer offset over the fake
+        # provider's component proves pass-through (a recompute would
+        # lose the marker)
+        "embed_refresh": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 OR doc_id % 3 = 0
+                        THEN 1 ELSE 0 END AS refreshed,
+                   i AS dim_idx,
+                   CAST(floor(
+                       CAST((CAST(('0x' || substr(md5(text || ':'
+                                    || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                             + CASE WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0
+                                    THEN 7 ELSE 0 END)
                             / 4294967296.0 AS REAL)::DOUBLE
                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS comp_ppm
             FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i) dims

@@ -329,6 +329,103 @@ def embed_dataset(ds, provider: str = "fake", dim: int = 8,
     )
 
 
+class RefreshEmbedStage(EmbedStage):
+    """Selective-encode stage for incremental refresh: a row whose joined
+    ``prev_hash`` equals the md5 of its CURRENT text reuses the previous
+    epoch's vector — the provider never sees it; modified/new rows (hash
+    mismatch or no previous row) encode through the actor's provider+LRU.
+    One actor pool, one pass; batches mix reused and fresh rows freely."""
+
+    def __init__(self, id_col: str = "doc_id", **kw):
+        super().__init__(**kw)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        prev_h = batch["prev_hash"].to_pylist()
+        pcol = batch["prev_emb"]
+        pcol = (pcol.combine_chunks()
+                if isinstance(pcol, pa.ChunkedArray) else pcol)
+        reuse = [ph is not None
+                 and ph == hashlib.md5(t.encode()).hexdigest()
+                 and pcol[i].is_valid
+                 for i, (t, ph) in enumerate(zip(texts, prev_h))]
+        miss = [i for i, r in enumerate(reuse) if not r]
+        vecs = self._encode_cached([texts[i] for i in miss]) if miss else []
+        flat = np.zeros(len(texts) * self.dim, dtype=np.float32)
+        ok = np.zeros(len(texts), dtype=bool)
+        for i, r in enumerate(reuse):
+            if r:
+                flat[i * self.dim: (i + 1) * self.dim] = np.frombuffer(
+                    pcol[i].as_py(), dtype=np.float32)
+                ok[i] = True
+        for j, i in enumerate(miss):
+            v = vecs[j]
+            if v is not None and len(v) == self.dim:
+                flat[i * self.dim: (i + 1) * self.dim] = v
+                ok[i] = True
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), self.dim)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "refreshed": pa.array(
+                [0 if r else 1 for r in reuse], pa.int64()),
+            self.out_col: arr,
+            "embed_ok": pa.array(ok),
+        })
+
+
+def embed_refresh(current_ds, prev_ds, *, provider: str = "fake",
+                  dim: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  concurrency: tuple[int, int] | int = (1, 8),
+                  batch_size: int = 256, n_parts: int | None = None,
+                  **stage_kwargs):
+    """Incremental embedding refresh for a recrawl epoch: documents whose
+    text is UNCHANGED vs the previous epoch reuse their stored vector
+    (the encoder is bypassed entirely); only modified/new documents
+    encode. At 100 TB a recrawl typically touches a few percent of the
+    corpus — this is the difference between re-embedding everything and
+    embedding the diff (the pattern behind the reference's
+    should_skip_page: unchanged docs are never re-indexed, so their
+    ``_vectors`` persist — crawler.py:399-401, 682-758).
+
+    ``prev_ds``: (id_col, text_hash md5-hex of the previous text,
+    embedding list<float>/fixed-size-list<float32>). Previous vectors
+    cross ONE partitioned hash join packed as fixed_size_binary (Acero
+    rejects list payloads — the ``queryside.join_embeddings`` discipline);
+    the fused RefreshEmbedStage actor pool then encodes only hash-miss
+    rows, so no second pass, no stream split, no materialization.
+    Returns (id, refreshed 0/1, embedding, embed_ok)."""
+    from .ops.grouping import resolve_parts
+
+    def pack_prev(b: pa.Table) -> pa.Table:
+        arr = b["embedding"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        mat = np.ascontiguousarray(
+            np.asarray(arr.flatten(), dtype=np.float32)
+        ).reshape(len(b), -1)
+        bin_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(mat.shape[1] * 4), len(mat),
+            [None, pa.py_buffer(mat.tobytes())])
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "prev_hash": b["text_hash"],
+                         "prev_emb": bin_arr})
+
+    packed = prev_ds.map_batches(pack_prev, batch_format="pyarrow")
+    joined = current_ds.join(packed, join_type="left_outer",
+                             num_partitions=resolve_parts(n_parts),
+                             on=(id_col,))
+    return joined.map_batches(
+        RefreshEmbedStage,
+        fn_constructor_kwargs=dict(provider=provider, dim=dim,
+                                   id_col=id_col, text_col=text_col,
+                                   **stage_kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def embedding_components_ppm(emb_ds, dim: int, id_col: str = "doc_id",
                              emb_col: str = "embedding"):
     """Exploded exact-checkable form of an ``embed_dataset`` output: one row

@@ -162,3 +162,84 @@ def test_embed_dataset_actor_pool(ray_session, tmp_path):
     h = int(hashlib.md5(b"doc text 3:0").hexdigest()[:8], 16)
     row = out[out["text"] == "doc text 3"].iloc[0]
     assert row["embedding"][0] == np.float32(h / 2.0**32)
+
+
+def test_refresh_stage_bypasses_encoder_for_unchanged(ray_session):
+    """RefreshEmbedStage: rows whose prev_hash matches the current text
+    reuse the joined vector VERBATIM (poisoned previous vectors survive,
+    and the provider never encodes them); hash-miss and no-previous rows
+    encode fresh. Checked by direct __call__ (no actor indirection)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from raycrawl.embeddings import RefreshEmbedStage
+
+    stage = RefreshEmbedStage(provider="fake", dim=4)
+    texts = ["alpha beta", "gamma delta", "epsilon"]
+    poisoned = np.arange(4, dtype=np.float32) + 0.5
+    prev_hash = [hashlib.md5(texts[0].encode()).hexdigest(),  # unchanged
+                 hashlib.md5(b"old text").hexdigest(),        # modified
+                 None]                                        # new
+    prev_emb = [poisoned.tobytes(), np.zeros(4, np.float32).tobytes(), None]
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+        "prev_hash": pa.array(prev_hash, pa.string()),
+        "prev_emb": pa.array(prev_emb, pa.binary(16)),
+    })
+    out = stage(batch)
+    assert out["refreshed"].to_pylist() == [0, 1, 1]
+    assert out["embed_ok"].to_pylist() == [True, True, True]
+    vecs = np.asarray(out["embedding"].combine_chunks().flatten(),
+                      dtype=np.float32).reshape(3, 4)
+    # the poisoned previous vector passed through bit-identically — it was
+    # never recomputed (the fake provider could not produce 0.5, 1.5, ...)
+    assert (vecs[0] == poisoned).all()
+    # the provider encoded ONLY the two refresh rows
+    assert stage.provider.texts_encoded == 2
+    # modified/new rows carry fresh fake-provider vectors of CURRENT text
+    fresh = stage.provider.encode([texts[1], texts[2]])
+    assert np.allclose(vecs[1], np.array(fresh[0], np.float32))
+    assert np.allclose(vecs[2], np.array(fresh[1], np.float32))
+
+
+def test_embed_refresh_end_to_end_counts(ray_session):
+    """embed_refresh over a 60-doc corpus with a planted previous epoch:
+    refreshed flags follow the plant (new %7, modified %3), every row
+    gets a vector, partition counts don't change the result."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.embeddings import (FakeHashEmbeddingProvider,
+                                     embed_refresh)
+
+    comp = FakeHashEmbeddingProvider.component_int
+    ids = list(range(60))
+    texts = [f"document number {i} body" for i in ids]
+    cur = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    pi, ph, pv = [], [], []
+    for i, t in zip(ids, texts):
+        if i % 7 == 0:
+            continue
+        pt = t + " (v1)" if i % 3 == 0 else t
+        pi.append(i)
+        ph.append(hashlib.md5(pt.encode()).hexdigest())
+        pv.append([np.float32((comp(pt, k) + 7) / 2.0**32)
+                   for k in range(4)])
+    prev = pa.table({"doc_id": pa.array(pi, pa.int64()),
+                     "text_hash": pa.array(ph, pa.string()),
+                     "embedding": pa.array(pv, pa.list_(pa.float32()))})
+    out = embed_refresh(rd.from_arrow(cur).repartition(4),
+                        rd.from_arrow(prev).repartition(3),
+                        provider="fake", dim=4,
+                        concurrency=(1, 2)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    want_ref = [1 if (i % 7 == 0 or i % 3 == 0) else 0 for i in ids]
+    assert out["refreshed"].tolist() == want_ref
+    assert out["embed_ok"].all()
