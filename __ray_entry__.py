@@ -1479,6 +1479,39 @@ def q_url_surt(sf_dir: str):
             .map_batches(to_surt, batch_format="pyarrow"))
 
 
+_GOPHER_PLANTS = {
+    0: "\n- bullet one\n- bullet two\n- bullet three",
+    1: "\nwait for it...\nand more...\nplain line",
+    2: " # # # # # # # # # #",
+    3: " 111 222 333 444 555 666 777 888 999 000 111 222 333 444",
+}
+
+
+def q_gopher_gate(sf_dir: str):
+    """Gopher document-quality rule battery (ops/textstats.
+    gopher_doc_gate_batch, Rae et al. 2021 §A1.1) with deterministic
+    plants so every rule is non-vacuous on the single-line ASCII corpus:
+    doc_id%5 residues append bullet lines / ellipsis lines / hash symbols
+    / numeric (non-alpha) words, doc_id%2==0 appends two extra stop words
+    (the raw corpus only contains 'the'). The word-count (corpus spans
+    10-99 words) and mean-word-length rules vary naturally. The oracle
+    replants byte-identically and replays all seven integer
+    cross-multiplied rules."""
+    from raycrawl.ops.textstats import gopher_doc_gate_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            out.append((t or "") + _GOPHER_PLANTS.get(d % 5, "")
+                       + (" of and that" if d % 2 == 0 else ""))
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return (_read_ds(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(plant, batch_format="pyarrow")
+            .map_batches(gopher_doc_gate_batch, batch_format="pyarrow"))
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Seed-stable global training shuffle (ops/packing.deterministic_
     shuffle): every doc's epoch position = rank of md5('{doc_id}:1') with
@@ -2010,6 +2043,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
         "url_surt": q_url_surt,
+        "gopher_gate": q_gopher_gate,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3702,6 +3736,79 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
 
+    # gopher_gate: replant byte-identically (chr(10) == the Python \n),
+    # then replay all seven integer cross-multiplied Gopher rules. Words
+    # = single-space split with newlines folded to spaces; lines = split
+    # on newline; '#'/'...' counts via replace-length diffs
+    # (non-overlapping, same as Python str.count); stop hits = distinct
+    # lowercased members of the 8-word Gopher list.
+    sql["gopher_gate"] = """
+        WITH planted AS (
+            SELECT doc_id, text ||
+                CASE doc_id % 5
+                    WHEN 0 THEN chr(10) || '- bullet one' || chr(10) ||
+                                '- bullet two' || chr(10) || '- bullet three'
+                    WHEN 1 THEN chr(10) || 'wait for it...' || chr(10) ||
+                                'and more...' || chr(10) || 'plain line'
+                    WHEN 2 THEN ' # # # # # # # # # #'
+                    WHEN 3 THEN ' 111 222 333 444 555 666 777 888 999' ||
+                                ' 000 111 222 333 444'
+                    ELSE '' END ||
+                CASE WHEN doc_id % 2 = 0 THEN ' of and that' ELSE '' END AS t
+            FROM documents
+        ),
+        words AS (
+            SELECT doc_id,
+                   unnest(string_split(replace(t, chr(10), ' '), ' ')) AS w
+            FROM planted
+        ),
+        wstats AS (
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(coalesce(SUM(length(w)), 0) AS BIGINT)
+                       AS sum_word_len,
+                   CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+                   CAST(COUNT(DISTINCT CASE WHEN lower(w) IN
+                       ('the','be','to','of','and','that','have','with')
+                       THEN lower(w) END) AS BIGINT) AS stop_hits
+            FROM words GROUP BY doc_id
+        ),
+        lns AS (
+            SELECT doc_id, unnest(string_split(t, chr(10))) AS ln
+            FROM planted
+        ),
+        lstats AS (
+            SELECT doc_id, count(*) AS n_lines,
+                   CAST(SUM(CASE WHEN substr(ln, 1, 2) = '- '
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS bullet_lines,
+                   CAST(SUM(CASE WHEN ln LIKE '%...'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ellipsis_lines
+            FROM lns GROUP BY doc_id
+        ),
+        syms AS (
+            SELECT doc_id,
+                   CAST((length(t) - length(replace(t, '#', ''))) +
+                        (length(t) - length(replace(t, '...', ''))) / 3
+                        AS BIGINT) AS sym_count
+            FROM planted
+        )
+        SELECT w.doc_id, w.n_words, w.sum_word_len, w.alpha_words,
+               w.stop_hits, l.n_lines, l.bullet_lines, l.ellipsis_lines,
+               s.sym_count,
+               CAST(CASE WHEN w.n_words BETWEEN 50 AND 100000
+                          AND 3 * w.n_words <= w.sum_word_len
+                          AND w.sum_word_len <= 10 * w.n_words
+                          AND 10 * s.sym_count <= w.n_words
+                          AND 10 * l.bullet_lines <= l.n_lines
+                          AND 10 * l.ellipsis_lines <= 3 * l.n_lines
+                          AND 10 * w.alpha_words >= 8 * w.n_words
+                          AND w.stop_hits >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM wstats w JOIN lstats l USING (doc_id) JOIN syms s USING (doc_id)
+    """
     # url_surt: the SURT key replayed over the corpus's https URLs —
     # strip 'https://' (substr from 9), host = up to the first '/', rest
     # after it; dot-reversed comma-joined host + ')' + lowercased path

@@ -590,6 +590,68 @@ def cms_token_topk(ds, *, top_n: int = 20, width: int = 2048,
     })
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_doc_gate_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                          text_col: str = "text") -> pa.Table:
+    """Gopher document-quality rule battery (Rae et al. 2021, §A1.1) —
+    the doc-level sibling of ``repetition_batch``'s repetition gates.
+    Words are a single-space split of the text with newlines folded to
+    spaces; lines split on newline. All seven rules are integer
+    cross-multiplied so the DuckDB oracle is bit-exact:
+
+      1. 50 ≤ n_words ≤ 100 000
+      2. mean word length in [3, 10]:  3·n ≤ Σlen(w) ≤ 10·n
+      3. hash/ellipsis symbol-to-word ratio ≤ 0.1:  10·sym ≤ n
+      4. ≤10% of lines start with a bullet '- ':  10·bullet ≤ n_lines
+      5. ≤30% of lines end with '...':  10·ellipsis ≤ 3·n_lines
+      6. ≥80% of words contain an alphabetic char:  10·alpha ≥ 8·n
+      7. ≥2 distinct Gopher stop words (the/be/to/of/and/that/have/with)
+
+    Stateless vectorizable batch fn; emits every counter so downstream
+    funnels can re-weight rules without recomputing."""
+    ids = batch[id_col]
+    n_words, sum_len, alpha, stops = [], [], [], []
+    n_lines, bullets, ellips, syms, keep = [], [], [], [], []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        words = t.replace("\n", " ").split(" ")
+        lines = t.split("\n")
+        nw = len(words)
+        sl = sum(len(w) for w in words)
+        al = sum(1 for w in words if any(c.isalpha() and c.isascii()
+                                         for c in w))
+        st = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        nl = len(lines)
+        bu = sum(1 for ln in lines if ln[:2] == "- ")
+        el = sum(1 for ln in lines if ln.endswith("..."))
+        sy = t.count("#") + t.count("...")
+        ok = (50 <= nw <= 100_000
+              and 3 * nw <= sl <= 10 * nw
+              and 10 * sy <= nw
+              and 10 * bu <= nl
+              and 10 * el <= 3 * nl
+              and 10 * al >= 8 * nw
+              and st >= 2)
+        n_words.append(nw); sum_len.append(sl); alpha.append(al)
+        stops.append(st); n_lines.append(nl); bullets.append(bu)
+        ellips.append(el); syms.append(sy); keep.append(1 if ok else 0)
+    i64 = pa.int64()
+    return pa.table({
+        id_col: ids,
+        "n_words": pa.array(n_words, i64),
+        "sum_word_len": pa.array(sum_len, i64),
+        "alpha_words": pa.array(alpha, i64),
+        "stop_hits": pa.array(stops, i64),
+        "n_lines": pa.array(n_lines, i64),
+        "bullet_lines": pa.array(bullets, i64),
+        "ellipsis_lines": pa.array(ellips, i64),
+        "sym_count": pa.array(syms, i64),
+        "keep": pa.array(keep, i64),
+    })
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -1296,3 +1296,34 @@ def test_deterministic_shuffle_is_a_seeded_permutation(ray_session):
     assert sorted(p1) == list(range(200))
     assert run(5, seed=7) == p1            # partition-count independent
     assert run(3, seed=8) != p1            # seed changes the permutation
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality gate
+
+
+def test_gopher_doc_gate_hand_computed(ray_session):
+    """Each rule verified on a crafted doc; a clean 60-word doc with two
+    stop words passes everything."""
+    from raycrawl.ops.textstats import gopher_doc_gate_batch
+
+    clean = " ".join(["word"] * 58) + " the of"          # 60 words, mwl 3.9
+    bullets = clean + "\n- a\n- b\n- c"                  # 3/4 bullet lines
+    dots = clean + "\nwait...\nmore...\nok"              # 2/4 ellipsis lines
+    hashy = clean + " " + " ".join(["#"] * 10)           # 10 syms / 70 words
+    numeric = " ".join(["11"] * 30) + " " + " ".join(["word"] * 28) + " the of"  # 28+2 alpha of 60
+    short = "too short the of"                           # 4 words
+    nostop = " ".join(["word"] * 60)                     # 0 stop hits
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "text": pa.array([clean, bullets, dots, hashy, numeric, short,
+                          nostop]),
+    })
+    out = gopher_doc_gate_batch(tbl)
+    assert out["keep"].to_pylist() == [1, 0, 0, 0, 0, 0, 0]
+    assert out["n_words"].to_pylist()[0] == 60
+    assert out["bullet_lines"].to_pylist()[1] == 3
+    assert out["ellipsis_lines"].to_pylist()[2] == 2
+    assert out["sym_count"].to_pylist()[3] == 10
+    assert out["alpha_words"].to_pylist()[4] == 30
+    assert out["stop_hits"].to_pylist() == [2, 2, 2, 2, 2, 2, 0]
