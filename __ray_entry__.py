@@ -1479,6 +1479,26 @@ def q_url_surt(sf_dir: str):
             .map_batches(to_surt, batch_format="pyarrow"))
 
 
+def q_crawl_depth_hist(sf_dir: str):
+    """BFS-depth histogram of the wave crawl — a closed-form gate on the
+    crawl's ORDERING STRUCTURE (the north rule's "matching crawl
+    ordering"): the synthetic corpus links form a binary tree per host
+    (fixtures.doc_children — local children 2i+1, 2i+2), so the depth
+    each page is fetched at must equal floor(log2(local_index + 1)), and
+    the oracle states exactly that closed form. Any frontier bug —
+    premature admission, depth mis-propagation, a seen-set leak
+    re-fetching a page at the wrong wave — shifts a row out of its depth
+    bucket and hash-mismatches. Visits come from the engine's collected
+    table at test scale; at production scale this is the same one-column
+    groupby over the visits Parquet sink."""
+    r = _crawl(sf_dir)
+    g = r.visits.group_by("depth").aggregate([("depth", "count")])
+    return pa.table({
+        "depth": g["depth"].cast(pa.int64()),
+        "n_pages": g["depth_count"].cast(pa.int64()),
+    })
+
+
 _GOPHER_PLANTS = {
     0: "\n- bullet one\n- bullet two\n- bullet three",
     1: "\nwait for it...\nand more...\nplain line",
@@ -2044,6 +2064,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "url_surt": q_url_surt,
         "gopher_gate": q_gopher_gate,
+        "crawl_depth_hist": q_crawl_depth_hist,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3736,6 +3757,15 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different physical join plan — same oracle
     sql["tpch_revenue_nation_dist"] = sql["tpch_revenue_nation"]
 
+    # crawl_depth_hist: the binary-tree corpus's BFS depth in closed form
+    # — local index i = doc_id // 20, depth = floor(log2(i+1)) =
+    # length(bin(i+1)) - 1 (integer-exact, no float log)
+    sql["crawl_depth_hist"] = """
+        SELECT CAST(length(bin((doc_id // 20) + 1)) - 1 AS BIGINT) AS depth,
+               count(*) AS n_pages
+        FROM documents
+        GROUP BY 1
+    """
     # gopher_gate: replant byte-identically (chr(10) == the Python \n),
     # then replay all seven integer cross-multiplied Gopher rules. Words
     # = single-space split with newlines folded to spaces; lines = split
