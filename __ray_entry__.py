@@ -1499,6 +1499,31 @@ def q_crawl_depth_hist(sf_dir: str):
     })
 
 
+def q_crawl_bfs_order(sf_dir: str):
+    """EXACT crawl-order gate (the north rule's "matching the reference's
+    crawl ordering"): per host, visits sorted by the engine's
+    (epoch, wave, rank) keys must enumerate the corpus's binary link tree
+    in BFS order — i.e. the j-th page a host fetches is its local index
+    j, so the oracle is the closed form site='src'||(doc_id%20),
+    seq=doc_id//20, url=the doc url formula. Any ordering divergence —
+    heap tie-break drift, wave fusion reordering, a politeness grant
+    jumping the queue — breaks the per-row hash. (The strict-mode global
+    heap variant stays rows-only as `crawl_order`; this gates the wave
+    engine.) Visits come from the collected table at test scale; at
+    production scale the identical sort+window runs over the visits
+    Parquet sink."""
+    r = _crawl(sf_dir)
+    v = r.visits.to_pandas()
+    v = v.sort_values(["site", "epoch", "wave", "rank"],
+                      kind="stable").reset_index(drop=True)
+    v["seq"] = v.groupby("site").cumcount()
+    return pa.table({
+        "site": pa.array(v["site"], pa.string()),
+        "seq": pa.array(v["seq"].astype("int64"), pa.int64()),
+        "url": pa.array(v["url"], pa.string()),
+    })
+
+
 _GOPHER_PLANTS = {
     0: "\n- bullet one\n- bullet two\n- bullet three",
     1: "\nwait for it...\nand more...\nplain line",
@@ -2065,6 +2090,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "url_surt": q_url_surt,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
+        "crawl_bfs_order": q_crawl_bfs_order,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3765,6 +3791,14 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_pages
         FROM documents
         GROUP BY 1
+    """
+    # crawl_bfs_order: BFS over a binary tree visits local indexes in
+    # increasing order, so the j-th visit of host k IS doc j*20+k
+    sql["crawl_bfs_order"] = f"""
+        SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS site,
+               doc_id // 20 AS seq,
+               {_URL} AS url
+        FROM documents
     """
     # gopher_gate: replant byte-identically (chr(10) == the Python \n),
     # then replay all seven integer cross-multiplied Gopher rules. Words
