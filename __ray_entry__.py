@@ -1524,6 +1524,37 @@ def q_crawl_bfs_order(sf_dir: str):
     })
 
 
+def q_crawl_politeness_budget(sf_dir: str):
+    """End-to-end politeness-BUDGET gate (the north rule's "under the
+    same politeness budget"): a crawl with per-site delay 30 s against the
+    60-virtual-second epoch window caps every host at floor(60/30)=2
+    grants per epoch, so the per-(site, epoch) fetch counts follow a
+    closed form — epoch 0 fetches the lone seed, every later epoch
+    fetches min(2, remaining) (the binary link tree always admits ≥2
+    children, so the frontier never starves the token bucket). The oracle
+    states that form from each host's doc count. Any politeness bug — a
+    token-bucket burst, a grant leaking across the epoch boundary, a
+    host-shard mixup — changes some (site, epoch) count and
+    hash-mismatches."""
+    from raycrawl.fixtures import corpus_seeds
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+    docs = _docs_table(sf_dir)
+    seeds = corpus_seeds(docs.num_rows)
+    for s in seeds:
+        s.delay = 30.0
+    r = CrawlEngine(_pages_table(sf_dir), seeds,
+                    cfg=CrawlConfig(mode="wave", collect_visits=True,
+                                    collect_docs=False)).run()
+    v = r.visits.to_pandas()
+    g = (v.groupby(["site", "epoch"]).size().reset_index(name="n")
+         .sort_values(["site", "epoch"]).reset_index(drop=True))
+    return pa.table({"site": pa.array(g["site"], pa.string()),
+                     "epoch": pa.array(g["epoch"].astype("int64"),
+                                       pa.int64()),
+                     "n": pa.array(g["n"].astype("int64"), pa.int64())})
+
+
 _GOPHER_PLANTS = {
     0: "\n- bullet one\n- bullet two\n- bullet three",
     1: "\nwait for it...\nand more...\nplain line",
@@ -2091,6 +2122,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
         "crawl_bfs_order": q_crawl_bfs_order,
+        "crawl_politeness_budget": q_crawl_politeness_budget,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3791,6 +3823,27 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_pages
         FROM documents
         GROUP BY 1
+    """
+    # crawl_politeness_budget: per-host fetch counts under delay=30 vs
+    # the 60-virtual-second epoch — seed epoch fetches 1, then
+    # min(2, remaining) per epoch until the host's m docs are done
+    sql["crawl_politeness_budget"] = """
+        WITH hosts AS (
+            SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS site,
+                   count(*) AS m
+            FROM documents GROUP BY 1
+        ),
+        eps AS (
+            SELECT site, m,
+                   unnest(range(1 + CAST(ceil((m - 1) / 2.0) AS BIGINT)))
+                       AS epoch
+            FROM hosts
+        )
+        SELECT site, epoch,
+               CAST(CASE WHEN epoch = 0 THEN 1
+                    ELSE LEAST(2, m - 1 - 2 * (epoch - 1)) END AS BIGINT)
+                   AS n
+        FROM eps
     """
     # crawl_bfs_order: BFS over a binary tree visits local indexes in
     # increasing order, so the j-th visit of host k IS doc j*20+k
