@@ -5,10 +5,14 @@ semantics (cites into /root/reference/meilisearchcrawler/):
 
 - ``get_title``            — crawler.py:564-571 (og:title → <title> → <h1> → "Sans titre")
 - ``extract_main_content`` — crawler.py:520-561. Tier 2 (trafilatura) is
-  intentionally absent: trafilatura is not installable here, so the engine's
-  contract (shared with the fixture generator) is the 3-tier ladder
-  site-selector → candidate-selectors → largest-element, each followed by
-  boilerplate decomposition. Documented divergence, see SURVEY.md §7.1/§7.7.
+  not installable here; ``density_extract`` implements an OPT-IN
+  jusText/Boilerpipe-style stand-in (``tier2_density=True``) with the same
+  ``>250 chars or fall through`` gate as the reference's trafilatura call.
+  The DEFAULT contract (shared with the fixture generator and oracle
+  simulator) stays the 3-tier ladder site-selector → candidate-selectors →
+  largest-element, each followed by boilerplate decomposition — byte parity
+  with trafilatura itself is impossible without the library. Documented
+  divergence, see SURVEY.md §7.1/§7.7.
 - ``remove_common_patterns`` — crawler.py:502-517 (FR/EN boilerplate regexes)
 - ``clean_text``           — crawler.py:594-601 (whitespace collapse, control
   char strip, 3000-char truncation)
@@ -144,13 +148,68 @@ def create_excerpt(content: str, max_length: int = EXCERPT_MAX) -> str:
     return excerpt
 
 
-def extract_main_content(dom: Node, site_selector: str | None) -> str:
+_DENSITY_BLOCKS = frozenset(
+    {"p", "li", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6"})
+_DENSITY_SKIP = frozenset(
+    {"nav", "header", "footer", "aside", "form", "script", "style"})
+
+
+def _density_skipped(el: Node) -> bool:
+    """True when an ancestor is boilerplate OR itself a block tag (keep
+    only the OUTERMOST qualifying block — nested p-in-blockquote must not
+    double its text)."""
+    p = el.parent
+    while p is not None:
+        if p.name in _DENSITY_SKIP or p.name in _DENSITY_BLOCKS:
+            return True
+        p = p.parent
+    return False
+
+
+def density_extract(dom: Node, min_block_chars: int = 25,
+                    min_total_chars: int = 250) -> str:
+    """Tier-2 stand-in for the reference's trafilatura extraction
+    (crawler.py:526-528) — a public jusText/Boilerpipe-style block-density
+    heuristic, since trafilatura itself is not installable here: outermost
+    block elements (p/li/blockquote/pre/h1-h6) outside
+    nav/header/footer/aside/form with ≥ ``min_block_chars`` stripped chars
+    and link-text density < 0.5 are kept in document order, space-joined.
+    Returns '' when the kept text is ≤ ``min_total_chars`` — callers fall
+    through to tier 3, mirroring the reference's ``len > 250`` trafilatura
+    gate. OPT-IN (``tier2_density=True``): byte parity with trafilatura is
+    impossible without the library, so the default chain stays byte-stable
+    against the oracle simulator."""
+    body = dom.find("body")
+    if body is None:
+        return ""
+    parts = []
+    for el in body.iter_descendants():
+        if el.name not in _DENSITY_BLOCKS or _density_skipped(el):
+            continue
+        tl = el.text_len_stripped()
+        if tl < min_block_chars:
+            continue
+        link_len = sum(a.text_len_stripped() for a in el.select("a"))
+        if 2 * link_len >= tl:  # link density ≥ 0.5: navigation, not prose
+            continue
+        parts.append(el.get_text(separator=" ", strip=True))
+    text = " ".join(parts)
+    return text if len(text) > min_total_chars else ""
+
+
+def extract_main_content(dom: Node, site_selector: str | None,
+                         tier2_density: bool = False) -> str:
     # tier 1: explicit site selector
     if site_selector:
         elem = dom.select_one(site_selector)
         if elem is not None:
             return elem.get_text(separator=" ", strip=True)
-    # tier 2 (trafilatura) intentionally absent — see module docstring.
+    # tier 2: trafilatura in the reference (crawler.py:526-528); here the
+    # opt-in density stand-in (see density_extract) — absent by default
+    if tier2_density:
+        t2 = density_extract(dom)
+        if t2:
+            return t2
     # tier 3: best candidate selector by stripped text length
     best: Node | None = None
     best_len = 0
@@ -233,7 +292,8 @@ def extract_links(dom: Node, final_url: str) -> list[str]:
 
 
 def extract_document(html: str, final_url: str, site_selector: str | None = None,
-                     lang_default: str = "fr", want_links: bool = True) -> dict:
+                     lang_default: str = "fr", want_links: bool = True,
+                     tier2_density: bool = False) -> dict:
     """One-parse extraction of every per-page field (crawler.py:1025-1058)."""
     dom = parse_html(html)
     title = get_title(dom)
@@ -242,7 +302,7 @@ def extract_document(html: str, final_url: str, site_selector: str | None = None
     # reference reads images (crawler.py:1029) and links (crawler.py:1066-1072)
     # from that same mutated soup — links/images inside decomposed nodes are
     # dropped. Reproduce by extracting content first.
-    raw = extract_main_content(dom, site_selector)
+    raw = extract_main_content(dom, site_selector, tier2_density)
     images = extract_images(dom, final_url)
     links = extract_links(dom, final_url) if want_links else []
     lang = extract_lang(dom, default=lang_default)
@@ -275,10 +335,11 @@ class ExtractBatch:
     """
 
     def __init__(self, site_selector: str | None = None, lang_default: str = "fr",
-                 want_links: bool = True):
+                 want_links: bool = True, tier2_density: bool = False):
         self.site_selector = site_selector
         self.lang_default = lang_default
         self.want_links = want_links
+        self.tier2_density = tier2_density
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -292,7 +353,8 @@ class ExtractBatch:
             if isinstance(h, (bytes, bytearray)):
                 h = h.decode("utf-8", errors="replace")
             d = extract_document(h or "", urls[i], self.site_selector,
-                                 self.lang_default, self.want_links)
+                                 self.lang_default, self.want_links,
+                                 self.tier2_density)
             titles[i] = d["title"]
             contents[i] = d["content"]
             excerpts[i] = d["excerpt"]
