@@ -1479,6 +1479,24 @@ def q_url_surt(sf_dir: str):
             .map_batches(to_surt, batch_format="pyarrow"))
 
 
+def q_cluster_representatives(sf_dir: str):
+    """Quality-aware canonical selection per near-dup cluster
+    (ops/graph.cluster_representatives): the exact Jaccard ≥ 0.5 clusters
+    keep their LONGEST document (ties → min id, RefinedWeb-style) instead
+    of min-id first-wins; singletons represent themselves. Edges/labels/
+    (doc_id, n_chars) int64 rows are all that move — text never crosses
+    an exchange. Oracle: the dedup_clusters recursive-CTE components
+    extended with a ROW_NUMBER (n_chars DESC, doc_id) election over ALL
+    docs (left join ⇒ singletons)."""
+    from raycrawl.ops.dedup import all_pairs_jaccard
+    from raycrawl.ops.graph import cluster_representatives
+
+    pairs = all_pairs_jaccard(
+        _docs_table(sf_dir).select(["doc_id", "text"]), threshold_ppm=500_000)
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    return cluster_representatives(docs, pairs)
+
+
 def q_crawl_depth_hist(sf_dir: str):
     """BFS-depth histogram of the wave crawl — a closed-form gate on the
     crawl's ORDERING STRUCTURE (the north rule's "matching crawl
@@ -2123,6 +2141,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_depth_hist": q_crawl_depth_hist,
         "crawl_bfs_order": q_crawl_bfs_order,
         "crawl_politeness_budget": q_crawl_politeness_budget,
+        "cluster_representatives": q_cluster_representatives,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
@@ -3823,6 +3842,54 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_pages
         FROM documents
         GROUP BY 1
+    """
+    # cluster_representatives: the dedup_clusters component CTE extended
+    # with a longest-doc (ties → min id) election over ALL docs —
+    # singletons via the LEFT JOIN represent themselves
+    sql["cluster_representatives"] = """
+        WITH RECURSIVE pos AS (
+            SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 3, 2))) AS i
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+            FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+            GROUP BY s1.doc_id, s2.doc_id
+        ),
+        pairs AS (
+            SELECT a, b
+            FROM inter JOIN sizes za ON inter.a = za.doc_id
+                       JOIN sizes zb ON inter.b = zb.doc_id
+            WHERE (i * 1000000) // (za.n + zb.n - i) >= 500000
+        ),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        cc(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+            WHERE cc.lbl < e.v
+        ),
+        clusters AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM cc
+            GROUP BY node
+        ),
+        alldocs AS (
+            SELECT d.doc_id,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clusters c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) = 1 AS BIGINT) AS is_rep
+        FROM alldocs
     """
     # crawl_politeness_budget: per-host fetch counts under delay=30 vs
     # the 60-virtual-second epoch — seed epoch fetches 1, then

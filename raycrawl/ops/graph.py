@@ -205,6 +205,71 @@ def canonical_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
     return labels.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n_parts: int | None = None):
+    """Quality-aware canonical selection per near-dup cluster: keep the
+    LONGEST document (ties → min id) — the RefinedWeb/CCNet practice,
+    versus ``canonical_clusters``'s first-wins min-id — with singletons
+    representing themselves. Returns one row per input doc:
+    ``(doc_id, cluster_id, n_chars, is_rep)``.
+
+    Shuffle shape: edges feed connected components (int64 label rows);
+    docs contribute only ``(doc_id, n_chars)``; ONE left_outer hash join
+    attaches labels (missing ⇒ singleton, cluster_id = own id) and ONE
+    cluster-keyed task exchange elects the representative per group —
+    document text never crosses any exchange."""
+    import pandas as pd
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def nchars(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            "n_chars": pa.array([len(t or "")
+                                 for t in b[text_col].to_pylist()],
+                                pa.int64()),
+        })
+
+    slim = docs_ds.map_batches(nchars, batch_format="pyarrow")
+    labels = connected_components(pairs_ds, n_parts=n_parts).map_batches(
+        lambda b: pa.table({id_col: b["node"].cast(pa.int64()),
+                            "label": b["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    j = slim.join(labels, join_type="left_outer", num_partitions=width,
+                  on=(id_col,))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], np.int64)
+        lab = b["label"].to_pylist() if "label" in b.column_names \
+            else [None] * len(ids)
+        cl = np.array([l if l is not None else i
+                       for l, i in zip(lab, ids.tolist())], np.int64)
+        return pa.table({id_col: pa.array(ids), "n_chars": b["n_chars"],
+                         "cluster_id": pa.array(cl)})
+
+    assigned = j.map_batches(assign, batch_format="pyarrow")
+
+    def elect(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("doc_id", "cluster_id", "n_chars",
+                                  "is_rep")})
+        o = pdf.sort_values(["cluster_id", "n_chars", id_col],
+                            ascending=[True, False, True])
+        rep = (o.groupby("cluster_id").head(1)[["cluster_id", id_col]]
+               .rename(columns={id_col: "_rep"}))
+        out = pdf.merge(rep, on="cluster_id")
+        out["is_rep"] = (out[id_col] == out["_rep"]).astype("int64")
+        return out[[id_col, "cluster_id", "n_chars", "is_rep"]]
+
+    return partitioned_apply(assigned, ["cluster_id"], elect,
+                             n_parts=width)
+
+
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()

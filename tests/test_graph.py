@@ -134,3 +134,27 @@ def test_components_empty_partitions_survive_rename_join(ray_session, tmp_path):
     kept = entrymod.q_dedup_kept_docs(str(tmp_path)).to_pandas()
     # component {1,2,3} keeps min id 1; unique doc 4 survives untouched
     assert sorted(kept["doc_id"]) == [1, 4]
+
+
+def test_cluster_representatives_longest_wins(ray_session):
+    """Longest doc per cluster wins (ties -> min id); singletons represent
+    themselves; every input doc gets exactly one row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.ops.graph import cluster_representatives
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["aa", "aaaa", "aaaa", "bb", "ccc"]),
+    })
+    # one component {1,2,3} (chain), doc 4 and 5 singletons
+    pairs = pa.table({"a": pa.array([1, 2], pa.int64()),
+                      "b": pa.array([2, 3], pa.int64())})
+    out = (cluster_representatives(rd.from_arrow(docs).repartition(3),
+                                   rd.from_arrow(pairs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["cluster_id"].tolist() == [1, 1, 1, 4, 5]
+    # docs 2 and 3 tie at 4 chars -> min id 2 wins, NOT min-id-overall 1
+    assert out["is_rep"].tolist() == [0, 1, 0, 1, 1]
+    assert out["n_chars"].tolist() == [2, 4, 4, 2, 3]
