@@ -1479,6 +1479,19 @@ def q_url_surt(sf_dir: str):
             .map_batches(to_surt, batch_format="pyarrow"))
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (ops/bpe.bpe_train, the Sennrich
+    2016 / GPT-2 recipe): ONE corpus pass builds (word, count) via Counter
+    partials + vocab-sized groupby; the merge loop then runs over that
+    table (how subword-nmt/HF train). First 20 merges with the total
+    (count DESC, left, right) tie order — partition-independent. No SQL
+    oracle: the merge recursion re-tokenizes per round (inexpressible);
+    pinned by a hand-computed fixture + partition-independence tests."""
+    from raycrawl.ops.bpe import bpe_train
+
+    return bpe_train(_read_ds(sf_dir, "documents", ["text"]), n_merges=20)
+
+
 def q_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection per near-dup cluster
     (ops/graph.cluster_representatives): the exact Jaccard ≥ 0.5 clusters
@@ -2142,6 +2155,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_order": q_crawl_bfs_order,
         "crawl_politeness_budget": q_crawl_politeness_budget,
         "cluster_representatives": q_cluster_representatives,
+        "bpe_merges": q_bpe_merges,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,

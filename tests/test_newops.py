@@ -1327,3 +1327,45 @@ def test_gopher_doc_gate_hand_computed(ray_session):
     assert out["sym_count"].to_pylist()[3] == 10
     assert out["alpha_words"].to_pylist()[4] == 30
     assert out["stop_hits"].to_pylist() == [2, 2, 2, 2, 2, 2, 0]
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training
+
+
+def test_bpe_merges_hand_computed(ray_session):
+    """Three merges hand-verified on a toy corpus: 'low' x5 + 'lower' x2 +
+    'newest' x6 + 'widest' x3 (the Sennrich 2016 worked example family).
+    Pair counts: ('e','s') 9, ('s','t') 9, ... -> ties broken (count DESC,
+    left, right)."""
+    from raycrawl.ops.bpe import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    tbl = pa.table({"text": pa.array([text])})
+    out = bpe_train(rd.from_arrow(tbl), n_merges=3).to_pandas()
+    # round 1: (e,s)=9 ties (s,t)=9 -> 'e'<'s' so (e,s) merges first
+    assert (out.loc[0, "left"], out.loc[0, "right"],
+            out.loc[0, "pair_count"]) == ("e", "s", 9)
+    # round 2: (es,t)=9 now the unique max
+    assert (out.loc[1, "left"], out.loc[1, "right"],
+            out.loc[1, "pair_count"]) == ("es", "t", 9)
+    # round 3: (l,o)=7 from low+lower
+    assert (out.loc[2, "left"], out.loc[2, "right"],
+            out.loc[2, "pair_count"]) == ("l", "o", 7)
+
+
+def test_bpe_merges_partition_independent_and_guard(ray_session):
+    """Identical merges at any partition count (deterministic tie order);
+    max_vocab guard raises instead of collecting a huge vocab."""
+    from raycrawl.ops.bpe import bpe_train
+
+    texts = [f"alpha beta{i % 7} gamma delta epsilon" for i in range(40)]
+    tbl = pa.table({"text": pa.array(texts)})
+    outs = [bpe_train(rd.from_arrow(tbl).repartition(n), n_merges=8)
+            .to_pandas() for n in (1, 6)]
+    assert outs[0].equals(outs[1])
+    assert len(outs[0]) == 8
+
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train(rd.from_arrow(tbl), n_merges=2, max_vocab=3)
