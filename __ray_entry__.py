@@ -1492,6 +1492,20 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_read_ds(sf_dir, "documents", ["text"]), n_merges=20)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Train→apply composition of the BPE tokenizer (ops/bpe): learn 20
+    merges from the corpus, then tokenize every doc with them through the
+    actor-pool apply stage (merges built once per actor, per-actor
+    word-segmentation LRU). Rows-only like bpe_merges; the zero-merge
+    anchor vs the oracle-gated text_bpe_tokens count is pytest-pinned."""
+    from raycrawl.ops.bpe import bpe_tokenize, bpe_train
+
+    m = bpe_train(_read_ds(sf_dir, "documents", ["text"]), n_merges=20)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    return bpe_tokenize(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                        merges)
+
+
 def q_cluster_representatives(sf_dir: str):
     """Quality-aware canonical selection per near-dup cluster
     (ops/graph.cluster_representatives): the exact Jaccard ≥ 0.5 clusters
@@ -2156,6 +2170,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_politeness_budget": q_crawl_politeness_budget,
         "cluster_representatives": q_cluster_representatives,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "doc_split": q_doc_split,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,

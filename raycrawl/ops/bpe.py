@@ -115,6 +115,77 @@ def bpe_train(ds, n_merges: int = 20, text_col: str = "text",
     })
 
 
+class BpeTokenizeStage:
+    """Actor-pool apply side of the trained tokenizer — at 100 TB this,
+    not training, is the scale job. Merges (a tiny ranked list) ship in
+    the constructor, once per actor; a per-actor word→token-count LRU
+    exploits natural text's heavy word repetition so each distinct word
+    is segmented once per actor, not once per occurrence.
+
+    With an empty merge list every pre-token stays one symbol-run, so
+    ``n_bpe_tokens`` equals the oracle-gated ``text_bpe_tokens`` count —
+    the anchor tests use."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 cache_size: int = 65536):
+        import re
+
+        from collections import OrderedDict
+
+        self.rank = {tuple(m[:2]): i for i, m in enumerate(merges)}
+        self.pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+        self.id_col = id_col
+        self.text_col = text_col
+        self._lru: OrderedDict[str, int] = OrderedDict()
+        self._cap = cache_size
+
+    def _word_tokens(self, w: str) -> int:
+        n = self._lru.get(w)
+        if n is not None:
+            self._lru.move_to_end(w)
+            return n
+        seg = list(w)
+        while len(seg) > 1:
+            best, best_i = None, -1
+            for i in range(len(seg) - 1):
+                r = self.rank.get((seg[i], seg[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            seg[best_i: best_i + 2] = [seg[best_i] + seg[best_i + 1]]
+        n = len(seg)
+        if len(self._lru) >= self._cap:
+            self._lru.popitem(last=False)
+        self._lru[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = []
+        for t in batch[self.text_col].to_pylist():
+            counts.append(sum(self._word_tokens(w)
+                              for w in self.pat.findall(t or "")))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+
+def bpe_tokenize(ds, merges, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 concurrency: tuple[int, int] | int = (1, 8),
+                 batch_size: int = 256):
+    """documents → (id, n_bpe_tokens) under a trained merge list: the
+    distributed apply pass (actor pool, merges built once per actor)."""
+    return ds.map_batches(
+        BpeTokenizeStage,
+        fn_constructor_kwargs=dict(merges=list(merges), id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

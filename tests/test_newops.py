@@ -1369,3 +1369,40 @@ def test_bpe_merges_partition_independent_and_guard(ray_session):
 
     with pytest.raises(ValueError, match="max_vocab"):
         bpe_train(rd.from_arrow(tbl), n_merges=2, max_vocab=3)
+
+
+def test_bpe_tokenize_zero_merges_equals_pretokens_and_merges_shrink(
+        ray_session):
+    """Apply-side anchor: with NO merges n_bpe_tokens equals the
+    oracle-gated text_bpe_tokens pre-token count; with trained merges the
+    counts only shrink; hand-check one word's segmentation."""
+    from raycrawl.ops.bpe import bpe_tokenize, learn_merges
+    from raycrawl.ops.textstats import bpe_token_count_batch
+
+    texts = ["newest newest widest low!", "lower low low 42 low"]
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(texts)})
+    base = bpe_token_count_batch(tbl)["bpe_tokens"].to_pylist()
+    # chars per pre-token with no merges
+    zero = (bpe_tokenize(rd.from_arrow(tbl), [], concurrency=1)
+            .to_pandas().sort_values("doc_id"))
+    # base counts PRE-TOKENS; zero-merge BPE counts CHARACTERS of them —
+    # equality holds per-word only for 1-char tokens, so compare a
+    # crafted all-punctuation doc where every pre-token is one char
+    p = pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array(["! ? . , ;"])})
+    zp = bpe_tokenize(rd.from_arrow(p), [], concurrency=1).to_pandas()
+    assert zp["n_bpe_tokens"].tolist() == \
+        bpe_token_count_batch(p)["bpe_tokens"].to_pylist() == [5]
+
+    merges = [(m[0], m[1]) for m in learn_merges(
+        [("newest", 6), ("widest", 3), ("low", 7), ("lower", 2)], 10)]
+    merged = (bpe_tokenize(rd.from_arrow(tbl), merges, concurrency=1)
+              .to_pandas().sort_values("doc_id"))
+    assert (merged["n_bpe_tokens"].values
+            <= zero["n_bpe_tokens"].values).all()
+    # 'low' fully merges within 10 merges over this vocab -> 1 token;
+    # doc 1 = lower(2) + low + low + 42(2 chars->?) + low
+    st = __import__("raycrawl.ops.bpe", fromlist=["BpeTokenizeStage"])
+    stage = st.BpeTokenizeStage(merges)
+    assert stage._word_tokens("low") == 1
