@@ -1250,7 +1250,7 @@ def q_embed_refresh(sf_dir: str):
     DIM = 8
 
     def prev_epoch(b: pa.Table) -> pa.Table:
-        ids, texts, out_i, out_h, out_v = [], [], [], [], []
+        out_i, out_h, out_v = [], [], []
         for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
             if d % 7 == 0:
                 continue  # new in the current epoch

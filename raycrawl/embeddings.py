@@ -398,7 +398,13 @@ def embed_refresh(current_ds, prev_ds, *, provider: str = "fake",
     Returns (id, refreshed 0/1, embedding, embed_ok)."""
     from .ops.grouping import resolve_parts
 
+    from .ops.grouping import drop_empty_blocks
+
     def pack_prev(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # reshape(0, -1) is undefined: emit typed empty
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "prev_hash": pa.array([], pa.string()),
+                             "prev_emb": pa.array([], pa.binary(dim * 4))})
         arr = b["embedding"]
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         mat = np.ascontiguousarray(
@@ -411,10 +417,28 @@ def embed_refresh(current_ds, prev_ds, *, provider: str = "fake",
                          "prev_hash": b["text_hash"],
                          "prev_emb": bin_arr})
 
-    packed = prev_ds.map_batches(pack_prev, batch_format="pyarrow")
-    joined = current_ds.join(packed, join_type="left_outer",
-                             num_partitions=resolve_parts(n_parts),
-                             on=(id_col,))
+    # empty prev blocks (a filtered batch, an empty Parquet fragment)
+    # skip map_batches UDFs and reach the join with a stale schema that
+    # Acero rejects — strip them; a fully-empty previous epoch (first
+    # refresh ever) short-circuits to the everything-encodes path
+    packed = drop_empty_blocks(
+        prev_ds.map_batches(pack_prev, batch_format="pyarrow"),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("prev_hash", pa.string()),
+                                ("prev_emb", pa.binary(dim * 4))]))
+    if packed.count() == 0:
+        def null_prev(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return (b.append_column("prev_hash",
+                                    pa.array([None] * n, pa.string()))
+                     .append_column("prev_emb",
+                                    pa.array([None] * n, pa.binary(dim * 4))))
+
+        joined = current_ds.map_batches(null_prev, batch_format="pyarrow")
+    else:
+        joined = current_ds.join(packed, join_type="left_outer",
+                                 num_partitions=resolve_parts(n_parts),
+                                 on=(id_col,))
     return joined.map_batches(
         RefreshEmbedStage,
         fn_constructor_kwargs=dict(provider=provider, dim=dim,

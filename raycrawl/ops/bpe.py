@@ -35,7 +35,9 @@ def word_counts(ds, text_col: str = "text"):
 
     from ray.data.aggregate import Sum
 
-    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    from .textstats import BPE_PRETOKEN_PATTERN
+
+    pat = re.compile(BPE_PRETOKEN_PATTERN)
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -133,8 +135,10 @@ class BpeTokenizeStage:
 
         from collections import OrderedDict
 
+        from .textstats import BPE_PRETOKEN_PATTERN
+
         self.rank = {tuple(m[:2]): i for i, m in enumerate(merges)}
-        self.pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+        self.pat = re.compile(BPE_PRETOKEN_PATTERN)
         self.id_col = id_col
         self.text_col = text_col
         self._lru: OrderedDict[str, int] = OrderedDict()

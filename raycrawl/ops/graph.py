@@ -221,7 +221,7 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     document text never crosses any exchange."""
     import pandas as pd
 
-    from .grouping import partitioned_apply, resolve_parts
+    from .grouping import drop_empty_blocks, partitioned_apply, resolve_parts
 
     width = resolve_parts(n_parts)
 
@@ -238,9 +238,18 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
         lambda b: pa.table({id_col: b["node"].cast(pa.int64()),
                             "label": b["label"].cast(pa.int64())}),
         batch_format="pyarrow")
+    # empty blocks skip map_batches UDFs (stale (node,label) schema) and
+    # Acero rejects zero-row join sides — strip them; a pair-less corpus
+    # (every doc distinct) short-circuits to the all-singletons path
+    labels = drop_empty_blocks(
+        labels, empty_schema=pa.schema([(id_col, pa.int64()),
+                                        ("label", pa.int64())]))
 
-    j = slim.join(labels, join_type="left_outer", num_partitions=width,
-                  on=(id_col,))
+    if labels.count() == 0:
+        j = slim
+    else:
+        j = slim.join(labels, join_type="left_outer", num_partitions=width,
+                      on=(id_col,))
 
     def assign(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col], np.int64)
@@ -256,7 +265,7 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     def elect(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in
-                                 ("doc_id", "cluster_id", "n_chars",
+                                 (id_col, "cluster_id", "n_chars",
                                   "is_rep")})
         o = pdf.sort_values(["cluster_id", "n_chars", id_col],
                             ascending=[True, False, True])

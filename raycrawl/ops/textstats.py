@@ -28,6 +28,12 @@ STOPWORDS = {
 }
 
 
+# the ONE definition of the BPE pre-tokenization split: letter runs,
+# digit runs, single punctuation. Shared by bpe_token_count_batch, the
+# text_bpe_tokens oracle, and ops/bpe train+apply — these must stay
+# byte-identical or the zero-merge anchor silently breaks
+BPE_PRETOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
 _BPE_ISH = None  # compiled once per worker process
 
 
@@ -40,7 +46,7 @@ def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
     if _BPE_ISH is None:
         import re
 
-        _BPE_ISH = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+        _BPE_ISH = re.compile(BPE_PRETOKEN_PATTERN)
     texts = batch["text"].to_pylist()
     return pa.table(
         {"doc_id": batch["doc_id"],

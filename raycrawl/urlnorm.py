@@ -142,19 +142,29 @@ def surt_key(url: str) -> str:
     order scatters them by scheme/subdomain."""
     u = url.strip()
     low = u.lower()
+    scheme = ""
     for sch in ("https://", "http://"):
         if low.startswith(sch):
+            scheme = sch[:-3]
             u = u[len(sch):]
             break
-    host, sep, rest = u.partition("/")
-    host = host.lower()
+    # host ends at the first path/query/fragment delimiter — a URL like
+    # example.org?a=1 has a query but no path, and '?' must not fold into
+    # the host (that would break the domain-contiguous sort order)
+    cut = len(u)
+    for d in "/?#":
+        p = u.find(d)
+        if p != -1 and p < cut:
+            cut = p
+    host, rest = u[:cut].lower(), u[cut:]
     port = ""
     if ":" in host:
         host, _, p = host.rpartition(":")
-        if p not in ("80", "443"):
+        default = {"http": "80", "https": "443"}.get(scheme)
+        if p != default:
             port = ":" + p  # non-default ports survive, after the host
     key = ",".join(reversed(host.split("."))) + port + ")"
-    return key + ("/" + rest.lower() if sep else "/")
+    return key + (rest.lower() if rest.startswith("/") else "/" + rest.lower())
 
 
 # ship this module's code with closures/actor classes so Ray workers never

@@ -243,3 +243,24 @@ def test_embed_refresh_end_to_end_counts(ray_session):
     want_ref = [1 if (i % 7 == 0 or i % 3 == 0) else 0 for i in ids]
     assert out["refreshed"].tolist() == want_ref
     assert out["embed_ok"].all()
+
+
+def test_embed_refresh_empty_previous_epoch(ray_session):
+    """Review regression: a fully-empty previous epoch (first refresh
+    ever) and empty prev blocks must not crash the join — everything
+    encodes fresh."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.embeddings import embed_refresh
+
+    cur = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["alpha", "beta"])})
+    prev = pa.table({"doc_id": pa.array([], pa.int64()),
+                     "text_hash": pa.array([], pa.string()),
+                     "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = embed_refresh(rd.from_arrow(cur), rd.from_arrow(prev),
+                        provider="fake", dim=4,
+                        concurrency=1).to_pandas()
+    assert out["refreshed"].tolist() == [1, 1]
+    assert out["embed_ok"].all()

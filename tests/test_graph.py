@@ -158,3 +158,26 @@ def test_cluster_representatives_longest_wins(ray_session):
     # docs 2 and 3 tie at 4 chars -> min id 2 wins, NOT min-id-overall 1
     assert out["is_rep"].tolist() == [0, 1, 0, 1, 1]
     assert out["n_chars"].tolist() == [2, 4, 4, 2, 3]
+
+
+def test_cluster_representatives_no_pairs_all_singletons(ray_session):
+    """Review regression: a pair-less corpus (every doc distinct) must
+    return all-singleton representatives, not crash on the empty labels
+    join side; custom id_col exercises the empty-partition schema path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycrawl.ops.graph import cluster_representatives
+
+    docs = pa.table({
+        "page_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["one", "two two"]),
+    })
+    empty_pairs = pa.table({"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())})
+    out = (cluster_representatives(rd.from_arrow(docs),
+                                   rd.from_arrow(empty_pairs),
+                                   id_col="page_id")
+           .to_pandas().sort_values("page_id").reset_index(drop=True))
+    assert out["cluster_id"].tolist() == [10, 11]
+    assert out["is_rep"].tolist() == [1, 1]

@@ -87,3 +87,16 @@ def test_surt_key_rules():
         "https://a.zzz.net/3", "https://example.org/0"])
     assert keys == ["net,zzz,a)/3", "org,example)/0",
                     "org,example,a)/2", "org,example,b)/1"]
+
+
+def test_surt_key_query_without_path_and_scheme_aware_ports():
+    """Review regressions: a query with no path must not fold into the
+    host (domain-contiguous sort order), and default-port dropping is
+    scheme-aware — :80 under https is a DISTINCT origin and survives."""
+    from raycrawl.urlnorm import surt_key
+
+    assert surt_key("https://example.org?a=1") == "org,example)/?a=1"
+    assert surt_key("https://example.org#frag") == "org,example)/#frag"
+    assert surt_key("https://example.org:80/x") == "org,example:80)/x"
+    assert surt_key("http://example.org:443/x") == "org,example:443)/x"
+    assert surt_key("http://example.org:80/x") == "org,example)/x"
