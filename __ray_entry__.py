@@ -271,8 +271,9 @@ def q_dedup_kept_docs(sf_dir: str):
         t = t.filter(pc.not_equal(t["node"], t["label"]))
         return t.select(["node"]).rename_columns(["doc_id"])
 
-    import ray
     import ray.data as rd
+
+    from raycrawl.ops.grouping import nonempty_refs
 
     # Acero rejects even correctly-TYPED zero-row blocks on a join side
     # (not just schema-less ones) — a label partition of all-canonical
@@ -280,15 +281,8 @@ def q_dedup_kept_docs(sf_dir: str):
     # (O(blocks) driver booleans, rows never move), and when NOTHING is
     # dropped skip the join entirely (an all-empty right side is equally
     # unjoinable).
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    drop_refs = labels.map_batches(
-        drops_only, batch_format="pyarrow").to_arrow_refs()
-    live = [r for r, n in zip(drop_refs,
-                              ray.get([_nrows.remote(r) for r in drop_refs]))
-            if n > 0]
+    live, _ = nonempty_refs(
+        labels.map_batches(drops_only, batch_format="pyarrow"))
     docs = _read_ds(sf_dir, "documents", ["doc_id", "n_chars"])
     if not live:
         return docs.sort("doc_id")

@@ -61,8 +61,12 @@ def eval_contamination(ds, *, gram_tokens: int = GRAM_TOKENS,
                 grams |= _doc_grams(t, gram_tokens)
         return pa.table({"gram": pa.array(sorted(grams), pa.string())})
 
-    gram_rows = ds.map_batches(eval_grams, batch_format="pyarrow").take(
-        max_eval_grams + 1)
+    # distinct BEFORE the guard: per-batch partials duplicate grams shared
+    # across batches, so counting raw partial rows would spuriously raise
+    # for an eval set whose distinct grams fit (and pull the duplicates to
+    # the driver). The groupby shuffles only the (small) eval-gram table.
+    gram_rows = (ds.map_batches(eval_grams, batch_format="pyarrow")
+                 .groupby("gram").count().take(max_eval_grams + 1))
     if len(gram_rows) > max_eval_grams:
         raise ValueError(
             f"eval_contamination: >{max_eval_grams} eval grams; an eval "

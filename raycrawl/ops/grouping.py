@@ -127,6 +127,24 @@ def partitioned_apply(ds, key_cols: list[str], partition_fn, n_parts: int = 32):
     return rd.from_arrow_refs(keep)
 
 
+def nonempty_refs(ds) -> tuple[list, list[int]]:
+    """Execute ``ds`` and return (non-empty block refs, their row counts).
+
+    The shared probe under ``drop_empty_blocks`` and its callers: one
+    O(blocks) remote ``num_rows`` per block — the driver sees ints, rows
+    never leave plasma."""
+    import ray
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    kept = [(r, n) for r, n in zip(refs, counts) if n > 0]
+    return [r for r, _ in kept], [n for _, n in kept]
+
+
 def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):
     """Strip zero-row blocks from a Dataset before a ``Dataset.join``.
 
@@ -139,16 +157,9 @@ def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):
     booleans), and rebuild the Dataset from those refs. If everything is
     empty, emit one typed empty block from ``empty_schema`` (required then,
     since no schema survives otherwise)."""
-    import ray
     import ray.data as rd
 
-    @ray.remote
-    def nonempty(t: pa.Table) -> bool:
-        return t.num_rows > 0
-
-    refs = ds.to_arrow_refs()
-    keep = [r for r, ok in zip(refs, ray.get([nonempty.remote(r)
-                                              for r in refs])) if ok]
+    keep, _ = nonempty_refs(ds)
     if not keep:
         if empty_schema is None:
             raise ValueError("all blocks empty and no empty_schema given")

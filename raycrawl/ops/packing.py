@@ -83,7 +83,9 @@ def pack_offsets(ds, seq_len: int = 512, id_col: str = "doc_id",
     import ray.data as rd
 
     slim = ds.map_batches(counts, batch_format="pyarrow")
-    blocks = slim.sort(id_col).to_arrow_refs()
+    # counts() renamed id_col → "doc_id"; sort by the renamed column so a
+    # non-default id_col (e.g. "vec_id") works too
+    blocks = slim.sort("doc_id").to_arrow_refs()
     sums = ray.get([_block_sum.remote(b) for b in blocks])
     offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)[:-1]))
     out = [_finalize.remote(b, int(o), seq_len)

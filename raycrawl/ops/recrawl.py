@@ -38,8 +38,9 @@ def _hash_rows(ds, id_col: str, text_col: str, out_hash: str):
     """Reduce an epoch to (id, md5) rows. Returns ``(ds, n_rows)`` — the
     blocks are materialized anyway to strip empties before the join, so
     the row count is free (O(blocks) scalars to the driver)."""
-    import ray
     import ray.data as rd
+
+    from .grouping import nonempty_refs
 
     def h(batch: pa.Table) -> pa.Table:
         hs = [hashlib.md5((t or "").encode()).hexdigest()
@@ -49,13 +50,7 @@ def _hash_rows(ds, id_col: str, text_col: str, out_hash: str):
             out_hash: pa.array(hs, pa.string()),
         })
 
-    @ray.remote
-    def nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    refs = ds.map_batches(h, batch_format="pyarrow").to_arrow_refs()
-    counts = ray.get([nrows.remote(r) for r in refs])
-    keep = [r for r, c in zip(refs, counts) if c > 0]
+    keep, counts = nonempty_refs(ds.map_batches(h, batch_format="pyarrow"))
     if not keep:
         return None, 0
     return rd.from_arrow_refs(keep), sum(counts)

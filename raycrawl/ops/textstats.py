@@ -565,6 +565,11 @@ def cms_token_topk(ds, *, top_n: int = 20, width: int = 2048,
     ``cms_estimate >= occurrences`` always."""
     import hashlib
 
+    if not 1 <= depth <= 4:
+        raise ValueError(
+            f"cms_token_topk: depth={depth} unsupported — each row consumes "
+            "8 hex chars of the 32-char md5 digest, so depth must be 1..4")
+
     def probes(tok: str):
         h = hashlib.md5(tok.encode()).hexdigest()
         return [int(h[8 * r: 8 * r + 8], 16) % width for r in range(depth)]

@@ -396,9 +396,13 @@ class CrawlEngine:
         bodies stay authoritative and unknown hosts are allow-all."""
         if self.transport is None:
             return None
+        from urllib.parse import urlparse
+
         from .robots import make_robots_fetcher
 
-        return make_robots_fetcher(self.transport)
+        schemes = {host_of(rt.seed): (urlparse(rt.seed).scheme or "https")
+                   for rt in self.sites}
+        return make_robots_fetcher(self.transport, scheme_by_host=schemes)
 
     # ------------------------------------------------------------------
     def run(self, resume_from: str | None = None) -> CrawlResult:
@@ -531,7 +535,7 @@ class CrawlEngine:
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
             docs=pa.Table.from_pylist(
-                all_docs, schema=_docs_schema(cfg.embed and cfg.embed.get("dim", 8))),
+                all_docs, schema=_docs_schema(_embed_dim(cfg.embed))),
             refreshes=pa.Table.from_pylist(all_refresh, schema=REFRESH_SCHEMA),
             counters=counters,
             frontier_remainder=pa.Table.from_pylist(remainder_rows, schema=FRONTIER_SCHEMA),
@@ -905,7 +909,7 @@ class CrawlEngine:
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
             docs=pa.Table.from_pylist(
-                all_docs, schema=_docs_schema(cfg.embed and cfg.embed.get("dim", 8))),
+                all_docs, schema=_docs_schema(_embed_dim(cfg.embed))),
             refreshes=pa.Table.from_pylist(all_refresh, schema=REFRESH_SCHEMA),
             counters=counters,
             frontier_remainder=remainder,
@@ -1040,6 +1044,17 @@ def _embed_stage_for(embed_cfg: dict):
 
         st = _EMBED_STAGES[key] = EmbedStage(**embed_cfg)
     return st
+
+
+def _embed_dim(embed_cfg: dict | None) -> int | None:
+    """Provider-RESOLVED embedding width for the docs schema. The provider
+    may override the config's ``dim`` (e.g. huggingface probes the service,
+    fake honors provider_kwargs['dim']), so the collected-docs schema must
+    use ``EmbedStage.dim`` — not ``embed_cfg.get('dim', 8)`` — or
+    ``pa.Table.from_pylist`` raises ArrowInvalid at the end of the crawl."""
+    if not embed_cfg:
+        return None
+    return _embed_stage_for(embed_cfg).dim
 
 
 def _attach_embeddings(tbl: pa.Table, embed_cfg: dict) -> pa.Table:

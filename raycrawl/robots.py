@@ -74,28 +74,38 @@ class RobotsTable:
         return d if d is not None else DEFAULT_DELAY
 
 
-def make_robots_fetcher(transport, timeout: float = 10.0):
+def make_robots_fetcher(transport, timeout: float = 10.0,
+                        scheme_by_host: dict[str, str] | None = None):
     """host → robots.txt body | None, through the engine's injectable HTTP
     transport (stages.LiveFetchStage protocol: ``transport(url, headers,
     timeout) -> FetchResponse``). Non-200 or transport error → None
     (allow-all, crawler.py:424-428). Picklable as long as the transport is —
-    it ships into the politeness shards."""
+    it ships into the politeness shards.
+
+    The reference builds the robots URL from the crawled URL's own scheme
+    (crawler.py:411-428); here the shards only know hosts, so the site
+    seeds' schemes are passed in via ``scheme_by_host``, with the other
+    scheme tried as a fallback — an http-only host must not silently become
+    allow-all just because https isn't served."""
 
     class _RobotsFetcher:
-        def __init__(self, tr, to):
+        def __init__(self, tr, to, schemes):
             self.tr = tr
             self.to = to
+            self.schemes = schemes or {}
 
         def __call__(self, host: str) -> str | None:
-            try:
-                resp = self.tr(f"https://{host}/robots.txt", {}, self.to)
-                if resp.status == 200 and resp.body:
-                    return resp.body.decode("utf-8", errors="replace")
-            except Exception:
-                pass
+            first = self.schemes.get(host, "https")
+            for scheme in (first, "http" if first == "https" else "https"):
+                try:
+                    resp = self.tr(f"{scheme}://{host}/robots.txt", {}, self.to)
+                    if resp.status == 200 and resp.body:
+                        return resp.body.decode("utf-8", errors="replace")
+                except Exception:
+                    pass
             return None
 
-    return _RobotsFetcher(transport, timeout)
+    return _RobotsFetcher(transport, timeout, scheme_by_host)
 
 
 # ship this module's code with closures/actor classes so Ray workers never

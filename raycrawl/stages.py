@@ -46,14 +46,22 @@ FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
 def build_page_index(pages: pa.Table) -> dict[str, tuple]:
     """url → (html_bytes, etag, content_type, last_modified, final_url).
     Built once, broadcast via ray.put; ~O(corpus) memory — the test-scale
-    stand-in for the fetch tier. Older 5-column pages tables (no http
-    columns) yield 3-tuples; readers pad."""
+    stand-in for the fetch tier. Always a 5-tuple: last_modified/final_url
+    are None when the pages table lacks those columns."""
     want = ["url", "html", "etag", "content_type"]
-    extra = [c for c in ("last_modified", "final_url") if c in pages.column_names]
-    cols = pages.select(want + extra).to_pydict()
+    cols = pages.select(want).to_pydict()
+    n = pages.num_rows
+    # Optional columns are padded BY NAME to a fixed 5-tuple slot — a table
+    # with final_url but no last_modified must not shift final_url into the
+    # Last-Modified slot (that would both drop redirects and fabricate
+    # spurious 304s from a URL-vs-validator comparison).
+    opt = {
+        c: (pages[c].to_pylist() if c in pages.column_names else [None] * n)
+        for c in ("last_modified", "final_url")
+    }
     return {
-        row[0]: tuple(row[1:])
-        for row in zip(*(cols[c] for c in want + extra))
+        row[0]: tuple(row[1:]) + (opt["last_modified"][i], opt["final_url"][i])
+        for i, row in enumerate(zip(*(cols[c] for c in want)))
     }
 
 

@@ -468,3 +468,27 @@ def test_wave_frontier_dequeue_counter(ray_session, name):
         assert n >= visits[site]
     if o.skips:  # scenario has pop-time skips -> dequeues must exceed visits
         assert sum(got.values()) > sum(visits.values())
+
+
+def test_collected_docs_schema_uses_provider_resolved_dim(ray_session):
+    """Review regression: the collected-docs schema must use the
+    provider-RESOLVED embedding width (EmbedStage.dim), not
+    cfg.embed['dim'] — a provider_kwargs dim override used to crash
+    CrawlResult construction with ArrowInvalid at the end of the crawl."""
+    s = scenario("tree")
+    cfg = CrawlConfig(mode="wave", collect_docs=True,
+                      embed={"provider": "fake",
+                             "provider_kwargs": {"dim": 16}})
+    r = CrawlEngine(s["pages"], s["seeds"], s["robots"], cfg=cfg).run()
+    assert r.docs.num_rows > 0
+    f = r.docs.schema.field("embedding")
+    assert f.type == pa.list_(pa.float32(), 16)
+    for v in r.docs["embedding"].to_pylist():
+        assert v is None or len(v) == 16
+
+    # strict mode shares the schema path
+    cfg2 = CrawlConfig(mode="strict",
+                       embed={"provider": "fake",
+                              "provider_kwargs": {"dim": 16}})
+    r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"], cfg=cfg2).run()
+    assert r2.docs.schema.field("embedding").type == pa.list_(pa.float32(), 16)

@@ -251,3 +251,58 @@ def test_wave_crawl_over_live_tier_equals_sim(ray_session):
         ):
             assert dl["content"] == ds_["content"]
             assert dl["content_hash"] == ds_["content_hash"]
+
+
+def test_page_index_pads_optional_columns_by_name():
+    """Review regression: a pages table with final_url but NO last_modified
+    must not shift the final URL into the Last-Modified slot (that dropped
+    redirects and fabricated spurious 304s)."""
+    from raycrawl.stages import build_page_index
+
+    pages = pa.table({
+        "url": ["https://h/a"],
+        "html": [b"<html><body>hello</body></html>"],
+        "etag": [None],
+        "content_type": ["text/html"],
+        "final_url": ["https://h/a-final"],
+    })
+    idx = build_page_index(pages)
+    html, etag, ctype, lm, final = idx["https://h/a"]
+    assert lm is None
+    assert final == "https://h/a-final"
+
+    # and with only last_modified, final stays None
+    pages2 = pages.drop_columns(["final_url"]).append_column(
+        "last_modified", pa.array(["Mon, 01 Jan 2024 00:00:00 GMT"]))
+    (_, _, _, lm2, final2) = build_page_index(pages2)["https://h/a"]
+    assert lm2 == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert final2 is None
+
+
+def test_robots_fetcher_falls_back_to_http_scheme():
+    """Review regression: an http-only host (no https service) must still
+    get its robots.txt fetched — the reference builds the robots URL from
+    the site's own scheme (crawler.py:411-428)."""
+    from raycrawl.robots import make_robots_fetcher
+
+    body = b"User-agent: *\nDisallow: /private/\n"
+
+    def transport(url, headers, timeout):
+        if url == "http://only.example.org/robots.txt":
+            return FetchResponse(200, {}, body)
+        raise OSError("connection refused")  # https not served
+
+    # no scheme hint: https tried first, http fallback succeeds
+    f = make_robots_fetcher(transport)
+    assert f("only.example.org") == body.decode()
+    # scheme hint avoids the failed https attempt
+    calls = []
+
+    def transport2(url, headers, timeout):
+        calls.append(url)
+        return FetchResponse(200, {}, body)
+
+    f2 = make_robots_fetcher(transport2,
+                             scheme_by_host={"only.example.org": "http"})
+    assert f2("only.example.org") == body.decode()
+    assert calls == ["http://only.example.org/robots.txt"]

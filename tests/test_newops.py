@@ -1406,3 +1406,50 @@ def test_bpe_tokenize_zero_merges_equals_pretokens_and_merges_shrink(
     st = __import__("raycrawl.ops.bpe", fromlist=["BpeTokenizeStage"])
     stage = st.BpeTokenizeStage(merges)
     assert stage._word_tokens("low") == 1
+
+
+def test_pack_offsets_custom_id_col(ray_session):
+    """Review regression: counts() renames id_col -> doc_id, so the sort
+    must use the renamed column; pack_offsets(id_col='vec_id') crashed."""
+    from raycrawl.ops.packing import pack_offsets
+
+    tbl = pa.table({"vec_id": pa.array([2, 0, 1], pa.int64()),
+                    "text": ["a b c", "x", "p q"]})
+    out = pack_offsets(rd.from_arrow(tbl).repartition(2), seq_len=4,
+                       id_col="vec_id").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [1, 2, 3]
+    assert out["start_tok"].tolist() == [0, 1, 3]
+
+
+def test_eval_contamination_guard_counts_distinct_grams(ray_session):
+    """Review regression: the max_eval_grams guard must count DISTINCT
+    grams, not per-batch partial rows — a gram shared across batches used
+    to double-count and spuriously raise."""
+    from raycrawl.ops.contamination import eval_contamination
+    from raycrawl.ops.sampling import _h32
+
+    test_ids = [i for i in range(1000) if _h32(str(i)) % 100 >= 95][:4]
+    assert len(test_ids) == 4
+    passage = " ".join(f"ev{i}" for i in range(9))   # 9 toks -> 2 8-grams
+    tbl = pa.table({
+        "doc_id": pa.array(test_ids, pa.int64()),
+        "text": pa.array([passage] * 4, pa.string()),  # same grams, 4 docs
+    })
+    # 2 distinct grams; 4 single-row batches -> 8 partial rows. Cap of 2
+    # must NOT fire.
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = eval_contamination(ds, max_eval_grams=2).to_pandas()
+    assert len(out) == 0  # no train docs in the input; just must not raise
+
+
+def test_cms_topk_depth_guard(ray_session):
+    """Review regression: depth > 4 would probe past the md5 digest and
+    raise ValueError('') deep in probes(); now rejected at the boundary."""
+    from raycrawl.ops.textstats import cms_token_topk
+
+    ds = rd.from_arrow(pa.table({"text": ["a b a"]}))
+    with pytest.raises(ValueError, match="depth"):
+        cms_token_topk(ds, depth=5)
+    with pytest.raises(ValueError, match="depth"):
+        cms_token_topk(ds, depth=0)
