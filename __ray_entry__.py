@@ -1691,6 +1691,63 @@ def q_span_trim(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "text"]), run_tokens=20)
 
 
+def q_text_dsir(sf_dir: str):
+    """DSIR importance scores (ops/dsir.dsir_scores, Xie et al. 2023):
+    every doc scored by how much its md5-bucketed unigram mass concentrates
+    where the lang='en' target slice's mass does — the integer sum of
+    per-token (n_tgt+1)·10^6 // (n_raw+1) contributions, add-1 smoothed
+    over 1024 buckets. Pass 1 shuffles only bounded (bucket, n) partials;
+    the 16 KB distribution broadcasts once; pass 2 is shuffle-free."""
+    from raycrawl.ops.dsir import dsir_scores
+
+    return dsir_scores(
+        _read_ds(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_lang="en")
+
+
+def q_dsir_select(sf_dir: str):
+    """The DSIR selection step: top-50 docs by (dsir_score desc, doc_id
+    asc) — the deterministic analogue of the paper's Gumbel-top-k
+    resample over the q_text_dsir scores."""
+    from raycrawl.ops.dsir import dsir_select
+
+    return dsir_select(
+        _read_ds(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        50, target_lang="en")
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG-style fixed-token chunking (ops/chunking.chunk_documents):
+    every 10th doc → overlapping 64-token windows every 48 tokens, a pure
+    flat-map (no shuffle — the output is bigger than the input, so at
+    100 TB it must not cross an exchange). Chunk strings byte-equal to the
+    SQL list-slice restatement."""
+    import numpy as np
+
+    from raycrawl.ops.chunking import chunk_documents
+
+    def every_10th(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        every_10th, batch_format="pyarrow")
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
+def q_mixture_sample(sf_dir: str):
+    """τ=0.5 temperature-flattened language mixture
+    (ops/sampling.temperature_flatten_sample): each lang stratum is
+    hash-downsampled at rate isqrt(n_min)/isqrt(n_lang) so kept counts
+    flatten toward the geometric middle — integer-exact acceptance the
+    SQL restates with FLOOR(SQRT(...)) (IEEE sqrt is correctly rounded,
+    which is why τ is pinned at 0.5 and not a pow() parameter)."""
+    from raycrawl.ops.sampling import temperature_flatten_sample
+
+    return temperature_flatten_sample(
+        _read_ds(sf_dir, "documents", ["doc_id", "lang"]), key_col="lang")
+
+
 def q_pii_scrub(sf_dir: str):
     """PII scrubbing (ops/textstats.pii_scrub_batch): deterministic emails
     and 9+-digit identifiers planted by doc_id residue (the raw corpus has
@@ -2185,6 +2242,10 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "length_outliers": q_length_outliers,
         "url_patterns": q_url_patterns,
         "span_trim": q_span_trim,
+        "text_dsir": q_text_dsir,
+        "dsir_select": q_dsir_select,
+        "doc_chunks": q_doc_chunks,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -3852,6 +3913,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN r1 q1 ON q1.p = p.p1
             JOIN r2 q2 ON q2.p = p.p2
             JOIN r3 q3 ON q3.p = p.p3
+        """,
+        "text_dsir": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                           % 1024 AS bucket
+                FROM toks
+            ), dist AS (
+                SELECT bucket, COUNT(*) AS n_raw,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS n_tgt
+                FROM b GROUP BY bucket
+            )
+            SELECT b.doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM((d.n_tgt + 1) * 1000000 // (d.n_raw + 1))
+                        AS BIGINT) AS dsir_score
+            FROM b JOIN dist d USING (bucket)
+            GROUP BY b.doc_id
+        """,
+        "dsir_select": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                           % 1024 AS bucket
+                FROM toks
+            ), dist AS (
+                SELECT bucket, COUNT(*) AS n_raw,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS n_tgt
+                FROM b GROUP BY bucket
+            ), scored AS (
+                SELECT b.doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM((d.n_tgt + 1) * 1000000 // (d.n_raw + 1))
+                            AS BIGINT) AS dsir_score
+                FROM b JOIN dist d USING (bucket)
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_tokens, dsir_score FROM scored
+            ORDER BY dsir_score DESC, doc_id ASC LIMIT 50
+        """,
+        "doc_chunks": """
+            WITH s AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents WHERE doc_id % 10 = 0
+            ), g AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, n - 1, 48)) AS start_tok
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, n - start_tok) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       toks[start_tok + 1 : LEAST(start_tok + 64, n)],
+                       ' ') AS chunk_text
+            FROM g
+        """,
+        "mixture_sample": """
+            WITH cnt AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+            ), sq AS (
+                SELECT lang,
+                       CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS sq
+                FROM cnt
+            ), mn AS (SELECT MIN(sq) AS sq_min FROM sq)
+            SELECT d.lang, d.doc_id
+            FROM documents d JOIN sq USING (lang), mn
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) * sq.sq
+                  < mn.sq_min * 4294967296
         """,
     }
     # identical semantics, different physical join plan — same oracle

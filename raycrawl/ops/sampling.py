@@ -157,3 +157,53 @@ def domain_cap(ds, cap: int = 10, key_col: str = "source",
     pruned = ds.map_batches(partial_top, batch_format="pyarrow")
     return partitioned_apply(pruned, [key_col], final_top,
                              resolve_parts(n_parts))
+
+
+def temperature_flatten_sample(ds, *, key_col: str = "source",
+                               id_col: str = "doc_id"):
+    """τ=0.5 temperature-flattened mixture sample: downsample each
+    ``key_col`` stratum so kept counts flatten toward equality.
+
+    Multi-source training mixtures are routinely temperature-scaled (the
+    multilingual-BERT / mT5 exponent-smoothing recipe): sampling each
+    source proportionally to ``n_s^τ`` with τ<1 keeps a dominant source
+    from swamping rare ones. At τ=0.5 the target count per source is
+    ``∝ sqrt(n_s)``; normalizing so the SMALLEST source is kept whole
+    gives acceptance rate ``sqrt(n_min / n_s)`` — expected kept count
+    ``sqrt(n_s · n_min)``, flattened toward the geometric middle.
+
+    Integer-exact acceptance (the hash-sampling discipline above):
+
+        keep  iff  h32(str(id)) · isqrt(n_s)  <  isqrt(n_min) · 2^32
+
+    ``isqrt`` (floor square root) is reproducible in SQL as
+    ``CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)`` — IEEE-754 sqrt is
+    correctly rounded (unlike pow), so the floor matches Python
+    ``math.isqrt`` exactly for n < 2^52 — which is why τ is fixed at 0.5
+    rather than a parameter: arbitrary ``pow(n, τ)`` is NOT bit-stable
+    across libm implementations and would break the oracle gate.
+
+    Two passes: a tiny ``groupby(key).count()`` (strata counts — one row
+    per source), rates broadcast via the closure (O(sources) ints); then a
+    shuffle-free ``map_batches`` filter. Returns the kept
+    ``(key_col, id_col)`` rows."""
+    import math
+
+    counts = {r[key_col]: r["count()"]
+              for r in ds.groupby(key_col).count().take_all()}
+    if not counts:
+        return ds.map_batches(
+            lambda b: b.select([key_col, id_col]), batch_format="pyarrow")
+    sq = {k: math.isqrt(n) for k, n in counts.items()}
+    sq_min = min(sq.values())
+    thr = sq_min << 32
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        mask = np.fromiter(
+            (_h32(str(i)) * sq[k] < thr for k, i in zip(keys, ids)),
+            dtype=bool, count=len(ids))
+        return batch.select([key_col, id_col]).filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

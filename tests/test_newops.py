@@ -1453,3 +1453,69 @@ def test_cms_topk_depth_guard(ray_session):
         cms_token_topk(ds, depth=5)
     with pytest.raises(ValueError, match="depth"):
         cms_token_topk(ds, depth=0)
+
+
+def test_chunk_documents_windows_and_edges(ray_session):
+    """Window starts every stride tokens; final window short, never empty;
+    empty text -> one empty chunk; bad params raise."""
+    from raycrawl.ops.chunking import chunk_documents
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["t0 t1 t2 t3 t4 t5 t6", ""]})
+    out = chunk_documents(rd.from_arrow(tbl), chunk_tokens=4,
+                          stride=3).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    assert d1["start_tok"].tolist() == [0, 3, 6]
+    assert d1["chunk_text"].tolist() == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6"]
+    assert d1["n_tokens"].tolist() == [4, 4, 1]
+    d2 = out[out.doc_id == 2]
+    assert d2["chunk_text"].tolist() == [""] and d2["n_tokens"].tolist() == [1]
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(tbl), chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(tbl), chunk_tokens=4, stride=0)
+
+
+def test_temperature_flatten_sample_flattens_skew(ray_session):
+    """Acceptance iff h32(id)*isqrt(n_s) < isqrt(n_min)*2^32 — brute-force
+    parity, smallest stratum kept whole, larger strata downsampled."""
+    import math
+
+    from raycrawl.ops.sampling import _h32, temperature_flatten_sample
+
+    rows = [("big", i) for i in range(400)] + [("small", 1000 + i)
+                                               for i in range(16)]
+    tbl = pa.table({"source": pa.array([r[0] for r in rows]),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64())})
+    kept = temperature_flatten_sample(
+        rd.from_arrow(tbl).repartition(3)).to_pandas()
+    sq = {"big": math.isqrt(400), "small": math.isqrt(16)}
+    expect = {i for s, i in rows if _h32(str(i)) * sq[s] < sq["small"] << 32}
+    assert set(kept["doc_id"]) == expect
+    # smallest stratum survives whole (rate 1), big is downsampled
+    assert (kept["source"] == "small").sum() == 16
+    assert 0 < (kept["source"] == "big").sum() < 400
+
+
+def test_dsir_prefers_target_like_docs(ray_session):
+    """A doc written in the target slice's vocabulary outranks one written
+    off-target; empty target slice still yields defined scores."""
+    from raycrawl.ops.dsir import dsir_scores
+
+    tgt_text = "alpha beta gamma delta " * 5
+    off_text = "omega psi chi phi " * 5
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [tgt_text.strip(), tgt_text.strip(),   # target slice
+                 tgt_text.strip(),                      # raw doc, on-target
+                 off_text.strip()],                     # raw doc, off-target
+        "lang": ["en", "en", "fr", "fr"],
+    })
+    out = dsir_scores(rd.from_arrow(tbl)).to_pandas().set_index("doc_id")
+    assert out.loc[3, "dsir_score"] > out.loc[4, "dsir_score"]
+
+    # no 'en' rows at all: n_tgt=0 everywhere, scores defined and positive
+    tbl2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": ["just some words"], "lang": ["fr"]})
+    out2 = dsir_scores(rd.from_arrow(tbl2)).to_pandas()
+    assert out2["dsir_score"].iloc[0] > 0
