@@ -1386,6 +1386,44 @@ def q_postings(sf_dir: str):
                        terms=KEYWORD_TERMS)
 
 
+def q_postings_delta(sf_dir: str):
+    """Incremental index maintenance (ops/index.postings_merge): a recrawl
+    epoch replants the corpus by residue (%13=5 deleted, %7=3 modified
+    with ' join hash join' appended so the vocabulary postings actually
+    change, %11=0 spawns a new 'vector merge vector' doc at id+N), builds
+    the delta postings from ONLY the changed docs, and folds them into the
+    base index — replace-by-doc-id via a hash-partitioned left_anti join
+    (the reference sink's add_documents semantics, crawler.py:682-758),
+    never a broadcast. The oracle restates plant + NOT IN + UNION ALL."""
+    from raycrawl.ops.index import postings_merge, term_doc_tf
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    base = term_doc_tf(docs, terms=KEYWORD_TERMS)
+
+    def changed_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        oi, ot = [], []
+        for d, t in zip(ids, texts):
+            if d % 7 == 3 and d % 13 != 5:     # modified (and not deleted)
+                oi.append(d)
+                ot.append((t or "") + " join hash join")
+        for d in ids:
+            if d % 11 == 0:                    # new url discovered
+                oi.append(d + n)
+                ot.append("vector merge vector")
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    delta = term_doc_tf(docs.map_batches(changed_docs,
+                                         batch_format="pyarrow"),
+                        terms=KEYWORD_TERMS)
+    deleted = [d for d in range(n) if d % 13 == 5]
+    return postings_merge(base, delta, deleted)
+
+
 def q_keyword_search(sf_dir: str):
     """Exact keyword retrieval over the postings: score = Σ_term
     (1e6·tf) // df (integer tf-over-df), top-10 by (score desc, doc_id
@@ -2246,6 +2284,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "doc_chunks": q_doc_chunks,
         "mixture_sample": q_mixture_sample,
+        "postings_delta": q_postings_delta,
     }
 
 
@@ -3977,6 +4016,33 @@ def oracle_sql() -> dict[str, str]:
                        toks[start_tok + 1 : LEAST(start_tok + 64, n)],
                        ' ') AS chunk_text
             FROM g
+        """,
+        "postings_delta": f"""
+            WITH base AS (
+                SELECT w AS token, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY w, doc_id
+            ), changed AS (
+                SELECT doc_id, text || ' join hash join' AS text
+                FROM documents WHERE doc_id % 7 = 3 AND doc_id % 13 != 5
+                UNION ALL
+                SELECT doc_id + (SELECT COUNT(*) FROM documents),
+                       'vector merge vector'
+                FROM documents WHERE doc_id % 11 = 0
+            ), delta AS (
+                SELECT w AS token, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM changed)
+                WHERE w IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY w, doc_id
+            )
+            SELECT token, doc_id, CAST(tf AS BIGINT) AS tf FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM changed)
+              AND doc_id % 13 != 5
+            UNION ALL
+            SELECT token, doc_id, CAST(tf AS BIGINT) AS tf FROM delta
         """,
         "mixture_sample": """
             WITH cnt AS (

@@ -198,6 +198,62 @@ def bm25_topk(ds, terms: list[str], k: int = 10,
     )
 
 
+def postings_merge(base, delta, deleted_ids=None, *,
+                   id_col: str = "doc_id", n_parts: int | None = None):
+    """Incremental index maintenance: fold a recrawl epoch's postings delta
+    into an existing index.
+
+    Semantics are the reference sink's replace-by-document-id
+    (Meilisearch ``add_documents``, crawler.py:682-758): every document
+    present in ``delta`` REPLACES its old postings wholesale (a recrawled
+    doc's removed tokens must disappear, not linger), and ``deleted_ids``
+    docs drop entirely. merged = base ∖ {docs in delta ∪ deleted} ∪ delta.
+
+    Scale shape: the drop set is the delta's (small — a recrawl epoch
+    touches a few %) doc-id column plus the deleted ids, removed from the
+    base via a hash-partitioned ``Dataset.join(left_anti)`` on doc_id — no
+    driver materialization, no broadcast; the base index (the 100-TB side)
+    crosses exactly one partitioned exchange. Zero-row blocks are stripped
+    from both join sides (Acero rejects them — see grouping.drop_empty_blocks),
+    and when the drop side is empty the join is skipped outright.
+
+    ``deleted_ids`` is a Python list/iterable of ids or a Dataset carrying
+    ``id_col``. Returns the merged (token, doc_id, tf) Dataset."""
+    import ray.data as rd
+
+    from .grouping import nonempty_refs, resolve_parts
+
+    drop = delta.select_columns([id_col])
+    if deleted_ids is not None:
+        if hasattr(deleted_ids, "select_columns"):   # Dataset
+            drop = drop.union(deleted_ids.select_columns([id_col]))
+        elif len(deleted_ids):
+            drop = drop.union(rd.from_arrow(pa.table(
+                {id_col: pa.array(sorted(deleted_ids), pa.int64())})))
+    drop_live, _ = nonempty_refs(drop)
+    base_live, _ = nonempty_refs(base)
+    if not base_live:
+        merged = None
+    elif drop_live:
+        merged = rd.from_arrow_refs(base_live).join(
+            rd.from_arrow_refs(drop_live), join_type="left_anti",
+            num_partitions=resolve_parts(n_parts), on=(id_col,))
+    else:
+        merged = rd.from_arrow_refs(base_live)
+    delta_live, _ = nonempty_refs(delta)
+    if merged is None and not delta_live:
+        return base  # both empty: an empty postings Dataset with schema
+    cols = ["token", id_col, "tf"]
+    if merged is None:
+        return rd.from_arrow_refs(delta_live)
+    # normalize column order before union: the anti join may not preserve
+    # the left side's column order
+    merged = merged.select_columns(cols)
+    if not delta_live:
+        return merged
+    return merged.union(rd.from_arrow_refs(delta_live).select_columns(cols))
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

@@ -1519,3 +1519,32 @@ def test_dsir_prefers_target_like_docs(ray_session):
                      "text": ["just some words"], "lang": ["fr"]})
     out2 = dsir_scores(rd.from_arrow(tbl2)).to_pandas()
     assert out2["dsir_score"].iloc[0] > 0
+
+
+def test_postings_merge_replace_semantics(ray_session):
+    """merged = base minus (delta docs + deleted) plus delta — a recrawled
+    doc's removed tokens disappear, deleted docs drop, untouched docs
+    survive; empty delta and empty drop sides are handled."""
+    from raycrawl.ops.index import postings_merge
+
+    def posts(rows):
+        return rd.from_arrow(pa.table({
+            "token": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "tf": pa.array([r[2] for r in rows], pa.int64())}))
+
+    base = posts([("a", 1, 2), ("b", 1, 1), ("a", 2, 5), ("c", 3, 1)])
+    delta = posts([("b", 1, 9)])          # doc 1 recrawled: token 'a' gone
+    out = postings_merge(base, delta, [3]).to_pandas()   # doc 3 deleted
+    got = {(r.token, r.doc_id): r.tf for r in out.itertuples()}
+    assert got == {("b", 1): 9, ("a", 2): 5}
+
+    # empty delta, no deletions -> base unchanged
+    empty = posts([])
+    out2 = postings_merge(base, empty).to_pandas()
+    assert len(out2) == 4
+    # empty base -> delta only
+    out3 = postings_merge(empty, delta).to_pandas()
+    assert {(r.token, r.doc_id, r.tf) for r in out3.itertuples()} == {("b", 1, 9)}
+    # both empty -> empty with schema
+    assert postings_merge(empty, empty).count() == 0

