@@ -1424,6 +1424,64 @@ def q_postings_delta(sf_dir: str):
     return postings_merge(base, delta, deleted)
 
 
+def q_frontier_triage(sf_dir: str):
+    """Focused-crawl frontier triage (ops/scheduler.focused_frontier_select):
+    the corpus link tree's frontier (closed-form url/host/depth from doc_id,
+    the crawl_depth_hist derivation) triaged under a global budget of 100
+    with a per-host cap of 8, ordered by a per-host quality prior = integer
+    mean document chars ppm (the hostagg signal). Two-stage per-host top-N,
+    partitioned quality join (never a broadcast), global sort+limit over
+    winners only. The oracle restates both windows in SQL."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from raycrawl.ops.scheduler import focused_frontier_select
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def frontier_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], np.int64)
+        return pa.table({
+            "url": pa.array([f"https://src{d % 20}.example.org/doc/{d}"
+                             for d in ids], pa.string()),
+            "host": pa.array([f"src{d % 20}.example.org" for d in ids],
+                             pa.string()),
+            "depth": pa.array([(int(d) // 20 + 1).bit_length() - 1
+                               for d in ids], pa.int64()),
+            "rank": pa.array(ids, pa.int64()),
+        })
+
+    def quality_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "host": [f"src{d % 20}.example.org"
+                     for d in batch["doc_id"].to_pylist()],
+            "c": np.asarray(batch["n_chars"], np.int64),
+            "n": 1,
+        }).groupby("host", as_index=False).agg(c=("c", "sum"),
+                                               n=("n", "sum"))
+        return pa.table({"host": pa.array(df["host"], pa.string()),
+                         "c": pa.array(df["c"].astype("int64")),
+                         "n": pa.array(df["n"].astype("int64"))})
+
+    def quality_final(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], np.int64)
+        n = np.asarray(batch["n"], np.int64)
+        return pa.table({"host": batch["host"],
+                         "quality_ppm": pa.array(1_000_000 * c // n,
+                                                 pa.int64())})
+
+    quality = (docs.map_batches(quality_partial, batch_format="pyarrow")
+               .groupby("host").aggregate(Sum("c", alias_name="c"),
+                                          Sum("n", alias_name="n"))
+               .map_batches(quality_final, batch_format="pyarrow"))
+    frontier = docs.map_batches(frontier_rows, batch_format="pyarrow")
+    return focused_frontier_select(frontier, quality, budget=100,
+                                   per_host_cap=8)
+
+
 def q_keyword_search(sf_dir: str):
     """Exact keyword retrieval over the postings: score = Σ_term
     (1e6·tf) // df (integer tf-over-df), top-10 by (score desc, doc_id
@@ -2161,8 +2219,9 @@ def q_url_patterns(sf_dir: str):
 
 def entry() -> Any:
     """Flagship pipeline: full frontier crawl of the sf0.001-derived corpus
-    → indexed document table."""
-    return q_crawl_documents("/root/testdata/sf0.001")
+    → indexed document table (as pandas — the driver contract's entry()
+    return is Dataset | DataFrame; pa.Table is only allowed for queries())."""
+    return q_crawl_documents("/root/testdata/sf0.001").to_pandas()
 
 
 def _wrap(fn):
@@ -2285,6 +2344,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "mixture_sample": q_mixture_sample,
         "postings_delta": q_postings_delta,
+        "frontier_triage": q_frontier_triage,
     }
 
 
@@ -4043,6 +4103,39 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id % 13 != 5
             UNION ALL
             SELECT token, doc_id, CAST(tf AS BIGINT) AS tf FROM delta
+        """,
+        "frontier_triage": """
+            WITH fr AS (
+                SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       'src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org' AS host,
+                       CAST(length(bin((doc_id // 20) + 1)) - 1 AS BIGINT)
+                           AS depth,
+                       doc_id AS "rank"
+                FROM documents
+            ), q AS (
+                SELECT 'src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org' AS host,
+                       CAST((1000000 * SUM(n_chars)) // COUNT(*) AS BIGINT)
+                           AS quality_ppm
+                FROM documents GROUP BY 1
+            ), capped AS (
+                SELECT fr.*, ROW_NUMBER() OVER (
+                           PARTITION BY host ORDER BY depth, "rank") AS hr
+                FROM fr
+            ), sel AS (
+                SELECT c.url, c.host, c.depth, c."rank", q.quality_ppm,
+                       ROW_NUMBER() OVER (ORDER BY q.quality_ppm DESC,
+                                          c.host, c.depth, c."rank")
+                           AS sel_pos
+                FROM capped c JOIN q USING (host)
+                WHERE hr <= 8
+            )
+            SELECT url, host, depth, "rank", quality_ppm,
+                   CAST(sel_pos AS BIGINT) AS sel_pos
+            FROM sel WHERE sel_pos <= 100
         """,
         "mixture_sample": """
             WITH cnt AS (

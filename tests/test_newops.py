@@ -1548,3 +1548,51 @@ def test_postings_merge_replace_semantics(ray_session):
     assert {(r.token, r.doc_id, r.tf) for r in out3.itertuples()} == {("b", 1, 9)}
     # both empty -> empty with schema
     assert postings_merge(empty, empty).count() == 0
+
+
+def test_focused_frontier_select_rules(ray_session):
+    """Per-host cap binds by (depth, rank); global order is quality desc
+    with host/depth/rank tie-break; unknown hosts rank at quality 0;
+    empty quality side and oversized budget are handled."""
+    from raycrawl.ops.scheduler import focused_frontier_select
+
+    def fr(rows):
+        return rd.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "depth": pa.array([r[2] for r in rows], pa.int64()),
+            "rank": pa.array([r[3] for r in rows], pa.int64())}))
+
+    frontier = fr([
+        ("u1", "good", 0, 5), ("u2", "good", 1, 1), ("u3", "good", 1, 2),
+        ("u4", "bad", 0, 0), ("u5", "bad", 0, 1),
+        ("u6", "unknown", 0, 9),
+    ])
+    quality = rd.from_arrow(pa.table({
+        "host": pa.array(["good", "bad"], pa.string()),
+        "quality_ppm": pa.array([900, 100], pa.int64())}))
+
+    out = focused_frontier_select(frontier, quality, budget=4,
+                                  per_host_cap=2).to_pandas()
+    # good (q 900) takes its 2 capped rows first (depth asc, rank asc),
+    # then bad (q 100) 2 rows; unknown (q 0) misses the budget
+    assert out["url"].tolist() == ["u1", "u2", "u4", "u5"]
+    assert out["sel_pos"].tolist() == [1, 2, 3, 4]
+    # cap binds: u3 (good depth 1 rank 2) lost to u2 at the host cap
+    assert "u3" not in set(out["url"])
+
+    # budget larger than winners: unknown host surfaces with quality 0
+    out2 = focused_frontier_select(frontier, quality, budget=50,
+                                   per_host_cap=2).to_pandas()
+    assert out2["url"].tolist()[-1] == "u6"
+    assert out2[out2.url == "u6"]["quality_ppm"].iloc[0] == 0
+
+    # empty quality side: all hosts quality 0, host-alphabetical order
+    out3 = focused_frontier_select(
+        frontier, rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "quality_ppm": pa.array([], pa.int64())})),
+        budget=3, per_host_cap=1).to_pandas()
+    assert out3["url"].tolist() == ["u4", "u1", "u6"]  # bad < good < unknown
+    with pytest.raises(ValueError):
+        focused_frontier_select(frontier, quality, budget=0, per_host_cap=1)
