@@ -2179,6 +2179,76 @@ def q_recrawl_priority(sf_dir: str):
     return recrawl_priority(diff, src, origin_mod=n)
 
 
+def q_recrawl_intervals(sf_dir: str):
+    """Per-url recrawl-interval estimation (ops/recrawl.py
+    change_rate_intervals, Cho & Garcia-Molina 2003): six crawl epochs are
+    planted per doc — text at epoch e is ``text || ':' || str(e // r)``
+    with change period r = 1 + doc_id % 5, and the url is absent from
+    epoch e when (doc_id + e) % 17 == 0 — so observation counts AND
+    change counts both vary. One doc-keyed task hash exchange of
+    (id, epoch, md5) rows counts hash transitions per url; interval =
+    clamp(8·(n_obs−1) // (n_changes+1), 1, 64). The oracle replants the
+    epochs and restates the transition count as a LAG window in SQL."""
+    from raycrawl.ops.recrawl import change_rate_intervals
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        oi, oe, ot = [], [], []
+        for d, t in zip(ids, texts):
+            r = 1 + d % 5
+            for e in range(6):
+                if (d + e) % 17 == 0:
+                    continue
+                oi.append(d)
+                oe.append(e)
+                ot.append((t or "") + ":" + str(e // r))
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "epoch": pa.array(oe, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    obs = docs.map_batches(plant, batch_format="pyarrow")
+    return change_rate_intervals(obs, base_epochs=8, max_interval=64)
+
+
+def q_dedup_containment(sf_dir: str):
+    """Asymmetric k-gram containment pairs (ops/dedup.containment_pairs,
+    Broder 1997) — the quote/excerpt detector Jaccard misses. Each doc
+    with doc_id % 10 == 7 additionally spawns a QUOTE row at doc_id + N
+    holding its own first 60 chars (a pure substring ⇒ containment
+    exactly 1.0 into its source, tiny in reverse); natural near-dup pairs
+    surface with asymmetric ppm in both directions. Threshold 0.6;
+    oracle = the same UNION-ALL plant + the shingle self-join divided by
+    the SOURCE side's shingle count."""
+    from raycrawl.ops.dedup import containment_pairs
+
+    tbl = _docs_table(sf_dir).select(["doc_id", "text"])
+    n = tbl.num_rows
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    qi = [d + n for d in ids if d % 10 == 7]
+    qt = [(t or "")[:60] for d, t in zip(ids, texts) if d % 10 == 7]
+    planted = pa.table({
+        "doc_id": pa.array(ids + qi, pa.int64()),
+        "text": pa.array(texts + qt, pa.string()),
+    })
+    return containment_pairs(planted, threshold_ppm=600_000)
+
+
+def q_text_bigrams(sf_dir: str):
+    """KenLM-lite bigram LM coverage (ops/textstats.bigram_coverage): the
+    integer-exact CCNet-perplexity stand-in — fraction of each doc's word
+    bigrams whose corpus-wide occurrence count is ≥ 2. Two passes (bigram
+    Counter partials → Sum groupby → guarded one-time broadcast; doc pass
+    shuffle-free); the oracle restates bigram extraction as a list-slice
+    fan-out + GROUP BY + LEFT JOIN in SQL."""
+    from raycrawl.ops.textstats import bigram_coverage
+
+    return bigram_coverage(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_length_outliers(sf_dir: str):
     """Per-source Tukey-fence length outlier filter (ops/hostagg.py
     length_outlier_filter): exact discrete quantiles via the distributed
@@ -2345,6 +2415,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "postings_delta": q_postings_delta,
         "frontier_triage": q_frontier_triage,
+        "recrawl_intervals": q_recrawl_intervals,
+        "dedup_containment": q_dedup_containment,
+        "text_bigrams": q_text_bigrams,
     }
 
 
@@ -4150,6 +4223,101 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) * sq.sq
                   < mn.sq_min * 4294967296
+        """,
+        # recrawl_intervals: the 6-epoch plant (text:'e//r', r = 1+d%5,
+        # absent when (d+e)%17=0) replayed, changes counted with a LAG
+        # window over each url's observed epochs, Cho&GM interval clamped
+        "recrawl_intervals": """
+            WITH e AS (SELECT unnest(range(6)) AS epoch),
+            obs AS (
+                SELECT d.doc_id, e.epoch,
+                       md5(d.text || ':' ||
+                           CAST(e.epoch // (1 + d.doc_id % 5)
+                                AS VARCHAR)) AS h
+                FROM documents d CROSS JOIN e
+                WHERE (d.doc_id + e.epoch) % 17 <> 0
+            ),
+            lagd AS (
+                SELECT doc_id, h,
+                       LAG(h) OVER (PARTITION BY doc_id ORDER BY epoch)
+                           AS ph
+                FROM obs
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_obs,
+                       CAST(SUM(CASE WHEN ph IS NOT NULL AND h <> ph
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+                FROM lagd GROUP BY doc_id
+            )
+            SELECT doc_id, n_obs, n_changes,
+                   GREATEST(1, LEAST(64,
+                       (8 * (n_obs - 1)) // (n_changes + 1)))
+                       AS interval_epochs
+            FROM agg
+        """,
+        # dedup_containment: quote plant (doc_id%10=7 spawns its first 60
+        # chars at doc_id+N) + the dedup_jaccard shingle self-join, but
+        # divided by the SOURCE side's shingle count (asymmetric, <> not <)
+        "dedup_containment": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id + n.n, substr(d.text, 1, 60)
+                FROM documents d CROSS JOIN n WHERE d.doc_id % 10 = 7
+            ),
+            pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 3, 2))) AS i
+                FROM corpus
+            ),
+            sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+                   FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS src, s2.doc_id AS dst, COUNT(*) AS i
+                FROM sh s1 JOIN sh s2
+                    ON s1.sh = s2.sh AND s1.doc_id <> s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            )
+            SELECT src, dst, (i * 1000000) // z.sz AS containment_ppm
+            FROM inter JOIN sizes z ON inter.src = z.doc_id
+            WHERE (i * 1000000) // z.sz >= 600000
+        """,
+        # text_bigrams: bigram fan-out as a list-slice over the token
+        # array, corpus counts, hot set (>=2) left-joined back per
+        # occurrence; single-token docs survive via the final LEFT JOIN
+        "text_bigrams": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                FROM d
+            ),
+            bi AS (
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM pos
+            ),
+            cnt AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY bigram),
+            hot AS (SELECT bigram FROM cnt WHERE c >= 2),
+            per AS (
+                SELECT b.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(CASE WHEN h.bigram IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+                FROM bi b LEFT JOIN hot h USING (bigram)
+                GROUP BY b.doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(per.n_bigrams, 0) AS n_bigrams,
+                   coalesce(per.n_known, 0) AS n_known,
+                   CASE WHEN coalesce(per.n_bigrams, 0) > 0
+                        THEN (per.n_known * 1000000) // per.n_bigrams
+                        ELSE 0 END AS known_ppm
+            FROM documents doc LEFT JOIN per USING (doc_id)
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -501,6 +501,76 @@ def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
                                             batch_size=1)
 
 
+def containment_pairs(docs_tbl: pa.Table, shingle_k: int = 5,
+                      threshold_ppm: int = 800_000, block: int = 512,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Exact k-gram CONTAINMENT over all ordered pairs — the asymmetric
+    sibling of ``all_pairs_jaccard``: C(src→dst) = |S_src ∩ S_dst| / |S_src|
+    (Broder 1997's containment). Jaccard misses quotes and partial
+    inclusions — a tweet embedded in a news article scores near-zero
+    Jaccard but containment 1.0 — so this is the kernel for
+    quote/excerpt/syndication detection in a training corpus, where the
+    CONTAINED doc is the redundant one. Emits one row per direction that
+    clears the threshold: ``(src, dst, containment_ppm)``, src ≠ dst,
+    ppm = |∩|·10⁶ // |S_src| (floor — the DuckDB oracle matches
+    bit-exactly).
+
+    Same block-pair-task parallelization as ``all_pairs_jaccard``
+    (quadratic by definition — the small-corpus oracle kernel; the scale
+    path reuses the MinHash/LSH candidate machinery with the per-doc
+    shingle-size join replacing the union denominator)."""
+    import ray
+    import ray.data as rd
+
+    ids = docs_tbl[id_col].to_pylist()
+    texts = docs_tbl[text_col].to_pylist()
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    texts = [texts[i] for i in order]
+    corpus_ref = ray.put((ids, texts))
+    n = len(ids)
+    nb = (n + block - 1) // block
+    tasks = [{"bi": bi, "bj": bj} for bi in range(nb) for bj in range(bi, nb)]
+
+    def run_block(batch: pa.Table) -> pa.Table:
+        all_ids, all_texts = ray.get(corpus_ref)
+
+        def sets_for(b):
+            lo, hi = b * block, min((b + 1) * block, n)
+            return lo, [
+                {all_texts[i][j: j + shingle_k]
+                 for j in range(max(len(all_texts[i]) - shingle_k + 1, 1))}
+                for i in range(lo, hi)
+            ]
+
+        out_s, out_d, out_c = [], [], []
+        for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
+            lo_i, si = sets_for(bi)
+            lo_j, sj = (lo_i, si) if bj == bi else sets_for(bj)
+            for x in range(len(si)):
+                y0 = x + 1 if bj == bi else 0
+                for y in range(y0, len(sj)):
+                    inter = len(si[x] & sj[y])
+                    if not inter:
+                        continue
+                    a_id, b_id = all_ids[lo_i + x], all_ids[lo_j + y]
+                    for s_id, d_id, s_set in ((a_id, b_id, si[x]),
+                                              (b_id, a_id, sj[y])):
+                        ppm = inter * 1_000_000 // len(s_set)
+                        if ppm >= threshold_ppm:
+                            out_s.append(s_id)
+                            out_d.append(d_id)
+                            out_c.append(ppm)
+        return pa.table(
+            {"src": pa.array(out_s, pa.int64()),
+             "dst": pa.array(out_d, pa.int64()),
+             "containment_ppm": pa.array(out_c, pa.int64())}
+        )
+
+    return rd.from_items(tasks).map_batches(run_block, batch_format="pyarrow",
+                                            batch_size=1)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (single-doc reference kernel;
     the batch path below is the vectorized equivalent — kept in lockstep)."""

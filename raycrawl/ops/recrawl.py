@@ -166,6 +166,77 @@ def recrawl_priority(diff_ds, source_ds, *, origin_mod: int,
     })
 
 
+def change_rate_intervals(obs_ds, *, base_epochs: int = 8,
+                          max_interval: int = 64,
+                          id_col: str = "doc_id", epoch_col: str = "epoch",
+                          text_col: str = "text",
+                          n_parts: int | None = None):
+    """Per-url recrawl-interval estimation from a multi-epoch observation
+    log (Cho & Garcia-Molina 2003, "Estimating frequency of change"): a
+    url observed K times with X changes between consecutive observations
+    gets interval ``clamp(base_epochs * (K-1) // (X+1), 1, max_interval)``
+    — frequently-changing urls are revisited often, static ones decay
+    toward ``max_interval``. This is the per-URL refinement of the
+    per-source ``recrawl_priority`` ranking, and the corpus-scale
+    generalization of the reference's single-TTL skip rule
+    (cache_db.py:83-93 ``CACHE_DAYS``: one fixed 14-day interval for
+    every url regardless of how often it actually changes).
+
+    ``obs_ds`` carries ``(id_col, epoch_col, text_col)`` — the union of K
+    crawl snapshots tagged with their epoch number (a url absent from an
+    epoch simply has no row). Scale shape: bodies are reduced to
+    fixed-width ``(id, epoch, md5)`` rows inside ``map_batches``, then ONE
+    doc-keyed task hash exchange (``partitioned_apply``) sorts each url's
+    observations by epoch and counts hash transitions vectorized — only
+    40-byte rows cross the exchange, and no url's history ever
+    materializes outside its partition.
+
+    Returns ``(doc_id, n_obs, n_changes, interval_epochs)`` — all int64,
+    integer-exact (SQL oracle: LAG window over the same md5 rows)."""
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def h(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch[text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "epoch": batch[epoch_col].cast(pa.int64()),
+            "h": pa.array(hs, pa.string()),
+        })
+
+    rows = obs_ds.map_batches(h, batch_format="pyarrow")
+
+    def per_partition(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_obs": pd.Series([], dtype="int64"),
+                                 "n_changes": pd.Series([], dtype="int64"),
+                                 "interval_epochs": pd.Series([],
+                                                              dtype="int64")})
+        pdf = pdf.sort_values(["doc_id", "epoch"], kind="mergesort")
+        doc = pdf["doc_id"].to_numpy()
+        hv = pdf["h"].to_numpy()
+        same_doc = np.concatenate(([False], doc[1:] == doc[:-1]))
+        changed = np.concatenate(([False], hv[1:] != hv[:-1])) & same_doc
+        g = pd.DataFrame({"doc_id": doc, "c": changed.astype("int64")})
+        agg = g.groupby("doc_id", sort=True).agg(
+            n_obs=("c", "size"), n_changes=("c", "sum")).reset_index()
+        n_obs = agg["n_obs"].to_numpy().astype("int64")
+        n_chg = agg["n_changes"].to_numpy().astype("int64")
+        interval = np.clip(base_epochs * (n_obs - 1) // (n_chg + 1),
+                           1, max_interval)
+        return pd.DataFrame({"doc_id": agg["doc_id"].astype("int64"),
+                             "n_obs": n_obs, "n_changes": n_chg,
+                             "interval_epochs": interval})
+
+    return partitioned_apply(rows, ["doc_id"], per_partition, width)
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

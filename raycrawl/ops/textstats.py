@@ -483,6 +483,69 @@ def unigram_rarity(ds, max_vocab: int = 5_000_000):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
+    """KenLM-lite bigram-coverage quality proxy: score each document by
+    the fraction of its word bigrams that the corpus LM "knows" (total
+    corpus occurrences ≥ ``min_count``). CCNet buckets documents by KenLM
+    perplexity; perplexity itself is a float product that no SQL engine
+    reproduces bit-for-bit, so the integer-exact stand-in is hit RATE
+    against the same n-gram table a backoff LM is built from — fluent
+    text is made of bigrams the corpus has seen repeatedly, OCR noise and
+    boilerplate mash-ups are not (the same signal, one integer per doc).
+
+    Same two-pass shape (and broadcast guard) as ``unigram_rarity``:
+
+    1. Bigram table: per-batch Counter partials (one (bigram, n) row per
+       distinct bigram per batch) → groupby Sum → filter n ≥ min_count —
+       the shuffle moves partials, never documents.
+    2. The surviving hot set is broadcast ONCE via ``ray.put`` (bounded
+       by ``max_vocab``; at 100 TB prune harder or switch to the
+       PartitionedLookup join) and the doc pass is shuffle-free.
+
+    Returns (doc_id, n_bigrams, n_known, known_ppm) — all int64;
+    known_ppm = n_known·10⁶ // n_bigrams (0 for docs with no bigram)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split(" ")
+            c.update(toks[i] + " " + toks[i + 1]
+                     for i in range(len(toks) - 1))
+        grams = list(c.keys())
+        return pa.table({"bigram": pa.array(grams, pa.string()),
+                         "n": pa.array([c[g] for g in grams], pa.int64())})
+
+    hot_ds = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+              .filter(lambda r: r["n"] >= min_count))
+    rows = hot_ds.take(max_vocab + 1)
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"bigram_coverage: hot bigram set exceeds {max_vocab}; raise "
+            "min_count or switch to a PartitionedLookup join")
+    hot_ref = ray.put(frozenset(r["bigram"] for r in rows))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        n_bi, n_known, ppm = [], [], []
+        for t in batch["text"].to_pylist():
+            toks = (t or "").split(" ")
+            grams = [toks[i] + " " + toks[i + 1]
+                     for i in range(len(toks) - 1)]
+            k = sum(g in hot for g in grams)
+            n_bi.append(len(grams))
+            n_known.append(k)
+            ppm.append(k * 1_000_000 // len(grams) if grams else 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bigrams": pa.array(n_bi, pa.int64()),
+                         "n_known": pa.array(n_known, pa.int64()),
+                         "known_ppm": pa.array(ppm, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def distinct_token_count(ds):
     """Exact corpus-wide distinct-token count, fully distributed: per-batch
     DISTINCT partials (one row per token per batch) → groupby → count of

@@ -1596,3 +1596,72 @@ def test_focused_frontier_select_rules(ray_session):
     assert out3["url"].tolist() == ["u4", "u1", "u6"]  # bad < good < unknown
     with pytest.raises(ValueError):
         focused_frontier_select(frontier, quality, budget=0, per_host_cap=1)
+
+
+def test_change_rate_intervals_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.recrawl import change_rate_intervals
+
+    rows = []
+    # doc 1: a a b b over epochs 0-3 -> 4 obs, 1 change, 8*3//2 = 12
+    for e, t in enumerate(["a", "a", "b", "b"]):
+        rows.append({"doc_id": 1, "epoch": e, "text": t})
+    # doc 2: gaps (0, 2, 5), every observation differs -> 3 obs, 2 changes,
+    # 8*2//3 = 5
+    for e, t in [(0, "x"), (2, "y"), (5, "z")]:
+        rows.append({"doc_id": 2, "epoch": e, "text": t})
+    # doc 3: single observation -> interval floors to the lower clamp
+    rows.append({"doc_id": 3, "epoch": 4, "text": "once"})
+    # doc 4: 6 static observations -> 8*5//1 = 40, upper-clamped to 16
+    for e in range(6):
+        rows.append({"doc_id": 4, "epoch": e, "text": "static"})
+    obs = rd.from_items(rows).repartition(5)
+
+    out = change_rate_intervals(obs, base_epochs=8, max_interval=16,
+                                n_parts=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["n_obs"].tolist() == [4, 3, 1, 6]
+    assert out["n_changes"].tolist() == [1, 2, 0, 0]
+    assert out["interval_epochs"].tolist() == [12, 5, 1, 16]
+
+
+def test_containment_pairs_quote_asymmetry(ray_session):
+    from raycrawl.ops.dedup import containment_pairs
+
+    full = "the quick brown fox jumps over the lazy dog repeatedly today"
+    quote = full[:20]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": [full, quote, "completely unrelated content here",
+                 "twin texts match", "twin texts match"],
+    })
+    out = containment_pairs(tbl, threshold_ppm=600_000).to_pandas()
+    got = {(r.src, r.dst): r.containment_ppm for r in out.itertuples()}
+    # quote -> full is total containment; the reverse direction is far
+    # below threshold (16 shared shingles / 57 in the full doc)
+    assert got[(2, 1)] == 1_000_000
+    assert (1, 2) not in got
+    # identical docs contain each other totally, both directions
+    assert got[(4, 5)] == 1_000_000 and got[(5, 4)] == 1_000_000
+    # unrelated doc appears in no pair
+    assert not any(3 in p for p in got)
+
+
+def test_bigram_coverage_edges(ray_session):
+    import pytest
+    import ray.data as rd
+    from raycrawl.ops.textstats import bigram_coverage
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["a b c", "a b d", "x", "", "a b a b"],
+    })).repartition(3)
+    out = bigram_coverage(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # corpus counts: 'a b' x4 (hot), 'b c'/'b d'/'b a' x1 each
+    assert out["n_bigrams"].tolist() == [2, 2, 0, 0, 3]
+    assert out["n_known"].tolist() == [1, 1, 0, 0, 2]
+    assert out["known_ppm"].tolist() == [500_000, 500_000, 0, 0, 666_666]
+    with pytest.raises(ValueError):
+        bigram_coverage(ds, max_vocab=0)
