@@ -2249,6 +2249,18 @@ def q_text_bigrams(sf_dir: str):
     return bigram_coverage(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_phrase_search(sf_dir: str):
+    """Quoted-phrase retrieval (ops/index.phrase_search): positional
+    postings restricted to the phrase's own terms → one doc-keyed task
+    hash exchange → vectorized positional intersection (rarest term
+    first). Phrase "big order scan" occurs naturally in the corpus token
+    stream. Oracle: list-slice window equality over the token array."""
+    from raycrawl.ops.index import phrase_search
+
+    return phrase_search(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                         ["big", "order", "scan"])
+
+
 def q_length_outliers(sf_dir: str):
     """Per-source Tukey-fence length outlier filter (ops/hostagg.py
     length_outlier_filter): exact discrete quantiles via the distributed
@@ -2418,6 +2430,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "recrawl_intervals": q_recrawl_intervals,
         "dedup_containment": q_dedup_containment,
         "text_bigrams": q_text_bigrams,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -4318,6 +4331,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN (per.n_known * 1000000) // per.n_bigrams
                         ELSE 0 END AS known_ppm
             FROM documents doc LEFT JOIN per USING (doc_id)
+        """,
+        # phrase_search: "big order scan" as a list-slice window equality
+        # over the token array; first_pos is 0-based (MIN(i) - 1)
+        "phrase_search": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+                FROM d
+            ),
+            m AS (
+                SELECT doc_id, i FROM pos
+                WHERE toks[i] = 'big' AND toks[i + 1] = 'order'
+                      AND toks[i + 2] = 'scan'
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+            FROM m GROUP BY doc_id
         """,
     }
     # identical semantics, different physical join plan — same oracle

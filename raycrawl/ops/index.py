@@ -254,6 +254,88 @@ def postings_merge(base, delta, deleted_ids=None, *,
     return merged.union(rd.from_arrow_refs(delta_live).select_columns(cols))
 
 
+def positional_postings(ds, terms: list[str] | None = None,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """(token, doc_id, pos) rows — POSITIONAL postings, one row per
+    occurrence with its 0-based token position (contrast ``term_doc_tf``'s
+    one-row-per-(token, doc) frequency table). Positions are what phrase
+    and proximity queries need; Meilisearch stores them internally (the
+    reference's sink builds them implicitly on add_documents). ``terms``
+    restricts to a vocabulary — the phrase-retrieval path, where only the
+    query's own terms ever leave the scan."""
+    term_set = None if terms is None else frozenset(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_out, ids_out, pos_out = [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            for i, tok in enumerate((t or "").split(" ")):
+                if term_set is None or tok in term_set:
+                    toks_out.append(tok)
+                    ids_out.append(did)
+                    pos_out.append(i)
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         id_col: pa.array(ids_out, pa.int64()),
+                         "pos": pa.array(pos_out, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
+                  text_col: str = "text", n_parts: int | None = None):
+    """Exact phrase retrieval over positional postings: doc matches at
+    position p iff token_i sits at p+i for every term of the phrase —
+    the positional-intersection algorithm every inverted-index engine
+    runs for quoted queries.
+
+    Scale shape: the postings scan keeps ONLY the phrase's own terms
+    (one (token, doc_id, pos) row per occurrence of a query term — the
+    corpus never leaves its blocks), then ONE doc-keyed task hash
+    exchange co-locates each doc's occurrence rows; the per-doc
+    intersection is vectorized ``np.isin`` over sorted position arrays,
+    narrowing from the rarest term first.
+
+    Returns ``(doc_id, n_matches, first_pos)`` int64 rows for matching
+    docs only (SQL oracle: list-slice window equality + GROUP BY)."""
+    if not phrase:
+        raise ValueError("phrase_search: empty phrase")
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+    rows = positional_postings(ds, phrase, id_col, text_col)
+
+    def per_partition(pdf):
+        import pandas as pd
+
+        out_id, out_n, out_first = [], [], []
+        if len(pdf):
+            for did, g in pdf.groupby(id_col, sort=True):
+                by_tok = {t: np.sort(sub["pos"].to_numpy())
+                          for t, sub in g.groupby("token")}
+                # narrow from the rarest term: every term must be present
+                if len(by_tok) < len(set(phrase)):
+                    continue
+                rare = min(range(len(phrase)),
+                           key=lambda i: len(by_tok[phrase[i]]))
+                cand = by_tok[phrase[rare]] - rare
+                for i, term in enumerate(phrase):
+                    if i == rare or not len(cand):
+                        continue
+                    cand = cand[np.isin(cand + i, by_tok[term],
+                                        assume_unique=False)]
+                cand = cand[cand >= 0]
+                if len(cand):
+                    out_id.append(did)
+                    out_n.append(len(cand))
+                    out_first.append(int(cand.min()))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "n_matches": pd.Series(out_n, dtype="int64"),
+            "first_pos": pd.Series(out_first, dtype="int64")})
+
+    return partitioned_apply(rows, [id_col], per_partition, width)
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

@@ -1665,3 +1665,37 @@ def test_bigram_coverage_edges(ray_session):
     assert out["known_ppm"].tolist() == [500_000, 500_000, 0, 0, 666_666]
     with pytest.raises(ValueError):
         bigram_coverage(ds, max_vocab=0)
+
+
+def test_phrase_search_positions_and_overlaps(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import phrase_search, positional_postings
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["a b c a b c",          # two matches of 'a b c'
+                 "a b x c",              # terms present, never consecutive
+                 "c b a",                # reversed: no match
+                 "z a b c",              # one match at pos 1
+                 "q q q"],               # phrase terms absent
+    })).repartition(3)
+    out = phrase_search(ds, ["a", "b", "c"], n_parts=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 4]
+    assert out["n_matches"].tolist() == [2, 1]
+    assert out["first_pos"].tolist() == [0, 1]
+
+    # duplicate-term phrase: overlapping runs each count
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": ["b b b"],
+    }))
+    out2 = phrase_search(ds2, ["b", "b"]).to_pandas()
+    assert out2["n_matches"].tolist() == [2]
+    assert out2["first_pos"].tolist() == [0]
+
+    # positional postings: per-occurrence rows, 0-based, term-filtered
+    pp = positional_postings(ds2, ["b"]).to_pandas()
+    assert pp["pos"].tolist() == [0, 1, 2]
+    with pytest.raises(ValueError):
+        phrase_search(ds2, [])
