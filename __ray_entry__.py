@@ -2261,6 +2261,47 @@ def q_phrase_search(sf_dir: str):
                          ["big", "order", "scan"])
 
 
+def q_sitemap_seeds(sf_dir: str):
+    """Sitemap-source seed discovery (sources/sitemap.py): one sitemap.xml
+    blob per host is synthesized per batch (urls via the corpus url
+    formula, ``<lastmod>`` = 2026-01-01 + doc_id%365 days, OMITTED when
+    doc_id%50==3), exploded distributed by ``sitemap_entries_batch``
+    (XML writer→parser round-trip, no shuffle), then filtered by
+    ``changed_since('2026-04-01')`` — the incremental-recrawl cut that
+    keeps unknown-lastmod urls. Oracle restates url/date formulas and the
+    keep rule in SQL."""
+    from datetime import date, timedelta
+
+    from raycrawl.sources.sitemap import changed_since, sitemap_entries_batch
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    d0 = date(2026, 1, 1)
+
+    def make_sitemaps(batch: pa.Table) -> pa.Table:
+        per_host: dict[str, list[str]] = {}
+        for d in batch["doc_id"].to_pylist():
+            host = f"src{d % 20}.example.org"
+            lastmod = ("" if d % 50 == 3
+                       else (d0 + timedelta(days=d % 365)).isoformat())
+            ent = f"<loc>https://{host}/doc/{d}</loc>"
+            if lastmod:
+                ent += f"<lastmod>{lastmod}</lastmod>"
+            per_host.setdefault(host, []).append(f"<url>{ent}</url>")
+        hosts = sorted(per_host)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_xml": pa.array(
+                ['<urlset xmlns="http://www.sitemaps.org/schemas/'
+                 'sitemap/0.9">' + "".join(per_host[h]) + "</urlset>"
+                 for h in hosts], pa.string()),
+        })
+
+    blobs = docs.map_batches(make_sitemaps, batch_format="pyarrow")
+    entries = blobs.map_batches(sitemap_entries_batch,
+                                batch_format="pyarrow")
+    return changed_since(entries, "2026-04-01")
+
+
 def q_length_outliers(sf_dir: str):
     """Per-source Tukey-fence length outlier filter (ops/hostagg.py
     length_outlier_filter): exact discrete quantiles via the distributed
@@ -2431,6 +2472,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": q_dedup_containment,
         "text_bigrams": q_text_bigrams,
         "phrase_search": q_phrase_search,
+        "sitemap_seeds": q_sitemap_seeds,
     }
 
 
@@ -4352,6 +4394,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
                    CAST(MIN(i) - 1 AS BIGINT) AS first_pos
             FROM m GROUP BY doc_id
+        """,
+        # sitemap_seeds: the per-host sitemap plant (lastmod = 2026-01-01
+        # + doc_id%365 days, empty when doc_id%50=3) + the changed-since
+        # keep rule (empty lastmod means unknown — kept)
+        "sitemap_seeds": """
+            WITH e AS (
+                SELECT 'src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org' AS host,
+                       'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.org/doc/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 50 = 3 THEN ''
+                            ELSE strftime(DATE '2026-01-01'
+                                 + INTERVAL (doc_id % 365) DAY,
+                                 '%Y-%m-%d') END AS lastmod
+                FROM documents
+            )
+            SELECT host, url, lastmod FROM e
+            WHERE lastmod = '' OR lastmod >= '2026-04-01'
         """,
     }
     # identical semantics, different physical join plan — same oracle

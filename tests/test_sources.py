@@ -266,3 +266,83 @@ def test_wiki_search_stage_malformed_and_missing_fields():
     assert out["id"].to_pylist() == ["wiki_6"]
     assert out["qid"].to_pylist() == [1]
     assert out["excerpt"].to_pylist() == ["s"]
+
+
+# ---------------------------------------------------------------- sitemap
+
+
+def test_parse_sitemap_urlset_and_index():
+    from raycrawl.sources.sitemap import parse_sitemap
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    kind, ents = parse_sitemap(
+        f'<urlset {ns}><url><loc> https://a/1 </loc>'
+        f'<lastmod>2026-02-03</lastmod></url>'
+        f'<url><loc>https://a/2</loc></url>'
+        f'<url><lastmod>2026-01-01</lastmod></url></urlset>')
+    assert kind == "urlset"
+    # loc whitespace stripped; missing-loc entry skipped; missing lastmod ''
+    assert ents == [("https://a/1", "2026-02-03"), ("https://a/2", "")]
+
+    kind2, ents2 = parse_sitemap(
+        f'<sitemapindex {ns}><sitemap><loc>https://a/sm1.xml</loc>'
+        f'</sitemap></sitemapindex>')
+    assert kind2 == "sitemapindex" and ents2 == [("https://a/sm1.xml", "")]
+
+    import pytest
+    with pytest.raises(ValueError):
+        parse_sitemap("<rss></rss>")
+
+
+def test_expand_sitemap_tree_recursion_cycle_and_guard():
+    import pytest
+    from raycrawl.sources.sitemap import expand_sitemap_tree
+
+    site = {
+        "https://a/sitemap.xml":
+            '<sitemapindex><sitemap><loc>https://a/sm1.xml</loc></sitemap>'
+            '<sitemap><loc>https://a/sm2.xml</loc></sitemap>'
+            # cycle back to the root: must not loop
+            '<sitemap><loc>https://a/sitemap.xml</loc></sitemap>'
+            '</sitemapindex>',
+        "https://a/sm1.xml":
+            '<urlset><url><loc>https://a/p1</loc>'
+            '<lastmod>2026-05-01</lastmod></url></urlset>',
+        "https://a/sm2.xml":
+            '<urlset><url><loc>https://a/p2</loc></url></urlset>',
+    }
+    out = expand_sitemap_tree(lambda u: site[u], "https://a/sitemap.xml")
+    assert out == [("https://a/p1", "2026-05-01"), ("https://a/p2", "")]
+    with pytest.raises(ValueError):
+        expand_sitemap_tree(lambda u: site[u], "https://a/sitemap.xml",
+                            max_sitemaps=2)
+
+
+def test_sitemap_entries_and_changed_since(ray_session):
+    import ray.data as rd
+    from raycrawl.sources.sitemap import (changed_since,
+                                          sitemap_entries_batch)
+
+    blobs = rd.from_arrow(pa.table({
+        "host": ["h1", "h2"],
+        "sitemap_xml": [
+            '<urlset><url><loc>https://h1/a</loc>'
+            '<lastmod>2026-03-31</lastmod></url>'
+            '<url><loc>https://h1/b</loc>'
+            '<lastmod>2026-04-01</lastmod></url></urlset>',
+            '<urlset><url><loc>https://h2/c</loc></url></urlset>',
+        ],
+    }))
+    ents = blobs.map_batches(sitemap_entries_batch, batch_format="pyarrow")
+    kept = changed_since(ents, "2026-04-01").to_pandas()
+    # 03-31 dropped; 04-01 kept (>=); unknown lastmod kept
+    assert sorted(kept["url"]) == ["https://h1/b", "https://h2/c"]
+
+    import pytest
+    with pytest.raises(Exception):
+        # index blob in the distributed tier is a hard error
+        rd.from_arrow(pa.table({
+            "host": ["h"], "sitemap_xml": [
+                '<sitemapindex><sitemap><loc>x</loc></sitemap>'
+                '</sitemapindex>']})).map_batches(
+            sitemap_entries_batch, batch_format="pyarrow").take_all()
