@@ -129,6 +129,32 @@ def changed_since(entries_ds, cutoff_iso: str):
     return entries_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def discover_from_robots(robots_fetcher, fetch, hosts,
+                         max_sitemaps: int = 10_000):
+    """Seed discovery via the robots.txt ``Sitemap:`` directive (the
+    sitemaps.org autodiscovery convention): for each host, read its
+    robots body through ``robots_fetcher`` (the same injectable tier the
+    politeness shards use — robots.make_robots_fetcher), collect the
+    advertised sitemap URLs, and expand each tree through ``fetch``.
+    Returns [(host, url, lastmod)] in discovery order. Hosts without a
+    robots body or without Sitemap lines contribute nothing — the caller
+    falls back to the configured seed (exactly the reference's seed-only
+    behavior, crawler.py:1117-1119)."""
+    from urllib.robotparser import RobotFileParser
+
+    out = []
+    for host in hosts:
+        body = robots_fetcher(host)
+        if not body:
+            continue
+        p = RobotFileParser()
+        p.parse(body.splitlines())
+        for sm_url in (p.site_maps() or []):
+            out.extend((host, url, lastmod) for url, lastmod in
+                       expand_sitemap_tree(fetch, sm_url, max_sitemaps))
+    return out
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

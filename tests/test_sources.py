@@ -346,3 +346,62 @@ def test_sitemap_entries_and_changed_since(ray_session):
                 '<sitemapindex><sitemap><loc>x</loc></sitemap>'
                 '</sitemapindex>']})).map_batches(
             sitemap_entries_batch, batch_format="pyarrow").take_all()
+
+
+def test_discover_from_robots_and_crawl_integration(ray_session):
+    """Sitemap autodiscovery feeds the live wave engine: robots.txt
+    advertises a sitemap index, its urlsets name orphan pages no link
+    reaches, and a crawl seeded from the discovery visits exactly them."""
+    import sys as _sys
+
+    from ray import cloudpickle
+
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+    from raycrawl.robots import make_robots_fetcher
+    from raycrawl.sources.sitemap import discover_from_robots
+    from tests.test_livefetch import DictTransport
+
+    cloudpickle.register_pickle_by_value(_sys.modules["tests.test_livefetch"])
+
+    host = "smap.example.org"
+    pages = {
+        f"https://{host}/orphan/{i}": (
+            f"<html><body><p>orphan page {i} with enough text to clear "
+            f"the fifty character stub filter easily</p></body></html>"
+            .encode(), None, "text/html")
+        for i in range(3)
+    }
+    idx = dict(pages)
+    idx[f"https://{host}/robots.txt"] = (
+        f"User-agent: *\nAllow: /\nSitemap: https://{host}/sitemap.xml\n"
+        .encode(), None, "text/plain")
+    idx[f"https://{host}/sitemap.xml"] = (
+        (f'<sitemapindex><sitemap><loc>https://{host}/sm-0.xml</loc>'
+         f'</sitemap></sitemapindex>').encode(), None, "application/xml")
+    idx[f"https://{host}/sm-0.xml"] = (
+        ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+         + "".join(f"<url><loc>https://{host}/orphan/{i}</loc>"
+                   f"<lastmod>2026-0{i + 1}-01</lastmod></url>"
+                   for i in range(3)) + "</urlset>").encode(),
+        None, "application/xml")
+
+    tr = DictTransport(idx)
+    robots_fetcher = make_robots_fetcher(tr)
+
+    def fetch(url):
+        return tr(url, {}, 10.0).body
+
+    seeds = discover_from_robots(robots_fetcher, fetch, [host])
+    assert [(u, lm) for _, u, lm in seeds] == [
+        (f"https://{host}/orphan/{i}", f"2026-0{i + 1}-01")
+        for i in range(3)]
+
+    # crawl the discovered urls over the live tier: all three orphans are
+    # visited and indexed even though nothing links to them
+    from raycrawl.fixtures import SiteSpec
+
+    sites = [SiteSpec(name=f"sm{i}", crawl=u, depth=0, delay=0.0)
+             for i, (_, u, _) in enumerate(seeds)]
+    r = CrawlEngine(None, sites, cfg=CrawlConfig(mode="wave"),
+                    transport=tr).run()
+    assert sorted(d["url"] for d in r.docs.to_pylist()) == sorted(pages)
