@@ -403,6 +403,20 @@ def q_embed_clusters(sf_dir: str):
     return cluster_assign(ds, n_centroids=16, iters=2)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup end to end (ops/dedup.semantic_dedup): k-means cells →
+    within-cell exact cosine pairs (≥0.95) → components → keep the
+    LOWEST-centroid-similarity member per component. Planted scaled
+    copies (cosine exactly 1.0) make the pair set non-vacuous. Rows-only
+    (iterative k-means); planted-pair exactly-one-kept is pinned by
+    pytest."""
+    from raycrawl.ops.dedup import plant_neardups, semantic_dedup
+
+    ds = plant_neardups(
+        _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"]))
+    return semantic_dedup(ds, n_centroids=16, iters=2)
+
+
 def q_text_compression(sf_dir: str):
     """zlib compression-ratio quality proxy — deterministic rows-only
     (deflate is not SQL-expressible)."""
@@ -2473,6 +2487,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_bigrams": q_text_bigrams,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

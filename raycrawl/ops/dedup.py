@@ -761,6 +761,125 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
     return grouped_apply(bucketed, ["bucket"], pair_cosine)
 
 
+def semantic_dedup(ds, n_centroids: int = 16, iters: int = 2,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   emb_col: str = "embedding", max_cluster: int = 100_000,
+                   n_parts: int | None = None):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal over an
+    embedding column — k-means partitions the space, exact pairwise
+    cosine runs ONLY within each cluster (the paper's trick: O(Σ n_c²)
+    instead of O(n²)), pairs ≥ ``threshold`` connect into components, and
+    each component keeps the member with the LOWEST cosine to its k-means
+    centroid (ties → min id) — the paper's diversity-preserving choice
+    (the most typical member is the most redundant). Singletons represent
+    themselves.
+
+    Returns one row per vector: ``(vec_id, cluster_id, sim_ppm, is_rep)``
+    — cluster_id = near-dup component id (min member id), sim_ppm = the
+    ×1e6-floored centroid cosine, is_rep ∈ {0, 1}.
+
+    Scale shape: centroids train in the streaming distributed Lloyd pass
+    (``similarity.kmeans_centroids``) and broadcast once; the per-cluster
+    pair pass is a cluster-keyed task exchange with a ``max_cluster``
+    skew guard (an over-dense cell is dropped, same discipline as
+    ``lsh_candidate_pairs`` — at scale raise ``n_centroids`` so cells
+    shrink); components move int64 edges; the election joins only
+    ``(id, sim_ppm)`` rows — embeddings never cross the exchange after
+    the pair pass."""
+    import ray
+
+    from .grouping import (drop_empty_blocks, grouped_apply,
+                           partitioned_apply, resolve_parts)
+    from .graph import connected_components
+    from .similarity import _emb_matrix, _normalize, kmeans_centroids
+
+    width = resolve_parts(n_parts)
+    C = kmeans_centroids(ds, n_centroids, iters, emb_col, id_col=id_col)
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        ids = np.asarray(batch[id_col], np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        sims = emb @ cc.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(ids)), a]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "kcell": pa.array(a, pa.int64()),
+            "sim_ppm": pa.array(np.floor(best * 1e6).astype(np.int64),
+                                pa.int64()),
+            emb_col: batch[emb_col],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cell_pairs(gdf):
+        import pandas as pd
+
+        n = len(gdf)
+        if 2 <= n <= max_cluster:
+            ids = gdf[id_col].to_numpy(np.int64)
+            embs = np.array(gdf[emb_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            embs = embs / norms
+            sims = embs @ embs.T
+            iu, ju = np.triu_indices(n, 1)
+            keep = sims[iu, ju] >= threshold
+            if keep.any():
+                ai, bi = ids[iu][keep], ids[ju][keep]
+                return pd.DataFrame({"a": np.minimum(ai, bi),
+                                     "b": np.maximum(ai, bi)})
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+
+    pairs = grouped_apply(assigned.select_columns([id_col, "kcell", emb_col]),
+                          ["kcell"], cell_pairs)
+    labels = connected_components(pairs, n_parts=n_parts).map_batches(
+        lambda b: pa.table({id_col: b["node"].cast(pa.int64()),
+                            "label": b["label"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    labels = drop_empty_blocks(
+        labels, empty_schema=pa.schema([(id_col, pa.int64()),
+                                        ("label", pa.int64())]))
+
+    slim = assigned.select_columns([id_col, "sim_ppm"])
+    if labels.count() == 0:
+        j = slim
+    else:
+        j = slim.join(labels, join_type="left_outer", num_partitions=width,
+                      on=(id_col,))
+
+    def with_cluster(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], np.int64)
+        lab = b["label"].to_pylist() if "label" in b.column_names \
+            else [None] * len(ids)
+        cl = np.array([l if l is not None else i
+                       for l, i in zip(lab, ids.tolist())], np.int64)
+        return pa.table({id_col: pa.array(ids), "sim_ppm": b["sim_ppm"],
+                         "cluster_id": pa.array(cl)})
+
+    clustered = j.map_batches(with_cluster, batch_format="pyarrow")
+
+    def elect(pdf):
+        import pandas as pd
+
+        if not len(pdf):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 (id_col, "cluster_id", "sim_ppm",
+                                  "is_rep")})
+        o = pdf.sort_values(["cluster_id", "sim_ppm", id_col],
+                            ascending=[True, True, True])
+        rep = (o.groupby("cluster_id").head(1)[["cluster_id", id_col]]
+               .rename(columns={id_col: "_rep"}))
+        out = pdf.merge(rep, on="cluster_id")
+        out["is_rep"] = (out[id_col] == out["_rep"]).astype("int64")
+        return out[[id_col, "cluster_id", "sim_ppm", "is_rep"]]
+
+    return partitioned_apply(clustered, ["cluster_id"], elect, n_parts=width)
+
+
 def plant_neardups(ds, every: int = 50, id_offset: int = 10_000_000,
                    id_col: str = "vec_id", emb_col: str = "embedding"):
     """Deterministically append a scaled copy (cosine exactly 1.0, same LSH

@@ -148,15 +148,32 @@ def _merge_topk(partials, k: int) -> pa.Table:
 
 
 def kmeans_centroids(ds, n_centroids: int = 64, iters: int = 2,
-                     emb_col: str = "embedding") -> np.ndarray:
+                     emb_col: str = "embedding",
+                     id_col: str | None = None) -> np.ndarray:
     """Deterministic distributed Lloyd iterations: init = first
     ``n_centroids`` vectors (stable input order), then ``iters`` rounds of
     per-batch partial (sum, count) per centroid → driver combine (the
     reduced state is n_centroids × dim floats — tiny). The full dataset is
-    never materialized; each round is one streaming pass."""
+    never materialized; each round is one streaming pass.
+
+    With ``id_col``, init is the ``n_centroids`` SMALLEST-id vectors —
+    a pure row property, so the result is independent of row order and
+    batch boundaries (``limit()`` is not: upstream map stages that append
+    rows per batch shift which vectors land in the head). Per-batch
+    min-id candidates → one O(blocks·n) driver merge."""
     import ray
 
-    init = ds.limit(n_centroids).take_all()
+    if id_col is not None:
+        def cand(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col], np.int64)
+            idx = np.argsort(ids)[: min(n_centroids, len(ids))]
+            return batch.select([id_col, emb_col]).take(pa.array(idx))
+
+        rows = ds.map_batches(cand, batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: r[id_col])
+        init = rows[:n_centroids]
+    else:
+        init = ds.limit(n_centroids).take_all()
     C = _normalize(np.array([r[emb_col] for r in init], dtype=np.float64))
     for _ in range(iters):
         cref = ray.put(C)
@@ -178,8 +195,12 @@ def kmeans_centroids(ds, n_centroids: int = 64, iters: int = 2,
 
         sums = np.zeros_like(C)
         counts = np.zeros(C.shape[0], dtype=np.int64)
-        for r in ds.map_batches(assign_partial,
-                                batch_format="pyarrow").take_all():
+        # fixed summation order: float64 addition is not associative, so
+        # an arrival-order fold would drift with scheduling
+        parts = sorted(ds.map_batches(assign_partial,
+                                      batch_format="pyarrow").take_all(),
+                       key=lambda r: (r["c"], r["n"], tuple(r["vec"])))
+        for r in parts:
             sums[r["c"]] += np.asarray(r["vec"])
             counts[r["c"]] += r["n"]
         keep = counts > 0

@@ -1699,3 +1699,37 @@ def test_phrase_search_positions_and_overlaps(ray_session):
     assert pp["pos"].tolist() == [0, 1, 2]
     with pytest.raises(ValueError):
         phrase_search(ds2, [])
+
+
+def test_semantic_dedup_planted_pairs_and_election(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = {"vec_id": list(range(40)), "embedding": base.tolist()}
+    # planted exact duplicates (scaled -> cosine 1.0): (0, 100), (7, 107)
+    for src in (0, 7):
+        rows["vec_id"].append(100 + src)
+        rows["embedding"].append((base[src] * 1.3).tolist())
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "embedding": rows["embedding"],
+    })).repartition(4)
+
+    out = semantic_dedup(ds, n_centroids=4, iters=2,
+                         threshold=0.95).to_pandas()
+    assert len(out) == 42 and out["vec_id"].is_unique
+    by_id = out.set_index("vec_id")
+    for src in (0, 7):
+        pair = by_id.loc[[src, 100 + src]]
+        # one component, exactly one representative per planted pair
+        assert pair["cluster_id"].nunique() == 1
+        assert pair["is_rep"].sum() == 1
+        # identical direction -> identical centroid sim -> min id kept
+        assert by_id.loc[src, "is_rep"] == 1
+    # every component keeps exactly one member; singletons keep themselves
+    per = out.groupby("cluster_id")["is_rep"].sum()
+    assert (per == 1).all()
+    singles = out[~out["vec_id"].isin([0, 100, 7, 107])]
+    assert (singles["is_rep"] == 1).all()
