@@ -2275,6 +2275,34 @@ def q_phrase_search(sf_dir: str):
                          ["big", "order", "scan"])
 
 
+def q_compact_epochs(sf_dir: str):
+    """Latest-wins epoch compaction (ops/recrawl.compact_epochs): three
+    planted epoch snapshots (doc absent from epoch e when (d+e)%5==0,
+    body suffixed '#e'), merged so each url keeps only its most recent
+    row — fixed-width winner election (Max groupby), payload crosses one
+    hash join. Oracle: the same plant + MAX(epoch) join in SQL."""
+    from raycrawl.ops.recrawl import compact_epochs
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        oi, oe, ot = [], [], []
+        for d, t in zip(ids, texts):
+            for e in range(3):
+                if (d + e) % 5 == 0:
+                    continue
+                oi.append(d)
+                oe.append(e)
+                ot.append((t or "") + "#" + str(e))
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "epoch": pa.array(oe, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    return compact_epochs(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_sitemap_seeds(sf_dir: str):
     """Sitemap-source seed discovery (sources/sitemap.py): one sitemap.xml
     blob per host is synthesized per batch (urls via the corpus url
@@ -2488,6 +2516,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
+        "compact_epochs": q_compact_epochs,
     }
 
 
@@ -4428,6 +4457,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, lastmod FROM e
             WHERE lastmod = '' OR lastmod >= '2026-04-01'
+        """,
+        # compact_epochs: the 3-epoch plant + latest-wins election
+        "compact_epochs": """
+            WITH e AS (SELECT unnest(range(3)) AS epoch),
+            obs AS (
+                SELECT d.doc_id, e.epoch,
+                       d.text || '#' || CAST(e.epoch AS VARCHAR) AS text
+                FROM documents d CROSS JOIN e
+                WHERE (d.doc_id + e.epoch) % 5 <> 0
+            ),
+            w AS (SELECT doc_id, MAX(epoch) AS epoch
+                  FROM obs GROUP BY doc_id)
+            SELECT o.doc_id, o.epoch, o.text
+            FROM obs o JOIN w USING (doc_id, epoch)
         """,
     }
     # identical semantics, different physical join plan — same oracle

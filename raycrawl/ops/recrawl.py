@@ -237,6 +237,65 @@ def change_rate_intervals(obs_ds, *, base_epochs: int = 8,
     return partitioned_apply(rows, ["doc_id"], per_partition, width)
 
 
+def compact_epochs(obs_ds, *, id_col: str = "doc_id",
+                   epoch_col: str = "epoch",
+                   n_parts: int | None = None):
+    """Latest-wins epoch compaction: merge K crawl-epoch document
+    snapshots into one table holding each url's MOST RECENT row. This is
+    the maintenance job for the engine's own sink layout (one
+    ``epoch=K/documents/`` directory per wave/run, pipeline._write_epoch_ds)
+    — the merge-on-read debt a long-running incremental crawl accumulates,
+    paid down as one batch job. The reference's counterpart is
+    Meilisearch's internal replace-by-id on add_documents
+    (crawler.py:682-758); here the index is a table, so compaction is
+    explicit.
+
+    Scale shape: pass 1 reduces rows to fixed-width ``(id, epoch)`` inside
+    ``map_batches`` and elects ``max(epoch)`` per id with a Max groupby —
+    bodies never move. Pass 2 is ONE partitioned hash join of the full
+    rows against the winner table, then an in-block equality filter keeps
+    exactly the winning row — the payload crosses exactly one exchange.
+    Ties within (id, epoch) are the caller's bug (an epoch writes each
+    url at most once); rows are passed through unchanged otherwise.
+
+    Returns the compacted Dataset with the input schema."""
+    from ray.data.aggregate import Max
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    try:
+        # strip zero-row payload blocks (Acero rejects them as a join
+        # side) and pin the blocks once — both passes read them
+        obs_ds = drop_empty_blocks(obs_ds)
+    except ValueError:
+        return obs_ds  # fully empty input: nothing to compact
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            epoch_col: batch[epoch_col].cast(pa.int64()),
+        })
+
+    winners = (obs_ds.map_batches(slim, batch_format="pyarrow")
+               .groupby(id_col)
+               .aggregate(Max(epoch_col, alias_name="_win_epoch")))
+    # Ray's hash aggregate emits zero-column blocks for empty partitions;
+    # Acero joins reject them (see grouping.drop_empty_blocks)
+    winners = drop_empty_blocks(
+        winners, empty_schema=pa.schema([(id_col, pa.int64()),
+                                         ("_win_epoch", pa.int64())]))
+    j = obs_ds.join(winners, join_type="inner", num_partitions=width,
+                    on=(id_col,))
+
+    def keep_winner(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch[epoch_col].cast(pa.int64()),
+                        batch["_win_epoch"])
+        return batch.filter(mask).drop_columns(["_win_epoch"])
+
+    return j.map_batches(keep_winner, batch_format="pyarrow")
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

@@ -1733,3 +1733,24 @@ def test_semantic_dedup_planted_pairs_and_election(ray_session):
     assert (per == 1).all()
     singles = out[~out["vec_id"].isin([0, 100, 7, 107])]
     assert (singles["is_rep"] == 1).all()
+
+
+def test_compact_epochs_latest_wins(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.recrawl import compact_epochs
+
+    obs = rd.from_items([
+        # doc 1 in all three epochs -> epoch 2 wins
+        {"doc_id": 1, "epoch": 0, "text": "one@0"},
+        {"doc_id": 1, "epoch": 2, "text": "one@2"},
+        {"doc_id": 1, "epoch": 1, "text": "one@1"},
+        # doc 2 deleted after epoch 0 -> its only row survives
+        {"doc_id": 2, "epoch": 0, "text": "two@0"},
+        # doc 3 appears only in epoch 2
+        {"doc_id": 3, "epoch": 2, "text": "three@2"},
+    ]).repartition(3)
+    out = compact_epochs(obs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["epoch"].tolist() == [2, 0, 2]
+    assert out["text"].tolist() == ["one@2", "two@0", "three@2"]
