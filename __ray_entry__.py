@@ -2037,6 +2037,19 @@ def q_media_payload_stats(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_media_sample_plan(sf_dir: str):
+    """Decode work plan over the media metadata (ops/multimodal.
+    frame_sample_plan): uniform-stride video frame picks (≤8/clip at
+    25 fps), 960 ms audio windows, single image row — pure integer
+    arithmetic, so the plan half of the multimodal tier is exactly
+    oracle-gated while the decode stub stays rows-only."""
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import frame_sample_plan, synthesize_media
+
+    return frame_sample_plan(rd.from_arrow(synthesize_media(120)))
+
+
 def q_source_quality(sf_dir: str):
     """Host-level corpus gate (ops/hostagg.py): block sources whose mean
     document length falls below the corpus mean — the integer
@@ -2517,6 +2530,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
         "compact_epochs": q_compact_epochs,
+        "media_sample_plan": q_media_sample_plan,
     }
 
 
@@ -4471,6 +4485,56 @@ def oracle_sql() -> dict[str, str]:
                   FROM obs GROUP BY doc_id)
             SELECT o.doc_id, o.epoch, o.text
             FROM obs o JOIN w USING (doc_id, epoch)
+        """,
+        # media_sample_plan: the synthesize_media metadata formulas
+        # (kind = i%3, duration = 1000+37i) + the integer plan rules
+        "media_sample_plan": """
+            WITH m AS (
+                SELECT i,
+                       CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       1000 + 37 * i AS dur
+                FROM range(120) t(i)
+            ),
+            img AS (
+                SELECT i AS media_id, kind,
+                       CAST(0 AS BIGINT) AS item_idx,
+                       CAST(0 AS BIGINT) AS start_ms,
+                       CAST(0 AS BIGINT) AS end_ms
+                FROM m WHERE kind = 'image'
+            ),
+            aud AS (
+                SELECT i AS media_id, kind,
+                       unnest(range((dur + 959) // 960)) AS item_idx, dur
+                FROM m WHERE kind = 'audio'
+            ),
+            audr AS (
+                SELECT media_id, kind, item_idx,
+                       item_idx * 960 AS start_ms,
+                       LEAST((item_idx + 1) * 960, dur) AS end_ms
+                FROM aud
+            ),
+            vid AS (
+                SELECT i, kind, (dur * 25) // 1000 AS total,
+                       (((dur * 25) // 1000) + 7) // 8 AS stride
+                FROM m WHERE kind = 'video'
+            ),
+            vidf AS (
+                SELECT i AS media_id, kind,
+                       unnest(range((total + stride - 1) // stride))
+                           AS item_idx,
+                       stride
+                FROM vid
+            ),
+            vidr AS (
+                SELECT media_id, kind, item_idx,
+                       (item_idx * stride * 1000) // 25 AS start_ms,
+                       (item_idx * stride * 1000) // 25 AS end_ms
+                FROM vidf
+            )
+            SELECT * FROM img
+            UNION ALL SELECT * FROM audr
+            UNION ALL SELECT * FROM vidr
         """,
     }
     # identical semantics, different physical join plan — same oracle

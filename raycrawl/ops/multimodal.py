@@ -95,6 +95,62 @@ class MediaFeatureStage:
         )
 
 
+def frame_sample_plan(ds, fps: int = 25, max_frames: int = 8,
+                      seg_ms: int = 960):
+    """Deterministic decode WORK PLAN over the typed metadata columns —
+    the stage that runs BEFORE any decoder at 100 TB: decide exactly
+    which frames / audio windows to extract so the expensive decode
+    stage (GPU/codec-bound, small batches) touches only them. Pure
+    integer arithmetic, so unlike the decode stub this half of the
+    multimodal tier is exactly oracle-gateable.
+
+    - video: ``total = duration_ms·fps // 1000`` frames; a uniform
+      stride ``ceil(total / max_frames)`` picks ≤ max_frames frame
+      indices ``k·stride``; start_ms = end_ms = ``idx·1000 // fps``.
+    - audio: fixed windows every ``seg_ms``: start = k·seg_ms <
+      duration, end = min(start + seg_ms, duration).
+    - image: the single row (0, 0, 0).
+
+    Emits one row per planned item: ``(media_id, kind, item_idx,
+    start_ms, end_ms)``, all plan columns int64; shuffle-free flat-map."""
+    def plan(batch: pa.Table) -> pa.Table:
+        ids_out, kind_out, idx_out, s_out, e_out = [], [], [], [], []
+
+        def emit(mid, kind, k, s, e):
+            ids_out.append(mid)
+            kind_out.append(kind)
+            idx_out.append(k)
+            s_out.append(s)
+            e_out.append(e)
+
+        for mid, kind, dur in zip(batch["media_id"].to_pylist(),
+                                  batch["kind"].to_pylist(),
+                                  batch["duration_ms"].to_pylist()):
+            if kind == "image":
+                emit(mid, kind, 0, 0, 0)
+            elif kind == "audio":
+                n = (dur + seg_ms - 1) // seg_ms
+                for k in range(n):
+                    emit(mid, kind, k, k * seg_ms,
+                         min((k + 1) * seg_ms, dur))
+            else:  # video
+                total = dur * fps // 1000
+                stride = (total + max_frames - 1) // max_frames
+                n = (total + stride - 1) // stride
+                for k in range(n):
+                    ts = k * stride * 1000 // fps
+                    emit(mid, kind, k, ts, ts)
+        return pa.table({
+            "media_id": pa.array(ids_out, pa.int64()),
+            "kind": pa.array(kind_out, pa.string()),
+            "item_idx": pa.array(idx_out, pa.int64()),
+            "start_ms": pa.array(s_out, pa.int64()),
+            "end_ms": pa.array(e_out, pa.int64()),
+        })
+
+    return ds.map_batches(plan, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

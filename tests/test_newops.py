@@ -1754,3 +1754,33 @@ def test_compact_epochs_latest_wins(ray_session):
     assert out["doc_id"].tolist() == [1, 2, 3]
     assert out["epoch"].tolist() == [2, 0, 2]
     assert out["text"].tolist() == ["one@2", "two@0", "three@2"]
+
+
+def test_frame_sample_plan_rules(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        {"media_id": 0, "kind": "image", "payload": b"x", "mime": "image/png",
+         "width": 64, "height": 64, "duration_ms": None},
+        # 2000 ms audio -> windows [0,960) [960,1920) [1920,2000)
+        {"media_id": 1, "kind": "audio", "payload": b"x", "mime": "audio/wav",
+         "width": None, "height": None, "duration_ms": 2000},
+        # 1000 ms video @25fps -> 25 frames, stride ceil(25/8)=4 -> 7 picks
+        {"media_id": 2, "kind": "video", "payload": b"x", "mime": "video/mp4",
+         "width": 64, "height": 64, "duration_ms": 1000},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = frame_sample_plan(ds).to_pandas()
+    img = out[out.media_id == 0]
+    assert img[["item_idx", "start_ms", "end_ms"]].values.tolist() == [[0, 0, 0]]
+    aud = out[out.media_id == 1].sort_values("item_idx")
+    assert aud["start_ms"].tolist() == [0, 960, 1920]
+    assert aud["end_ms"].tolist() == [960, 1920, 2000]
+    vid = out[out.media_id == 2].sort_values("item_idx")
+    assert len(vid) == 7
+    # frame indices 0,4,...,24 at 25 fps -> 160 ms per stride step
+    assert vid["start_ms"].tolist() == [0, 160, 320, 480, 640, 800, 960]
+    assert (vid["start_ms"] == vid["end_ms"]).all()
+    # budget respected: never more than max_frames picks
+    assert len(vid) <= 8
