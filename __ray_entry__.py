@@ -1553,6 +1553,39 @@ def q_link_pagerank(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank — the graph-COARSENING composition: the cross-host
+    doc link set (the anchor-stats (7d+11s)%N fan-out, whose dst hosts mix)
+    projected to (src_host, dst_host) WITH multiplicity, then the same
+    integer task-shuffle kernel (ops/pagerank.py). A multigraph under the
+    per-edge floor IS weighted PageRank (w identical floored contributions
+    per parallel edge), so no kernel change is needed and the unrolled-CTE
+    oracle gates it bit-exactly. Host rank is what a frontier scheduler
+    spends politeness budget on (cf. frontier_triage's quality prior)."""
+    from raycrawl.ops.pagerank import pagerank
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        src = np.concatenate([d % 20] * 3)
+        dst = np.concatenate([((7 * d + 11 * s) % n) % 20
+                              for s in range(3)])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    def hosts(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        return pa.table({"node": pa.array(np.unique(d % 20))})
+
+    nodes = docs.map_batches(hosts, batch_format="pyarrow")
+    out = pagerank(e, nodes, n_iters=4)
+    return out.map_batches(lambda t: t.rename_columns(["host", "rank_ppm"]),
+                           batch_format="pyarrow")
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for training: global token offsets in doc_id order
     (distributed prefix sum — ops/packing.py) and the 512-token training
@@ -2531,6 +2564,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "compact_epochs": q_compact_epochs,
         "media_sample_plan": q_media_sample_plan,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -2624,6 +2658,44 @@ def _pagerank_oracle_sql(n_iters: int = 5) -> str:
             r0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS r FROM nodes),
             {",".join(iters)}
             SELECT node AS doc_id, r AS rank_ppm FROM r{n_iters}
+    """
+
+
+def _host_pagerank_oracle_sql(n_iters: int = 4) -> str:
+    """Host-projected sibling of ``_pagerank_oracle_sql``: the anchor-stats
+    (7d+11s)%N edge fan-out coarsened to hosts WITH multiplicity (a
+    multigraph under the per-edge floor = weighted PageRank), same
+    unrolled iterations and integer floors."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM
+
+    iters = []
+    for k in range(n_iters):
+        iters.append(f"""
+            r{k + 1} AS (
+                SELECT n.node AS node,
+                       CAST({BASE_PPM} + coalesce(
+                           SUM((r.r * {DAMP_PCT}) // (100 * d.d)), 0)
+                            AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{k} r ON r.node = e.src
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.node
+            )""")
+    return f"""
+            WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+            nodes AS (SELECT DISTINCT doc_id % 20 AS node FROM documents),
+            edges AS (
+                SELECT d.doc_id % 20 AS src,
+                       ((7 * d.doc_id + 11 * s.s) % nn.n) % 20 AS dst
+                FROM documents d
+                CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS s) s
+                CROSS JOIN nn
+            ),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS r FROM nodes),
+            {",".join(iters)}
+            SELECT node AS host, r AS rank_ppm FROM r{n_iters}
     """
 
 
@@ -3579,6 +3651,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
+        "host_pagerank": _host_pagerank_oracle_sql(4),
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

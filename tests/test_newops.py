@@ -1784,3 +1784,23 @@ def test_frame_sample_plan_rules(ray_session):
     assert (vid["start_ms"] == vid["end_ms"]).all()
     # budget respected: never more than max_frames picks
     assert len(vid) <= 8
+
+
+def test_pagerank_multigraph_is_weighted(ray_session):
+    """Parallel edges = integer edge weights: host-projection coarsening
+    relies on the kernel treating an edge's multiplicity as weight."""
+    import ray.data as rd
+    from raycrawl.ops.pagerank import pagerank
+
+    edges = rd.from_items(
+        [{"src": 0, "dst": 1}] * 3
+        + [{"src": 0, "dst": 2}, {"src": 1, "dst": 0}]).repartition(2)
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2], pa.int64())}))
+    out = pagerank(edges, nodes, n_iters=1).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    # deg(0)=4: per-edge contrib (1e6*85)//400 = 212500; deg(1)=1: 850000
+    assert out["rank_ppm"].tolist() == [
+        150_000 + 850_000,            # node 0 <- node 1
+        150_000 + 3 * 212_500,        # node 1 <- 0 x3
+        150_000 + 212_500,            # node 2 <- 0 x1
+    ]
