@@ -1586,6 +1586,31 @@ def q_host_pagerank(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution at rest (ops/graph.resolve_redirects):
+    chains planted as doc_id → doc_id−1 for doc_id % 4 ≠ 0 (length-3
+    chains ending at each %4==0 doc) plus 2-cycles at N+d ↔ N+d+1 for
+    d % 25 == 0. Pointer jumping (6 rounds ⇒ chains ≤ 64) resolves every
+    src to its terminal; cycle members land on f^64 = themselves with
+    resolved=0. Oracle: depth-64 recursive walk + has-outgoing flag."""
+    from raycrawl.ops.graph import resolve_redirects
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        chain = d[d % 4 != 0]
+        loops = d[d % 25 == 0]
+        src = np.concatenate([chain, n + loops, n + loops + 1])
+        dst = np.concatenate([chain - 1, n + loops + 1, n + loops])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    return resolve_redirects(docs.map_batches(plant,
+                                              batch_format="pyarrow"))
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for training: global token offsets in doc_id order
     (distributed prefix sum — ops/packing.py) and the 512-token training
@@ -2565,6 +2590,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "compact_epochs": q_compact_epochs,
         "media_sample_plan": q_media_sample_plan,
         "host_pagerank": q_host_pagerank,
+        "redirect_resolve": q_redirect_resolve,
     }
 
 
@@ -4608,6 +4634,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM img
             UNION ALL SELECT * FROM audr
             UNION ALL SELECT * FROM vidr
+        """,
+        # redirect_resolve: the chain/cycle plant + a depth-64 recursive
+        # walk (= the engine's f^(2^6) pointer-jumping landing node);
+        # resolved ⇔ the landing node has no outgoing redirect
+        "redirect_resolve": """
+            WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+            redirects AS (
+                SELECT doc_id AS src, doc_id - 1 AS dst
+                FROM documents WHERE doc_id % 4 <> 0
+                UNION ALL
+                SELECT nn.n + doc_id, nn.n + doc_id + 1
+                FROM documents CROSS JOIN nn WHERE doc_id % 25 = 0
+                UNION ALL
+                SELECT nn.n + doc_id + 1, nn.n + doc_id
+                FROM documents CROSS JOIN nn WHERE doc_id % 25 = 0
+            ),
+            walk(src, cur, depth) AS (
+                SELECT src, dst, 1 FROM redirects
+                UNION ALL
+                SELECT w.src, r.dst, w.depth + 1
+                FROM walk w JOIN redirects r ON r.src = w.cur
+                WHERE w.depth < 64
+            ),
+            last AS (
+                SELECT src, cur AS final FROM (
+                    SELECT src, cur,
+                           ROW_NUMBER() OVER (PARTITION BY src
+                                              ORDER BY depth DESC) AS rn
+                    FROM walk) WHERE rn = 1
+            )
+            SELECT l.src, l.final,
+                   CAST(CASE WHEN o.src IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS resolved
+            FROM last l
+            LEFT JOIN (SELECT DISTINCT src FROM redirects) o
+                ON o.src = l.final
         """,
     }
     # identical semantics, different physical join plan — same oracle

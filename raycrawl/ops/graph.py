@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -277,6 +278,88 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
 
     return partitioned_apply(assigned, ["cluster_id"], elect,
                              n_parts=width)
+
+
+def resolve_redirects(redirects_ds, rounds: int = 6,
+                      src_col: str = "src", dst_col: str = "dst",
+                      n_parts: int | None = None):
+    """Redirect-chain resolution at rest: given the crawl's harvested
+    redirect map ``(src, dst)`` — a FUNCTIONAL graph, one outgoing edge
+    per src — resolve every src to its final target by pointer jumping
+    (each round composes the map with itself, so reach doubles:
+    ``f → f² → f⁴ → …``). The per-fetch version of this lives in
+    LiveFetchStage's ``final_url`` (reference ``crawler.py:993`` follows
+    redirects inline); this is the corpus-scale batch form that
+    deduplicates url aliases BEFORE refetching 10^10 urls.
+
+    After ``rounds`` rounds every chain of length ≤ 2^rounds is resolved;
+    a src still pointing at a node WITH an outgoing edge is in a cycle
+    (or an over-long chain) and reports ``resolved = 0`` with the
+    deterministic ``f^(2^rounds)`` landing node — exactly restatable in
+    SQL as a depth-limited recursive walk, so the op is oracle-gateable.
+
+    Each round is ONE partitioned hash join of fixed-width int64 rows
+    (the map joined against itself); no driver materialization. Returns
+    ``(src, final, resolved)``, one row per input src."""
+    import ray.data as rd
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    empty = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[src_col].cast(pa.int64()),
+                         "dst": b[dst_col].cast(pa.int64())})
+
+    try:
+        P = drop_empty_blocks(
+            redirects_ds.map_batches(norm, batch_format="pyarrow"))
+    except ValueError:
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("final", pa.int64()),
+             ("resolved", pa.int64())]).empty_table())
+
+    def as_right(b: pa.Table) -> pa.Table:
+        return pa.table({"dst": b["src"], "dst_next": b["dst"]})
+
+    for _ in range(rounds):
+        right = P.map_batches(as_right, batch_format="pyarrow")
+        j = P.join(right, join_type="left_outer", num_partitions=width,
+                   on=("dst",))
+
+        def jump(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "src": b["src"],
+                "dst": pc.coalesce(b["dst_next"], b["dst"]),
+            })
+
+        P = drop_empty_blocks(j.map_batches(jump, batch_format="pyarrow"),
+                              empty_schema=empty)
+
+    # resolved ⇔ the landing node has no outgoing redirect
+    srcs = P.map_batches(
+        lambda b: pa.table({"dst": pc.unique(b["src"]),
+                            "_has_out": pa.array(
+                                [1] * len(pc.unique(b["src"])), pa.int64())}),
+        batch_format="pyarrow")
+    j = P.join(srcs, join_type="left_outer", num_partitions=width,
+               on=("dst",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": b["src"],
+            "final": b["dst"],
+            "resolved": pc.if_else(pc.is_null(b["_has_out"]),
+                                   pa.scalar(1, pa.int64()),
+                                   pa.scalar(0, pa.int64())),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 import raycrawl as _raycrawl_pkg

@@ -181,3 +181,37 @@ def test_cluster_representatives_no_pairs_all_singletons(ray_session):
            .to_pandas().sort_values("page_id").reset_index(drop=True))
     assert out["cluster_id"].tolist() == [10, 11]
     assert out["is_rep"].tolist() == [1, 1]
+
+
+def test_resolve_redirects_chains_cycles_and_depth(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.graph import resolve_redirects
+
+    # chain 5->4->3->2->1->0 (0 terminal), 2-cycle 10<->11, self-loop 20
+    edges = [{"src": i, "dst": i - 1} for i in range(1, 6)]
+    edges += [{"src": 10, "dst": 11}, {"src": 11, "dst": 10},
+              {"src": 20, "dst": 20}]
+    out = resolve_redirects(rd.from_items(edges).repartition(3),
+                            rounds=3).to_pandas()
+    got = {r.src: (r.final, r.resolved) for r in out.itertuples()}
+    assert len(got) == 8
+    for i in range(1, 6):
+        assert got[i] == (0, 1)
+    # even cycle: f^8 = identity; landing node still has an out-edge
+    assert got[10] == (10, 0) and got[11] == (11, 0)
+    assert got[20] == (20, 0)
+
+    # chain longer than 2^rounds stays unresolved at its f^(2^r) hop
+    long = [{"src": i, "dst": i - 1} for i in range(1, 12)]
+    out2 = resolve_redirects(rd.from_items(long), rounds=3).to_pandas()
+    g2 = {r.src: (r.final, r.resolved) for r in out2.itertuples()}
+    assert g2[11] == (3, 0)   # 8 hops from 11 lands on 3, which redirects
+    assert g2[8] == (0, 1)
+
+    # empty input keeps the output schema
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    out3 = resolve_redirects(empty)
+    # to_pandas() drops columns on empty Datasets; the SCHEMA is the check
+    assert out3.schema().names == ["src", "final", "resolved"]
+    assert out3.count() == 0
