@@ -1611,6 +1611,18 @@ def q_redirect_resolve(sf_dir: str):
                                               batch_format="pyarrow"))
 
 
+def q_archive_offsets(sf_dir: str):
+    """Packed-archive layout manifest (ops/export.archive_offsets): the
+    WARC/tar random-access step — per-shard byte offsets of each doc in
+    ascending id order, shard = the export_shards hash row property.
+    Oracle: the same shard/octet-length formulas + an exclusive window
+    SUM in SQL."""
+    from raycrawl.ops.export import archive_offsets
+
+    return archive_offsets(_read_ds(sf_dir, "documents",
+                                    ["doc_id", "text"]))
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for training: global token offsets in doc_id order
     (distributed prefix sum — ops/packing.py) and the 512-token training
@@ -2591,6 +2603,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "media_sample_plan": q_media_sample_plan,
         "host_pagerank": q_host_pagerank,
         "redirect_resolve": q_redirect_resolve,
+        "archive_offsets": q_archive_offsets,
     }
 
 
@@ -4670,6 +4683,24 @@ def oracle_sql() -> dict[str, str]:
             FROM last l
             LEFT JOIN (SELECT DISTINCT src FROM redirects) o
                 ON o.src = l.final
+        """,
+        # archive_offsets: export-shard hash + utf8 byte length + an
+        # exclusive prefix sum per shard in ascending doc order
+        "archive_offsets": """
+            WITH a AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 16 AS shard,
+                       CAST(octet_length(encode(text)) AS BIGINT)
+                           AS len_bytes
+                FROM documents
+            )
+            SELECT doc_id, shard, len_bytes,
+                   CAST(coalesce(SUM(len_bytes) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS offset_bytes
+            FROM a
         """,
     }
     # identical semantics, different physical join plan — same oracle

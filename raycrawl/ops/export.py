@@ -86,6 +86,54 @@ def export_shards(ds, out_dir: str, n_shards: int = 16,
     return {"written": pending, "skipped": sorted(done)}
 
 
+def archive_offsets(ds, n_shards: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text", n_parts: int | None = None):
+    """Packed-archive layout manifest (the WARC/tar step): assign each
+    document to a shard (the same ``h32(md5(id)) % n_shards`` row
+    property as ``export_shards``, so archive shards co-locate with the
+    Parquet export) and compute its byte ``(offset, length)`` inside that
+    shard's concatenated blob archive, documents laid out in ascending id
+    order. The manifest is what gives random access into packed archives
+    — a reader seeks to ``offset`` and reads ``len`` bytes without
+    scanning the shard.
+
+    Scale shape: UTF-8 lengths and shard ids are computed in-block (one
+    fixed-width ``(id, shard, len)`` row per doc — payloads never move);
+    ONE shard-keyed task hash exchange runs the per-shard exclusive
+    prefix sum vectorized. Returns ``(doc_id, shard, len_bytes,
+    offset_bytes)`` — all int64, oracle-gated by a window SUM."""
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "shard": pa.array([_h32(str(i)) % n_shards for i in ids],
+                              pa.int64()),
+            "len_bytes": pa.array(
+                [len((t or "").encode()) for t in
+                 batch[text_col].to_pylist()], pa.int64()),
+        })
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+
+    def per_shard(pdf):
+        import pandas as pd
+
+        if not len(pdf):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 (id_col, "shard", "len_bytes",
+                                  "offset_bytes")})
+        pdf = pdf.sort_values(["shard", id_col], kind="mergesort")
+        pdf["offset_bytes"] = (pdf.groupby("shard")["len_bytes"].cumsum()
+                               - pdf["len_bytes"])
+        return pdf[[id_col, "shard", "len_bytes", "offset_bytes"]]
+
+    return partitioned_apply(rows, ["shard"], per_shard, width)
+
+
 def read_manifest(out_dir: str):
     """Read the export back and count rows per shard (the verification
     pass a pipeline runs after an export). Returns a Dataset of

@@ -1804,3 +1804,30 @@ def test_pagerank_multigraph_is_weighted(ray_session):
         150_000 + 3 * 212_500,        # node 1 <- 0 x3
         150_000 + 212_500,            # node 2 <- 0 x1
     ]
+
+
+def test_archive_offsets_prefix_sums(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.export import archive_offsets
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 4], pa.int64()),
+        "text": ["aaaa", "bb", "c", "dd", ""],
+    })).repartition(3)
+    # one shard: offsets are the exclusive prefix sums in id order
+    out = archive_offsets(ds, n_shards=1).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert (out["shard"] == 0).all()
+    assert out["len_bytes"].tolist() == [2, 2, 1, 0, 4]   # ids 1,2,3,4,5
+    assert out["offset_bytes"].tolist() == [0, 2, 4, 5, 5]
+    # multi-shard: offsets restart per shard and never overlap
+    out2 = archive_offsets(ds, n_shards=4).to_pandas()
+    for _, g in out2.groupby("shard"):
+        g = g.sort_values("doc_id")
+        assert g["offset_bytes"].tolist() == (
+            g["len_bytes"].cumsum() - g["len_bytes"]).tolist()
+    # utf-8 byte length, not char length
+    out3 = archive_offsets(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": ["héllo"],
+    })), n_shards=1).to_pandas()
+    assert out3["len_bytes"].tolist() == [6]
