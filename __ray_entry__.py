@@ -1611,6 +1611,29 @@ def q_redirect_resolve(sf_dir: str):
                                               batch_format="pyarrow"))
 
 
+def q_vocab_drift(sf_dir: str):
+    """Vocabulary drift across crawl epochs (ops/textstats.vocab_drift):
+    epoch 2 appends a marker token 'neo{d%50}' to every doc with
+    doc_id % 7 == 3, so ~50 genuinely new tokens appear with varying
+    document frequencies. Distinct-token partials both sides, ONE
+    left_anti hash join on the token string. Oracle: the same plant +
+    NOT IN over the old epoch's distinct tokens."""
+    from raycrawl.ops.textstats import vocab_drift
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def epoch2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [(t or "") + " neo" + str(d % 50) if d % 7 == 3 else (t or "")
+               for d, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return vocab_drift(docs, docs.map_batches(epoch2,
+                                              batch_format="pyarrow"))
+
+
 def q_archive_offsets(sf_dir: str):
     """Packed-archive layout manifest (ops/export.archive_offsets): the
     WARC/tar random-access step — per-shard byte offsets of each doc in
@@ -2604,6 +2627,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "redirect_resolve": q_redirect_resolve,
         "archive_offsets": q_archive_offsets,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -4701,6 +4725,32 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING), 0) AS BIGINT) AS offset_bytes
             FROM a
+        """,
+        # vocab_drift: epoch-2 marker-token plant + NOT IN over the old
+        # epoch's distinct tokens; n_docs = distinct docs per new token
+        "vocab_drift": """
+            WITH e1t AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            e2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN text || ' neo' || CAST(doc_id % 50
+                                                        AS VARCHAR)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            e2t AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM e2)
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM e2t
+            WHERE token NOT IN (SELECT token FROM e1t)
+            GROUP BY token
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -546,6 +546,65 @@ def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def vocab_drift(old_ds, new_ds, n_parts: int | None = None):
+    """Vocabulary drift between two crawl epochs: the tokens the NEW
+    epoch introduces (present in new, absent from old) with their
+    new-epoch document frequency. This is the index-maintenance cost
+    signal a recrawl produces — every new token is a new postings list
+    (``index.postings_merge`` pays it) — and a drift monitor for
+    training-data distribution shift.
+
+    Scale shape: both sides reduce to distinct-token rows inside
+    ``map_batches`` (old: (token); new: (token, doc) partials → a Sum
+    groupby for df) — documents never cross an exchange; the novelty
+    test is ONE hash-partitioned ``left_anti`` join on the token string.
+    Returns (token, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.grouping import resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def old_tokens(batch: pa.Table) -> pa.Table:
+        s = set()
+        for t in batch["text"].to_pylist():
+            s.update((t or "").split(" "))
+        return pa.table({"token": pa.array(sorted(s), pa.string())})
+
+    def new_partials(batch: pa.Table) -> pa.Table:
+        toks, ns = [], []
+        for t in batch["text"].to_pylist():
+            for tok in set((t or "").split(" ")):
+                toks.append(tok)
+                ns.append(1)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n_docs": pa.array(ns, pa.int64())})
+
+    old_t = (old_ds.map_batches(old_tokens, batch_format="pyarrow")
+             .groupby("token").count()
+             .map_batches(lambda t: t.select(["token"]),
+                          batch_format="pyarrow"))
+    new_df = (new_ds.map_batches(new_partials, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n_docs",
+                                              alias_name="n_docs")))
+    # strip zero-row blocks (Acero rejects them as join sides) and
+    # short-circuit fully-empty epochs instead of joining them
+    import ray.data as rd
+
+    from ..ops.grouping import nonempty_refs
+
+    df_schema = pa.schema([("token", pa.string()), ("n_docs", pa.int64())])
+    new_live, _ = nonempty_refs(new_df)
+    if not new_live:
+        return rd.from_arrow(df_schema.empty_table())
+    new_df = rd.from_arrow_refs(new_live)
+    old_live, _ = nonempty_refs(old_t)
+    if not old_live:
+        return new_df  # empty old epoch: everything is new
+    return new_df.join(rd.from_arrow_refs(old_live), join_type="left_anti",
+                       num_partitions=width, on=("token",))
+
+
 def distinct_token_count(ds):
     """Exact corpus-wide distinct-token count, fully distributed: per-batch
     DISTINCT partials (one row per token per batch) → groupby → count of

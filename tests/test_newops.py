@@ -1831,3 +1831,33 @@ def test_archive_offsets_prefix_sums(ray_session):
         "doc_id": pa.array([1], pa.int64()), "text": ["héllo"],
     })), n_shards=1).to_pandas()
     assert out3["len_bytes"].tolist() == [6]
+
+
+def test_vocab_drift_new_tokens_only(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import vocab_drift
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta", "beta gamma"],
+    })).repartition(2)
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # delta new in 2 docs; beta/gamma old; epsilon new in 1 doc;
+        # duplicate 'delta delta' within a doc counts once
+        "text": ["alpha delta delta", "beta delta", "gamma epsilon"],
+    })).repartition(2)
+    out = vocab_drift(old, new).to_pandas().sort_values(
+        "token").reset_index(drop=True)
+    assert out["token"].tolist() == ["delta", "epsilon"]
+    assert out["n_docs"].tolist() == [2, 1]
+
+    # empty old epoch: every new-epoch token surfaces
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out2 = vocab_drift(empty, old).to_pandas()
+    assert sorted(out2["token"]) == ["alpha", "beta", "gamma"]
+    # empty new epoch: no drift, schema intact
+    out3 = vocab_drift(old, empty)
+    assert out3.schema().names == ["token", "n_docs"] and out3.count() == 0
