@@ -1611,6 +1611,19 @@ def q_redirect_resolve(sf_dir: str):
                                               batch_format="pyarrow"))
 
 
+def q_corpus_report(sf_dir: str):
+    """Per-source corpus health report (ops/hostagg.corpus_report): doc
+    counts, within-source exact-dup mass, language mix with majority
+    lang, character volume — fixed-width partials only, assembled on the
+    driver (bounded by #sources × #langs). Oracle: GROUP BY + COUNT
+    DISTINCT + a ROW_NUMBER majority election in SQL."""
+    from raycrawl.ops.hostagg import corpus_report
+
+    return corpus_report(_read_ds(sf_dir, "documents",
+                                  ["doc_id", "text", "lang", "source",
+                                   "n_chars"]))
+
+
 def q_vocab_drift(sf_dir: str):
     """Vocabulary drift across crawl epochs (ops/textstats.vocab_drift):
     epoch 2 appends a marker token 'neo{d%50}' to every doc with
@@ -2628,6 +2641,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": q_redirect_resolve,
         "archive_offsets": q_archive_offsets,
         "vocab_drift": q_vocab_drift,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -4751,6 +4765,35 @@ def oracle_sql() -> dict[str, str]:
             FROM e2t
             WHERE token NOT IN (SELECT token FROM e1t)
             GROUP BY token
+        """,
+        # corpus_report: per-source rollup; top_lang majority with
+        # lexicographic tie-break; dup_ppm over within-source md5 set
+        "corpus_report": """
+            WITH dd AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                           AS n_distinct_texts,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                FROM documents GROUP BY source
+            ),
+            lc AS (
+                SELECT source, lang, COUNT(*) AS c
+                FROM documents GROUP BY source, lang
+            ),
+            top AS (
+                SELECT source, lang AS top_lang FROM (
+                    SELECT source, lang,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY c DESC, lang) AS rn
+                    FROM lc) WHERE rn = 1
+            )
+            SELECT d.source, d.n_docs, d.n_distinct_texts,
+                   ((d.n_docs - d.n_distinct_texts) * 1000000) // d.n_docs
+                       AS dup_ppm,
+                   d.n_langs, t.top_lang, d.total_chars
+            FROM dd d JOIN top t USING (source)
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -204,3 +204,110 @@ def length_outlier_filter(docs_ds, *, fence_halves: int = 1,
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def corpus_report(docs_ds, *, source_col: str = "source",
+                  max_sources: int = 1_000_000):
+    """Per-source corpus health report — the curation dashboard rollup a
+    100-TB pipeline runs after every ingest (the corpus-level analogue of
+    the reference's per-site CrawlStats summary, crawler.py:806-827):
+    document count, WITHIN-SOURCE exact-duplicate mass, language mix, and
+    total character volume, one row per source.
+
+    Scale shape: three fixed-width partial passes, no document text ever
+    crosses an exchange — (source, md5) distinct rows for the dup count
+    (two small groupbys), (source, lang, n) Counter partials for the mix,
+    (source, n, chars) partials for volume. The per-source result tables
+    are bounded by #sources × #langs (``max_sources`` guard raises
+    otherwise) and assemble on the driver.
+
+    Returns (source, n_docs, n_distinct_texts, dup_ppm, n_langs,
+    top_lang, total_chars); top_lang ties break lexicographically;
+    dup_ppm = (n_docs − n_distinct)·10⁶ // n_docs."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..ops.dedup import add_text_hash
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        h = add_text_hash(batch)
+        return pa.table({source_col: batch[source_col],
+                         "text_hash": h["text_hash"]})
+
+    distinct = (docs_ds.map_batches(hash_rows, batch_format="pyarrow")
+                .groupby([source_col, "text_hash"]).count()
+                .map_batches(lambda t: pa.table(
+                    {source_col: t[source_col],
+                     "n_distinct": pa.array([1] * t.num_rows, pa.int64())}),
+                    batch_format="pyarrow")
+                .groupby(source_col)
+                .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+    def vol_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        chars = Counter()
+        langs = Counter()
+        for s, lg, nc in zip(batch[source_col].to_pylist(),
+                             batch["lang"].to_pylist(),
+                             batch["n_chars"].to_pylist()):
+            c[s] += 1
+            chars[s] += int(nc or 0)
+            langs[(s, lg)] += 1
+        srcs = sorted(c)
+        lang_keys = sorted(langs)
+        return pa.table({
+            "kind": pa.array(["vol"] * len(srcs) + ["lang"] * len(lang_keys),
+                             pa.string()),
+            source_col: pa.array(srcs + [k[0] for k in lang_keys],
+                                 pa.string()),
+            "lang": pa.array([""] * len(srcs) + [k[1] for k in lang_keys],
+                             pa.string()),
+            "n": pa.array([c[s] for s in srcs]
+                          + [langs[k] for k in lang_keys], pa.int64()),
+            "chars": pa.array([chars[s] for s in srcs]
+                              + [0] * len(lang_keys), pa.int64()),
+        })
+
+    partials = (docs_ds.map_batches(vol_partials, batch_format="pyarrow")
+                .groupby(["kind", source_col, "lang"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("chars", alias_name="chars")))
+
+    rows = partials.take(max_sources + 1)
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"corpus_report: >{max_sources} (source, lang) groups; this "
+            "report assembles driver-side — raise max_sources only if it "
+            "truly fits")
+    d_rows = distinct.take(max_sources + 1)
+
+    n_docs, total_chars, lang_counts = {}, {}, {}
+    for r in rows:
+        if r["kind"] == "vol":
+            n_docs[r[source_col]] = r["n"]
+            total_chars[r[source_col]] = r["chars"]
+        else:
+            lang_counts.setdefault(r[source_col], []).append(
+                (r["lang"], r["n"]))
+    n_distinct = {r[source_col]: r["n_distinct"] for r in d_rows}
+
+    srcs = sorted(n_docs)
+    top_lang, n_langs = {}, {}
+    for s in srcs:
+        lc = sorted(lang_counts.get(s, []), key=lambda kv: (-kv[1], kv[0]))
+        top_lang[s] = lc[0][0] if lc else ""
+        n_langs[s] = len(lc)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array([n_docs[s] for s in srcs], pa.int64()),
+        "n_distinct_texts": pa.array([n_distinct[s] for s in srcs],
+                                     pa.int64()),
+        "dup_ppm": pa.array(
+            [(n_docs[s] - n_distinct[s]) * 1_000_000 // n_docs[s]
+             for s in srcs], pa.int64()),
+        "n_langs": pa.array([n_langs[s] for s in srcs], pa.int64()),
+        "top_lang": pa.array([top_lang[s] for s in srcs], pa.string()),
+        "total_chars": pa.array([total_chars[s] for s in srcs], pa.int64()),
+    })

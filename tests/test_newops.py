@@ -1861,3 +1861,28 @@ def test_vocab_drift_new_tokens_only(ray_session):
     # empty new epoch: no drift, schema intact
     out3 = vocab_drift(old, empty)
     assert out3.schema().names == ["token", "n_docs"] and out3.count() == 0
+
+
+def test_corpus_report_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.hostagg import corpus_report
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["same", "same", "other", "x", "y"],
+        "lang": ["en", "fr", "fr", "fr", "de"],
+        "source": ["a", "a", "a", "b", "b"],
+        "n_chars": pa.array([4, 4, 5, 1, 1], pa.int64()),
+    })).repartition(3)
+    out = corpus_report(ds).to_pandas().set_index("source")
+    # source a: 3 docs, 2 distinct texts -> dup 1/3; langs en+fr, fr wins
+    assert out.loc["a", "n_docs"] == 3
+    assert out.loc["a", "n_distinct_texts"] == 2
+    assert out.loc["a", "dup_ppm"] == 1_000_000 // 3
+    assert out.loc["a", "n_langs"] == 2 and out.loc["a", "top_lang"] == "fr"
+    assert out.loc["a", "total_chars"] == 13
+    # source b: no dups; lang tie de/fr -> lexicographic 'de'
+    assert out.loc["b", "dup_ppm"] == 0
+    assert out.loc["b", "top_lang"] == "de" and out.loc["b", "n_langs"] == 2
+    with pytest.raises(ValueError):
+        corpus_report(ds, max_sources=1)
