@@ -1611,6 +1611,16 @@ def q_redirect_resolve(sf_dir: str):
                                               batch_format="pyarrow"))
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail tercile bucketing (ops/textstats.
+    ccnet_buckets) over the unigram-rarity fluency proxy — one sorted
+    rank pass, buckets finalized per block. Oracle: the rarity CTE +
+    ROW_NUMBER + the same integer tercile cut."""
+    from raycrawl.ops.textstats import ccnet_buckets
+
+    return ccnet_buckets(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_corpus_report(sf_dir: str):
     """Per-source corpus health report (ops/hostagg.corpus_report): doc
     counts, within-source exact-dup mass, language mix with majority
@@ -2642,6 +2652,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "archive_offsets": q_archive_offsets,
         "vocab_drift": q_vocab_drift,
         "corpus_report": q_corpus_report,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -4794,6 +4805,39 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_ppm,
                    d.n_langs, t.top_lang, d.total_chars
             FROM dd d JOIN top t USING (source)
+        """,
+        # ccnet_buckets: the text_rarity CTE folded to one ppm per doc,
+        # ranked desc, integer tercile cut (rank*3 < n / < 2n)
+        "ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+            per AS (
+                SELECT t.doc_id, COUNT(*) AS n,
+                       CAST(SUM(c.c) AS BIGINT) AS s
+                FROM toks t JOIN cnt c USING (token)
+                GROUP BY t.doc_id
+            ),
+            scored AS (
+                SELECT doc_id,
+                       (s * 1000000) // GREATEST(n, 1) AS freq_ppm
+                FROM per
+            ),
+            ranked AS (
+                SELECT doc_id, freq_ppm,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY freq_ppm DESC, doc_id) - 1
+                           AS BIGINT) AS rank
+                FROM scored
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM scored)
+            SELECT doc_id, freq_ppm, rank,
+                   CASE WHEN rank * 3 < n THEN 'head'
+                        WHEN rank * 3 < 2 * n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked, tot
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -546,6 +546,63 @@ def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def ccnet_buckets(ds):
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020 §4.3):
+    rank every document by the corpus-LM fluency proxy — mean corpus
+    frequency of its own tokens (``unigram_rarity``'s integers, as one
+    floored ppm per doc) — and cut the ranking into terciles. CCNet keeps
+    `head` (lowest perplexity ≈ highest mean token frequency here) as the
+    premium slice; `tail` is the first candidate for dropping.
+
+    Scale shape: the rarity pass is the guarded two-pass unigram_rarity;
+    the tercile cut is the ``pack_offsets`` discipline — ONE
+    range-partitioned sort of fixed-width (doc_id, freq_ppm) rows, per-
+    block counts to the driver (O(blocks) scalars), exclusive scan, ranks
+    and buckets finalized where the rows live. Ties break by doc_id.
+
+    Returns (doc_id, freq_ppm, rank, bucket) — rank 0-based in
+    (freq_ppm desc, doc_id asc) order; bucket ∈ {head, middle, tail} by
+    rank·3 < n / < 2n."""
+    import ray
+    import ray.data as rd
+
+    rarity = unigram_rarity(ds)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n_tokens"], np.int64)
+        s = np.asarray(batch["sum_token_freq"], np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "freq_ppm": pa.array(s * 1_000_000 // np.maximum(n, 1),
+                                 pa.int64()),
+        })
+
+    blocks = (rarity.map_batches(score, batch_format="pyarrow")
+              .sort(["freq_ppm", "doc_id"], descending=[True, False])
+              .to_arrow_refs())
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    rows = ray.get([_rows.remote(b) for b in blocks])
+    total = int(sum(rows))
+    offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
+
+    @ray.remote
+    def _finalize(t: pa.Table, off: int, n: int) -> pa.Table:
+        rank = np.arange(off, off + t.num_rows, dtype=np.int64)
+        bucket = np.where(rank * 3 < n, "head",
+                          np.where(rank * 3 < 2 * n, "middle", "tail"))
+        return pa.table({"doc_id": t["doc_id"], "freq_ppm": t["freq_ppm"],
+                         "rank": pa.array(rank),
+                         "bucket": pa.array(bucket.tolist(), pa.string())})
+
+    return rd.from_arrow_refs(
+        [_finalize.remote(b, int(o), total)
+         for b, o in zip(blocks, offsets)])
+
+
 def vocab_drift(old_ds, new_ds, n_parts: int | None = None):
     """Vocabulary drift between two crawl epochs: the tokens the NEW
     epoch introduces (present in new, absent from old) with their

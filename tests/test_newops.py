@@ -1886,3 +1886,22 @@ def test_corpus_report_hand_computed(ray_session):
     assert out.loc["b", "top_lang"] == "de" and out.loc["b", "n_langs"] == 2
     with pytest.raises(ValueError):
         corpus_report(ds, max_sources=1)
+
+
+def test_ccnet_buckets_terciles(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import ccnet_buckets
+
+    # 6 docs: 'the the' docs score highest (common token), 'zzz' lowest
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": ["the the", "the the", "the zzz", "aa bb", "aa cc", "zzz"],
+    })).repartition(3)
+    out = ccnet_buckets(ds).to_pandas().sort_values(
+        "rank").reset_index(drop=True)
+    assert out["rank"].tolist() == [0, 1, 2, 3, 4, 5]
+    # 'the' occurs 5x -> docs 1,2 ppm 5e6 (tie -> doc_id order)
+    assert out.loc[0, "doc_id"] == 1 and out.loc[1, "doc_id"] == 2
+    assert out.loc[0, "freq_ppm"] == 5_000_000
+    assert out["bucket"].tolist() == [
+        "head", "head", "middle", "middle", "tail", "tail"]
