@@ -1507,6 +1507,19 @@ def q_keyword_search(sf_dir: str):
                         KEYWORD_TERMS, k=10)
 
 
+def q_retrieval_eval(sf_dir: str):
+    """Retrieval eval harness (ops/index.retrieval_eval): per query term,
+    recall@10 and MRR of the tf ranking against the residue-planted gold
+    set (contains term ∧ doc_id%3==1 — relevance decorrelated from the
+    ranking signal, dense enough that hits@10 varies per term). One
+    term-keyed exchange; oracle restates ranking, gold rule and both
+    metrics in SQL."""
+    from raycrawl.ops.index import retrieval_eval
+
+    return retrieval_eval(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                          KEYWORD_TERMS, k=10, gold_residue=1, gold_mod=3)
+
+
 def q_export_manifest(sf_dir: str):
     """Resumable sharded export, verified by read-back: write documents as
     16 hash-sharded Parquet directories (shard = h32(md5(doc_id)) % 16, a
@@ -2653,6 +2666,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": q_vocab_drift,
         "corpus_report": q_corpus_report,
         "ccnet_buckets": q_ccnet_buckets,
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -4838,6 +4852,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rank * 3 < 2 * n THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM ranked, tot
+        """,
+        # retrieval_eval: tf ranking per term + the %7==3 gold plant;
+        # recall@10 and MRR restated with ROW_NUMBER + joins
+        "retrieval_eval": f"""
+            WITH tf AS (
+                SELECT w AS token, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY w, doc_id
+            ),
+            ranked AS (
+                SELECT token, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY token
+                                          ORDER BY tf DESC, doc_id) AS rnk
+                FROM tf
+            ),
+            gold AS (SELECT token, doc_id FROM tf WHERE doc_id % 3 = 1),
+            ng AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_gold
+                   FROM gold GROUP BY token),
+            h AS (
+                SELECT r.token, CAST(COUNT(*) AS BIGINT) AS hits,
+                       CAST(MIN(r.rnk) AS BIGINT) AS first_rank
+                FROM ranked r JOIN gold g
+                    ON g.token = r.token AND g.doc_id = r.doc_id
+                WHERE r.rnk <= 10 GROUP BY r.token
+            )
+            SELECT t.token AS term,
+                   coalesce(ng.n_gold, 0) AS n_gold,
+                   coalesce(h.hits, 0) AS hits,
+                   (coalesce(h.hits, 0) * 1000000)
+                       // GREATEST(coalesce(ng.n_gold, 0), 1) AS recall_ppm,
+                   CASE WHEN h.first_rank IS NULL THEN 0
+                        ELSE 1000000 // h.first_rank END AS mrr_ppm
+            FROM (SELECT DISTINCT token FROM tf) t
+            LEFT JOIN ng USING (token)
+            LEFT JOIN h USING (token)
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -254,6 +254,61 @@ def postings_merge(base, delta, deleted_ids=None, *,
     return merged.union(rd.from_arrow_refs(delta_live).select_columns(cols))
 
 
+def retrieval_eval(ds, terms: list[str], k: int = 10,
+                   gold_residue: int = 3, gold_mod: int = 7,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_parts: int | None = None):
+    """Retrieval-quality evaluation at corpus scale: per query term,
+    recall@k and MRR@k of the tf ranking against a gold relevance set —
+    the eval harness every retrieval stack needs before it ships (the
+    reference tunes its merger weights by hand, merger.py:32-43; this is
+    the measured alternative). Gold here is the deterministic plant
+    "contains the term AND doc_id % gold_mod == gold_residue" — relevance
+    decorrelated from the ranking signal, so the metrics are non-trivial
+    AND the whole evaluation is exactly restatable in SQL.
+
+    Scale shape: the postings scan keeps only the query terms (one
+    fixed-width (token, doc, tf) row per match), ONE term-keyed task hash
+    exchange ranks each term's matches and scores the metrics vectorized.
+    Returns one row per term with matches: ``(term, n_gold, hits,
+    recall_ppm, mrr_ppm)`` — hits = gold docs in the top-k, recall_ppm =
+    hits·10⁶ // max(n_gold, 1), mrr_ppm = 10⁶ // rank of the first gold
+    hit (0 when none)."""
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+    rows = term_doc_tf(ds, terms, id_col, text_col)
+
+    def per_term(pdf):
+        import pandas as pd
+
+        out_t, out_g, out_h, out_r, out_m = [], [], [], [], []
+        if len(pdf):
+            for term, g in pdf.groupby("token", sort=True):
+                g = g.sort_values(["tf", id_col],
+                                  ascending=[False, True])
+                ids = g[id_col].to_numpy(np.int64)
+                gold_mask = ids % gold_mod == gold_residue
+                n_gold = int(gold_mask.sum())
+                top_gold = gold_mask[:k]
+                hits = int(top_gold.sum())
+                first = (int(np.argmax(top_gold)) + 1
+                         if top_gold.any() else 0)
+                out_t.append(term)
+                out_g.append(n_gold)
+                out_h.append(hits)
+                out_r.append(hits * 1_000_000 // max(n_gold, 1))
+                out_m.append(1_000_000 // first if first else 0)
+        return pd.DataFrame({
+            "term": pd.Series(out_t, dtype="object"),
+            "n_gold": pd.Series(out_g, dtype="int64"),
+            "hits": pd.Series(out_h, dtype="int64"),
+            "recall_ppm": pd.Series(out_r, dtype="int64"),
+            "mrr_ppm": pd.Series(out_m, dtype="int64")})
+
+    return partitioned_apply(rows, ["token"], per_term, width)
+
+
 def positional_postings(ds, terms: list[str] | None = None,
                         id_col: str = "doc_id", text_col: str = "text"):
     """(token, doc_id, pos) rows — POSITIONAL postings, one row per

@@ -1905,3 +1905,27 @@ def test_ccnet_buckets_terciles(ray_session):
     assert out.loc[0, "freq_ppm"] == 5_000_000
     assert out["bucket"].tolist() == [
         "head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_retrieval_eval_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import retrieval_eval
+
+    # gold rule: doc_id % 7 == 3 -> only doc 3 here
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 14, 20, 99], pa.int64()),
+        "text": ["q q q", "q q", "q", "q", "other text"],
+    })).repartition(2)
+    out = retrieval_eval(ds, ["q"], k=2).to_pandas()
+    assert out["term"].tolist() == ["q"]
+    # ranking by tf desc, id asc: [5, 3, 14, 20]; top-2 = [5, 3]
+    # gold = {3} -> hit at rank 2
+    assert out["n_gold"].tolist() == [1]
+    assert out["hits"].tolist() == [1]
+    assert out["recall_ppm"].tolist() == [1_000_000]
+    assert out["mrr_ppm"].tolist() == [500_000]
+    # term with matches but no gold: recall 0, mrr 0
+    out2 = retrieval_eval(ds, ["other"], k=2).to_pandas()
+    assert out2["n_gold"].tolist() == [0]
+    assert out2["recall_ppm"].tolist() == [0]
+    assert out2["mrr_ppm"].tolist() == [0]
