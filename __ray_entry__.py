@@ -2383,9 +2383,9 @@ def q_dedup_containment(sf_dir: str):
     tbl = _docs_table(sf_dir).select(["doc_id", "text"])
     n = tbl.num_rows
     ids = tbl["doc_id"].to_pylist()
-    texts = tbl["text"].to_pylist()
+    texts = [(t or "") for t in tbl["text"].to_pylist()]
     qi = [d + n for d in ids if d % 10 == 7]
-    qt = [(t or "")[:60] for d, t in zip(ids, texts) if d % 10 == 7]
+    qt = [t[:60] for d, t in zip(ids, texts) if d % 10 == 7]
     planted = pa.table({
         "doc_id": pa.array(ids + qi, pa.int64()),
         "text": pa.array(texts + qt, pa.string()),

@@ -443,20 +443,20 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
                                text_col, n_parts, text_lookup=text_lookup)
 
 
-def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
-                      threshold_ppm: int = 500_000, block: int = 512,
-                      id_col: str = "doc_id", text_col: str = "text"):
-    """Exact k-gram Jaccard over ALL pairs, parallelized as block-pair tasks
-    over a broadcast corpus (texts shipped once via ray.put; each task
-    shingles only its two blocks). Quadratic by definition — this is the
-    small-corpus oracle kernel; the scale path is MinHash+LSH above.
-    Jaccard returned in integer ppm (floor) so the DuckDB oracle matches
-    bit-exactly. Returns a Dataset of (a, b, jaccard_ppm), a < b."""
+def _block_pair_scan(docs_tbl: pa.Table, shingle_k: int, block: int,
+                     id_col: str, text_col: str, emit_pair, out_cols):
+    """Shared quadratic block-pair kernel for the exact shingle-set pair
+    ops (``all_pairs_jaccard``, ``containment_pairs``): corpus broadcast
+    once via ``ray.put``, one task per block pair, shingle sets built per
+    block, and ``emit_pair(a_id, b_id, inter, set_a, set_b, out)`` called
+    for every candidate pair with a non-empty intersection (a < b block
+    order; out = dict of column lists named by ``out_cols``). Null texts
+    are treated as empty strings (the shipped corpora have none)."""
     import ray
     import ray.data as rd
 
     ids = docs_tbl[id_col].to_pylist()
-    texts = docs_tbl[text_col].to_pylist()
+    texts = [(t or "") for t in docs_tbl[text_col].to_pylist()]
     order = np.argsort(ids)
     ids = [ids[i] for i in order]
     texts = [texts[i] for i in order]
@@ -476,7 +476,7 @@ def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
                 for i in range(lo, hi)
             ]
 
-        out_a, out_b, out_j = [], [], []
+        out = {c: [] for c, _ in out_cols}
         for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
             lo_i, si = sets_for(bi)
             lo_j, sj = (lo_i, si) if bj == bi else sets_for(bj)
@@ -484,21 +484,34 @@ def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
                 y0 = x + 1 if bj == bi else 0
                 for y in range(y0, len(sj)):
                     inter = len(si[x] & sj[y])
-                    if not inter:
-                        continue
-                    union = len(si[x] | sj[y])
-                    ppm = inter * 1_000_000 // union
-                    if ppm >= threshold_ppm:
-                        out_a.append(all_ids[lo_i + x])
-                        out_b.append(all_ids[lo_j + y])
-                        out_j.append(ppm)
-        return pa.table(
-            {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-             "jaccard_ppm": pa.array(out_j, pa.int64())}
-        )
+                    if inter:
+                        emit_pair(all_ids[lo_i + x], all_ids[lo_j + y],
+                                  inter, si[x], sj[y], out)
+        return pa.table({c: pa.array(out[c], t) for c, t in out_cols})
 
     return rd.from_items(tasks).map_batches(run_block, batch_format="pyarrow",
                                             batch_size=1)
+
+
+def all_pairs_jaccard(docs_tbl: pa.Table, shingle_k: int = 5,
+                      threshold_ppm: int = 500_000, block: int = 512,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Exact k-gram Jaccard over ALL pairs, parallelized as block-pair tasks
+    over a broadcast corpus (texts shipped once via ray.put; each task
+    shingles only its two blocks). Quadratic by definition — this is the
+    small-corpus oracle kernel; the scale path is MinHash+LSH above.
+    Jaccard returned in integer ppm (floor) so the DuckDB oracle matches
+    bit-exactly. Returns a Dataset of (a, b, jaccard_ppm), a < b."""
+    def emit(a_id, b_id, inter, sa, sb, out):
+        ppm = inter * 1_000_000 // (len(sa) + len(sb) - inter)
+        if ppm >= threshold_ppm:
+            out["a"].append(a_id)
+            out["b"].append(b_id)
+            out["jaccard_ppm"].append(ppm)
+
+    return _block_pair_scan(docs_tbl, shingle_k, block, id_col, text_col,
+                            emit, [("a", pa.int64()), ("b", pa.int64()),
+                                   ("jaccard_ppm", pa.int64())])
 
 
 def containment_pairs(docs_tbl: pa.Table, shingle_k: int = 5,
@@ -515,60 +528,22 @@ def containment_pairs(docs_tbl: pa.Table, shingle_k: int = 5,
     ppm = |∩|·10⁶ // |S_src| (floor — the DuckDB oracle matches
     bit-exactly).
 
-    Same block-pair-task parallelization as ``all_pairs_jaccard``
-    (quadratic by definition — the small-corpus oracle kernel; the scale
-    path reuses the MinHash/LSH candidate machinery with the per-doc
-    shingle-size join replacing the union denominator)."""
-    import ray
-    import ray.data as rd
+    Same block-pair-task kernel as ``all_pairs_jaccard`` (shared
+    ``_block_pair_scan``; quadratic by definition — the small-corpus
+    oracle kernel; the scale path reuses the MinHash/LSH candidate
+    machinery with the per-doc shingle-size join replacing the union
+    denominator)."""
+    def emit(a_id, b_id, inter, sa, sb, out):
+        for s_id, d_id, s_set in ((a_id, b_id, sa), (b_id, a_id, sb)):
+            ppm = inter * 1_000_000 // len(s_set)
+            if ppm >= threshold_ppm:
+                out["src"].append(s_id)
+                out["dst"].append(d_id)
+                out["containment_ppm"].append(ppm)
 
-    ids = docs_tbl[id_col].to_pylist()
-    texts = docs_tbl[text_col].to_pylist()
-    order = np.argsort(ids)
-    ids = [ids[i] for i in order]
-    texts = [texts[i] for i in order]
-    corpus_ref = ray.put((ids, texts))
-    n = len(ids)
-    nb = (n + block - 1) // block
-    tasks = [{"bi": bi, "bj": bj} for bi in range(nb) for bj in range(bi, nb)]
-
-    def run_block(batch: pa.Table) -> pa.Table:
-        all_ids, all_texts = ray.get(corpus_ref)
-
-        def sets_for(b):
-            lo, hi = b * block, min((b + 1) * block, n)
-            return lo, [
-                {all_texts[i][j: j + shingle_k]
-                 for j in range(max(len(all_texts[i]) - shingle_k + 1, 1))}
-                for i in range(lo, hi)
-            ]
-
-        out_s, out_d, out_c = [], [], []
-        for bi, bj in zip(batch["bi"].to_pylist(), batch["bj"].to_pylist()):
-            lo_i, si = sets_for(bi)
-            lo_j, sj = (lo_i, si) if bj == bi else sets_for(bj)
-            for x in range(len(si)):
-                y0 = x + 1 if bj == bi else 0
-                for y in range(y0, len(sj)):
-                    inter = len(si[x] & sj[y])
-                    if not inter:
-                        continue
-                    a_id, b_id = all_ids[lo_i + x], all_ids[lo_j + y]
-                    for s_id, d_id, s_set in ((a_id, b_id, si[x]),
-                                              (b_id, a_id, sj[y])):
-                        ppm = inter * 1_000_000 // len(s_set)
-                        if ppm >= threshold_ppm:
-                            out_s.append(s_id)
-                            out_d.append(d_id)
-                            out_c.append(ppm)
-        return pa.table(
-            {"src": pa.array(out_s, pa.int64()),
-             "dst": pa.array(out_d, pa.int64()),
-             "containment_ppm": pa.array(out_c, pa.int64())}
-        )
-
-    return rd.from_items(tasks).map_batches(run_block, batch_format="pyarrow",
-                                            batch_size=1)
+    return _block_pair_scan(docs_tbl, shingle_k, block, id_col, text_col,
+                            emit, [("src", pa.int64()), ("dst", pa.int64()),
+                                   ("containment_ppm", pa.int64())])
 
 
 def simhash64(text: str) -> int:
@@ -812,7 +787,10 @@ def semantic_dedup(ds, n_centroids: int = 16, iters: int = 2,
             emb_col: batch[emb_col],
         })
 
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    # pin the assignment once: both the pair pass and the slim/label join
+    # read it — without this the read+plant+assign matmul lineage would
+    # execute twice (the compact_epochs block-pinning discipline)
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
 
     def cell_pairs(gdf):
         import pandas as pd

@@ -340,11 +340,12 @@ def resolve_redirects(redirects_ds, rounds: int = 6,
                               empty_schema=empty)
 
     # resolved ⇔ the landing node has no outgoing redirect
-    srcs = P.map_batches(
-        lambda b: pa.table({"dst": pc.unique(b["src"]),
-                            "_has_out": pa.array(
-                                [1] * len(pc.unique(b["src"])), pa.int64())}),
-        batch_format="pyarrow")
+    def out_markers(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["src"])
+        return pa.table({"dst": u,
+                         "_has_out": pa.array([1] * len(u), pa.int64())})
+
+    srcs = P.map_batches(out_markers, batch_format="pyarrow")
     j = P.join(srcs, join_type="left_outer", num_partitions=width,
                on=("dst",))
 

@@ -275,12 +275,17 @@ def corpus_report(docs_ds, *, source_col: str = "source",
                 .aggregate(Sum("n", alias_name="n"),
                            Sum("chars", alias_name="chars")))
 
-    rows = partials.take(max_sources + 1)
-    if len(rows) > max_sources:
+    # one 'vol' row per source plus one 'lang' row per (source, lang)
+    # group — guard each quantity separately so the error names the one
+    # that actually overflowed
+    rows = partials.take(2 * max_sources + 2)
+    n_vol = sum(1 for r in rows if r["kind"] == "vol")
+    n_lang = len(rows) - n_vol
+    if n_vol > max_sources or n_lang > max_sources:
+        kind = "sources" if n_vol > max_sources else "(source, lang) groups"
         raise ValueError(
-            f"corpus_report: >{max_sources} (source, lang) groups; this "
-            "report assembles driver-side — raise max_sources only if it "
-            "truly fits")
+            f"corpus_report: >{max_sources} {kind}; this report assembles "
+            "driver-side — raise max_sources only if it truly fits")
     d_rows = distinct.take(max_sources + 1)
 
     n_docs, total_chars, lang_counts = {}, {}, {}

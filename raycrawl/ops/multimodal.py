@@ -128,6 +128,10 @@ def frame_sample_plan(ds, fps: int = 25, max_frames: int = 8,
                                   batch["duration_ms"].to_pylist()):
             if kind == "image":
                 emit(mid, kind, 0, 0, 0)
+            elif dur is None or dur <= 0:
+                # unknown/zero duration: nothing can be planned — emit no
+                # items rather than crash (MEDIA_SCHEMA allows null)
+                continue
             elif kind == "audio":
                 n = (dur + seg_ms - 1) // seg_ms
                 for k in range(n):
@@ -135,6 +139,8 @@ def frame_sample_plan(ds, fps: int = 25, max_frames: int = 8,
                          min((k + 1) * seg_ms, dur))
             else:  # video
                 total = dur * fps // 1000
+                if total <= 0:  # clip shorter than one frame interval
+                    continue
                 stride = (total + max_frames - 1) // max_frames
                 n = (total + stride - 1) // stride
                 for k in range(n):

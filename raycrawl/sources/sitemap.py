@@ -72,10 +72,12 @@ def expand_sitemap_tree(fetch, root_url: str, max_sitemaps: int = 10_000):
     list of (url, lastmod) page entries across all leaf urlsets, in
     discovery order. ``max_sitemaps`` guards index cycles / bombs —
     exceeding it raises rather than silently truncating."""
-    seen, queue, out = set(), [root_url], []
+    from collections import deque
+
+    seen, queue, out = set(), deque([root_url]), []
     fetched = 0
     while queue:
-        sm_url = queue.pop(0)
+        sm_url = queue.popleft()
         if sm_url in seen:
             continue
         seen.add(sm_url)

@@ -1929,3 +1929,24 @@ def test_retrieval_eval_hand_computed(ray_session):
     assert out2["n_gold"].tolist() == [0]
     assert out2["recall_ppm"].tolist() == [0]
     assert out2["mrr_ppm"].tolist() == [0]
+
+
+def test_frame_sample_plan_degenerate_durations(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        # sub-frame-interval video (30 ms @ 25fps -> 0 frames) and a
+        # null-duration video: both plan nothing instead of crashing
+        {"media_id": 1, "kind": "video", "payload": b"x", "mime": "v",
+         "width": 1, "height": 1, "duration_ms": 30},
+        {"media_id": 2, "kind": "video", "payload": b"x", "mime": "v",
+         "width": 1, "height": 1, "duration_ms": None},
+        {"media_id": 3, "kind": "audio", "payload": b"x", "mime": "a",
+         "width": None, "height": None, "duration_ms": None},
+        {"media_id": 4, "kind": "image", "payload": b"x", "mime": "i",
+         "width": 1, "height": 1, "duration_ms": None},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = frame_sample_plan(ds).to_pandas()
+    assert out["media_id"].tolist() == [4]
