@@ -1507,6 +1507,29 @@ def q_keyword_search(sf_dir: str):
                         KEYWORD_TERMS, k=10)
 
 
+def q_df_histogram(sf_dir: str):
+    """Postings-length profile (ops/index.df_histogram): document
+    frequencies bucketed by floor(log2(df)) with token and posting counts
+    per bucket — the head-vs-tail index-planning profile. Oracle:
+    length(bin(df)) - 1 is the same integer log2."""
+    from raycrawl.ops.index import df_histogram
+
+    return df_histogram(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic contrastive negatives (ops/sampling.negative_samples):
+    4 hash-drawn partner ids per anchor, self-collisions bumped by one —
+    a pure row property (partition/rerun stable). Oracle restates the md5
+    draw and the collision bump in SQL."""
+    from raycrawl.ops.sampling import negative_samples
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return negative_samples(_read_ds(sf_dir, "documents", ["doc_id"]),
+                            n_docs=n, k=4)
+
+
 def q_retrieval_eval(sf_dir: str):
     """Retrieval eval harness (ops/index.retrieval_eval): per query term,
     recall@10 and MRR of the tf ranking against the residue-planted gold
@@ -2667,6 +2690,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q_corpus_report,
         "ccnet_buckets": q_ccnet_buckets,
         "retrieval_eval": q_retrieval_eval,
+        "df_histogram": q_df_histogram,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -4889,6 +4914,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT token FROM tf) t
             LEFT JOIN ng USING (token)
             LEFT JOIN h USING (token)
+        """,
+        # df_histogram: floor(log2(df)) via bit length; df >= 1 always
+        "df_histogram": """
+            WITH df AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM (
+                    SELECT DISTINCT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+                GROUP BY token
+            )
+            SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(df) AS BIGINT) AS n_postings
+            FROM df GROUP BY 1
+        """,
+        # negative_samples: the md5 draw + self-collision bump
+        "negative_samples": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+                SELECT d.doc_id, s.s AS neg_idx,
+                       CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || ':'
+                                               || CAST(s.s AS VARCHAR)),
+                                           1, 8) AS BIGINT) % n.n AS r,
+                       n.n AS n
+                FROM documents d
+                CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS s) s
+                CROSS JOIN n
+            )
+            SELECT doc_id, neg_idx,
+                   CASE WHEN r = doc_id THEN (r + 1) % n ELSE r END
+                       AS neg_id
+            FROM raw
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -309,6 +309,45 @@ def retrieval_eval(ds, terms: list[str], k: int = 10,
     return partitioned_apply(rows, ["token"], per_term, width)
 
 
+def df_histogram(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Postings-list length distribution: document frequencies bucketed by
+    power of two — ``bucket = floor(log2(df))`` — with token and posting
+    counts per bucket. This is the index-planning profile (how much of
+    the index is head terms vs the long tail) that sizes shard counts and
+    caching for the sink the reference pushes into blindly
+    (crawler.py:682-758). Scale shape: the postings build's per-batch
+    partials → token groupby for df → per-batch bucket partials → a
+    ≤64-row groupby. Returns (bucket, n_tokens, n_postings), bucket
+    ascending-sortable int64."""
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, ns = [], []
+        for t in batch[text_col].to_pylist():
+            for tok in set((t or "").split(" ")):
+                toks.append(tok)
+                ns.append(1)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "df": pa.array(ns, pa.int64())})
+
+    df = (ds.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["df"], np.int64)
+        # floor(log2(df)) == bit_length - 1, integer-exact (df >= 1)
+        bucket = np.array([int(x).bit_length() - 1 for x in d.tolist()],
+                          np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "n_tokens": pa.array(np.ones(len(d), np.int64)),
+                         "n_postings": pa.array(d)})
+
+    return (df.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_postings", alias_name="n_postings")))
+
+
 def positional_postings(ds, terms: list[str] | None = None,
                         id_col: str = "doc_id", text_col: str = "text"):
     """(token, doc_id, pos) rows — POSITIONAL postings, one row per

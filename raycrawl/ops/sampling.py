@@ -207,3 +207,27 @@ def temperature_flatten_sample(ds, *, key_col: str = "source",
         return batch.select([key_col, id_col]).filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def negative_samples(ds, n_docs: int, k: int = 4, id_col: str = "doc_id"):
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets ``k`` pseudo-random partner ids drawn by hash —
+    ``neg = h32(md5('{id}:{i}')) % n_docs``, bumped to ``(neg+1) % n_docs``
+    when it collides with the anchor. Contrastive objectives (CLIP-style /
+    in-batch-negatives alternatives) need negatives that are reproducible
+    across reruns, cluster sizes and partitionings; hash draws are a pure
+    row property, so this is a shuffle-free flat-map (same discipline as
+    the hash samplers above). Returns (doc_id, neg_idx, neg_id)."""
+    def draw(batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, neg_out = [], [], []
+        for d in batch[id_col].to_pylist():
+            for i in range(k):
+                raw = _h32(f"{d}:{i}") % n_docs
+                ids_out.append(d)
+                idx_out.append(i)
+                neg_out.append((raw + 1) % n_docs if raw == d else raw)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "neg_idx": pa.array(idx_out, pa.int64()),
+                         "neg_id": pa.array(neg_out, pa.int64())})
+
+    return ds.map_batches(draw, batch_format="pyarrow")

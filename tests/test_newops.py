@@ -1950,3 +1950,39 @@ def test_frame_sample_plan_degenerate_durations(ray_session):
     ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
     out = frame_sample_plan(ds).to_pandas()
     assert out["media_id"].tolist() == [4]
+
+
+def test_df_histogram_buckets(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import df_histogram
+
+    # 'a' in 5 docs (bucket 2), 'b' in 2 (bucket 1), 'c'/'d' in 1 (bucket 0)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["a b c", "a b", "a", "a d", "a a a"],
+    })).repartition(2)
+    out = df_histogram(ds).to_pandas().sort_values(
+        "bucket").reset_index(drop=True)
+    assert out["bucket"].tolist() == [0, 1, 2]
+    assert out["n_tokens"].tolist() == [2, 1, 1]     # {c,d}, {b}, {a}
+    assert out["n_postings"].tolist() == [2, 2, 5]   # df sums per bucket
+
+
+def test_negative_samples_deterministic_and_self_free(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.sampling import negative_samples
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64())})).repartition(4)
+    out = negative_samples(ds, n_docs=20, k=3).to_pandas()
+    assert len(out) == 60
+    # never the anchor itself, always in range
+    assert (out["neg_id"] != out["doc_id"]).all()
+    assert out["neg_id"].between(0, 19).all()
+    # pure row property: same draws regardless of partitioning
+    out2 = negative_samples(ds.repartition(1), n_docs=20, k=3).to_pandas()
+    key = ["doc_id", "neg_idx"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True))
