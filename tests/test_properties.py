@@ -77,9 +77,17 @@ def test_surt_key_idempotent_casefold(url):
 def test_clean_text_laws(s):
     out = clean_text(s, max_length=100)
     assert len(out) <= 100
-    assert "  " not in out            # whitespace collapsed
     assert out == out.strip()
-    assert clean_text(out, max_length=100) == out  # idempotent
+    # The reference collapses whitespace BEFORE stripping control chars
+    # (crawler.py:594-601), so an input like '0\r\x08 0' legitimately
+    # cleans to '0  0' — the collapse/idempotence laws hold only for
+    # inputs without control characters outside \r\n\t (the quirk is
+    # reproduced faithfully; see extract.clean_text).
+    has_ctrl = any(ord(c) < 32 and c not in "\r\n\t" or 127 <= ord(c) < 160
+                   for c in s)
+    if not has_ctrl:
+        assert "  " not in out        # whitespace collapsed
+        assert clean_text(out, max_length=100) == out  # idempotent
 
 
 @settings(max_examples=200, deadline=None)
