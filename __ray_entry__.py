@@ -674,6 +674,28 @@ def q_events_hourly(sf_dir: str):
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_events_hourly_users(sf_dir: str):
+    """Distinct users per hour (ops/windows.hourly_distinct_users) — the
+    COUNT(DISTINCT) window variant: exact distributed distinct via
+    (bucket, user) partials, never a Sum of partial counts."""
+    from raycrawl.ops.windows import hourly_distinct_users
+
+    return hourly_distinct_users(
+        _read_ds(sf_dir, "events", ["ts", "user_id"]))
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered click→purchase funnel within 1 day of each user's FIRST
+    click (ops/windows.ordered_funnel): fixed-width two-type reduction,
+    one user-keyed exchange, vectorized window test. Oracle: MIN(ts) +
+    EXISTS with exact microsecond interval arithmetic."""
+    from raycrawl.ops.windows import ordered_funnel
+
+    return ordered_funnel(
+        _read_ds(sf_dir, "events", ["ts", "user_id", "event_type"]),
+        "click", "purchase", within_s=86_400)
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping) windows: 1 h windows every 30 min per
     event_type — each event counted in 2 windows."""
@@ -2692,6 +2714,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval": q_retrieval_eval,
         "df_histogram": q_df_histogram,
         "negative_samples": q_negative_samples,
+        "events_hourly_users": q_events_hourly_users,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -4947,6 +4971,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r = doc_id THEN (r + 1) % n ELSE r END
                        AS neg_id
             FROM raw
+        """,
+        # events_hourly_users: exact distinct users per hour bucket
+        "events_hourly_users": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        # events_funnel: first click per user + EXISTS purchase within
+        # one day (exact microsecond arithmetic both sides)
+        "events_funnel": """
+            WITH a AS (
+                SELECT user_id, MIN(ts) AS ta FROM events
+                WHERE event_type = 'click' GROUP BY user_id
+            )
+            SELECT a.user_id,
+                   epoch_us(a.ta) // 1000000 AS first_ts_s,
+                   CAST(CASE WHEN EXISTS (
+                       SELECT 1 FROM events e
+                       WHERE e.user_id = a.user_id
+                         AND e.event_type = 'purchase'
+                         AND e.ts > a.ta
+                         AND epoch_us(e.ts)
+                             <= epoch_us(a.ta) + 86400000000)
+                        THEN 1 ELSE 0 END AS BIGINT) AS converted
+            FROM a
         """,
     }
     # identical semantics, different physical join plan — same oracle

@@ -123,6 +123,93 @@ def topk_users_by_value(ds, k: int = 10):
     return agg.sort(["total_value", "user_id"], descending=[True, False]).limit(k)
 
 
+def hourly_distinct_users(ds, window: str = "1h"):
+    """Distinct users per tumbling window — the COUNT(DISTINCT) sibling of
+    ``tumbling_agg`` (a Sum of partials is NOT a distinct count; this is
+    the exact distributed shape): per-batch DISTINCT (bucket, user) rows →
+    (bucket, user) groupby collapses cross-batch duplicates → per-batch 1s
+    → a #buckets-row Sum groupby. The shuffle moves one row per
+    (bucket, user) per batch it appears in, never per event. Returns
+    (bucket_ts string, n_users)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket_ts"] = df["ts"].dt.floor(window)
+        g = df[["bucket_ts", "user_id"]].drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["bucket_ts", "user_id"]).count())
+
+    def ones(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "bucket_ts": pa.array(
+                df["bucket_ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                pa.string()),
+            "n_users": pa.array([1] * len(df), pa.int64()),
+        })
+
+    return (pairs.map_batches(ones, batch_format="pyarrow")
+            .groupby("bucket_ts")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def ordered_funnel(ds, first_type: str, then_type: str, within_s: int,
+                   n_parts: int | None = None):
+    """Ordered two-step funnel: for every user with a ``first_type``
+    event, did a ``then_type`` event follow within ``within_s`` seconds
+    of their FIRST one? The conversion query behind every product
+    analytics stack — and an ordered-sequence detector the engine's
+    session/window family otherwise lacks.
+
+    Scale shape: events reduce in-block to fixed-width
+    (user, is_first, ts) rows for the two step types only; ONE user-keyed
+    task hash exchange evaluates the window vectorized per user. Returns
+    one row per user with a first-step event: ``(user_id, first_ts_s,
+    converted)`` — first_ts_s = epoch seconds of their earliest
+    first_type event, converted ∈ {0, 1} (strictly-later then-event with
+    ts ≤ first + within)."""
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["event_type"].isin([first_type, then_type])]
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "user_id": pa.array(df["user_id"].astype("int64")),
+            "is_first": pa.array(
+                (df["event_type"] == first_type).astype("int64")),
+            "ts_us": pa.array(ts_us),  # epoch micros
+        })
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+
+    def per_user(pdf):
+        out_u, out_t, out_c = [], [], []
+        if len(pdf):
+            for uid, g in pdf.groupby("user_id", sort=True):
+                firsts = g.loc[g["is_first"] == 1, "ts_us"]
+                if not len(firsts):
+                    continue
+                t0 = int(firsts.min())
+                thens = g.loc[g["is_first"] == 0, "ts_us"].to_numpy()
+                conv = bool(((thens > t0)
+                             & (thens <= t0 + within_s * 1_000_000)).any())
+                out_u.append(uid)
+                out_t.append(t0 // 1_000_000)
+                out_c.append(int(conv))
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "first_ts_s": pd.Series(out_t, dtype="int64"),
+            "converted": pd.Series(out_c, dtype="int64")})
+
+    return partitioned_apply(rows, ["user_id"], per_user, width)
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -1986,3 +1986,43 @@ def test_negative_samples_deterministic_and_self_free(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(key).reset_index(drop=True),
         out2.sort_values(key).reset_index(drop=True))
+
+
+def test_ordered_funnel_window_edges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.windows import ordered_funnel
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(uid, etype, offset_s):
+        return {"event_id": uid * 100 + offset_s % 97, "user_id": uid,
+                "event_type": etype,
+                "ts": base + pd.Timedelta(seconds=offset_s)}
+
+    rows = [
+        # user 1: purchase exactly AT the window edge (inclusive)
+        ev(1, "click", 0), ev(1, "purchase", 60),
+        # user 2: purchase 1s past the window -> not converted
+        ev(2, "click", 0), ev(2, "purchase", 61),
+        # user 3: purchase BEFORE the click -> not converted
+        ev(3, "purchase", 0), ev(3, "click", 10),
+        # user 4: clicks only, never purchases
+        ev(4, "click", 5),
+        # user 5: purchase at the SAME instant as the click (strict >)
+        ev(5, "click", 7), ev(5, "purchase", 7),
+        # user 6: purchases but never clicks -> no row at all
+        ev(6, "purchase", 3),
+        # user 7: second click converts but the FIRST one anchors
+        ev(7, "click", 0), ev(7, "click", 500), ev(7, "purchase", 550),
+    ]
+    import pandas as _pd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        _pd.DataFrame(rows), preserve_index=False)).repartition(3)
+    out = ordered_funnel(ds, "click", "purchase",
+                         within_s=60).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2, 3, 4, 5, 7]
+    assert out["converted"].tolist() == [1, 0, 0, 0, 0, 0]
+    assert out.loc[0, "first_ts_s"] == int(base.timestamp())
