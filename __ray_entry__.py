@@ -342,6 +342,45 @@ def q_minhash_sig(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_minhash_refresh(sf_dir: str):
+    """Incremental signature maintenance (ops/dedup.minhash_refresh):
+    epoch 2 modifies every %7==3 doc's text; the epoch-1 signature store
+    is planted with a +7 marker per cell, so reused cells are observably
+    DIFFERENT from what a recompute would produce. One hash join carries
+    the current text; the oracle replays kernel + plant + reuse rule."""
+    from raycrawl.ops.dedup import (_md5_doc_sigs, minhash_coeffs,
+                                    minhash_refresh)
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    a, b = minhash_coeffs()
+
+    def prev_store(batch: pa.Table) -> pa.Table:
+        ids_out, h_out, s_out = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            sig = _md5_doc_sigs(t, a, b, 5) + 7  # reuse marker
+            ids_out.append(d)
+            h_out.append(hashlib.md5(t.encode()).hexdigest())
+            s_out.append(sig.astype("<i8").tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "prev_hash": pa.array(h_out, pa.string()),
+            "prev_sigs": pa.array(s_out, pa.binary(16 * 8)),
+        })
+
+    def epoch2(batch: pa.Table) -> pa.Table:
+        out = [(t or "") + " [rev2]" if d % 7 == 3 else (t or "")
+               for d, t in zip(batch["doc_id"].to_pylist(),
+                               batch["text"].to_pylist())]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    prev = docs.map_batches(prev_store, batch_format="pyarrow")
+    cur = docs.map_batches(epoch2, batch_format="pyarrow")
+    return minhash_refresh(cur, prev)
+
+
 def q_simhash_sig(sf_dir: str):
     """Bit-exact SimHash kernel (ops/dedup.simhash_chunks_md5) — the
     exactly-gated sibling of the crc32 simhash_batch: md5_number_lower
@@ -2716,6 +2755,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "negative_samples": q_negative_samples,
         "events_hourly_users": q_events_hourly_users,
         "events_funnel": q_events_funnel,
+        "minhash_refresh": q_minhash_refresh,
     }
 
 
@@ -5223,6 +5263,42 @@ def oracle_sql() -> dict[str, str]:
                MIN((a * x + b) % 2305843009213693951) AS sig
         FROM xs CROSS JOIN perms
         GROUP BY doc_id, p
+    """
+    # minhash_refresh: the recrawl plant (modified text for %7==3 docs)
+    # + the same signature kernel, with reused docs carrying the +7
+    # marker their STORED epoch-1 signatures were planted with — a
+    # recompute would lose it, so the reuse decision itself is gated
+    sql["minhash_refresh"] = f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN coalesce(text, '') || ' [rev2]'
+                        ELSE coalesce(text, '') END AS t,
+                   CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 7 END AS marker,
+                   CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END
+                        AS BIGINT) AS reused
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, substr(t, CAST(i + 1 AS INT), 5) AS g
+            FROM docs, unnest(range(length(t) - 4)) u(i)
+            WHERE length(t) >= 5
+            UNION ALL
+            SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
+        ),
+        xs AS (
+            SELECT DISTINCT doc_id,
+                   CAST(md5_number_lower(g) & 2147483647 AS BIGINT) AS x
+            FROM grams
+        ),
+        perms(p, a, b) AS (
+            VALUES {_perm_rows}
+        )
+        SELECT x2.doc_id, p AS perm,
+               MIN((a * x + b) % 2305843009213693951) + d.marker AS sig,
+               d.reused
+        FROM xs x2 CROSS JOIN perms JOIN docs d ON d.doc_id = x2.doc_id
+        GROUP BY x2.doc_id, p, d.marker, d.reused
     """
     # simhash_sig: md5 SimHash chunks replayed bit-for-bit — every token
     # OCCURRENCE contributes ±1 per bit position (string_split keeps

@@ -1009,24 +1009,103 @@ def minhash_signatures_md5(ds, num_perm: int = 16, shingle_k: int = 5,
         perms = np.arange(num_perm, dtype=np.int64)
         for d, t in zip(batch[id_col].to_pylist(),
                         batch[text_col].to_pylist()):
-            t = t or ""
-            if len(t) < shingle_k:
-                grams = {t}
-            else:
-                grams = {t[i: i + shingle_k]
-                         for i in range(len(t) - shingle_k + 1)}
-            xs = np.fromiter(
-                {_md5_lower64(g) & 0x7FFFFFFF for g in grams},
-                dtype=np.int64)
-            sig = (xs[None, :] * a[:, None] + b[:, None]) % MERSENNE
+            sig = _md5_doc_sigs(t or "", a, b, shingle_k)
             out_id.extend([d] * num_perm)
             out_p.extend(perms.tolist())
-            out_s.extend(sig.min(axis=1).tolist())
+            out_s.extend(sig.tolist())
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "perm": pa.array(out_p, pa.int64()),
                          "sig": pa.array(out_s, pa.int64())})
 
     return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def _md5_doc_sigs(t: str, a: np.ndarray, b: np.ndarray,
+                  shingle_k: int) -> np.ndarray:
+    """One doc's md5 MinHash signature vector (the per-doc core of
+    ``minhash_signatures_md5``, shared with ``minhash_refresh``)."""
+    if len(t) < shingle_k:
+        grams = {t}
+    else:
+        grams = {t[i: i + shingle_k]
+                 for i in range(len(t) - shingle_k + 1)}
+    xs = np.fromiter({_md5_lower64(g) & 0x7FFFFFFF for g in grams},
+                     dtype=np.int64)
+    return ((xs[None, :] * a[:, None] + b[:, None]) % MERSENNE).min(axis=1)
+
+
+def minhash_refresh(current_ds, prev_ds, num_perm: int = 16,
+                    shingle_k: int = 5, seed: int = 7,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_parts: int | None = None):
+    """Incremental MinHash signature maintenance for a recrawl epoch:
+    documents whose text is UNCHANGED vs the previous epoch REUSE their
+    stored signature vector (the shingle/md5 kernel is bypassed); only
+    modified/new docs resign. The dedup-index sibling of
+    ``embeddings.embed_refresh`` — at 100 TB a recrawl touches a few
+    percent, so signature maintenance is sign-the-diff, never
+    resign-everything (with ``index.postings_merge`` and
+    ``recrawl.epoch_diff`` this completes the incremental-maintenance
+    family).
+
+    ``prev_ds``: one row per previously-signed doc —
+    ``(id_col, prev_hash md5-hex of the previous text, prev_sigs
+    fixed_size_binary(num_perm·8, little-endian int64 cells))``; binary
+    packing because Acero joins reject list payloads (the embed_refresh
+    discipline). The current epoch's text crosses ONE partitioned hash
+    join; the per-row decision (md5 match → unpack, else recompute) runs
+    in-block.
+
+    Returns EXPLODED ``(doc_id, perm, sig, reused)`` rows (reused ∈
+    {0, 1}) so an oracle can gate every signature cell AND the reuse
+    decision — reuse is observable when the stored signatures carry a
+    marker a recompute would lose."""
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    a, b = minhash_coeffs(num_perm, seed)
+
+    cur = current_ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col].cast(pa.int64()),
+                            text_col: t[text_col]}),
+        batch_format="pyarrow")
+    prev = drop_empty_blocks(
+        prev_ds, empty_schema=pa.schema(
+            [(id_col, pa.int64()), ("prev_hash", pa.string()),
+             ("prev_sigs", pa.binary(num_perm * 8))]))
+    j = cur.join(prev, join_type="left_outer", num_partitions=width,
+                 on=(id_col,))
+
+    def decide(batch: pa.Table) -> pa.Table:
+        out_id, out_p, out_s, out_r = [], [], [], []
+        perms = list(range(num_perm))
+        prev_hashes = (batch["prev_hash"].to_pylist()
+                       if "prev_hash" in batch.column_names
+                       else [None] * batch.num_rows)
+        prev_sigs = (batch["prev_sigs"].to_pylist()
+                     if "prev_sigs" in batch.column_names
+                     else [None] * batch.num_rows)
+        for d, t, ph, ps in zip(batch[id_col].to_pylist(),
+                                batch[text_col].to_pylist(),
+                                prev_hashes, prev_sigs):
+            t = t or ""
+            h = hashlib.md5(t.encode()).hexdigest()
+            if ph == h and ps is not None:
+                sig = np.frombuffer(ps, dtype="<i8")
+                reused = 1
+            else:
+                sig = _md5_doc_sigs(t, a, b, shingle_k)
+                reused = 0
+            out_id.extend([d] * num_perm)
+            out_p.extend(perms)
+            out_s.extend(sig.tolist())
+            out_r.extend([reused] * num_perm)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "perm": pa.array(out_p, pa.int64()),
+                         "sig": pa.array(out_s, pa.int64()),
+                         "reused": pa.array(out_r, pa.int64())})
+
+    return j.map_batches(decide, batch_format="pyarrow")
 
 
 def simhash_chunks_md5(ds, id_col: str = "doc_id", text_col: str = "text"):

@@ -2026,3 +2026,44 @@ def test_ordered_funnel_window_edges(ray_session):
     assert out["user_id"].tolist() == [1, 2, 3, 4, 5, 7]
     assert out["converted"].tolist() == [1, 0, 0, 0, 0, 0]
     assert out.loc[0, "first_ts_s"] == int(base.timestamp())
+
+
+def test_minhash_refresh_reuses_and_resigs(ray_session):
+    import hashlib
+
+    import ray.data as rd
+    from raycrawl.ops.dedup import (_md5_doc_sigs, minhash_coeffs,
+                                    minhash_refresh)
+
+    a, b = minhash_coeffs()
+
+    def store_row(d, text, poison=0):
+        sig = _md5_doc_sigs(text, a, b, 5) + poison
+        return {"doc_id": d,
+                "prev_hash": hashlib.md5(text.encode()).hexdigest(),
+                "prev_sigs": sig.astype("<i8").tobytes()}
+
+    prev = rd.from_arrow(pa.Table.from_pylist([
+        store_row(1, "unchanged document text", poison=99),
+        store_row(2, "old text before the edit"),
+    ], schema=pa.schema([("doc_id", pa.int64()),
+                         ("prev_hash", pa.string()),
+                         ("prev_sigs", pa.binary(128))])))
+    cur = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["unchanged document text",       # hash hit -> reuse
+                 "new text after the edit",        # hash miss -> resign
+                 "brand new doc"],                 # no prev row -> resign
+    })).repartition(2)
+    out = minhash_refresh(cur, prev).to_pandas()
+    by = {(r.doc_id, r.perm): r for r in out.itertuples()}
+    assert len(out) == 48
+    # doc 1 reused: the poisoned store survives verbatim (kernel bypassed)
+    want1 = _md5_doc_sigs("unchanged document text", a, b, 5) + 99
+    assert [by[(1, p)].sig for p in range(16)] == want1.tolist()
+    assert all(by[(1, p)].reused == 1 for p in range(16))
+    # docs 2 and 3 resigned from their current text
+    want2 = _md5_doc_sigs("new text after the edit", a, b, 5)
+    assert [by[(2, p)].sig for p in range(16)] == want2.tolist()
+    assert all(by[(2, p)].reused == 0 for p in range(16))
+    assert all(by[(3, p)].reused == 0 for p in range(16))
