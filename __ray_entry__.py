@@ -310,22 +310,34 @@ def q_search_hybrid(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH pairs verified at Jaccard ≥ 0.5 (the scale path for
-    q_dedup_jaccard; approximate recall — rows-only check, recall vs the
-    exact pairs asserted in tests). Fully distributed: signatures are a
-    map_batches column, the estimate pre-filter and exact verification are
-    partitioned hash joins — no driver materialization, no corpus
-    broadcast."""
+    q_dedup_jaccard; approximate recall — vs-exact recall asserted in
+    tests). Fully distributed: signatures are a map_batches column, the
+    estimate pre-filter and exact verification are partitioned hash
+    joins — no driver materialization, no corpus broadcast. Runs the
+    md5 kernel (16 perms / 4 bands) so EVERY stage — signatures, band
+    candidacy, bucket-size guard, signature-agreement estimate, exact
+    md5-shingle Jaccard — is replayed by the DuckDB oracle; the crc32
+    64-perm throughput configuration is pinned by the same recall tests
+    (same pipeline, C-speed hash)."""
     from raycrawl.ops.dedup import minhash_dedup
 
     ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.5)
+    return minhash_dedup(ds, threshold=0.5, num_perm=16, bands=4,
+                         md5_kernel=True)
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs at Hamming ≤ 3 via 16-bit chunk banding
+    (pigeonhole). Runs the md5 token-hash kernel (the one the green
+    simhash_sig oracle replays bit-for-bit) so the DuckDB oracle gates
+    the WHOLE pair pipeline — chunk bucketing, max_bucket guard, Hamming
+    popcount verify; the crc32 throughput kernel shares every stage after
+    the hash and is pinned by determinism tests."""
     from raycrawl.ops.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
-        _read_ds(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3,
+        md5_kernel=True
     )
 
 
@@ -5264,6 +5276,82 @@ def oracle_sql() -> dict[str, str]:
         FROM xs CROSS JOIN perms
         GROUP BY doc_id, p
     """
+    # dedup_minhash: the ENTIRE md5 MinHash+LSH dedup replayed — signatures
+    # (the minhash_sig kernel above), band candidacy restated as per-band
+    # signature-chunk equality (bands of 4 perms; exact up to the engine's
+    # splitmix64 band-key collisions ~2^-64), the max_bucket=1000 bucket
+    # guard, the ≥0.35 signature-agreement estimate (threshold 0.5 −
+    # margin 0.15), and exact Jaccard over DISTINCT 31-bit md5 shingle
+    # hashes ≥ 0.5. Band keys join as lists ordered by perm.
+    sql["dedup_minhash"] = f"""
+        WITH docs AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, substr(t, CAST(i + 1 AS INT), 5) AS g
+            FROM docs, unnest(range(length(t) - 4)) u(i)
+            WHERE length(t) >= 5
+            UNION ALL
+            SELECT doc_id, t AS g FROM docs WHERE length(t) < 5
+        ),
+        xs AS (
+            SELECT DISTINCT doc_id,
+                   CAST(md5_number_lower(g) & 2147483647 AS BIGINT) AS x
+            FROM grams
+        ),
+        perms(p, a, b) AS (
+            VALUES {_perm_rows}
+        ),
+        sigs AS (
+            SELECT doc_id, p,
+                   MIN((a * x + b) % 2305843009213693951) AS sig
+            FROM xs CROSS JOIN perms
+            GROUP BY doc_id, p
+        ),
+        bandkey AS (
+            SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                   list(sig ORDER BY p) AS bkey
+            FROM sigs GROUP BY doc_id, CAST(p // 4 AS INT)
+        ),
+        bsz AS (
+            SELECT band, bkey, count(*) AS n
+            FROM bandkey GROUP BY band, bkey
+        ),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bandkey x
+            JOIN bandkey y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+            JOIN bsz s ON s.band = x.band AND s.bkey = x.bkey
+            WHERE s.n <= 1000
+        ),
+        est AS (
+            SELECT c.a, c.b
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.a
+            JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
+            GROUP BY c.a, c.b
+            HAVING SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                   / 16.0 >= 0.35
+        ),
+        inter AS (
+            SELECT e.a, e.b, count(*) AS i
+            FROM est e
+            JOIN xs p ON p.doc_id = e.a
+            JOIN xs q ON q.doc_id = e.b AND q.x = p.x
+            GROUP BY e.a, e.b
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM xs GROUP BY doc_id)
+        SELECT e.a, e.b,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+        FROM est e
+        LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+        JOIN sizes sa ON sa.doc_id = e.a
+        JOIN sizes sb ON sb.doc_id = e.b
+        WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.5
+    """
     # minhash_refresh: the recrawl plant (modified text for %7==3 docs)
     # + the same signature kernel, with reused docs carrying the +7
     # marker their STORED epoch-1 signatures were planted with — a
@@ -5330,5 +5418,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(MAX(CASE WHEN c = 2 THEN v END), 0) AS BIGINT) AS c2,
                CAST(coalesce(MAX(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS c3
         FROM ch GROUP BY doc_id
+    """
+    # dedup_simhash: the ENTIRE md5 SimHash near-dup pipeline replayed —
+    # chunks via the simhash_sig kernel above, candidacy = sharing a
+    # (chunk_idx, 16-bit value) bucket of size ≤ 1000 (pigeonhole for
+    # Hamming ≤ 3 over 4 chunks), verify = popcount of the per-chunk XORs.
+    sql["dedup_simhash"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS tok
+            FROM documents
+        ),
+        hs AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+        bits AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hs, unnest(range(64)) u(j)
+            GROUP BY doc_id, j
+        ),
+        chv AS (
+            SELECT doc_id, j // 16 AS c,
+                   SUM(CASE WHEN s > 0 THEN 1 << CAST(j % 16 AS INT)
+                            ELSE 0 END) AS v
+            FROM bits GROUP BY 1, 2
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(coalesce(MAX(CASE WHEN c = 0 THEN v END), 0) AS BIGINT) AS c0,
+                   CAST(coalesce(MAX(CASE WHEN c = 1 THEN v END), 0) AS BIGINT) AS c1,
+                   CAST(coalesce(MAX(CASE WHEN c = 2 THEN v END), 0) AS BIGINT) AS c2,
+                   CAST(coalesce(MAX(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS c3
+            FROM chv GROUP BY doc_id
+        ),
+        long AS (
+            SELECT doc_id, 0 AS chunk, c0 AS cval, c0, c1, c2, c3 FROM ch
+            UNION ALL
+            SELECT doc_id, 1, c1, c0, c1, c2, c3 FROM ch
+            UNION ALL
+            SELECT doc_id, 2, c2, c0, c1, c2, c3 FROM ch
+            UNION ALL
+            SELECT doc_id, 3, c3, c0, c1, c2, c3 FROM ch
+        ),
+        bsz AS (
+            SELECT chunk, cval, count(*) AS n
+            FROM long GROUP BY chunk, cval
+        ),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1))
+                      + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3))
+                        AS BIGINT) AS hamming_min
+            FROM long x
+            JOIN long y ON x.chunk = y.chunk AND x.cval = y.cval
+                        AND x.doc_id < y.doc_id
+            JOIN bsz s ON s.chunk = x.chunk AND s.cval = x.cval
+            WHERE s.n <= 1000
+        )
+        SELECT a, b, hamming_min FROM pairs WHERE hamming_min <= 3
     """
     return sql

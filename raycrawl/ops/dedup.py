@@ -350,7 +350,8 @@ def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
 def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                         threshold: float = 0.8, id_col: str = "doc_id",
                         text_col: str = "text", n_parts: int = 32,
-                        text_lookup: PartitionedLookup | None = None):
+                        text_lookup: PartitionedLookup | None = None,
+                        shingle_fn=None):
     """Exact shingle-Jaccard verification of candidate pairs. Texts arrive
     via the partitioned hash-lookup (each text partition is one plasma
     object, pulled to a node at most once and cached per worker) — the
@@ -361,6 +362,7 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
     batch."""
     lookup = text_lookup or PartitionedLookup(docs_ds, id_col, text_col,
                                               n_parts, kind="text")
+    shingle_fn = shingle_fn or _shingles
 
     def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, jac = [], [], []
@@ -381,7 +383,7 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
             def sh(i, p):
                 s = arrs.get(i)
                 if s is None:
-                    raw = _shingles(loaded[p].get(i, ""), shingle_k)
+                    raw = shingle_fn(loaded[p].get(i, ""), shingle_k)
                     s = np.fromiter(raw, dtype=np.int64, count=len(raw))
                     s.sort()
                     arrs[i] = s
@@ -409,10 +411,42 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
+def _md5_shingles(text: str, k: int) -> set[int]:
+    """31-bit md5 shingle hashes — the SQL-replayable sibling of
+    ``_shingles`` (``md5_number_lower(g) & 0x7FFFFFFF`` in DuckDB). Same
+    set semantics: hash collisions collapse, short docs hash whole-text."""
+    t = text or ""
+    if len(t) < k:
+        return {_md5_lower64(t) & 0x7FFFFFFF}
+    return {_md5_lower64(t[i: i + k]) & 0x7FFFFFFF
+            for i in range(len(t) - k + 1)}
+
+
+def minhash_signatures_md5_packed(ds, num_perm: int = 16, shingle_k: int = 5,
+                                  seed: int = 7, id_col: str = "doc_id",
+                                  text_col: str = "text"):
+    """The md5 signature kernel (``_md5_doc_sigs``, bit-identical to the
+    exploded ``minhash_signatures_md5`` the ``minhash_sig`` oracle gates)
+    in the PACKED ``(id, minhash list<int64>)`` layout ``lsh_band_rows`` /
+    ``PartitionedLookup(kind="matrix")`` consume — the signature stage of
+    the SQL-replayable ``minhash_dedup(md5_kernel=True)`` path."""
+    a, b = minhash_coeffs(num_perm, seed)
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = [_md5_doc_sigs(t or "", a, b, shingle_k).tolist()
+                for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {id_col: batch[id_col].cast(pa.int64()),
+             "minhash": pa.array(sigs, pa.list_(pa.int64()))})
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
 def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 5, id_col: str = "doc_id",
                   text_col: str = "text", est_margin: float = 0.15,
-                  max_bucket: int = 1000, n_parts: int | None = None):
+                  max_bucket: int = 1000, n_parts: int | None = None,
+                  md5_kernel: bool = False):
     """End-to-end distributed MinHash+LSH near-dup pairs ≥ ``threshold``:
 
         docs → signatures (map_batches) → band rows (fixed width)
@@ -423,10 +457,23 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
     signatures and texts move as hash-partitioned plasma objects pulled to
     a node at most once (PartitionedLookup), pair rows are 16 B, and the
     band-row shuffle is fixed-width. Payload traffic is O(corpus), never
-    O(pairs). Returns (a, b, jaccard), a < b."""
+    O(pairs). Returns (a, b, jaccard), a < b.
+
+    ``md5_kernel=True`` swaps the crc32 shingle/signature kernel for the
+    md5 one (``minhash_signatures_md5_packed`` + ``_md5_shingles``) whose
+    every stage a DuckDB oracle can replay (``md5_number_lower`` exists in
+    SQL; crc32 does not) — same pipeline shape, same shuffles; candidacy
+    restated in SQL as per-band signature-chunk equality (exact up to
+    splitmix64 band-key collisions, ~2^-64). crc32 stays the throughput
+    default (C-speed hash)."""
     n_parts = _resolve_parts(n_parts)
-    sig_ds = minhash_signatures(ds, num_perm, shingle_k, id_col,
-                                text_col).materialize()
+    if md5_kernel:
+        sig_ds = minhash_signatures_md5_packed(
+            ds, num_perm, shingle_k, id_col=id_col,
+            text_col=text_col).materialize()
+    else:
+        sig_ds = minhash_signatures(ds, num_perm, shingle_k, id_col,
+                                    text_col).materialize()
     sig_lookup = PartitionedLookup(sig_ds, id_col, "minhash", n_parts,
                                    kind="matrix")
     band_rows = lsh_band_rows(sig_ds, num_perm, bands, id_col)
@@ -440,7 +487,9 @@ def minhash_dedup(ds, threshold: float = 0.5, num_perm: int = 64,
     text_lookup = PartitionedLookup(ds, id_col, text_col, n_parts,
                                     kind="text")
     return verify_jaccard_join(cands, ds, shingle_k, threshold, id_col,
-                               text_col, n_parts, text_lookup=text_lookup)
+                               text_col, n_parts, text_lookup=text_lookup,
+                               shingle_fn=_md5_shingles if md5_kernel
+                               else None)
 
 
 def _block_pair_scan(docs_tbl: pa.Table, shingle_k: int, block: int,
@@ -605,7 +654,7 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
-                           max_bucket: int = 1000):
+                           max_bucket: int = 1000, md5_kernel: bool = False):
     """Near-dup pairs with Hamming(simhash) ≤ k via chunk banding: 64 bits
     in 4 chunks — any pair within distance 3 shares ≥1 exact chunk
     (pigeonhole), so grouping by (chunk_idx, chunk_value) finds all of them
@@ -616,7 +665,13 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
     near-identical docs) would otherwise make one partition O(n²); such a
     degenerate key needs salting + exact verify, not a blind pair
     explosion. The Hamming check is vectorized (XOR + unpackbits popcount
-    over the bucket's pair matrix) — no Python pair loop."""
+    over the bucket's pair matrix) — no Python pair loop.
+
+    ``md5_kernel=True`` swaps the crc32 token hash for md5
+    (``simhash_chunks_md5``, the kernel the green ``simhash_sig`` oracle
+    replays bit-for-bit) so the WHOLE pair pipeline — chunk bucketing,
+    bucket guard, Hamming verify — is DuckDB-expressible; same shuffles,
+    crc32 stays the throughput default."""
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids, shs = batch[id_col].to_pylist(), batch["simhash"].to_pylist()
@@ -669,7 +724,20 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3, id_col: str = "doc_id",
 
     from .grouping import partitioned_apply
 
-    sh = ds.map_batches(lambda b: simhash_batch(b, id_col), batch_format="pyarrow")
+    if md5_kernel:
+        def pack(batch: pa.Table) -> pa.Table:
+            cs = [np.asarray(batch[f"c{i}"], np.uint64) for i in range(4)]
+            u = (cs[0] | (cs[1] << np.uint64(16)) | (cs[2] << np.uint64(32))
+                 | (cs[3] << np.uint64(48)))
+            return pa.table({id_col: batch[id_col],
+                             "simhash": pa.array(u.view(np.int64),
+                                                 pa.int64())})
+
+        sh = simhash_chunks_md5(ds, id_col).map_batches(
+            pack, batch_format="pyarrow")
+    else:
+        sh = ds.map_batches(lambda b: simhash_batch(b, id_col),
+                            batch_format="pyarrow")
     chunked = sh.map_batches(to_chunks, batch_format="pyarrow")
     cand = partitioned_apply(chunked, ["cval"], pairs_partition)
     return partitioned_apply(cand, ["a", "b"], min_hamming_partition)
