@@ -425,22 +425,30 @@ def q_embed_topk(sf_dir: str):
 
 
 def q_embed_topk_lsh(sf_dir: str):
-    """LSH-bucketed approximate variant (rows-only; recall vs brute force
-    asserted in tests)."""
+    """LSH-bucketed variant driven end to end (keys, probe mask, partial
+    top-k, merge) at FULL probe (probe_hamming == n_planes), where its
+    output provably equals brute force — so the brute SQL oracle gates
+    the whole code path exactly. Pruned-probe recall is asserted in
+    tests."""
     from raycrawl.ops.similarity import lsh_topk
 
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_hamming=8)  # full probe = exact
+    return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_hamming=8)
 
 
 def q_embed_topk_ivf(sf_dir: str):
-    """IVF coarse-quantized approximate top-k (the adaptive scale path next
-    to LSH probing). Full-probe (nprobe == n_centroids) equals brute force
-    exactly — pinned in tests; this entry uses a real nprobe (rows-only)."""
+    """IVF coarse-quantized top-k (the adaptive scale path next to LSH
+    probing) driven end to end — distributed Lloyd (id-keyed init, so
+    centroids are partition-independent), probe-list build, assignment
+    mask, partial top-k — at FULL probe (nprobe == n_centroids), where it
+    provably equals brute force: the brute SQL oracle gates the whole
+    path exactly. Real-nprobe recall + partition-independence are
+    asserted in tests."""
     from raycrawl.ops.similarity import ivf_topk
 
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=32, nprobe=8)
+    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_centroids=32,
+                    nprobe=32)
 
 
 def q_embed_clusters(sf_dir: str):
@@ -5276,6 +5284,14 @@ def oracle_sql() -> dict[str, str]:
         FROM xs CROSS JOIN perms
         GROUP BY doc_id, p
     """
+    # embed_topk_lsh / embed_topk_ivf: both queries run at FULL probe
+    # (probe_hamming == n_planes / nprobe == n_centroids), where the
+    # approximate paths provably equal brute force — the brute cosine
+    # top-k SQL gates each whole code path (keys/centroids, probe mask,
+    # per-batch partials, merge) exactly. Pruned-probe behavior is pinned
+    # by recall + partition-independence pytest.
+    sql["embed_topk_lsh"] = sql["embed_topk"]
+    sql["embed_topk_ivf"] = sql["embed_topk"]
     # dedup_minhash: the ENTIRE md5 MinHash+LSH dedup replayed — signatures
     # (the minhash_sig kernel above), band candidacy restated as per-band
     # signature-chunk equality (bands of 4 perms; exact up to the engine's

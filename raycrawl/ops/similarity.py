@@ -221,7 +221,9 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 64,
     import ray
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    C = kmeans_centroids(ds, n_centroids, iters, emb_col)
+    # id-keyed init: centroids (hence recall at any nprobe) are independent
+    # of block order / cluster size — the semantic_dedup discipline
+    C = kmeans_centroids(ds, n_centroids, iters, emb_col, id_col=id_col)
     probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     q_ref = ray.put((qn, C, probe))
 
@@ -266,7 +268,9 @@ def cluster_assign(ds, n_centroids: int = 64, iters: int = 2,
     tests."""
     import ray
 
-    C = kmeans_centroids(ds, n_centroids, iters, emb_col)
+    # id-keyed init (see ivf_topk): assignments must not drift with block
+    # order or partition count
+    C = kmeans_centroids(ds, n_centroids, iters, emb_col, id_col=id_col)
     cref = ray.put(C)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -757,6 +757,39 @@ def test_cluster_assign_partition_independent(ray_session):
     assert (a["sim_ppm"] <= 1_000_000).all()
 
 
+def test_ivf_and_cluster_assign_order_independent(ray_session):
+    """r4 (VERDICT #3): k-means init is id-keyed in ivf_topk and
+    cluster_assign (the semantic_dedup discipline), so pruned-probe IVF
+    results and cluster assignments are invariant to block ORDER — not
+    just block count — even when upstream stages shuffle rows."""
+    import numpy as np
+    import ray.data as rd
+    from raycrawl.ops.similarity import cluster_assign, ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(150, 8).tolist()
+    tbl = pa.table({"vec_id": pa.array(range(150), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    queries = np.asarray(vecs[:3], dtype=np.float64)
+
+    def run_ivf(seed, nblocks):
+        ds = rd.from_arrow(tbl).random_shuffle(seed=seed).repartition(nblocks)
+        return ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=2,
+                        iters=2).to_pandas()
+
+    a, b = run_ivf(1, 3), run_ivf(2, 9)
+    assert a.equals(b)
+
+    def run_ca(seed, nblocks):
+        ds = rd.from_arrow(tbl).random_shuffle(seed=seed).repartition(nblocks)
+        df = cluster_assign(ds, n_centroids=8, iters=2).to_pandas()
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    c, d = run_ca(3, 2), run_ca(4, 7)
+    assert c.equals(d)
+    assert c["cluster"].between(0, 7).all()
+
+
 def test_compression_stats_repetitive_vs_prose():
     from raycrawl.ops.textstats import compression_stats_batch
 
