@@ -199,8 +199,12 @@ def q_crawl_visit_stats(sf_dir: str):
 
 
 def q_crawl_order(sf_dir: str):
-    """Visit sequence (rows-only check: BFS/priority order is not
-    SQL-expressible). Deterministic across runs."""
+    """Global visit sequence of the wave crawl, ranked by (site, epoch,
+    visit_pos). Oracle-gated via the corpus closed form (r4): per host
+    the wave engine enumerates the binary link tree in BFS order (the
+    crawl_bfs_order gate), and the global (site, epoch, visit_pos) sort
+    is site-lexicographic — so visit_rank = ROW_NUMBER() OVER (ORDER BY
+    site, local_index) - 1 and depth = floor(log2(local_index + 1))."""
     r = _crawl(sf_dir)
     rows = sorted(r.visits.to_pylist(), key=lambda v: (v["site"], v["epoch"],
                                                        v["visit_pos"]))
@@ -496,8 +500,10 @@ def q_token_distinct(sf_dir: str):
 
 def q_token_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-token estimate (p=12, deterministic md5
-    hashing) — rows-only; the ≤5% error bound vs the exact count is
-    pinned in tests."""
+    hashing). Oracle-gated (r4): the DuckDB oracle replays the registers
+    integer-exactly (big-endian md5 top-12-bit index, printf('%b') bit
+    length for rho) and the bias-corrected estimate; the ≤5% error bound
+    vs the exact count stays pinned in tests."""
     from raycrawl.ops.textstats import hll_distinct_tokens
 
     return hll_distinct_tokens(
@@ -1410,8 +1416,14 @@ def q_crawl_documents_embedded(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column → actor-pool decode stage
-    (deterministic fake decoder; rows-only check)."""
+    """Multimodal plumbing driven end to end: binary payload column →
+    actor-pool decode stage (deterministic fake decoder) → feature
+    projection. Gated on the EXACT integer feature column ``f0_int``
+    (int64 dot of the 128 sha256-derived decode bytes with fixed integer
+    weights) — the DuckDB oracle replays payload synthesis, the hex-space
+    sha256 decode, and the collapsed-weight projection; the float32
+    ``features`` sibling (not SQL-replayable bit-for-bit) is pinned by
+    determinism tests."""
     import ray.data as rd
 
     from raycrawl.ops.multimodal import MediaFeatureStage, synthesize_media
@@ -1421,11 +1433,7 @@ def q_media_features(sf_dir: str):
     feat = ds.map_batches(MediaFeatureStage, batch_size=32, concurrency=2,
                           num_cpus=1, batch_format="pyarrow")
     return feat.map_batches(
-        lambda t: pa.table(
-            {"media_id": t["media_id"], "kind": t["kind"],
-             "f0_milli": pa.array(
-                 [int(v[0] * 1000) for v in t["features"].to_pylist()], pa.int64())}
-        ),
+        lambda t: t.select(["media_id", "kind", "f0_int"]),
         batch_format="pyarrow",
     )
 
@@ -5148,6 +5156,23 @@ def oracle_sql() -> dict[str, str]:
                {_URL} AS url
         FROM documents
     """
+    # crawl_order: the same closed form lifted to the GLOBAL rank — the
+    # query sorts visits by (site, epoch, visit_pos), which per host is
+    # BFS local-index order (the gate above) and across hosts is site-
+    # lexicographic; depth on the binary tree is floor(log2(j + 1))
+    sql["crawl_order"] = f"""
+        WITH pages AS (
+            SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) AS site,
+                   doc_id // 20 AS seq,
+                   {_URL} AS url
+            FROM documents
+        )
+        SELECT site,
+               ROW_NUMBER() OVER (ORDER BY site, seq) - 1 AS visit_rank,
+               url,
+               CAST(floor(log2(seq + 1)) AS BIGINT) AS depth
+        FROM pages
+    """
     # gopher_gate: replant byte-identically (chr(10) == the Python \n),
     # then replay all seven integer cross-multiplied Gopher rules. Words
     # = single-space split with newlines folded to spaces; lines = split
@@ -5283,6 +5308,99 @@ def oracle_sql() -> dict[str, str]:
                MIN((a * x + b) % 2305843009213693951) AS sig
         FROM xs CROSS JOIN perms
         GROUP BY doc_id, p
+    """
+    # token_distinct_hll: the md5 HyperLogLog replayed register-for-
+    # register — token hash = big-endian digest[:8] (byte-swap of DuckDB's
+    # little-endian md5_number_upper), register idx = top 12 bits, rho =
+    # 52 − bit_length(rest) + 1 (integer-exact via printf('%b')), register
+    # = MAX(rho), then the standard bias-corrected estimate incl. the
+    # linear-counting branch. All register math is integer; the final
+    # float estimate is deterministic on the fixed corpus (verified at
+    # both test scales).
+    sql["token_distinct_hll"] = """
+        WITH toks AS (
+            SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+            FROM documents
+        ),
+        hu AS (SELECT tok, md5_number_upper(tok) AS u FROM toks),
+        hb AS (
+            SELECT tok,
+                   CAST(u & 255 AS HUGEINT) * 72057594037927936
+                 + CAST((u >> 8) & 255 AS HUGEINT) * 281474976710656
+                 + CAST((u >> 16) & 255 AS HUGEINT) * 1099511627776
+                 + CAST((u >> 24) & 255 AS HUGEINT) * 4294967296
+                 + CAST((u >> 32) & 255 AS HUGEINT) * 16777216
+                 + CAST((u >> 40) & 255 AS HUGEINT) * 65536
+                 + CAST((u >> 48) & 255 AS HUGEINT) * 256
+                 + CAST((u >> 56) & 255 AS HUGEINT) AS h
+            FROM hu
+        ),
+        rr AS (
+            SELECT CAST(h // 4503599627370496 AS BIGINT) AS idx,
+                   CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                        ELSE 52 - length(printf('%b',
+                            CAST(h % 4503599627370496 AS BIGINT))) + 1
+                   END AS rho
+            FROM hb
+        ),
+        regs AS (
+            SELECT u.i AS idx,
+                   coalesce(MAX(rr.rho), 0) AS reg
+            FROM unnest(range(4096)) u(i)
+            LEFT JOIN rr ON rr.idx = u.i
+            GROUP BY u.i
+        ),
+        est0 AS (
+            SELECT (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                       / SUM(pow(2.0, -reg)) AS raw_est,
+                   SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM regs
+        )
+        SELECT CAST(round(CASE WHEN raw_est <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096.0 * ln(4096.0 / zeros)
+                               ELSE raw_est END) AS BIGINT) AS est_distinct
+        FROM est0
+    """
+    # media_features: the multimodal decode plumbing replayed — payload
+    # synthesis (sha256('media-i') digest tiled 4+i%7 times), the fake
+    # decoder (sha256 of the payload HEX — bytes.hex() == SQL hex space),
+    # and the exact integer projection. Decode bytes tile the digest 4×,
+    # so the 128-weight dot collapses to 32 per-digest-byte weights,
+    # inlined as literals from the same generator the stage uses.
+    from raycrawl.ops.multimodal import media_int_weights
+
+    _mw = media_int_weights()
+    _w32 = [int(_mw[i] + _mw[i + 32] + _mw[i + 64] + _mw[i + 96])
+            for i in range(32)]
+    _w_rows = ",\n                ".join(
+        f"({i}, {w})" for i, w in enumerate(_w32))
+    sql["media_features"] = f"""
+        WITH m AS (
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE CAST(i AS BIGINT) % 3 WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   sha256('media-' || CAST(i AS VARCHAR)) AS h0,
+                   CAST(4 + i % 7 AS INT) AS reps
+            FROM unnest(range(120)) u(i)
+        ),
+        hx AS (
+            SELECT media_id, kind, sha256(repeat(h0, reps)) AS h FROM m
+        ),
+        wtab(i, w) AS (
+            VALUES {_w_rows}
+        ),
+        bytes AS (
+            SELECT media_id, kind, i,
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+            FROM hx, unnest(range(32)) u(i)
+        )
+        SELECT b.media_id, b.kind,
+               CAST(SUM(b.b * w.w) AS BIGINT) AS f0_int
+        FROM bytes b JOIN wtab w ON w.i = b.i
+        GROUP BY b.media_id, b.kind
     """
     # embed_topk_lsh / embed_topk_ivf: both queries run at FULL probe
     # (probe_hamming == n_planes / nprobe == n_centroids), where the

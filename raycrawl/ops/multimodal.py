@@ -53,10 +53,23 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
 
 def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in for image decode / audio PCM / frame sample:
-    payload bytes → fixed-length float32 feature vector."""
-    h = hashlib.sha256(payload).digest()
+    payload bytes → fixed-length float32 feature vector. Hashes the HEX of
+    the payload (not the raw bytes) so a DuckDB oracle can replay the
+    decode exactly — SQL ``sha256`` accepts only VARCHAR, and
+    ``bytes.hex()`` == the lowercase hex SQL strings carry."""
+    h = hashlib.sha256(payload.hex().encode()).digest()
     raw = np.frombuffer((h * 4)[:128], dtype=np.uint8).astype(np.float32)
     return raw / 255.0
+
+
+def media_int_weights(seed: int = 3) -> np.ndarray:
+    """Fixed small integer weights (length 128) for the exact feature
+    column ``f0_int`` — shared with the SQL oracle, which inlines the
+    32 COLLAPSED weights (decode bytes tile the 32-byte sha256 digest 4×,
+    so byte j == digest[j % 32] and the dot collapses to
+    Σ_i digest_i · (w_i + w_{i+32} + w_{i+64} + w_{i+96}))."""
+    rng = np.random.default_rng(seed + 1000)
+    return rng.integers(-9, 10, size=128).astype(np.int64)
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
@@ -79,19 +92,29 @@ class MediaFeatureStage:
     def __init__(self, use_fake: bool = True, seed: int = 3):
         rng = np.random.default_rng(seed)
         self.proj = rng.standard_normal((128, self.FEATURE_DIM)).astype(np.float32)
+        # integer sibling of the projection: an EXACT feature (int64 dot of
+        # the 128 decode bytes with fixed small integer weights) emitted
+        # alongside the float32 features — float32 pairwise-summation dots
+        # are not SQL-replayable bit-for-bit, so this column is what the
+        # DuckDB oracle gates end-to-end (payload → decode → actor-pool
+        # projection → output)
+        self.int_w = media_int_weights()
         self.decode = _decode_fake if use_fake else _decode_real
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, f0 = [], []
         for payload, kind in zip(batch["payload"].to_pylist(),
                                  batch["kind"].to_pylist()):
             raw = self.decode(payload, kind)
             feats.append((raw @ self.proj).tolist())
+            rbytes = np.round(raw * 255.0).astype(np.int64)
+            f0.append(int(rbytes @ self.int_w))
         return (
             batch.drop_columns(["payload"])  # drop wide binary before shuffles
             .append_column("features",
                            pa.array(feats, pa.list_(pa.float32(),
                                                     self.FEATURE_DIM)))
+            .append_column("f0_int", pa.array(f0, pa.int64()))
         )
 
 

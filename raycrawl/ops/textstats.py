@@ -689,7 +689,8 @@ def hll_distinct_tokens(ds, p: int = 12):
     identical sketch. The driver folds O(blocks) 4-KB rows (the same cost
     class as the crawl counters). Standard HLL bias correction; expected
     error ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12 (pinned against the exact count
-    in tests). Rows-only (not SQL-expressible)."""
+    in tests). Oracle-gated (r4): registers replay integer-exactly in
+    DuckDB (byte-swapped md5_number_upper, printf('%b') bit lengths)."""
     import hashlib
 
     m = 1 << p
