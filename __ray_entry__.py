@@ -936,8 +936,14 @@ def q_tpch_revenue_nation_dist(sf_dir: str):
 def q_wiki_documents(sf_dir: str):
     """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
     categories, refs) derived from documents → clean → filter → document
-    rows (SURVEY.md S6-S7, M21-M22). SQL-checkable because the fixture
-    wikitext cleans back to exactly documents.text."""
+    rows WITH the reference ``images`` thumbnail column (SURVEY.md S6-S7,
+    M21-M22; pageimages parity ref mediawiki_crawler.py:151-160, 217-224).
+    The fixture plants a thumbnail on every doc_id % 4 == 1 page; the
+    output gates the images column FLATTENED (first image url/alt +
+    count) because the driver's value hash compares scalars — the
+    list<struct> layout itself is pinned by the source tests.
+    SQL-checkable because the fixture wikitext cleans back to exactly
+    documents.text and the thumbnail follows a closed form."""
     from raycrawl.sources.mediawiki import WikiPagesBatch, synthesize_wikitext
 
     def to_wiki(batch: pa.Table) -> pa.Table:
@@ -954,13 +960,29 @@ def q_wiki_documents(sf_dir: str):
                 "url": pa.array(
                     [f"https://wiki.example.org/wiki/Doc_{i}" for i in ids], pa.string()
                 ),
+                "thumb_url": pa.array(
+                    [f"https://wiki.example.org/thumb/Doc_{i}.png"
+                     if i % 4 == 1 else None for i in ids], pa.string()
+                ),
             }
         )
 
+    def flatten_images(batch: pa.Table) -> pa.Table:
+        imgs = batch["images"].to_pylist()
+        return batch.drop_columns(["images"]).append_column(
+            "img_url", pa.array([im[0]["url"] if im else "" for im in imgs],
+                                pa.string())
+        ).append_column(
+            "img_alt", pa.array([im[0]["alt"] if im else "" for im in imgs],
+                                pa.string())
+        ).append_column(
+            "n_images", pa.array([len(im) for im in imgs], pa.int64())
+        )
+
     ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(to_wiki, batch_format="pyarrow").map_batches(
-        WikiPagesBatch(), batch_format="pyarrow"
-    )
+    return (ds.map_batches(to_wiki, batch_format="pyarrow")
+            .map_batches(WikiPagesBatch(), batch_format="pyarrow")
+            .map_batches(flatten_images, batch_format="pyarrow"))
 
 
 # (qid, search term, srlimit) — fixed query set over the corpus vocabulary;
@@ -3469,7 +3491,16 @@ def oracle_sql() -> dict[str, str]:
                    text AS content,
                    {_EXCERPT} AS excerpt,
                    md5('Doc ' || CAST(doc_id AS VARCHAR) || '|' || text)
-                       AS content_hash
+                       AS content_hash,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN 'https://wiki.example.org/thumb/Doc_'
+                             || CAST(doc_id AS VARCHAR) || '.png'
+                        ELSE '' END AS img_url,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS img_alt,
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_images
             FROM documents
             WHERE length(text) >= {MIN_DOC_CHARS}
         """,

@@ -116,14 +116,18 @@ class CrawlConfig:
     hot_fanout_rows: int | None = None
     dedup_mode: str = "two_phase"        # "two_phase" (canonical winner) |
                                          # "atomic" (one pass, arrival winner)
-    defer_admission: bool = False        # True: outlink candidates ride the
+    defer_admission: bool = True         # outlink candidates ride the
                                          # frontier as tagged rows and are
                                          # admitted inside the NEXT wave's
                                          # plan pass — one fewer shuffle +
-                                         # execution per wave (bulk/bench
-                                         # mode; same docs/counters, but a
-                                         # mid-crawl frontier_remainder may
-                                         # contain not-yet-admitted
+                                         # execution per wave. Default since
+                                         # r4 (VERDICT #7): it is the benched
+                                         # production config and parity-
+                                         # tested (deferred == inline docs/
+                                         # counters/per-host order); False =
+                                         # the legacy inline admitter (a
+                                         # mid-crawl frontier_remainder under
+                                         # True may contain not-yet-admitted
                                          # candidate urls)
     # None = auto: collect on the driver ONLY when no out_dir sink exists
     # (test convenience); with a sink configured, docs/visits stream to

@@ -100,10 +100,18 @@ def wiki_content_hash(title: str, content: str) -> str:
     return hashlib.md5(f"{title}|{content}".encode()).hexdigest()
 
 
+IMAGES_TYPE = pa.list_(pa.struct([("url", pa.string()),
+                                  ("alt", pa.string()),
+                                  ("description", pa.string())]))
+
+
 class WikiPagesBatch:
-    """``map_batches`` stage: (page_id, title, wikitext, url) rows → cleaned
-    document rows (the fetch_pages_batch filter chain: unsafe titles and
-    <50-char stubs dropped, mediawiki_crawler.py:182-235)."""
+    """``map_batches`` stage: (page_id, title, wikitext, url[, thumb_url])
+    rows → cleaned document rows (the fetch_pages_batch filter chain:
+    unsafe titles and <50-char stubs dropped, mediawiki_crawler.py:182-235)
+    with the reference ``images`` list<struct{url,alt,description}>
+    column: one entry per page thumbnail, alt = description = title
+    (ref :217-224); no thumbnail → empty list."""
 
     def __init__(self, min_chars: int = 50):
         self.min_chars = min_chars
@@ -113,9 +121,13 @@ class WikiPagesBatch:
         titles = batch["title"].to_pylist()
         wikitexts = batch["wikitext"].to_pylist()
         urls = batch["url"].to_pylist()
+        thumbs = (batch["thumb_url"].to_pylist()
+                  if "thumb_url" in batch.column_names
+                  else [None] * batch.num_rows)
         out = {"page_id": [], "title": [], "url": [], "content": [],
-               "excerpt": [], "content_hash": []}
-        for pid, title, wt, url in zip(ids, titles, wikitexts, urls):
+               "excerpt": [], "content_hash": [], "images": []}
+        for pid, title, wt, url, thumb in zip(ids, titles, wikitexts, urls,
+                                              thumbs):
             if not is_safe_title(title):
                 continue
             content = clean_wikitext(wt)
@@ -127,6 +139,9 @@ class WikiPagesBatch:
             out["content"].append(content)
             out["excerpt"].append(create_excerpt(content))
             out["content_hash"].append(wiki_content_hash(title, content))
+            out["images"].append(
+                [{"url": thumb, "alt": title, "description": title}]
+                if thumb else [])
         return pa.table(
             {
                 "page_id": pa.array(out["page_id"], pa.int64()),
@@ -135,6 +150,7 @@ class WikiPagesBatch:
                 "content": pa.array(out["content"], pa.string()),
                 "excerpt": pa.array(out["excerpt"], pa.string()),
                 "content_hash": pa.array(out["content_hash"], pa.string()),
+                "images": pa.array(out["images"], IMAGES_TYPE),
             }
         )
 
@@ -185,10 +201,14 @@ def list_all_page_ids(api_get, namespaces=(0,)) -> list[int]:
 
 class WikiContentFetcher:
     """Actor-pool map_batches stage: page_id rows → (page_id, title,
-    wikitext, url), requesting ``api_batch_size`` (=50, reference
-    mediawiki_crawler.py:494-503) pages per API call. The listing is
-    sequential (continue tokens) but content fetching fans out across the
-    actor pool — each actor holds its own transport/session."""
+    wikitext, url, thumb_url), requesting ``api_batch_size`` (=50,
+    reference mediawiki_crawler.py:494-503) pages per API call with the
+    full reference prop set ``extracts|info|pageimages|revisions``
+    (``piprop=thumbnail&pithumbsize=500``, ref :151-160) — the thumbnail
+    source feeds the document ``images`` column downstream (ref
+    :217-224). The listing is sequential (continue tokens) but content
+    fetching fans out across the actor pool — each actor holds its own
+    transport/session."""
 
     def __init__(self, api_get=None, api_batch_size: int = 50,
                  base_url: str = "https://wiki.example.org/wiki/"):
@@ -198,31 +218,54 @@ class WikiContentFetcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["page_id"].to_pylist()
-        rows = {"page_id": [], "title": [], "wikitext": [], "url": []}
+        rows = {"page_id": [], "title": [], "wikitext": [], "url": [],
+                "thumb_url": []}
         for lo in range(0, len(ids), self.bs):
             chunk = ids[lo: lo + self.bs]
+            # full reference request shape (mediawiki_crawler.py:151-160):
+            # extracts + info(url) + pageimages(thumbnail, 500px) +
+            # revisions in ONE batched call
             data = self.api_get({
                 "action": "query",
                 "pageids": "|".join(map(str, chunk)),
-                "prop": "revisions",
+                "prop": "extracts|info|pageimages|revisions",
+                "explaintext": 1,
+                "exsectionformat": "plain",
                 "rvprop": "content",
+                "inprop": "url",
+                "piprop": "thumbnail",
+                "pithumbsize": 500,
                 "format": "json",
             })
             pages = data.get("query", {}).get("pages", {})
             for pid in chunk:
                 p = pages.get(str(pid))
-                if not p or "revisions" not in p:
-                    continue  # deleted/missing page — dropped like the ref
+                if not p or "missing" in p or "redirect" in p:
+                    continue  # deleted/missing/redirect — ref :185-191
+                if "extract" not in p and "revisions" not in p:
+                    continue
+                ns = p.get("ns")
+                if ns is not None and ns not in (0,):
+                    continue  # wrong namespace (ref :198-201); fakes that
+                    # omit ns pass — a real API always sends it
+                # content preference: plaintext extract, else raw
+                # wikitext (ref :194-195)
+                content = (p.get("extract")
+                           or (p.get("revisions") or [{}])[0].get("*", ""))
                 rows["page_id"].append(pid)
                 rows["title"].append(p.get("title", ""))
-                rows["wikitext"].append(p["revisions"][0].get("*", ""))
-                rows["url"].append(self.base
+                rows["wikitext"].append(content)
+                rows["url"].append(p.get("fullurl")
+                                   or self.base
                                    + p.get("title", "").replace(" ", "_"))
+                th = p.get("thumbnail") or {}
+                rows["thumb_url"].append(th.get("source"))
         return pa.table(
             {"page_id": pa.array(rows["page_id"], pa.int64()),
              "title": pa.array(rows["title"], pa.string()),
              "wikitext": pa.array(rows["wikitext"], pa.string()),
-             "url": pa.array(rows["url"], pa.string())}
+             "url": pa.array(rows["url"], pa.string()),
+             "thumb_url": pa.array(rows["thumb_url"], pa.string())}
         )
 
 

@@ -357,7 +357,8 @@ def test_wave_deferred_admission_matches_inline(ray_session):
     for name in ("tree", "dup_content", "filters", "budget"):
         s = scenario(name)
         r_in = CrawlEngine(s["pages"], s["seeds"], s["robots"],
-                           cfg=CrawlConfig(mode="wave")).run()
+                           cfg=CrawlConfig(mode="wave",
+                                           defer_admission=False)).run()
         r_df = CrawlEngine(s["pages"], s["seeds"], s["robots"],
                            cfg=CrawlConfig(mode="wave",
                                            defer_admission=True)).run()

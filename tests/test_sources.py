@@ -146,11 +146,24 @@ class FakeWikiAPI:
             return out
         pids = [int(x) for x in params["pageids"].split("|")]
         assert len(pids) <= 50
-        return {"query": {"pages": {
-            str(i): {"pageid": i, "title": self.pages[i][0],
-                     "revisions": [{"*": self.pages[i][1]}]}
-            for i in pids if i in self.pages
-        }}}
+        # full reference request shape (mediawiki_crawler.py:151-160)
+        assert params["prop"] == "extracts|info|pageimages|revisions"
+        assert params["piprop"] == "thumbnail"
+        assert params["pithumbsize"] == 500
+        assert params["inprop"] == "url"
+        out = {}
+        for i in pids:
+            if i not in self.pages:
+                continue
+            p = {"pageid": i, "ns": 0, "title": self.pages[i][0],
+                 "revisions": [{"*": self.pages[i][1]}]}
+            # every 5th page carries a thumbnail (ref :217-224 branch)
+            if i % 5 == 0:
+                p["thumbnail"] = {
+                    "source": f"https://img.example.org/thumb/{i}.png",
+                    "width": 500, "height": 300}
+            out[str(i)] = p
+        return {"query": {"pages": out}}
 
 
 def test_wiki_apcontinue_pagination_lists_everything():
@@ -180,6 +193,19 @@ def test_wiki_crawl_end_to_end(ray_session):
     # content batches respected the 50-page request cap
     content_calls = [c for c in api.calls if "pageids" in c]
     assert all(len(c["pageids"].split("|")) <= 50 for c in content_calls)
+    # pageimages parity (ref mediawiki_crawler.py:217-224): thumbnailed
+    # pages carry one images struct (url=thumbnail source, alt=desc=title);
+    # the rest an EMPTY list (not null)
+    docs = docs.sort_values("page_id").reset_index(drop=True)
+    for _, row in docs.iterrows():
+        pid = row["page_id"]
+        if pid % 5 == 0:
+            assert list(row["images"]) and row["images"][0]["url"] == \
+                f"https://img.example.org/thumb/{pid}.png"
+            assert row["images"][0]["alt"] == f"Page {pid}"
+            assert row["images"][0]["description"] == f"Page {pid}"
+        else:
+            assert len(row["images"]) == 0
 
 
 # -- query-side wiki search (S13, wiki_client.py:103-161) --------------------
