@@ -5001,7 +5001,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM ranked, tot
         """,
-        # retrieval_eval: tf ranking per term + the %7==3 gold plant;
+        # retrieval_eval: tf ranking per term + the %3==1 gold plant
+        # (gold_residue=1, gold_mod=3, matching the query and SQL below);
         # recall@10 and MRR restated with ROW_NUMBER + joins
         "retrieval_eval": f"""
             WITH tf AS (

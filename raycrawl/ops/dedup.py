@@ -864,7 +864,18 @@ def semantic_dedup(ds, n_centroids: int = 16, iters: int = 2,
         import pandas as pd
 
         n = len(gdf)
-        if 2 <= n <= max_cluster:
+        if n > max_cluster:
+            # no-silent-caps discipline: an over-dense cell means every
+            # member survives as its own singleton with NO near-dup
+            # coverage — surface it so callers raise n_centroids
+            import logging
+
+            logging.getLogger("raycrawl.dedup").warning(
+                "semantic_dedup: k-means cell of %d members exceeds "
+                "max_cluster=%d — its pairs are SKIPPED (members all kept "
+                "as singletons); raise n_centroids or max_cluster", n,
+                max_cluster)
+        elif n >= 2:
             ids = gdf[id_col].to_numpy(np.int64)
             embs = np.array(gdf[emb_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(embs, axis=1, keepdims=True)

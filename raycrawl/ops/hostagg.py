@@ -252,6 +252,10 @@ def corpus_report(docs_ds, *, source_col: str = "source",
         for s, lg, nc in zip(batch[source_col].to_pylist(),
                              batch["lang"].to_pylist(),
                              batch["n_chars"].to_pylist()):
+            # coerce nulls/non-strings: a None lang would make the
+            # sorted() key mix str and NoneType and crash the report —
+            # fold them into the empty-string bucket instead
+            s, lg = str(s or ""), (lg or "")
             c[s] += 1
             chars[s] += int(nc or 0)
             langs[(s, lg)] += 1

@@ -217,7 +217,17 @@ def negative_samples(ds, n_docs: int, k: int = 4, id_col: str = "doc_id"):
     in-batch-negatives alternatives) need negatives that are reproducible
     across reruns, cluster sizes and partitionings; hash draws are a pure
     row property, so this is a shuffle-free flat-map (same discipline as
-    the hash samplers above). Returns (doc_id, neg_idx, neg_id)."""
+    the hash samplers above). Returns (doc_id, neg_idx, neg_id).
+
+    Requires ``n_docs >= 2`` (with one doc no non-anchor partner exists)
+    and assumes ids are exactly the dense range ``0..n_docs-1`` — the
+    collision bump only honors the never-the-anchor contract under that
+    id layout."""
+    if n_docs < 2:
+        raise ValueError(
+            f"negative_samples: n_docs={n_docs} — need >= 2 docs to draw "
+            "a negative that is not the anchor")
+
     def draw(batch: pa.Table) -> pa.Table:
         ids_out, idx_out, neg_out = [], [], []
         for d in batch[id_col].to_pylist():

@@ -41,12 +41,38 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+MAX_SITEMAP_BYTES = 50 * 1024 * 1024  # sitemaps.org caps files at 50 MB
+
+
+def _safe_fromstring(xml_text: str | bytes) -> ET.Element:
+    """ET.fromstring hardened for untrusted web XML: any DOCTYPE is
+    refused BEFORE parsing (entity expansion — CPython's documented
+    billion-laughs/quadratic-blowup exposure — requires a DTD, and
+    sitemap XML never legitimately carries one), plus a size cap.
+    Sitemaps are fetched from arbitrary hosts and parsed on the driver,
+    so a bomb here is a driver DoS."""
+    if len(xml_text) > MAX_SITEMAP_BYTES:
+        raise ValueError(
+            f"parse_sitemap: document of {len(xml_text)} bytes exceeds the "
+            f"{MAX_SITEMAP_BYTES}-byte cap (sitemaps.org limit is 50 MB)")
+    probe = (xml_text if isinstance(xml_text, bytes)
+             else xml_text.encode("utf-8", "ignore")).upper()
+    if b"<!DOCTYPE" in probe or b"<!ENTITY" in probe:
+        raise ValueError(
+            "parse_sitemap: DOCTYPE/ENTITY declaration refused — sitemap "
+            "XML never needs a DTD, and entity expansion is a driver-DoS "
+            "vector (billion laughs / quadratic blowup)")
+    return ET.fromstring(xml_text)
+
+
 def parse_sitemap(xml_text: str | bytes):
     """Parse one sitemap document. Returns ``(kind, entries)`` with kind ∈
     {'urlset', 'sitemapindex'} and entries = [(loc, lastmod_or_empty)]
     in document order. Unknown root tags raise ValueError; entries
-    missing ``<loc>`` are skipped (they identify nothing)."""
-    root = ET.fromstring(xml_text)
+    missing ``<loc>`` are skipped (they identify nothing). Untrusted-web
+    hardened: DTD/entity declarations are refused and over-cap documents
+    raise before parsing (see ``_safe_fromstring``)."""
+    root = _safe_fromstring(xml_text)
     kind = _local(root.tag)
     if kind not in ("urlset", "sitemapindex"):
         raise ValueError(f"parse_sitemap: unexpected root <{kind}>")

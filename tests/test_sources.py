@@ -320,6 +320,42 @@ def test_parse_sitemap_urlset_and_index():
         parse_sitemap("<rss></rss>")
 
 
+def test_parse_sitemap_refuses_entities_and_oversize():
+    """r4 ADVICE: sitemap XML arrives from arbitrary hosts and parses on
+    the driver — DTD/entity declarations (billion-laughs vector) and
+    over-cap documents must be refused, well-formed sitemaps unaffected."""
+    import pytest
+    from raycrawl.sources.sitemap import MAX_SITEMAP_BYTES, parse_sitemap
+
+    bomb = (
+        '<?xml version="1.0"?>'
+        '<!DOCTYPE lolz [<!ENTITY lol "lol">'
+        '<!ENTITY lol2 "&lol;&lol;&lol;&lol;&lol;&lol;&lol;&lol;&lol;&lol;">'
+        ']>'
+        "<urlset><url><loc>https://a/&lol2;</loc></url></urlset>"
+    )
+    with pytest.raises(ValueError, match="entity|DTD|doctype|refused"):
+        parse_sitemap(bomb)
+    # a bare DOCTYPE (no entities) is refused too — sitemaps never need one
+    with pytest.raises(ValueError):
+        parse_sitemap("<!DOCTYPE urlset SYSTEM 'http://evil/x.dtd'>"
+                      "<urlset></urlset>")
+    with pytest.raises(ValueError, match="cap"):
+        parse_sitemap(b"<urlset>" + b" " * MAX_SITEMAP_BYTES + b"</urlset>")
+
+
+def test_negative_samples_rejects_single_doc(ray_session):
+    """r4 ADVICE: with n_docs == 1 the collision bump (raw+1) % n would
+    return the anchor itself — guard with a ValueError."""
+    import pytest
+    import ray.data as rd
+    from raycrawl.ops.sampling import negative_samples
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64())}))
+    with pytest.raises(ValueError, match="n_docs=1"):
+        negative_samples(ds, n_docs=1)
+
+
 def test_expand_sitemap_tree_recursion_cycle_and_guard():
     import pytest
     from raycrawl.sources.sitemap import expand_sitemap_tree
