@@ -1287,6 +1287,33 @@ def q_search_top_queries(sf_dir: str):
     return top_queries(_search_log(sf_dir), limit=10)
 
 
+def q_search_feedback(sf_dir: str):
+    """User-feedback roll-up (A4, ref stats_db.py:79-95 feedback table +
+    log_feedback :187-223, POST /feedback route search.py:188-193): the
+    derived feedback log (every %5==2 event is a submission) aggregated
+    per (query, reason) with exact integer comment counts, per-query
+    totals and share_ppm — the rollup the reference dashboard reads."""
+    from raycrawl.ops.searchapi import derive_feedback_log, feedback_rollup
+
+    return feedback_rollup(derive_feedback_log(_read_ds(sf_dir, "events",
+                                                        ["event_id", "ts"])))
+
+
+def q_stats_retention(sf_dir: str):
+    """Stats-retention cleanup (A4, ref stats_db.py:420-435): search-log +
+    feedback rows older than max(ts) − 30 days dropped; reports
+    (tbl, kept, deleted) — the reference's deleted_searches /
+    deleted_feedback counters — while the compacted tables stream to the
+    caller. Gated on the report."""
+    from raycrawl.ops.searchapi import derive_feedback_log, stats_retention
+
+    report, _kept_log, _kept_fb = stats_retention(
+        _search_log(sf_dir),
+        derive_feedback_log(_read_ds(sf_dir, "events", ["event_id", "ts"])),
+        keep_days=30)
+    return report
+
+
 def q_cse_quota(sf_dir: str):
     """CSE daily-quota accounting (S12, ref cse_client.py:274-312): per-day
     request/served/blocked counts at daily_quota=100 over the RAW request
@@ -2740,6 +2767,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_documents_embedded": q_crawl_documents_embedded,
         "crawl_fetch_join": q_crawl_fetch_join,
         "search_stats": q_search_stats,
+        "search_feedback": q_search_feedback,
+        "stats_retention": q_stats_retention,
         "search_top_queries": q_search_top_queries,
         "cse_quota": q_cse_quota,
         "cse_quota_effective": q_cse_quota_effective,
@@ -3675,6 +3704,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_searches DESC, query ASC
             LIMIT 10
+        """,
+        # search_feedback: the %5==2 feedback derivation + (query, reason)
+        # counts, per-query totals and integer ppm share
+        "search_feedback": """
+            WITH fb AS (
+                SELECT 'q' || CAST(event_id % 97 AS VARCHAR) AS query,
+                       CASE event_id % 4
+                            WHEN 0 THEN 'irrelevant' WHEN 1 THEN 'outdated'
+                            WHEN 2 THEN 'broken_link'
+                            ELSE 'inappropriate' END AS reason,
+                       CASE WHEN event_id % 3 = 0 THEN NULL
+                            ELSE 'comment ' || CAST(event_id % 11 AS VARCHAR)
+                       END AS comment
+                FROM events WHERE event_id % 5 = 2
+            ),
+            g AS (
+                SELECT query, reason,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN comment IS NOT NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_commented
+                FROM fb GROUP BY query, reason
+            )
+            SELECT query, reason, n, n_commented,
+                   CAST(SUM(n) OVER (PARTITION BY query) AS BIGINT)
+                       AS query_total,
+                   CAST(n * 1000000 // SUM(n) OVER (PARTITION BY query)
+                        AS BIGINT) AS share_ppm
+            FROM g
+        """,
+        # stats_retention: kept/deleted per table at cutoff = max(ts) − 30d
+        "stats_retention": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            cut AS (SELECT m - INTERVAL 30 DAY AS c FROM mx)
+            SELECT 'search_queries' AS tbl,
+                   CAST(SUM(CASE WHEN ts >= (SELECT c FROM cut)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                   CAST(SUM(CASE WHEN ts < (SELECT c FROM cut)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS deleted
+            FROM events
+            UNION ALL
+            SELECT 'feedback' AS tbl,
+                   CAST(SUM(CASE WHEN ts >= (SELECT c FROM cut)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                   CAST(SUM(CASE WHEN ts < (SELECT c FROM cut)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS deleted
+            FROM events WHERE event_id % 5 = 2
         """,
         "cse_quota": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -189,6 +189,135 @@ def top_queries(log_ds, limit: int = 10):
     return agg.sort(["n_searches", "query"], descending=[True, False]).limit(limit)
 
 
+FEEDBACK_REASONS = ("irrelevant", "outdated", "broken_link", "inappropriate")
+
+
+def derive_feedback_log(events_ds, n_queries: int = 97, n_docs: int = 500):
+    """Deterministic user-feedback log from the events table (the corpus
+    has no real feedback; identical derivation in the SQL oracle). Mirrors
+    the reference ``feedback`` table row shape — (query, result_id,
+    result_url, reason, comment, timestamp) per submission
+    (``stats_db.py:79-95`` DDL, ``log_feedback`` :187-223, POST route
+    ``api/routes/search.py:188-193``): every event with
+    ``event_id % 5 == 2`` is a feedback submission; query joins the
+    derive_search_log key space, result/reason/comment are integer
+    functions of event_id (comment nullable — every third submission
+    omits it, exercising the optional column)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], dtype=np.int64)
+        keep = eid % 5 == 2
+        t = batch.filter(pa.array(keep))
+        ke = eid[keep]
+        return pa.table(
+            {"event_id": t["event_id"],
+             "ts": t["ts"],
+             "query": pa.array([f"q{q}" for q in ke % n_queries],
+                               pa.string()),
+             "result_id": pa.array([f"doc{r}" for r in ke % n_docs],
+                                   pa.string()),
+             "result_url": pa.array(
+                 [f"https://src{r % 20}.example.org/doc/{r}"
+                  for r in ke % n_docs], pa.string()),
+             "reason": pa.array(
+                 [FEEDBACK_REASONS[r] for r in ke % len(FEEDBACK_REASONS)],
+                 pa.string()),
+             "comment": pa.array(
+                 [None if r % 3 == 0 else f"comment {r % 11}" for r in ke],
+                 pa.string())}
+        )
+
+    return events_ds.map_batches(derive, batch_format="pyarrow")
+
+
+def feedback_rollup(feedback_ds, n_parts: int | None = None):
+    """Per-(query, reason) feedback roll-up with per-query totals and the
+    exact integer share — the aggregation layer the reference's feedback
+    store feeds (``stats_db.py:187-223`` writes, dashboard reads). One
+    per-batch partial pass → small (query, reason) Sum groupby → a second
+    tiny exchange keyed by query attaches totals; share_ppm =
+    n·1e6 // total stays integer so the oracle compares exactly. The
+    shuffle carries one row per (query, reason, batch) — never one per
+    feedback event."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["query", "reason"], as_index=False).agg(
+            n=("reason", "size"),
+            n_commented=("comment", lambda s: int(s.notna().sum())))
+        return pa.table({"query": pa.array(g["query"], pa.string()),
+                         "reason": pa.array(g["reason"], pa.string()),
+                         "n": pa.array(g["n"].astype("int64")),
+                         "n_commented": pa.array(
+                             g["n_commented"].astype("int64"))})
+
+    agg = feedback_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["query", "reason"]
+    ).aggregate(Sum("n", alias_name="n"),
+                Sum("n_commented", alias_name="n_commented"))
+
+    def with_share(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({
+                "query": pd.Series([], dtype="object"),
+                "reason": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "n_commented": pd.Series([], dtype="int64"),
+                "query_total": pd.Series([], dtype="int64"),
+                "share_ppm": pd.Series([], dtype="int64")})
+        pdf = pdf.copy()
+        pdf["query_total"] = pdf.groupby("query")["n"].transform("sum")
+        pdf["share_ppm"] = pdf["n"] * 1_000_000 // pdf["query_total"]
+        return pdf
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    return partitioned_apply(agg, ["query"], with_share,
+                             resolve_parts(n_parts))
+
+
+def stats_retention(log_ds, feedback_ds, keep_days: int = 30,
+                    now_ts=None):
+    """Stats-retention cleanup (ref ``stats_db.py:420-435``): drop
+    search-log and feedback rows older than ``now − keep_days`` and report
+    (table, kept, deleted) — the reference's ``deleted_searches`` /
+    ``deleted_feedback`` counters. ``now`` defaults to the max event ts
+    (the log's own clock — deterministic, unlike wall time). The filter is
+    a vectorized per-batch drop; counts are per-batch partials summed in
+    one tiny groupby; the KEPT datasets (the compacted tables) are
+    returned alongside so callers can re-point the store at them."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    if now_ts is None:
+        now_ts = max(log_ds.max("ts"), feedback_ds.max("ts"))
+    cutoff = now_ts - _dt.timedelta(days=keep_days)
+
+    def counts(name, ds):
+        def partial(batch: pa.Table) -> pa.Table:
+            ts = batch["ts"].to_pandas()
+            kept = int((ts >= cutoff).sum())
+            return pa.table({"tbl": pa.array([name], pa.string()),
+                             "kept": pa.array([kept], pa.int64()),
+                             "deleted": pa.array([batch.num_rows - kept],
+                                                 pa.int64())})
+
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    def keep_fresh(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        return batch.filter(pa.array((ts >= cutoff).to_numpy()))
+
+    kept_log = log_ds.map_batches(keep_fresh, batch_format="pyarrow")
+    kept_fb = feedback_ds.map_batches(keep_fresh, batch_format="pyarrow")
+    report = counts("search_queries", log_ds).union(
+        counts("feedback", feedback_ds)).groupby("tbl").aggregate(
+        Sum("kept", alias_name="kept"), Sum("deleted", alias_name="deleted"))
+    return report, kept_log, kept_fb
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

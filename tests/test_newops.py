@@ -2100,3 +2100,53 @@ def test_minhash_refresh_reuses_and_resigs(ray_session):
     assert [by[(2, p)].sig for p in range(16)] == want2.tolist()
     assert all(by[(2, p)].reused == 0 for p in range(16))
     assert all(by[(3, p)].reused == 0 for p in range(16))
+
+
+def test_feedback_rollup_counts_and_share(ray_session):
+    """r4 (VERDICT missing #2): per-(query, reason) rollup with exact
+    comment counts, per-query totals and integer ppm shares."""
+    import ray.data as rd
+    from raycrawl.ops.searchapi import feedback_rollup
+
+    tbl = pa.table({
+        "query": pa.array(["q1", "q1", "q1", "q2", "q2"], pa.string()),
+        "reason": pa.array(["irrelevant", "irrelevant", "outdated",
+                            "broken_link", "broken_link"], pa.string()),
+        "comment": pa.array(["c", None, "c", None, None], pa.string()),
+    })
+    out = feedback_rollup(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    by = {(r.query, r.reason): r for r in out.itertuples()}
+    r11 = by[("q1", "irrelevant")]
+    assert (r11.n, r11.n_commented, r11.query_total) == (2, 1, 3)
+    assert r11.share_ppm == 2 * 1_000_000 // 3
+    r2 = by[("q2", "broken_link")]
+    assert (r2.n, r2.n_commented, r2.query_total, r2.share_ppm) == (
+        2, 0, 2, 1_000_000)
+
+
+def test_stats_retention_cutoff_and_counts(ray_session):
+    """r4 (VERDICT missing #3): retention drops rows older than
+    now − keep_days from BOTH tables and reports kept/deleted exactly
+    (ref stats_db.py:420-435)."""
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.searchapi import stats_retention
+
+    base = pd.Timestamp("2026-01-31")
+    log = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([base - pd.Timedelta(days=d)
+                        for d in (0, 10, 29, 30, 31, 100)]),
+    })
+    fb = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array([base - pd.Timedelta(days=d) for d in (1, 35, 40)]),
+    })
+    report, kept_log, kept_fb = stats_retention(
+        rd.from_arrow(log).repartition(2), rd.from_arrow(fb),
+        keep_days=30)
+    rep = {r.tbl: r for r in report.to_pandas().itertuples()}
+    # cutoff = max ts (base) − 30d; ties at exactly 30d are KEPT (>=)
+    assert (rep["search_queries"].kept, rep["search_queries"].deleted) == (4, 2)
+    assert (rep["feedback"].kept, rep["feedback"].deleted) == (1, 2)
+    assert kept_log.count() == 4 and kept_fb.count() == 1
