@@ -1287,6 +1287,42 @@ def q_search_top_queries(sf_dir: str):
     return top_queries(_search_log(sf_dir), limit=10)
 
 
+CSE_SEARCH_QUERIES = [
+    (0, "join", "fr", 10),
+    (1, "merge sort", "en", 10),
+    (2, "vector", "fr", 5),
+    (3, "hash", "en", 25),      # num > 10 → capped to 10 (ref :162)
+    (4, "zzznope", "fr", 10),   # matches nothing (empty-items path)
+]
+
+
+def q_cse_search(sf_dir: str):
+    """Google-CSE live search client (S12, ref cse_client.py:98-220) —
+    the transport-injectable GET tier mirroring the S13 WikiSearchStage
+    treatment: a query Dataset fans out over an actor pool, one
+    customsearch call per row against the deterministic corpus server
+    (built once, ray.put once). Parsing parity: md5(link) ids, snippet
+    excerpts, displayLink site, pagemap.cse_image thumbnails (flattened
+    to img_url/n_images), source='google_cse', score 1.0, num capped at
+    10. The server's ranking (occurrence desc, doc_id asc) and snippet
+    (first 160 chars) are restated in the DuckDB oracle."""
+    import ray
+    import ray.data as rd
+
+    from raycrawl.ops.searchapi import CorpusCseAPI, CseSearchStage
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    api_ref = ray.put(CorpusCseAPI(docs["doc_id"].to_pylist(),
+                                   docs["text"].to_pylist()))
+    ds = rd.from_items(
+        [{"qid": q, "query": t, "lang": lg, "num": n}
+         for q, t, lg, n in CSE_SEARCH_QUERIES])
+    return ds.repartition(len(CSE_SEARCH_QUERIES)).map_batches(
+        CseSearchStage, batch_format="pyarrow", concurrency=2, num_cpus=1,
+        fn_constructor_args=(api_ref,))
+
+
 def q_search_feedback(sf_dir: str):
     """User-feedback roll-up (A4, ref stats_db.py:79-95 feedback table +
     log_feedback :187-223, POST /feedback route search.py:188-193): the
@@ -2768,6 +2804,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "crawl_fetch_join": q_crawl_fetch_join,
         "search_stats": q_search_stats,
         "search_feedback": q_search_feedback,
+        "cse_search": q_cse_search,
         "stats_retention": q_stats_retention,
         "search_top_queries": q_search_top_queries,
         "cse_quota": q_cse_quota,
@@ -3704,6 +3741,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_searches DESC, query ASC
             LIMIT 10
+        """,
+        # cse_search: the corpus CSE server's ranking (non-overlapping
+        # lowercase occurrence count desc, doc_id asc, top min(num, 10))
+        # + the reference parse (md5(link) id, 160-char snippet,
+        # displayLink site, %4==1 cse_image thumbnail, score 1.0)
+        "cse_search": f"""
+            WITH q(qid, term, lang, num) AS (VALUES {", ".join(
+                f"({q}, '{t}', '{lg}', {n})"
+                for q, t, lg, n in CSE_SEARCH_QUERIES)}),
+            cand AS (
+                SELECT q.qid, q.term, q.lang, least(q.num, 10) AS num,
+                       d.doc_id, d.text,
+                       (length(lower(d.text))
+                        - length(replace(lower(d.text), lower(q.term), '')))
+                           // length(q.term) AS occ
+                FROM documents d CROSS JOIN q
+                WHERE position(lower(q.term) IN lower(d.text)) > 0
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY occ DESC, doc_id ASC) AS rn
+                FROM cand
+            )
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   md5('https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.org/doc/' || CAST(doc_id AS VARCHAR))
+                       AS id,
+                   'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   substr(text, 1, 160) AS excerpt,
+                   'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+                       AS site,
+                   lang,
+                   'google_cse' AS source,
+                   CAST(1.0 AS DOUBLE) AS score,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                             || '.example.org/img/' || CAST(doc_id AS VARCHAR)
+                             || '.png'
+                        ELSE '' END AS img_url,
+                   CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_images
+            FROM ranked
+            WHERE rn <= num
         """,
         # search_feedback: the %5==2 feedback derivation + (query, reason)
         # counts, per-query totals and integer ppm share

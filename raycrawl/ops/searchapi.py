@@ -189,6 +189,130 @@ def top_queries(log_ds, limit: int = 10):
     return agg.sort(["n_searches", "query"], descending=[True, False]).limit(limit)
 
 
+class CorpusCseAPI:
+    """In-memory Google customsearch-v1 endpoint over the corpus — the
+    deterministic fake server behind ``CseSearchStage`` in the sandbox
+    (the real endpoint is Google; its rankings are opaque, so the fake
+    defines them: non-overlapping case-insensitive occurrence count desc,
+    doc_id asc, top ``num``). Response items carry the Google shape the
+    reference parses (``link``/``title``/``snippet``/``displayLink``/
+    ``pagemap.cse_image``, cse_client.py:177-219); every doc_id % 4 == 1
+    page exposes one cse_image. Build once, ``ray.put`` once — each
+    search actor fetches the single plasma copy."""
+
+    def __init__(self, doc_ids, texts):
+        self.doc_ids = list(doc_ids)
+        self.texts = list(texts)
+
+    def __call__(self, params: dict) -> dict:
+        term = (params.get("q") or "").lower()
+        num = min(int(params.get("num", 10)), 10)
+        if not term:
+            return {"items": []}
+        scored = []
+        for i, text in zip(self.doc_ids, self.texts):
+            occ = (text or "").lower().count(term)
+            if occ > 0:
+                scored.append((-occ, i, text))
+        scored.sort()
+        items = []
+        for _, i, text in scored[:num]:
+            item = {
+                "link": f"https://src{i % 20}.example.org/doc/{i}",
+                "title": f"Doc {i}",
+                "snippet": (text or "")[:160],
+                "displayLink": f"src{i % 20}.example.org",
+            }
+            if i % 4 == 1:
+                item["pagemap"] = {"cse_image": [
+                    {"src": f"https://src{i % 20}.example.org/img/{i}.png"}]}
+            items.append(item)
+        return {"items": items}
+
+
+class CseSearchStage:
+    """Actor-pool ``map_batches`` stage: (qid, query, lang, num) rows →
+    SearchResult rows — the S12 live-GET client, the treatment S13's
+    ``WikiSearchStage`` got (reference ``cse_client.py:98-220``).
+    Reference protocol reproduced through the injectable transport:
+
+    - request params ``key``/``cx``/``q``/``lr=lang_{lang}``/
+      ``num=min(num, 10)``/``safe=active`` (:155-163);
+    - ``id = md5(link)`` hex (:182), ``excerpt`` = snippet, ``site`` =
+      displayLink, ``content`` absent (CSE never returns it, :203-207);
+    - ≤5 images from ``pagemap.cse_image`` with null alt/description,
+      entries without ``src`` skipped (:185-199) — flattened here to
+      (img_url, n_images) columns (list<struct> carries no more info
+      for a single-thumbnail corpus and the driver hash compares
+      scalars);
+    - ``source='google_cse'``, constant ``score=1.0`` (:208-211);
+    - a response without items yields no rows.
+
+    Compose with ``cse_cache_replay``/``cse_daily_quota`` for the
+    cache/TTL/quota tiers — those replay protocols are already
+    oracle-gated over the request log."""
+
+    def __init__(self, api_get, api_key: str = "k", cx: str = "cx"):
+        import ray
+
+        if isinstance(api_get, ray.ObjectRef):
+            api_get = ray.get(api_get)
+        self.api_get = api_get
+        self.key = api_key
+        self.cx = cx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        qids = batch["qid"].to_pylist()
+        queries = batch["query"].to_pylist()
+        langs = (batch["lang"].to_pylist() if "lang" in batch.column_names
+                 else ["fr"] * len(qids))
+        nums = (batch["num"].to_pylist() if "num" in batch.column_names
+                else [10] * len(qids))
+        out = {k: [] for k in ("qid", "id", "url", "title", "excerpt",
+                               "site", "lang", "source", "score",
+                               "img_url", "n_images")}
+        for qid, query, lang, num in zip(qids, queries, langs, nums):
+            data = self.api_get({
+                "key": self.key, "cx": self.cx, "q": query,
+                "lr": f"lang_{lang}", "num": min(int(num), 10),
+                "safe": "active",
+            }) or {}
+            for item in data.get("items", []):
+                link = item.get("link")
+                if not link:
+                    continue
+                imgs = [im.get("src")
+                        for im in (item.get("pagemap", {})
+                                   .get("cse_image", []))[:5]
+                        if im.get("src")]
+                out["qid"].append(qid)
+                out["id"].append(hashlib.md5(link.encode()).hexdigest())
+                out["url"].append(link)
+                out["title"].append(item.get("title", ""))
+                out["excerpt"].append(item.get("snippet", ""))
+                out["site"].append(item.get("displayLink"))
+                out["lang"].append(lang)
+                out["source"].append("google_cse")
+                out["score"].append(1.0)
+                out["img_url"].append(imgs[0] if imgs else "")
+                out["n_images"].append(len(imgs))
+        return pa.table({
+            "qid": pa.array(out["qid"], pa.int64()),
+            "id": pa.array(out["id"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "title": pa.array(out["title"], pa.string()),
+            "excerpt": pa.array(out["excerpt"], pa.string()),
+            "site": pa.array(out["site"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "score": pa.array(out["score"], pa.float64()),
+            "img_url": pa.array(out["img_url"], pa.string()),
+            "n_images": pa.array(out["n_images"], pa.int64()),
+        })
+
+
 FEEDBACK_REASONS = ("irrelevant", "outdated", "broken_link", "inappropriate")
 
 

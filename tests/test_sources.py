@@ -467,3 +467,55 @@ def test_discover_from_robots_and_crawl_integration(ray_session):
     r = CrawlEngine(None, sites, cfg=CrawlConfig(mode="wave"),
                     transport=tr).run()
     assert sorted(d["url"] for d in r.docs.to_pylist()) == sorted(pages)
+
+
+def test_cse_search_stage_reference_parity(ray_session):
+    """r4 (VERDICT missing #4 / S12): the live-GET CSE client through an
+    injectable transport — request params, md5(link) ids, num capped at
+    10, pagemap.cse_image parsing with missing-src skip, empty-items
+    path (cse_client.py:98-220)."""
+    import hashlib
+
+    import ray.data as rd
+    from raycrawl.ops.searchapi import CseSearchStage
+
+    calls = []
+
+    def api(params):
+        calls.append(dict(params))
+        if params["q"] == "none":
+            return {}
+        assert params["safe"] == "active"
+        assert params["lr"] == "lang_en"
+        return {"items": [
+            {"link": "https://a.org/x", "title": "X", "snippet": "sx",
+             "displayLink": "a.org",
+             "pagemap": {"cse_image": [{"src": None}, {"nope": 1},
+                                       {"src": "https://a.org/i.png"}]}},
+            {"title": "no link -> skipped"},
+            {"link": "https://b.org/y", "title": "Y", "snippet": "sy",
+             "displayLink": "b.org"},
+        ]}
+
+    # drive the stage callable directly (the api-call capture lives in this
+    # process; the actor-pool plumbing itself is exercised by q_cse_search's
+    # oracle-gated driver query)
+    stage = CseSearchStage(api)
+    tbl = pa.table({
+        "qid": pa.array([0, 1], pa.int64()),
+        "query": pa.array(["hash", "none"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "num": pa.array([25, 10], pa.int64()),
+    })
+    out = (stage(tbl).to_pandas()
+           .sort_values(["qid", "url"]).reset_index(drop=True))
+    assert len(out) == 2  # linkless item skipped, 'none' query empty
+    assert (out["qid"] == 0).all()
+    a = out.iloc[0]
+    assert a["id"] == hashlib.md5(b"https://a.org/x").hexdigest()
+    assert a["img_url"] == "https://a.org/i.png" and a["n_images"] == 1
+    assert out.iloc[1]["n_images"] == 0 and out.iloc[1]["img_url"] == ""
+    assert (out["source"] == "google_cse").all()
+    # num capped at 10 in the request (ref :162)
+    hash_calls = [c for c in calls if c["q"] == "hash"]
+    assert hash_calls and all(c["num"] == 10 for c in hash_calls)
