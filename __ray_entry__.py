@@ -2590,6 +2590,33 @@ def q_dedup_containment(sf_dir: str):
     return containment_pairs(planted, threshold_ppm=600_000)
 
 
+def q_dedup_containment_lsh(sf_dir: str):
+    """The SCALE path for q_dedup_containment (r4, VERDICT #4):
+    ops/dedup.containment_pairs_scaled — inverted-index candidates (one
+    fixed-width (shingle, id) row per distinct doc shingle, hot shingles
+    df-capped) + exact re-verification of every candidate through the
+    PartitionedLookup text tier. Same plant, same threshold, SAME oracle
+    SQL as the quadratic kernel: with no hot buckets at this scale the
+    two paths are provably identical, so the oracle gates the scaled
+    machinery end to end."""
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import containment_pairs_scaled
+
+    tbl = _docs_table(sf_dir).select(["doc_id", "text"])
+    n = tbl.num_rows
+    ids = tbl["doc_id"].to_pylist()
+    texts = [(t or "") for t in tbl["text"].to_pylist()]
+    qi = [d + n for d in ids if d % 10 == 7]
+    qt = [t[:60] for d, t in zip(ids, texts) if d % 10 == 7]
+    planted = pa.table({
+        "doc_id": pa.array(ids + qi, pa.int64()),
+        "text": pa.array(texts + qt, pa.string()),
+    })
+    return containment_pairs_scaled(rd.from_arrow(planted).repartition(8),
+                                    threshold_ppm=600_000)
+
+
 def q_text_bigrams(sf_dir: str):
     """KenLM-lite bigram LM coverage (ops/textstats.bigram_coverage): the
     integer-exact CCNet-perplexity stand-in — fraction of each doc's word
@@ -2854,6 +2881,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "frontier_triage": q_frontier_triage,
         "recrawl_intervals": q_recrawl_intervals,
         "dedup_containment": q_dedup_containment,
+        "dedup_containment_lsh": q_dedup_containment_lsh,
         "text_bigrams": q_text_bigrams,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
@@ -4854,6 +4882,37 @@ def oracle_sql() -> dict[str, str]:
         # chars at doc_id+N) + the dedup_jaccard shingle self-join, but
         # divided by the SOURCE side's shingle count (asymmetric, <> not <)
         "dedup_containment": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id + n.n, substr(d.text, 1, 60)
+                FROM documents d CROSS JOIN n WHERE d.doc_id % 10 = 7
+            ),
+            pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 3, 2))) AS i
+                FROM corpus
+            ),
+            sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+                   FROM pos),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS src, s2.doc_id AS dst, COUNT(*) AS i
+                FROM sh s1 JOIN sh s2
+                    ON s1.sh = s2.sh AND s1.doc_id <> s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            )
+            SELECT src, dst, (i * 1000000) // z.sz AS containment_ppm
+            FROM inter JOIN sizes z ON inter.src = z.doc_id
+            WHERE (i * 1000000) // z.sz >= 600000
+        """,
+        # dedup_containment_lsh: the SAME exact-containment SQL — the
+        # scaled path (inverted-index candidates + exact verify) is
+        # provably identical to the quadratic kernel when no shingle
+        # bucket exceeds max_df (true at oracle scale), so one oracle
+        # gates both
+        "dedup_containment_lsh": """
             WITH n AS (SELECT COUNT(*) AS n FROM documents),
             corpus AS (
                 SELECT doc_id, text FROM documents

@@ -595,6 +595,111 @@ def containment_pairs(docs_tbl: pa.Table, shingle_k: int = 5,
                                    ("containment_ppm", pa.int64())])
 
 
+def containment_pairs_scaled(ds, shingle_k: int = 5,
+                             threshold_ppm: int = 800_000,
+                             max_df: int = 1000, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_parts: int | None = None):
+    """The SCALE path for ``containment_pairs`` (r4, VERDICT #4): fully
+    distributed quote/excerpt/syndication detection, no block-pair scan.
+
+    Jaccard-biased LSH bands cannot find containment (a tweet inside an
+    article has near-zero Jaccard), so candidates come from an INVERTED
+    INDEX instead (the PPJoin-family discipline): one fixed-width
+    ``(shingle_hash, id)`` row per DISTINCT doc shingle → shingle-keyed
+    task hash shuffle → every pair sharing a bucket. Buckets hotter than
+    ``max_df`` are dropped from candidate generation (a stopword-gram
+    would otherwise make one partition O(df²) — salting territory), and
+    every surviving candidate is then EXACTLY verified: shingle sets
+    rebuilt from the ``PartitionedLookup`` text tier (hash-partitioned
+    plasma, node-cached — payload traffic O(corpus), never O(pairs)) and
+    both directions' ppm computed from the true intersection. The df cap
+    therefore can only LOSE pairs whose every shared shingle is hot —
+    never emit a wrong ppm; with no hot buckets the output equals the
+    quadratic oracle kernel exactly (pinned in tests + the
+    ``dedup_containment_lsh`` oracle)."""
+    n_parts = _resolve_parts(n_parts)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        xs, ids = [], []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            sh = _shingles(t or "", shingle_k)
+            xs.extend(sh)
+            ids.extend([d] * len(sh))
+        return pa.table({"x": pa.array(xs, pa.int64()),
+                         "id": pa.array(ids, pa.int64())})
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        parts_a, parts_b = [], []
+        for _, g in pdf.groupby("x", sort=True):
+            ids = np.unique(g["id"].to_numpy())
+            n = len(ids)
+            if n < 2 or n > max_df:
+                continue  # hot shingle — see docstring
+            iu, ju = np.triu_indices(n, 1)
+            parts_a.append(ids[iu])
+            parts_b.append(ids[ju])
+        if parts_a:
+            return pd.DataFrame({"a": np.concatenate(parts_a),
+                                 "b": np.concatenate(parts_b)}
+                                ).drop_duplicates(["a", "b"])
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64")})
+
+    from .grouping import partitioned_apply
+
+    ex = ds.map_batches(explode, batch_format="pyarrow")
+    cands = partitioned_apply(ex, ["x"], bucket_pairs, n_parts)
+    uniq = partitioned_apply(
+        cands, ["a", "b"], lambda pdf: pdf.drop_duplicates(["a", "b"]),
+        n_parts)
+
+    lookup = PartitionedLookup(ds, id_col, text_col, n_parts, kind="text")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {"src": [], "dst": [], "containment_ppm": []}
+        if batch.num_rows:
+            a = np.asarray(batch["a"], np.int64)
+            b = np.asarray(batch["b"], np.int64)
+            pa_parts = lookup.parts_for(a)
+            pb_parts = lookup.parts_for(b)
+            loaded = get_parts(lookup, np.unique(
+                np.concatenate([pa_parts, pb_parts])))
+            arrs: dict[int, np.ndarray] = {}
+
+            def sh(i, p):
+                s = arrs.get(i)
+                if s is None:
+                    raw = _shingles(loaded[p].get(i, ""), shingle_k)
+                    s = np.fromiter(raw, dtype=np.int64, count=len(raw))
+                    s.sort()
+                    arrs[i] = s
+                return s
+
+            for x, y, px, py in zip(a.tolist(), b.tolist(),
+                                    pa_parts.tolist(), pb_parts.tolist()):
+                s1, s2 = sh(x, px), sh(y, py)
+                small, big = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+                idx = np.searchsorted(big, small)
+                idx[idx == len(big)] = len(big) - 1
+                inter = int((big[idx] == small).sum())
+                for s_id, s_set in ((x, s1), (y, s2)):
+                    ppm = inter * 1_000_000 // len(s_set)
+                    if ppm >= threshold_ppm:
+                        out["src"].append(s_id)
+                        out["dst"].append(y if s_id == x else x)
+                        out["containment_ppm"].append(ppm)
+        return pa.table(
+            {"src": pa.array(out["src"], pa.int64()),
+             "dst": pa.array(out["dst"], pa.int64()),
+             "containment_ppm": pa.array(out["containment_ppm"], pa.int64())})
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (single-doc reference kernel;
     the batch path below is the vectorized equivalent — kept in lockstep)."""

@@ -2150,3 +2150,43 @@ def test_stats_retention_cutoff_and_counts(ray_session):
     assert (rep["search_queries"].kept, rep["search_queries"].deleted) == (4, 2)
     assert (rep["feedback"].kept, rep["feedback"].deleted) == (1, 2)
     assert kept_log.count() == 4 and kept_fb.count() == 1
+
+
+def test_containment_scaled_equals_exact_and_df_guard(ray_session):
+    """r4 (VERDICT #4): the inverted-index + exact-verify containment
+    scale path equals the quadratic kernel when no shingle is hot, and
+    the df cap drops a degenerate hot-shingle corpus without an O(df²)
+    explosion while real pairs survive."""
+    import time
+
+    import numpy as np
+    import ray.data as rd
+    from raycrawl.ops.dedup import containment_pairs, containment_pairs_scaled
+
+    rng = np.random.RandomState(3)
+    base = [" ".join(f"w{rng.randint(500)}" for _ in range(40))
+            for _ in range(60)]
+    texts = base + [t[:50] for t in base[:10]]          # planted quotes
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    exact = containment_pairs(tbl, threshold_ppm=600_000).to_pandas()
+    scaled = containment_pairs_scaled(
+        rd.from_arrow(tbl).repartition(4), threshold_ppm=600_000).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["src", "dst",
+                                           "containment_ppm"]].values))
+    assert key(exact) == key(scaled)
+    assert len(exact) >= 10  # quotes found
+
+    # hot-shingle guard: thousands of docs sharing one gram stay cheap
+    hot = ["xxxxx common gram"] * 3000 + ["unique pair body one copy",
+                                          "unique pair body one copy"]
+    htbl = pa.table({"doc_id": pa.array(range(len(hot)), pa.int64()),
+                     "text": pa.array(hot, pa.string())})
+    t0 = time.time()
+    out = containment_pairs_scaled(rd.from_arrow(htbl).repartition(4),
+                                   threshold_ppm=900_000,
+                                   max_df=100).to_pandas()
+    assert time.time() - t0 < 60
+    got = set(zip(out["src"], out["dst"]))
+    assert (3000, 3001) in got and (3001, 3000) in got
+    assert not any(s < 3000 for s, _ in got)
