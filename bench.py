@@ -206,9 +206,51 @@ def run_bench() -> dict:
     if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
         # min-of-2 for the heavy dedup pipeline too: it's the largest
         # single-run number in the artifact and the host's minute-scale
-        # drift otherwise dominates it (BASELINE.md)
-        timed("dedup_minhash", lambda: em.q_dedup_minhash(sf_dir).count(),
-              reps=headline_reps)
+        # drift otherwise dominates it (BASELINE.md). Times the PRODUCTION
+        # crc32 64-perm configuration (the r3-compatible number) — the
+        # q_dedup_minhash driver query moved to the SQL-replayable md5
+        # kernel in r4 (python-md5-per-shingle; an oracle kernel, not the
+        # throughput path).
+        import ray.data as rd
+
+        from raycrawl.ops.dedup import minhash_dedup
+
+        def dedup_prod():
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+            return minhash_dedup(ds, threshold=0.5).count()
+
+        timed("dedup_minhash", dedup_prod, reps=headline_reps)
+
+        # dedup at replica scale (r4, VERDICT stretch): 4x the corpus —
+        # each replica id-offset with a per-replica text marker, so
+        # within-replica pairs persist AND cross-replica near-dup pairs
+        # appear (4x rows, ~10x pair work) — so dedup scaling regressions
+        # surface like crawl ones do
+        def dedup_4x():
+            import pyarrow as pa
+
+            R = 4
+
+            def replicate(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_pylist()
+                txts = batch["text"].to_pylist()
+                return pa.table({
+                    "doc_id": pa.array(
+                        [d + rr * 1_000_000 for d in ids
+                         for rr in range(R)], pa.int64()),
+                    "text": pa.array(
+                        [f"{t} replica-{rr}" for t in txts
+                         for rr in range(R)], pa.string()),
+                })
+
+            ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]
+                                 ).map_batches(replicate,
+                                               batch_format="pyarrow")
+            return minhash_dedup(ds, threshold=0.5).count()
+
+        timed("dedup_minhash_4x", dedup_4x)
         timed("embed_topk", lambda: em.q_embed_topk(sf_dir).num_rows)
         timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
         timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())
