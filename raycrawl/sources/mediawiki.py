@@ -168,6 +168,32 @@ def synthesize_wikitext(text: str, title: str) -> str:
     )
 
 
+def build_api_url(crawl_url: str) -> str:
+    """Derive the MediaWiki API endpoint from a site's crawl URL
+    (reference mediawiki_crawler.py:44-51): a ``/wiki/`` page URL maps to
+    ``<origin>/w/api.php``; anything else gets ``/w/api.php`` appended."""
+    if "/wiki/" in crawl_url:
+        return crawl_url.split("/wiki/")[0] + "/w/api.php"
+    return crawl_url.rstrip("/") + "/w/api.php"
+
+
+def select_transport(site_name: str, default_get, bypass_get=None):
+    """Per-site transport selector — the engine equivalent of the
+    reference's Cloudflare-bypass gate (mediawiki_crawler.py:53-59): use
+    the TLS-impersonating transport iff one is AVAILABLE and the site is
+    Vikidia (the one Cloudflare-fronted site in the reference's fleet);
+    every other site keeps the default session. Here both transports are
+    injectable ``api_get(params) -> dict`` callables — the curl_cffi
+    impersonation itself (ref :61-82) is a deployment-time transport
+    implementation (no network in this sandbox), but the *selection rule*
+    is engine logic and is reproduced exactly: ``bypass_get=None`` models
+    ``CURL_CFFI_AVAILABLE=False`` (ref :16-21) and falls back to the
+    default transport."""
+    if bypass_get is not None and "vikidia" in (site_name or "").lower():
+        return bypass_get
+    return default_get
+
+
 def list_all_page_ids(api_get, namespaces=(0,)) -> list[int]:
     """``allpages`` lister with ``apcontinue`` pagination (reference
     mediawiki_crawler.py:95-140): sequential by protocol — each request's

@@ -222,6 +222,37 @@ def test_detect_wiki_lang_reference_asymmetry():
     assert detect_wiki_lang("https://wiki.example.org/api.php") == "en"
 
 
+def test_build_api_url_reference_rule():
+    from raycrawl.sources.mediawiki import build_api_url
+
+    # /wiki/ page URL → origin + /w/api.php (mediawiki_crawler.py:44-51)
+    assert (build_api_url("https://fr.vikidia.org/wiki/Accueil")
+            == "https://fr.vikidia.org/w/api.php")
+    assert (build_api_url("https://en.wikipedia.org/wiki/Main_Page")
+            == "https://en.wikipedia.org/w/api.php")
+    # non-/wiki/ URLs get /w/api.php appended after rstrip('/')
+    assert (build_api_url("https://wiki.example.org/")
+            == "https://wiki.example.org/w/api.php")
+    assert (build_api_url("https://wiki.example.org")
+            == "https://wiki.example.org/w/api.php")
+
+
+def test_select_transport_cloudflare_gate():
+    from raycrawl.sources.mediawiki import select_transport
+
+    default = object()
+    bypass = object()
+    # vikidia + bypass available → bypass (mediawiki_crawler.py:53-59);
+    # the match is case-insensitive on the site NAME, not the URL
+    assert select_transport("Vikidia FR", default, bypass) is bypass
+    assert select_transport("vikidia-en", default, bypass) is bypass
+    # other sites keep the default session even when a bypass exists
+    assert select_transport("Wikipedia FR", default, bypass) is default
+    # bypass unavailable (CURL_CFFI_AVAILABLE=False, ref :16-21) → default
+    assert select_transport("Vikidia FR", default, None) is default
+    assert select_transport(None, default, bypass) is default
+
+
 def _search_batch(rows):
     return pa.table({
         "qid": pa.array([r[0] for r in rows], pa.int64()),
