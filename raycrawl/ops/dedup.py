@@ -349,11 +349,20 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32,
 
 
 def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
-                         threshold: float, est_margin: float = 0.15):
+                         threshold: float, est_margin: float = 0.15,
+                         batch_size: int = 1 << 18):
     """Prune candidate pairs by the vectorized signature-agreement estimate
     before exact verification. Signatures arrive via the partitioned lookup
     (plasma parts, node-cached) — pairs stream through one map_batches, no
-    payload shuffle and no corpus broadcast."""
+    payload shuffle and no corpus broadcast.
+
+    ``batch_size`` matters: pair rows are 16 B and the per-batch cost is
+    dominated by the partition-gather bookkeeping (mask + searchsorted per
+    touched part), so Ray Data's default 1024-row batches pay that
+    overhead ~256× more often than needed — measured 44 s → 0.7 s on a
+    9.5 M-pair corpus moving to 256 Ki-row batches (the gather itself is
+    2 × batch × num_perm int64 ≈ 256 MiB transient at 64 perms, fine for a
+    4 GiB worker heap)."""
     est_min = max(threshold - est_margin, 0.0)
 
     def est_filter(batch: pa.Table) -> pa.Table:
@@ -367,14 +376,15 @@ def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64())})
 
-    return pairs_ds.map_batches(est_filter, batch_format="pyarrow")
+    return pairs_ds.map_batches(est_filter, batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                         threshold: float = 0.8, id_col: str = "doc_id",
                         text_col: str = "text", n_parts: int = 32,
                         text_lookup: PartitionedLookup | None = None,
-                        shingle_fn=None):
+                        shingle_fn=None, batch_size: int = 16384):
     """Exact shingle-Jaccard verification of candidate pairs. Texts arrive
     via the partitioned hash-lookup (each text partition is one plasma
     object, pulled to a node at most once and cached per worker) — the
@@ -382,7 +392,11 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
     per-pair text-payload join shuffle: candidate sets can be orders of
     magnitude larger than the corpus, so payload movement must be
     O(corpus), never O(pairs). Shingle sets are built once per doc per
-    batch."""
+    batch — so ``batch_size`` trades per-batch gather overhead and
+    shingle-array reuse against worker memory (worst case 2 × batch_size
+    distinct docs × ~16 KiB sorted-shingle array each; 16 Ki pairs bounds
+    that at ~512 MiB while amortizing the part-gather 16× better than the
+    1 Ki default)."""
     lookup = text_lookup or PartitionedLookup(docs_ds, id_col, text_col,
                                               n_parts, kind="text")
     shingle_fn = shingle_fn or _shingles
@@ -431,7 +445,8 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
              "jaccard": pa.array(jac, pa.float64())}
         )
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return pairs_ds.map_batches(verify, batch_format="pyarrow",
+                                batch_size=batch_size)
 
 
 def _md5_shingles(text: str, k: int) -> set[int]:
