@@ -457,27 +457,35 @@ def q_embed_topk_ivf(sf_dir: str):
 
 def q_embed_clusters(sf_dir: str):
     """Semantic cluster assignment over the embeddings table (data-mixing /
-    SemDeDup building block): deterministic distributed Lloyd, then one
-    assignment pass. Rows-only (iterative, not SQL-expressible); integer
-    sim_ppm keeps the output hash-stable across runs."""
-    from raycrawl.ops.similarity import cluster_assign
+    SemDeDup building block) — the INTEGER-EXACT Lloyd kernel
+    (ops/intexact.cluster_assign_int): one deterministic quantization,
+    then init + both iterations + the final assignment replay in SQL as
+    unrolled CTE rounds, gating the iterative path end-to-end (integer
+    sums are associative, so no float summation-order drift). The float
+    cosine sibling (similarity.cluster_assign) stays the throughput
+    default, pinned by determinism + partition-independence tests — the
+    minhash md5-vs-crc32 kernel discipline."""
+    from raycrawl.ops.intexact import cluster_assign_int
 
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return cluster_assign(ds, n_centroids=16, iters=2)
+    return cluster_assign_int(ds, n_centroids=16, iters=2)
 
 
 def q_semantic_dedup(sf_dir: str):
-    """SemDeDup end to end (ops/dedup.semantic_dedup): k-means cells →
-    within-cell exact cosine pairs (≥0.95) → components → keep the
-    LOWEST-centroid-similarity member per component. Planted scaled
-    copies (cosine exactly 1.0) make the pair set non-vacuous. Rows-only
-    (iterative k-means); planted-pair exactly-one-kept is pinned by
+    """SemDeDup end to end — the INTEGER-EXACT kernel
+    (ops/intexact.semantic_dedup_int): integer k-means cells → within-cell
+    pairs by the float-free cosine predicate (dot>0 ∧ 400·dot² ≥
+    361·|a|²·|b|², i.e. cos ≥ 19/20) → recursive-CTE components → keep the
+    member FARTHEST from its centroid (diversity election), ties → min id.
+    Planted scaled copies make the pair set non-vacuous. The float sibling
+    (dedup.semantic_dedup) stays the default, pinned by planted-pair
     pytest."""
-    from raycrawl.ops.dedup import plant_neardups, semantic_dedup
+    from raycrawl.ops.dedup import plant_neardups
+    from raycrawl.ops.intexact import semantic_dedup_int
 
     ds = plant_neardups(
         _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"]))
-    return semantic_dedup(ds, n_centroids=16, iters=2)
+    return semantic_dedup_int(ds, n_centroids=16, iters=2)
 
 
 def q_text_compression(sf_dir: str):
@@ -1239,18 +1247,20 @@ def q_crawl_incremental(sf_dir: str):
 
 
 def q_dedup_embed(sf_dir: str):
-    """Embedding-cosine near-dup pairs at ≥0.95 via sign-random-projection
-    bucketing. The corpus has no natural ≥0.95 pairs at sf scale, so the
-    query plants deterministic scaled-copy duplicates (every 50th vector,
-    cosine exactly 1.0) — non-vacuous rows-only check; planted-pair recall
-    vs brute force asserted in tests."""
-    from raycrawl.ops.dedup import embedding_near_dup, plant_neardups
+    """Embedding-cosine near-dup pairs at ≥0.95 via sign-projection
+    bucketing — the INTEGER-EXACT kernel (ops/intexact
+    .embedding_near_dup_int): md5-derived planes instead of a numpy RNG,
+    quantized sign buckets, the max_bucket=1000 skew guard, and the
+    float-free cosine predicate (dot>0 ∧ 400·dot² ≥ 361·|a|²·|b|²) — every
+    stage replays in SQL. Planted scaled-copy duplicates (every 50th
+    vector) keep the pair set non-vacuous. The Gaussian-plane float
+    sibling (dedup.embedding_near_dup) stays the throughput default,
+    pinned by planted-pair recall pytest."""
+    from raycrawl.ops.dedup import plant_neardups
+    from raycrawl.ops.intexact import embedding_near_dup_int
 
     ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_near_dup(plant_neardups(ds), threshold=0.95)
-    return out.map_batches(
-        lambda t: pa.table({"a": t["a"], "b": t["b"]}), batch_format="pyarrow"
-    )
+    return embedding_near_dup_int(plant_neardups(ds))
 
 
 def _search_log(sf_dir: str):
@@ -5858,5 +5868,195 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.n <= 1000
         )
         SELECT a, b, hamming_min FROM pairs WHERE hamming_min <= 3
+    """
+
+    # --- integer-exact embedding kernels (ops/intexact.py) -------------
+    # One deterministic quantization (float32→float64 cast is exact, ×512
+    # is a power-of-two float64 multiply, floor is exact) makes EVERY
+    # downstream stage integer and therefore bit-reproducible in SQL —
+    # including the iterative Lloyd rounds, unrolled below as CTE chains
+    # (init = 16 smallest ids, 2 assign/update rounds, final assignment;
+    # ties → lowest cell index == ORDER BY dist, cid). Centroid update is
+    # floor(SUM::DOUBLE / COUNT) — exact while |sum| ≪ 2^52/count, i.e.
+    # any test scale; the op uses true int64 floordiv. The cosine test
+    # cos ≥ 19/20 is restated float-free: dot>0 ∧ 400·dot² ≥ 361·|a|²|b|².
+    _PLANT_UNION = """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) * CAST(1.1 AS DOUBLE) AS FLOAT))
+                   AS embedding
+        FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+    def _km_int_rounds(src: str) -> str:
+        # dims → init → two unrolled Lloyd rounds → final assignment
+        return f"""
+        dims AS (
+            SELECT vec_id, u.i AS d,
+                   CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+                              * 512) AS BIGINT) AS v
+            FROM {src}, unnest(range(len(embedding))) u(i)
+        ),
+        initids AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT DISTINCT vec_id FROM {src} ORDER BY vec_id LIMIT 16)
+        ),
+        c0 AS (
+            SELECT i.cid, dm.d, dm.v FROM initids i JOIN dims dm USING (vec_id)
+        ),
+        d1 AS (
+            SELECT dm.vec_id, c.cid, SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+            FROM dims dm JOIN c0 c ON dm.d = c.d
+            GROUP BY dm.vec_id, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ),
+        c1s AS (
+            SELECT a.cid, dm.d,
+                   CAST(floor(CAST(SUM(dm.v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS v
+            FROM a1 a JOIN dims dm USING (vec_id)
+            GROUP BY a.cid, dm.d
+        ),
+        c1 AS (
+            SELECT c0.cid, c0.d, coalesce(c1s.v, c0.v) AS v
+            FROM c0 LEFT JOIN c1s ON c1s.cid = c0.cid AND c1s.d = c0.d
+        ),
+        d2 AS (
+            SELECT dm.vec_id, c.cid, SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+            FROM dims dm JOIN c1 c ON dm.d = c.d
+            GROUP BY dm.vec_id, c.cid
+        ),
+        a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2) WHERE rn = 1
+        ),
+        c2s AS (
+            SELECT a.cid, dm.d,
+                   CAST(floor(CAST(SUM(dm.v) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                       AS v
+            FROM a2 a JOIN dims dm USING (vec_id)
+            GROUP BY a.cid, dm.d
+        ),
+        c2 AS (
+            SELECT c1.cid, c1.d, coalesce(c2s.v, c1.v) AS v
+            FROM c1 LEFT JOIN c2s ON c2s.cid = c1.cid AND c2s.d = c1.d
+        ),
+        d3 AS (
+            SELECT dm.vec_id, c.cid, SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+            FROM dims dm JOIN c2 c ON dm.d = c.d
+            GROUP BY dm.vec_id, c.cid
+        )"""
+
+    sql["embed_clusters"] = f"""
+        WITH {_km_int_rounds("embeddings")}
+        SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist FROM (
+            SELECT vec_id, cid, dist, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d3) WHERE rn = 1
+    """
+    sql["semantic_dedup"] = f"""
+        WITH RECURSIVE allv AS ({_PLANT_UNION}),
+        {_km_int_rounds("allv")},
+        acell AS (
+            SELECT vec_id, cid AS kcell, CAST(dist AS BIGINT) AS dist FROM (
+                SELECT vec_id, cid, dist, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d3) WHERE rn = 1
+        ),
+        csz AS (SELECT kcell, COUNT(*) AS n FROM acell GROUP BY kcell),
+        norms AS (SELECT vec_id, SUM(v * v) AS nn FROM dims GROUP BY vec_id),
+        dots AS (
+            SELECT x.vec_id AS a, y.vec_id AS b, SUM(dx.v * dy.v) AS dot
+            FROM acell x
+            JOIN acell y ON x.kcell = y.kcell AND x.vec_id < y.vec_id
+            JOIN csz ON csz.kcell = x.kcell AND csz.n <= 100000
+            JOIN dims dx ON dx.vec_id = x.vec_id
+            JOIN dims dy ON dy.vec_id = y.vec_id AND dy.d = dx.d
+            GROUP BY x.vec_id, y.vec_id
+        ),
+        pairs AS (
+            SELECT dots.a, dots.b FROM dots
+            JOIN norms za ON za.vec_id = dots.a
+            JOIN norms zb ON zb.vec_id = dots.b
+            WHERE dot > 0 AND 400 * dot * dot >= 361 * za.nn * zb.nn
+        ),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        cc(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+            WHERE cc.lbl < e.v
+        ),
+        labels AS (SELECT node, MIN(lbl) AS lbl FROM cc GROUP BY node),
+        clustered AS (
+            SELECT a.vec_id, coalesce(l.lbl, a.vec_id) AS cluster_id, a.dist
+            FROM acell a LEFT JOIN labels l ON l.node = a.vec_id
+        ),
+        rep AS (
+            SELECT cluster_id, vec_id AS rep_id FROM (
+                SELECT cluster_id, vec_id, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY dist DESC, vec_id) AS rn
+                FROM clustered) WHERE rn = 1
+        )
+        SELECT c.vec_id, c.cluster_id, c.dist,
+               CAST(c.vec_id = r.rep_id AS BIGINT) AS is_rep
+        FROM clustered c JOIN rep r ON r.cluster_id = c.cluster_id
+    """
+    # dedup_embed: md5-derived sign-projection planes (SQL recomputes the
+    # plane lattice from md5_number_lower), quantized sign buckets, the
+    # max_bucket=1000 skew guard, and the integer cosine predicate.
+    sql["dedup_embed"] = f"""
+        WITH allv AS ({_PLANT_UNION}),
+        dims AS (
+            SELECT vec_id, u.i AS d,
+                   CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+                              * 512) AS BIGINT) AS v
+            FROM allv, unnest(range(len(embedding))) u(i)
+        ),
+        planes AS (
+            SELECT p.j, u.i AS d,
+                   CAST(md5_number_lower(printf('pl:%d:%d', p.j, u.i)) & 65535
+                        AS BIGINT) - 32768 AS w
+            FROM unnest(range(8)) p(j),
+                 unnest(range((SELECT len(embedding) FROM allv LIMIT 1))) u(i)
+        ),
+        proj AS (
+            SELECT dm.vec_id, pl.j, SUM(dm.v * pl.w) AS s
+            FROM dims dm JOIN planes pl ON pl.d = dm.d
+            GROUP BY dm.vec_id, pl.j
+        ),
+        bucket AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN 1 << CAST(j AS INT)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        bsz AS (SELECT bucket, COUNT(*) AS n FROM bucket GROUP BY bucket),
+        norms AS (SELECT vec_id, SUM(v * v) AS nn FROM dims GROUP BY vec_id),
+        dots AS (
+            SELECT x.vec_id AS a, y.vec_id AS b, SUM(dx.v * dy.v) AS dot
+            FROM bucket x
+            JOIN bucket y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            JOIN bsz ON bsz.bucket = x.bucket AND bsz.n <= 1000
+            JOIN dims dx ON dx.vec_id = x.vec_id
+            JOIN dims dy ON dy.vec_id = y.vec_id AND dy.d = dx.d
+            GROUP BY x.vec_id, y.vec_id
+        )
+        SELECT dots.a, dots.b FROM dots
+        JOIN norms za ON za.vec_id = dots.a
+        JOIN norms zb ON zb.vec_id = dots.b
+        WHERE dot > 0 AND 400 * dot * dot >= 361 * za.nn * zb.nn
     """
     return sql

@@ -2190,3 +2190,87 @@ def test_containment_scaled_equals_exact_and_df_guard(ray_session):
     got = set(zip(out["src"], out["dst"]))
     assert (3000, 3001) in got and (3001, 3000) in got
     assert not any(s < 3000 for s, _ in got)
+
+
+# ---------------------------------------------------------------- intexact
+
+
+def test_embedding_near_dup_int_planted_recall(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.intexact import embedding_near_dup_int
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 16)) * 0.4
+    rows_id = list(range(60))
+    rows_emb = base.tolist()
+    # planted scaled copies: identical direction, cosine exactly 1.0
+    for src in (3, 21, 44):
+        rows_id.append(100 + src)
+        rows_emb.append((base[src] * 1.2).tolist())
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(rows_id, pa.int64()),
+        "embedding": pa.array(rows_emb, pa.list_(pa.float32())),
+    })).repartition(4)
+
+    out = embedding_near_dup_int(ds).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    # sign buckets of a positive scalar multiple are identical even after
+    # quantization, so every planted pair must be recovered
+    for src in (3, 21, 44):
+        assert (src, 100 + src) in got
+
+
+def test_semantic_dedup_int_planted_election(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.intexact import semantic_dedup_int
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)) * 0.4
+    rows_id = list(range(40))
+    rows_emb = base.tolist()
+    for src in (0, 7):
+        rows_id.append(100 + src)
+        rows_emb.append((base[src] * 1.3).tolist())
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(rows_id, pa.int64()),
+        "embedding": pa.array(rows_emb, pa.list_(pa.float32())),
+    })).repartition(4)
+
+    out = semantic_dedup_int(ds, n_centroids=4, iters=2).to_pandas()
+    assert len(out) == 42 and out["vec_id"].is_unique
+    by_id = out.set_index("vec_id")
+    for src in (0, 7):
+        pair = by_id.loc[[src, 100 + src]]
+        assert pair["cluster_id"].nunique() == 1
+        assert pair["is_rep"].sum() == 1
+    per = out.groupby("cluster_id")["is_rep"].sum()
+    assert (per == 1).all()
+
+
+def test_cluster_assign_int_partition_independent(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.intexact import cluster_assign_int
+
+    rng = np.random.default_rng(11)
+    emb = (rng.standard_normal((80, 16)) * 0.4).tolist()
+    tab = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                    "embedding": pa.array(emb, pa.list_(pa.float32()))})
+    outs = []
+    for nblocks in (2, 8):
+        ds = rd.from_arrow(tab).repartition(nblocks)
+        df = (cluster_assign_int(ds, n_centroids=4, iters=2).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+        outs.append(df)
+    # integer sums are associative: identical assignments and distances at
+    # any partitioning (the float sibling needs a sorted partial fold)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_intexact_bounds_guard():
+    from raycrawl.ops.intexact import _check_bounds
+
+    ok = np.full((4, 64), 512, dtype=np.int64)
+    _check_bounds(ok)  # production envelope: fine
+    with pytest.raises(ValueError):
+        _check_bounds(np.full((4, 64), 1 << 20, dtype=np.int64))
