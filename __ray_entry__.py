@@ -701,6 +701,19 @@ def q_text_fingerprint(sf_dir: str):
     )
 
 
+def q_text_fingerprint_poly(sf_dir: str):
+    """Winnowing fingerprint, exactly-gated md5 sibling: same rolling
+    polynomial-hash / chunk-min / xor-fold kernel as text_fingerprint but
+    the per-token hash is md5_number_lower so DuckDB replays it
+    bit-for-bit (recursive power tables + prefix-sum restatement of the
+    rolling recurrence)."""
+    from raycrawl.ops.textstats import fingerprint_poly_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_poly_batch, batch_format="pyarrow"
+    )
+
+
 def q_token_top20(sf_dir: str):
     from raycrawl.ops.textstats import token_histogram
 
@@ -2814,6 +2827,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
         "text_fingerprint": q_text_fingerprint,
+        "text_fingerprint_poly": q_text_fingerprint_poly,
         "text_chunk_dedup": q_text_chunk_dedup,
         "token_top20": q_token_top20,
         "events_hourly": q_events_hourly,
@@ -5811,6 +5825,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(MAX(CASE WHEN c = 2 THEN v END), 0) AS BIGINT) AS c2,
                CAST(coalesce(MAX(CASE WHEN c = 3 THEN v END), 0) AS BIGINT) AS c3
         FROM ch GROUP BY doc_id
+    """
+    # text_fingerprint_poly: the winnowing rolling-hash kernel replayed
+    # exactly. h_i = (h_{i-1}*B + md5_number_lower(tok_i) % M) % M over
+    # M = 2^61-1 (Mersenne prime) is restated shuffle-friendly as
+    # h_i = B^i * Σ_{j≤i} th_j * B^{-j} (mod M): a recursive CTE builds
+    # the B^i / inv(B)^i power tables once (inv(B) = B^(M-2) mod M,
+    # precomputed), a window prefix-sum supplies the Σ, HUGEINT carries
+    # the ≤2^122 intermediate products. Then min per non-overlapping
+    # 8-token chunk, bit_xor fold, mask to int64 — identical to
+    # raycrawl.ops.textstats.fingerprint_poly_batch.
+    sql["text_fingerprint_poly"] = """
+        WITH RECURSIVE lists AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+            FROM documents
+        ),
+        maxlen AS (SELECT max(len(l)) AS m FROM lists),
+        pows(i, bp, ip) AS (
+            SELECT 0, 1::HUGEINT, 1::HUGEINT
+            UNION ALL
+            SELECT i + 1,
+                   (bp * 1000003) % 2305843009213693951::HUGEINT,
+                   (ip * 1229363429801019168::HUGEINT)
+                       % 2305843009213693951::HUGEINT
+            FROM pows WHERE i < (SELECT m FROM maxlen)
+        ),
+        toks AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   unnest(range(1, len(l) + 1)) AS i
+            FROM lists
+        ),
+        prefix AS (
+            SELECT t.doc_id, t.i, p.bp,
+                   sum(((md5_number_lower(t.tok)
+                         % 2305843009213693951::HUGEINT) * p.ip)
+                       % 2305843009213693951::HUGEINT)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.i) AS gsum
+            FROM toks t JOIN pows p ON p.i = t.i
+        ),
+        rolled AS (
+            SELECT doc_id, i,
+                   ((gsum % 2305843009213693951::HUGEINT) * bp)
+                       % 2305843009213693951::HUGEINT AS h
+            FROM prefix
+        ),
+        chunkmins AS (
+            SELECT doc_id, (i - 1) // 8 AS chunk, min(h) AS mn
+            FROM rolled GROUP BY doc_id, chunk
+        )
+        SELECT doc_id,
+               CAST(bit_xor(mn) & 9223372036854775807::HUGEINT AS BIGINT)
+                   AS fingerprint
+        FROM chunkmins GROUP BY doc_id
     """
     # dedup_simhash: the ENTIRE md5 SimHash near-dup pipeline replayed —
     # chunks via the simhash_sig kernel above, candidacy = sharing a

@@ -142,6 +142,53 @@ def fingerprint_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
 
 
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: HUGEINT-safe products in DuckDB
+_FP_B = 1_000_003
+
+
+def fingerprint_poly_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Exactly-gated sibling of :func:`fingerprint_batch`: the same
+    winnowing shape (rolling polynomial hash over tokens, min per
+    non-overlapping ``window`` chunk, xor-fold) but with the per-token
+    hash swapped from the crc32 ``hash_str`` to ``md5`` lower-half
+    little-endian — DuckDB's ``md5_number_lower`` — so the whole kernel
+    replays bit-for-bit in SQL (recursive-CTE ``B^i``/``B^-i`` power
+    tables + a windowed prefix-sum restatement of the recurrence
+    ``h_i = (h_{i-1}·B + th_i) mod 2^61-1``).
+
+    Reference parity: the fingerprint role in the reference is the
+    content-hash dedup key (crawler.py content_hash); this op is the
+    LLM-pipeline extension (near-dup resistant doc fingerprint). Token
+    md5s are memoized per batch (documents share vocabulary), the
+    recurrence itself is a per-token Python-int loop — mod-2^61 products
+    overflow int64, so numpy can't carry it; acceptable for the oracle
+    sibling while the crc32 production kernel stays the hot path."""
+    import hashlib
+
+    texts = batch["text"].to_pylist()
+    memo: dict[str, int] = {}
+    fps = []
+    for t in texts:
+        toks = (t or "").split(" ")
+        hs = []
+        h = 0
+        for w in toks:
+            th = memo.get(w)
+            if th is None:
+                th = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[8:16], "little") % _FP_MOD
+                memo[w] = th
+            h = (h * _FP_B + th) % _FP_MOD
+            hs.append(h)
+        mins = [min(hs[i: i + window]) for i in range(0, len(hs), window)]
+        acc = 0
+        for m in mins:
+            acc ^= m
+        fps.append(acc & 0x7FFF_FFFF_FFFF_FFFF)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fingerprint": pa.array(fps, pa.int64())})
+
+
 def hash_str(s: str) -> int:
     """Stable 64-bit string hash (Python's hash() is salted per process).
     crc32 (C speed) finished with a 64-bit odd-constant multiply — this is

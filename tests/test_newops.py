@@ -1308,6 +1308,60 @@ def test_simhash_chunks_md5_reference_kernel(ray_session):
     assert ref_chunks("the quick") != ref_chunks("the the the quick")
 
 
+def test_fingerprint_poly_reference_kernel_and_duckdb(ray_session):
+    """The md5 winnowing-fingerprint sibling matches a per-doc pure-Python
+    reference (rolling B-adic hash mod 2^61-1, min per 8-token chunk,
+    xor-fold), is partition-count independent, and the prefix-sum SQL
+    restatement in the oracle replays it bit-for-bit in DuckDB."""
+    import hashlib as _hl
+
+    import duckdb
+
+    from raycrawl.ops.textstats import fingerprint_poly_batch
+
+    MOD = (1 << 61) - 1
+    B = 1_000_003
+
+    def ref_fp(text, window=8):
+        hs, h = [], 0
+        for w in (text or "").split(" "):
+            th = int.from_bytes(_hl.md5(w.encode()).digest()[8:16],
+                                "little") % MOD
+            h = (h * B + th) % MOD
+            hs.append(h)
+        mins = [min(hs[i: i + window]) for i in range(0, len(hs), window)]
+        acc = 0
+        for m in mins:
+            acc ^= m
+        return acc & 0x7FFF_FFFF_FFFF_FFFF
+
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "", "solo", " ".join(f"w{i % 7}" for i in range(100)), None]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    outs = []
+    for nparts in (1, 3):
+        out = (rd.from_arrow(tbl).repartition(nparts)
+               .map_batches(fingerprint_poly_batch, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    for i, t in enumerate(texts):
+        assert int(outs[0].loc[i, "fingerprint"]) == ref_fp(t), (i, t)
+
+    # the oracle SQL replays the kernel exactly on the same table
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    got = con.execute(entrymod.oracle_sql()["text_fingerprint_poly"]
+                      ).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert got["fingerprint"].astype("int64").tolist() == [
+        ref_fp(t) for t in texts]
+
+
 # ---------------------------------------------------------------------------
 # deterministic (seed-stable) training shuffle
 
