@@ -782,6 +782,18 @@ def q_events_funnel(sf_dir: str):
         "click", "purchase", within_s=86_400)
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention triangle (ops/windows.cohort_retention): cohort =
+    each user's first active day, cells = distinct users active again
+    offset days later. Distinct (user, day) reduction in-block, ONE
+    user-keyed hash exchange, small (cohort, offset) Sum. Oracle: DISTINCT
+    user-days + per-user MIN(date) + date_diff in SQL."""
+    from raycrawl.ops.windows import cohort_retention
+
+    return cohort_retention(
+        _read_ds(sf_dir, "events", ["ts", "user_id"]))
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping (overlapping) windows: 1 h windows every 30 min per
     event_type — each event counted in 2 windows."""
@@ -2923,6 +2935,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "negative_samples": q_negative_samples,
         "events_hourly_users": q_events_hourly_users,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "minhash_refresh": q_minhash_refresh,
     }
 
@@ -5338,6 +5351,20 @@ def oracle_sql() -> dict[str, str]:
                              <= epoch_us(a.ta) + 86400000000)
                         THEN 1 ELSE 0 END AS BIGINT) AS converted
             FROM a
+        """,
+        # events_retention: distinct user-days, per-user min day = cohort,
+        # cell count = distinct users at (cohort, offset). Exact integer
+        # day arithmetic both sides (Ray side uses epoch-day int64).
+        "events_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ),
+            coh AS (SELECT user_id, MIN(d) AS c FROM ud GROUP BY user_id)
+            SELECT strftime(coh.c, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', coh.c, ud.d) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ud JOIN coh ON ud.user_id = coh.user_id
+            GROUP BY 1, 2
         """,
     }
     # identical semantics, different physical join plan — same oracle

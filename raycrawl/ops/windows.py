@@ -210,6 +210,70 @@ def ordered_funnel(ds, first_type: str, then_type: str, within_s: int,
     return partitioned_apply(rows, ["user_id"], per_user, width)
 
 
+def cohort_retention(ds, n_parts: int | None = None):
+    """Cohort retention triangle: cohort = each user's first active DAY;
+    for every (cohort_day, day_offset) count the users active again
+    ``offset`` days after their first day. The classic product-analytics
+    retention matrix — the longitudinal sibling of ``hourly_distinct_users``
+    (which counts within a window; this follows users ACROSS windows).
+
+    Scale shape: events reduce in-block to DISTINCT fixed-width
+    (user_id, epoch_day) int64 rows, then ONE user-keyed task hash
+    exchange computes each user's cohort min and per-cohort-cell partial
+    counts vectorized per partition; a tiny (cohort, offset) Sum groupby
+    finishes. The shuffle moves one 16-byte row per (user, active-day),
+    never per event. Returns (cohort_day 'YYYY-MM-DD', day_offset,
+    n_users)."""
+    from ray.data.aggregate import Sum
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        days = df["ts"].to_numpy().astype("datetime64[D]").view("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64").to_numpy(),
+            "day": days,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_day": pd.Series(dtype="int64"),
+            "day_offset": pd.Series(dtype="int64"),
+            "n_users": pd.Series(dtype="int64")})
+        if not len(pdf):
+            return empty
+        pdf = pdf.drop_duplicates(["user_id", "day"])
+        cohort = pdf.groupby("user_id")["day"].transform("min")
+        cells = pd.DataFrame({"cohort_day": cohort,
+                              "day_offset": pdf["day"] - cohort})
+        g = (cells.groupby(["cohort_day", "day_offset"], as_index=False)
+             .size().rename(columns={"size": "n_users"}))
+        return g.astype({"cohort_day": "int64", "day_offset": "int64",
+                         "n_users": "int64"})
+
+    partials = partitioned_apply(rows, ["user_id"], per_user, width)
+    agg = partials.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day_str = (df["cohort_day"].to_numpy().astype("datetime64[D]")
+                   .astype(str))
+        return pa.table({
+            "cohort_day": pa.array(day_str, pa.string()),
+            "day_offset": pa.array(df["day_offset"].astype("int64")),
+            "n_users": pa.array(df["n_users"].astype("int64")),
+        })
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

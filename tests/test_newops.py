@@ -2115,6 +2115,44 @@ def test_ordered_funnel_window_edges(ray_session):
     assert out.loc[0, "first_ts_s"] == int(base.timestamp())
 
 
+def test_cohort_retention_triangle(ray_session):
+    """Hand-built scenario: cohorts anchor at each user's FIRST day,
+    multiple same-day events dedup to one user-day, cells count distinct
+    users; partition-count independent."""
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.windows import cohort_retention
+
+    def ev(uid, day, hour=0):
+        return {"user_id": uid,
+                "ts": pd.Timestamp(f"2026-01-{day:02d} {hour:02d}:00:00")}
+
+    rows = [
+        # users 1,2 join day 1; user 1 returns days 2 and 4 (twice on 2)
+        ev(1, 1), ev(1, 2), ev(1, 2, 5), ev(1, 4),
+        ev(2, 1),
+        # user 3 joins day 2, returns day 3
+        ev(3, 2), ev(3, 3),
+    ]
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    outs = []
+    for nparts in (1, 3):
+        out = (cohort_retention(rd.from_arrow(tbl).repartition(nparts))
+               .to_pandas()
+               .sort_values(["cohort_day", "day_offset"])
+               .reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = list(outs[0].itertuples(index=False, name=None))
+    assert got == [
+        ("2026-01-01", 0, 2),   # users 1 and 2 on their first day
+        ("2026-01-01", 1, 1),   # user 1 back the next day (deduped)
+        ("2026-01-01", 3, 1),   # user 1 back on day 4
+        ("2026-01-02", 0, 1),   # user 3's own cohort
+        ("2026-01-02", 1, 1),   # user 3 back
+    ]
+
+
 def test_minhash_refresh_reuses_and_resigs(ray_session):
     import hashlib
 
