@@ -350,19 +350,25 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, n_parts: int = 32,
 
 def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
                          threshold: float, est_margin: float = 0.15,
-                         batch_size: int = 1 << 18):
+                         batch_size: int | None = None,
+                         chunk_rows: int = 1 << 18):
     """Prune candidate pairs by the vectorized signature-agreement estimate
     before exact verification. Signatures arrive via the partitioned lookup
     (plasma parts, node-cached) — pairs stream through one map_batches, no
     payload shuffle and no corpus broadcast.
 
-    ``batch_size`` matters: pair rows are 16 B and the per-batch cost is
-    dominated by the partition-gather bookkeeping (mask + searchsorted per
-    touched part), so Ray Data's default 1024-row batches pay that
-    overhead ~256× more often than needed — measured 44 s → 0.7 s on a
-    9.5 M-pair corpus moving to 256 Ki-row batches (the gather itself is
-    2 × batch × num_perm int64 ≈ 256 MiB transient at 64 perms, fine for a
-    4 GiB worker heap)."""
+    Batching: ``batch_size=None`` processes whole blocks, so parallelism
+    follows the pair partitioning (``lsh_candidate_pairs`` emits
+    ``n_parts`` blocks — one task each at EVERY scale). A fixed large
+    batch_size is a trap here: at small pair counts it coalesces the whole
+    pair set into ONE task and, with est→verify operator fusion,
+    serializes the entire tail of the dedup (measured 3.5 s → 16 s at
+    sf0.1/32 CPUs with 256 Ki). The per-batch partition-gather
+    bookkeeping that a large batch would amortize (mask + searchsorted per
+    touched part; 44 s → 0.7 s on a 9.5 M-pair corpus vs 1 Ki batches) is
+    instead amortized by ``chunk_rows``-sized INTERNAL slices, which also
+    cap the gather transient at 2 × chunk × num_perm int64 ≈ 256 MiB at
+    64 perms regardless of block size."""
     est_min = max(threshold - est_margin, 0.0)
 
     def est_filter(batch: pa.Table) -> pa.Table:
@@ -371,10 +377,15 @@ def signature_est_filter(pairs_ds, sig_lookup: PartitionedLookup,
                              "b": pa.array([], pa.int64())})
         a = np.asarray(batch["a"], np.int64)
         b = np.asarray(batch["b"], np.int64)
-        keep = (_matrix_rows(sig_lookup, a)
-                == _matrix_rows(sig_lookup, b)).mean(axis=1) >= est_min
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
+        kept_a, kept_b = [], []
+        for lo in range(0, len(a), chunk_rows):
+            ca, cb = a[lo: lo + chunk_rows], b[lo: lo + chunk_rows]
+            keep = (_matrix_rows(sig_lookup, ca)
+                    == _matrix_rows(sig_lookup, cb)).mean(axis=1) >= est_min
+            kept_a.append(ca[keep])
+            kept_b.append(cb[keep])
+        return pa.table({"a": pa.array(np.concatenate(kept_a), pa.int64()),
+                         "b": pa.array(np.concatenate(kept_b), pa.int64())})
 
     return pairs_ds.map_batches(est_filter, batch_format="pyarrow",
                                 batch_size=batch_size)
@@ -384,19 +395,24 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                         threshold: float = 0.8, id_col: str = "doc_id",
                         text_col: str = "text", n_parts: int = 32,
                         text_lookup: PartitionedLookup | None = None,
-                        shingle_fn=None, batch_size: int = 16384):
+                        shingle_fn=None, batch_size: int | None = None,
+                        max_cached_docs: int = 65536):
     """Exact shingle-Jaccard verification of candidate pairs. Texts arrive
     via the partitioned hash-lookup (each text partition is one plasma
     object, pulled to a node at most once and cached per worker) — the
     100-TB-safe replacement for both the full-corpus broadcast and a
     per-pair text-payload join shuffle: candidate sets can be orders of
     magnitude larger than the corpus, so payload movement must be
-    O(corpus), never O(pairs). Shingle sets are built once per doc per
-    batch — so ``batch_size`` trades per-batch gather overhead and
-    shingle-array reuse against worker memory (worst case 2 × batch_size
-    distinct docs × ~16 KiB sorted-shingle array each; 16 Ki pairs bounds
-    that at ~512 MiB while amortizing the part-gather 16× better than the
-    1 Ki default)."""
+    O(corpus), never O(pairs).
+
+    Batching: ``batch_size=None`` = whole blocks, so task parallelism
+    follows the upstream pair partitioning (``n_parts`` blocks at every
+    scale) instead of collapsing small pair sets into one fused serial
+    task (a fixed 16 Ki batch cost 3.5 s → 16 s at sf0.1/32 CPUs: the
+    Python shingling loop ran on one core). Shingle sets are built once
+    per doc per BLOCK and cached sorted (~16 KiB each); the cache is
+    dropped once it holds ``max_cached_docs`` (~1 GiB) so arbitrarily
+    large blocks can't pin worker heap."""
     lookup = text_lookup or PartitionedLookup(docs_ds, id_col, text_col,
                                               n_parts, kind="text")
     shingle_fn = shingle_fn or _shingles
@@ -420,6 +436,8 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
             def sh(i, p):
                 s = arrs.get(i)
                 if s is None:
+                    if len(arrs) >= max_cached_docs:
+                        arrs.clear()
                     raw = shingle_fn(loaded[p].get(i, ""), shingle_k)
                     s = np.fromiter(raw, dtype=np.int64, count=len(raw))
                     s.sort()
