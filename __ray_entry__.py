@@ -950,6 +950,26 @@ def q_tpch_revenue_nation(sf_dir: str):
     )
 
 
+def q_tpch_shipping(sf_dir: str):
+    """TPC-H Q3 shape (ops/relational.shipping_priority): top-10 BUILDING
+    segment orders by unshipped revenue — o_orderdate < 1998-06-01,
+    l_shipdate > it. Segment custkeys broadcast once; lineitem
+    pre-aggregates (orderkey, rev-cents) partials before the partitioned
+    orderkey hash join; deterministic (rev desc, date, orderkey) top-k."""
+    from raycrawl.ops.relational import shipping_priority
+
+    return shipping_priority(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_orderpriority"]),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_mktsegment"]),
+    )
+
+
 def q_tpch_revenue_nation_dist(sf_dir: str):
     """Same result and oracle as tpch_revenue_nation, but customer joins
     as a fact-sized Dataset (partitioned hash join orders⋈customer on
@@ -2851,6 +2871,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_nation": q_tpch_revenue_nation,
+        "tpch_shipping": q_tpch_shipping,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
@@ -3613,6 +3634,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_shipdate AS VARCHAR) <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        # tpch_shipping: Q3 shape — per-row cents rounding BEFORE the sum
+        # (matches the _cents kernel), deterministic 3-key top-10
+        "tpch_shipping": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT) AS rev
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-06-01'
+            )
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   CAST(SUM(li.rev) AS BIGINT) AS revenue_cents
+            FROM li
+            JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT 10
         """,
         "wiki_documents": f"""
             SELECT doc_id AS page_id,

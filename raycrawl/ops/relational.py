@@ -118,7 +118,82 @@ def revenue_by_nation(lineitem_ds, orders_ds, customer_tbl: pa.Table,
     ).groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
 
 
-def lineitem_rev_partials(lineitem_ds):
+def shipping_priority(lineitem_ds, orders_ds, customer_tbl: pa.Table,
+                      segment: str = "BUILDING", cutoff: str = "1998-06-01",
+                      k: int = 10, n_parts: int | None = None):
+    """TPC-H Q3 shape (shipping priority): top-k unshipped orders by
+    revenue for one market segment — orders placed before ``cutoff`` with
+    lineitems shipping after it.
+
+    Scale shape: the segment's custkeys broadcast once (``ray.put`` of an
+    int64 set — the one genuinely small side); orders filter+project to
+    (orderkey, orderdate) in-block; lineitem pre-aggregates to one
+    (orderkey, rev-cents) partial per batch BEFORE the partitioned hash
+    join on orderkey (both sides fact-sized ⇒ ``Dataset.join``, no
+    broadcast); a per-order Sum groupby then a k-row sort/limit finish.
+    Revenue in integer cents (exact oracle). Returns (o_orderkey,
+    revenue_cents, o_orderdate 'YYYY-MM-DD', o_orderpriority) —
+    the synthetic orders table carries o_orderpriority, not the spec's
+    o_shippriority."""
+    import ray
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+    seg_keys = {
+        ck for ck, seg in zip(customer_tbl["c_custkey"].to_pylist(),
+                              customer_tbl["c_mktsegment"].to_pylist())
+        if seg == segment}
+    seg_ref = ray.put(np.fromiter(seg_keys, dtype=np.int64,
+                                  count=len(seg_keys)))
+
+    cut = np.datetime64(cutoff, "us")
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        ck = np.asarray(batch["o_custkey"], np.int64)
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        keep = (od < cut) & np.isin(ck, keys)
+        dates = np.datetime_as_string(od[keep].astype("datetime64[D]"))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep], pa.int64()),
+            "o_orderdate": pa.array(dates, pa.string()),
+            "o_orderpriority": pa.array(
+                np.asarray(batch["o_orderpriority"])[keep], pa.string()),
+        })
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        keep = sd > cut
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * (1 - np.asarray(batch["l_discount"], np.float64)[keep]))
+        df = pd.DataFrame({
+            "l_orderkey": np.asarray(batch["l_orderkey"], np.int64)[keep],
+            "rev": rev})
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",))
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev", alias_name="revenue_cents"))
+    top = agg.sort(["revenue_cents", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(k)
+    return top.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority",
+             "revenue_cents"]),
+        batch_format="pyarrow")
     """lineitem → per-batch (l_orderkey, rev-cents) partials: pre-aggregated
     so ~4× fewer rows cross the orderkey shuffle."""
     import pandas as pd

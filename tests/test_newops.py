@@ -2115,6 +2115,44 @@ def test_ordered_funnel_window_edges(ray_session):
     assert out.loc[0, "first_ts_s"] == int(base.timestamp())
 
 
+def test_shipping_priority_filters_and_topk(ray_session):
+    """Q3 edges: orders outside the segment or past the date cutoff drop;
+    lineitems shipped before the cutoff don't count; revenue is per-row
+    cents-rounded then summed; ties break (rev desc, date, orderkey)."""
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.relational import shipping_priority
+
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"])})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 1], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1998-01-01", "1998-01-01", "1998-01-01", "1998-07-01"])),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 13], pa.int64()),
+        # order 10: one item ships late (counts), one early (doesn't)
+        "l_extendedprice": pa.array([100.005, 50.0, 20.0, 999.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.1, 0.0, 0.0]),
+        "l_shipdate": pa.array(pd.to_datetime(
+            ["1998-07-01", "1998-01-02", "1998-07-01",
+             "1998-07-01", "1998-07-01"])),
+    })
+    out = shipping_priority(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders), cust,
+        segment="BUILDING", cutoff="1998-06-01", k=10
+    ).to_pandas()
+    got = list(out[["o_orderkey", "revenue_cents"]]
+               .itertuples(index=False, name=None))
+    # order 12 (wrong segment) and 13 (ordered after cutoff) are out;
+    # 100.005 rounds half-up to 10001 cents; order 11 = 20*0.9 = 1800
+    assert got == [(10, 10001), (11, 1800)]
+    assert out["o_orderdate"].tolist() == ["1998-01-01", "1998-01-01"]
+
+
 def test_cohort_retention_triangle(ray_session):
     """Hand-built scenario: cohorts anchor at each user's FIRST day,
     multiple same-day events dedup to one user-day, cells count distinct
