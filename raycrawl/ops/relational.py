@@ -194,6 +194,9 @@ def shipping_priority(lineitem_ds, orders_ds, customer_tbl: pa.Table,
             ["o_orderkey", "o_orderdate", "o_orderpriority",
              "revenue_cents"]),
         batch_format="pyarrow")
+
+
+def lineitem_rev_partials(lineitem_ds):
     """lineitem → per-batch (l_orderkey, rev-cents) partials: pre-aggregated
     so ~4× fewer rows cross the orderkey shuffle."""
     import pandas as pd
