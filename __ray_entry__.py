@@ -2141,6 +2141,16 @@ def q_doc_split(sf_dir: str):
         split_batch, batch_format="pyarrow")
 
 
+def q_doc_split_grouped(sf_dir: str):
+    """Leakage-safe split (ops/sampling.group_split_batch): bucket =
+    h32(source) % 100 — every doc of a source shares a split, so
+    near-duplicate families never straddle train/test."""
+    from raycrawl.ops.sampling import group_split_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        group_split_batch, batch_format="pyarrow")
+
+
 def q_curation_pipeline(sf_dir: str):
     """The composed end-to-end curation pipeline (ops/curation.py): stub
     filter → exact dedup (winner hash join) → per-source cap 10 → train
@@ -2911,6 +2921,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "doc_split": q_doc_split,
+        "doc_split_grouped": q_doc_split_grouped,
         "span_pairs": q_span_pairs,
         "curation_pipeline": q_curation_pipeline,
         "contamination": q_contamination,
@@ -4198,6 +4209,20 @@ def oracle_sql() -> dict[str, str]:
                                                  1, 8) AS BIGINT) % 100 < 90
                         THEN 'train'
                         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 8) AS BIGINT) % 100 < 95
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        """,
+        # doc_split_grouped: the same h32 split keyed on the GROUP column
+        # (null source folds to '') — leakage-safe splits
+        "doc_split_grouped": """
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(coalesce(source, '')), 1, 8)
+                        AS BIGINT) % 100 AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5(coalesce(source, '')),
+                                                 1, 8) AS BIGINT) % 100 < 90
+                        THEN 'train'
+                        WHEN CAST('0x' || substr(md5(coalesce(source, '')),
                                                  1, 8) AS BIGINT) % 100 < 95
                         THEN 'val' ELSE 'test' END AS split
             FROM documents

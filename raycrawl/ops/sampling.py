@@ -104,6 +104,36 @@ def split_batch(batch: pa.Table, *, id_col: str = "doc_id",
                      "split": pa.array(split.tolist(), pa.string())})
 
 
+def group_split_batch(batch: pa.Table, *, group_col: str = "source",
+                      id_col: str = "doc_id", train_pct: int = 90,
+                      val_pct: int = 5) -> pa.Table:
+    """Leakage-safe train/val/test split: bucket = h32(GROUP) % 100, so
+    every document of a group (host, source, dup-cluster representative
+    key) lands in the SAME split. The id-hash ``split_batch`` keeps split
+    sizes exact but lets near-duplicate families straddle train and test
+    — the classic eval-contamination vector for web corpora; splitting on
+    the group key trades a little size jitter for the guarantee that
+    correlated documents never cross the boundary. Same pure-row-property
+    guarantees (partition/retry/join stable); group hashes are memoized
+    per batch (batches are source-clustered in practice)."""
+    groups = batch[group_col].to_pylist()
+    memo: dict[str, int] = {}
+    out = np.empty(len(groups), dtype=np.int64)
+    for i, g in enumerate(groups):
+        k = "" if g is None else str(g)
+        b = memo.get(k)
+        if b is None:
+            b = _h32(k) % 100
+            memo[k] = b
+        out[i] = b
+    split = np.where(out < train_pct, "train",
+                     np.where(out < train_pct + val_pct, "val", "test"))
+    return pa.table({id_col: batch[id_col],
+                     group_col: batch[group_col],
+                     "bucket": pa.array(out),
+                     "split": pa.array(split.tolist(), pa.string())})
+
+
 def domain_cap(ds, cap: int = 10, key_col: str = "source",
                id_col: str = "doc_id", text_col: str = "text",
                n_parts: int | None = None):

@@ -451,6 +451,32 @@ def test_split_batch_partition_independent_and_complete(ray_session):
     assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
 
 
+def test_group_split_no_leakage_across_splits(ray_session):
+    """Every doc of a group gets the SAME split (the leakage guarantee
+    the id-hash split cannot give), nulls fold to the '' group, and
+    assignment is partition-independent."""
+    from raycrawl.ops.sampling import group_split_batch
+
+    srcs = [f"host{i % 9}" for i in range(200)] + [None, None]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(srcs))), pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+    def run(nparts):
+        return (rd.from_arrow(tbl).repartition(nparts).map_batches(
+            group_split_batch, batch_format="pyarrow").to_pandas())
+
+    a, b = run(1), run(7)
+    assert (a.sort_values("doc_id").reset_index(drop=True)
+            .equals(b.sort_values("doc_id").reset_index(drop=True)))
+    per_group = a.fillna({"source": ""}).groupby("source")["split"].nunique()
+    assert (per_group == 1).all()              # no group straddles splits
+    # the two null-source docs share the '' group's split
+    nulls = a[a["source"].isna()]["split"].unique()
+    assert len(nulls) == 1
+
+
 # ---------------------------------------------------------------------------
 # shared-fingerprint spans
 # ---------------------------------------------------------------------------
