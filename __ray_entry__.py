@@ -1969,9 +1969,9 @@ def q_bpe_merges(sf_dir: str):
     2016 / GPT-2 recipe): ONE corpus pass builds (word, count) via Counter
     partials + vocab-sized groupby; the merge loop then runs over that
     table (how subword-nmt/HF train). First 20 merges with the total
-    (count DESC, left, right) tie order — partition-independent. No SQL
-    oracle: the merge recursion re-tokenizes per round (inexpressible);
-    pinned by a hand-computed fixture + partition-independence tests."""
+    (count DESC, left, right) tie order — partition-independent. Oracle:
+    the merge loop unrolled as 20 materialized SQL CTE rounds
+    (_bpe_rounds_sql), exact on delimiter-packed symbol strings."""
     from raycrawl.ops.bpe import bpe_train
 
     return bpe_train(_read_ds(sf_dir, "documents", ["text"]), n_merges=20)
@@ -1981,8 +1981,9 @@ def q_bpe_token_counts(sf_dir: str):
     """Train→apply composition of the BPE tokenizer (ops/bpe): learn 20
     merges from the corpus, then tokenize every doc with them through the
     actor-pool apply stage (merges built once per actor, per-actor
-    word-segmentation LRU). Rows-only like bpe_merges; the zero-merge
-    anchor vs the oracle-gated text_bpe_tokens count is pytest-pinned."""
+    word-segmentation LRU). Oracle: the unrolled-merge SQL rounds plus a
+    final-segmentation length join — rank-order apply == training
+    segmentation for in-vocabulary words, and all corpus words are."""
     from raycrawl.ops.bpe import bpe_tokenize, bpe_train
 
     m = bpe_train(_read_ds(sf_dir, "documents", ["text"]), n_merges=20)
@@ -3101,6 +3102,46 @@ def _host_pagerank_oracle_sql(n_iters: int = 4) -> str:
             {",".join(iters)}
             SELECT node AS host, r AS rank_ppm FROM r{n_iters}
     """
+
+
+def _bpe_rounds_sql(k: int) -> str:
+    """Unrolled BPE merge loop as SQL CTE rounds (pair-count → argmax →
+    word rewrite), mirroring ops/bpe.learn_merges exactly: words are
+    chr(1)-delimited symbol strings (w0 splits each pre-token into
+    characters); each round b{r} picks the (count DESC, left, right)-max
+    adjacent pair and w{r} merges every occurrence via string replace —
+    legal because chr(1) never appears in corpus text (verified: 0 docs at
+    all SFs) and a symbol pair match is delimiter-anchored on both sides.
+    MATERIALIZED is load-bearing: each round references its predecessor
+    twice, so inlined CTEs would re-expand w0 2^k times."""
+    head = """
+        WITH w0 AS MATERIALIZED (
+            SELECT chr(1) || array_to_string(string_split(word, ''), chr(1))
+                       || chr(1) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(regexp_extract_all(text,
+                             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS word
+                  FROM documents)
+            GROUP BY 1
+        )"""
+    rounds = []
+    for r in range(1, k + 1):
+        p = r - 1
+        rounds.append(f"""
+        b{r} AS MATERIALIZED (
+            SELECT lft, rgt, cnt FROM (
+                SELECT l[i] AS lft, l[i+1] AS rgt, SUM(c) AS cnt
+                FROM (SELECT string_split(w, chr(1)) AS l, c FROM w{p}),
+                     LATERAL (SELECT unnest(range(2, len(l) - 1)) AS i)
+                GROUP BY 1, 2)
+            ORDER BY cnt DESC, lft, rgt LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT replace(w, chr(1) || lft || chr(1) || rgt || chr(1),
+                           chr(1) || lft || rgt || chr(1)) AS w, c
+            FROM w{p} CROSS JOIN b{r}
+        )""")
+    return head + "," + ",".join(rounds)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6220,5 +6261,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN norms za ON za.vec_id = dots.a
         JOIN norms zb ON zb.vec_id = dots.b
         WHERE dot > 0 AND 400 * dot * dot >= 361 * za.nn * zb.nn
+    """
+    _K_BPE = 20
+    sql["bpe_merges"] = _bpe_rounds_sql(_K_BPE) + "\n        " + (
+        "SELECT * FROM (" + "\n        UNION ALL\n        ".join(
+            f"SELECT {r - 1} AS rank, lft AS left, rgt AS right, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+            for r in range(1, _K_BPE + 1)) + ") ORDER BY rank")
+    # Rank-order greedy apply reproduces the training segmentation for any
+    # word seen in training (same replace sequence), and every corpus word
+    # IS a training word here — so per-doc token counts are the summed
+    # final-round segment lengths joined back through the pre-tokenizer.
+    sql["bpe_token_counts"] = _bpe_rounds_sql(_K_BPE) + f""",
+        seglen AS (
+            SELECT replace(w, chr(1), '') AS word,
+                   CAST(len(string_split(w, chr(1))) - 2 AS BIGINT) AS n
+            FROM w{_K_BPE}
+        ),
+        docw AS (
+            SELECT doc_id, unnest(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS word
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(s.n), 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN docw ON docw.doc_id = d.doc_id
+        LEFT JOIN seglen s ON s.word = docw.word
+        GROUP BY d.doc_id
     """
     return sql
