@@ -694,6 +694,9 @@ def q_text_langid(sf_dir: str):
 
 
 def q_text_fingerprint(sf_dir: str):
+    """Winnowing fingerprint, production crc32 kernel. Oracle-gated r4:
+    the CRC table is built by 8 recursive SQL rounds and each distinct
+    token byte-folded by a recursive CTE, so hash_str replays exactly."""
     from raycrawl.ops.textstats import fingerprint_batch
 
     return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -5972,6 +5975,90 @@ def oracle_sql() -> dict[str, str]:
     # the ≤2^122 intermediate products. Then min per non-overlapping
     # 8-token chunk, bit_xor fold, mask to int64 — identical to
     # raycrawl.ops.textstats.fingerprint_poly_batch.
+    # text_fingerprint: the PRODUCTION crc32 winnowing kernel replayed
+    # bit-for-bit — the hash_str token hash (zlib.crc32 ^ len<<16, then a
+    # wrapping 64-bit odd-constant multiply) is computed IN SQL: the
+    # 256-entry CRC table is built by 8 recursive shift/xor rounds, each
+    # distinct token byte-folded by a recursive CTE (depth = max token
+    # length), the 2^64 wrap via HUGEINT modulus. ascii(tok[i]) == the
+    # UTF-8 byte because the corpus is ASCII (verified 0 non-ASCII docs at
+    # every SF); the rolling/window/fold tail is the proven poly machinery.
+    sql["text_fingerprint"] = """
+        WITH RECURSIVE lists AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+            FROM documents
+        ),
+        maxlen AS (SELECT max(len(l)) AS m FROM lists),
+        pows(i, bp, ip) AS (
+            SELECT 0, 1::HUGEINT, 1::HUGEINT
+            UNION ALL
+            SELECT i + 1,
+                   (bp * 1000003) % 2305843009213693951::HUGEINT,
+                   (ip * 1229363429801019168::HUGEINT)
+                       % 2305843009213693951::HUGEINT
+            FROM pows WHERE i < (SELECT m FROM maxlen)
+        ),
+        crct(n, c, r) AS (
+            SELECT u.n, CAST(u.n AS BIGINT), 0 FROM unnest(range(256)) u(n)
+            UNION ALL
+            SELECT n,
+                   CASE WHEN c & 1 = 1 THEN xor(c >> 1, 3988292384)
+                        ELSE c >> 1 END,
+                   r + 1
+            FROM crct WHERE r < 8
+        ),
+        crctab AS (SELECT n, c FROM crct WHERE r = 8),
+        toks AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   unnest(range(1, len(l) + 1)) AS i
+            FROM lists
+        ),
+        dtok AS (SELECT DISTINCT tok FROM toks),
+        fold(tok, i, crc) AS (
+            SELECT tok, 0, CAST(4294967295 AS BIGINT) FROM dtok
+            UNION ALL
+            SELECT f.tok, f.i + 1, xor(t.c, f.crc >> 8)
+            FROM fold f
+            JOIN crctab t
+              ON t.n = xor(f.crc, ascii(f.tok[f.i + 1])) & 255
+            WHERE f.i < length(f.tok)
+        ),
+        crcs AS (
+            SELECT tok, xor(crc, 4294967295) AS crc32
+            FROM fold WHERE i = length(tok)
+        ),
+        th AS (
+            SELECT tok,
+                   ((xor(crc32, length(tok)::BIGINT << 16)::HUGEINT
+                     * 11400714819323198485::HUGEINT
+                     + 14695981039346656037::HUGEINT)
+                    % 18446744073709551616::HUGEINT)
+                   % 2305843009213693951::HUGEINT AS h
+            FROM crcs
+        ),
+        prefix AS (
+            SELECT t.doc_id, t.i, p.bp,
+                   sum((th.h * p.ip) % 2305843009213693951::HUGEINT)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.i) AS gsum
+            FROM toks t
+            JOIN th ON th.tok = t.tok
+            JOIN pows p ON p.i = t.i
+        ),
+        rolled AS (
+            SELECT doc_id, i,
+                   ((gsum % 2305843009213693951::HUGEINT) * bp)
+                       % 2305843009213693951::HUGEINT AS h
+            FROM prefix
+        ),
+        chunkmins AS (
+            SELECT doc_id, (i - 1) // 8 AS chunk, min(h) AS mn
+            FROM rolled GROUP BY doc_id, chunk
+        )
+        SELECT doc_id,
+               CAST(bit_xor(mn) & 9223372036854775807::HUGEINT AS BIGINT)
+                   AS fingerprint
+        FROM chunkmins GROUP BY doc_id
+    """
     sql["text_fingerprint_poly"] = """
         WITH RECURSIVE lists AS (
             SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
