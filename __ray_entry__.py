@@ -557,6 +557,17 @@ def q_text_rarity(sf_dir: str):
     return unigram_rarity(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_quality_classifier(sf_dir: str):
+    """Self-trained fastText-style linear quality classifier (CCNet /
+    LLaMA trained-filter tier): weak heuristic label → distributed
+    per-class token counts → scaled floor-division weights broadcast
+    once → shuffle-free scoring pass. Integer-exact end to end."""
+    from raycrawl.ops.textstats import quality_classifier
+
+    return quality_classifier(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _plant_c4_lines(batch: pa.Table) -> pa.Table:
     """Deterministic 5-line document per row from the doc's own tokens
     (doc_id residues) — the raw corpus is a flat token stream, so sentence
@@ -2872,6 +2883,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "token_distinct_hll": q_token_distinct_hll,
         "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
+        "quality_classifier": q_quality_classifier,
         "text_fingerprint": q_text_fingerprint,
         "text_fingerprint_poly": q_text_fingerprint_poly,
         "text_chunk_dedup": q_text_chunk_dedup,
@@ -3602,6 +3614,48 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_tokens,
                    CAST(SUM(c.c) AS BIGINT) AS sum_token_freq
             FROM toks t JOIN cnt c USING (token)
+            GROUP BY t.doc_id
+        """,
+        # quality_classifier: the log-free linear model replayed exactly —
+        # weak label as a CASE, per-class occurrence counts as HUGEINT,
+        # weights by floor division (// on non-negative operands matches
+        # Python //), doc score = occurrence-sum over the weight join.
+        "quality_classifier": """
+            WITH lab AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(coalesce(text, ''), ' '))
+                                 >= 30
+                             AND 5 * length(regexp_replace(
+                                     coalesce(text, ''), '[^0-9]', '', 'g'))
+                                 < length(coalesce(text, ''))
+                            THEN 1 ELSE 0 END AS pos
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT t.token,
+                       sum(CASE WHEN l.pos = 1 THEN 1 ELSE 0 END)::HUGEINT
+                           AS cp,
+                       sum(CASE WHEN l.pos = 0 THEN 1 ELSE 0 END)::HUGEINT
+                           AS cn
+                FROM toks t JOIN lab l USING (doc_id)
+                GROUP BY t.token
+            ),
+            tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM cnt),
+            w AS (
+                SELECT token,
+                       (cp * 1000000000) // (SELECT np FROM tot)
+                       - (cn * 1000000000) // (SELECT nn FROM tot) AS w
+                FROM cnt
+            )
+            SELECT t.doc_id,
+                   CAST(sum(w.w) AS BIGINT) AS clf_score,
+                   CAST(sum(w.w) > 0 AS BIGINT) AS clf_keep
+            FROM toks t JOIN w USING (token)
             GROUP BY t.doc_id
         """,
         "token_distinct": """

@@ -890,6 +890,90 @@ def gopher_doc_gate_batch(batch: pa.Table, *, id_col: str = "doc_id",
     })
 
 
+_CLF_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def _clf_weak_label(text: str) -> int:
+    """Weak quality label the classifier trains on: ≥30 whitespace tokens
+    and digit characters under 1/5 of the text (the cheap heuristic a
+    human would seed a fastText quality model with). ASCII ``[0-9]`` (not
+    ``\\d``) so Python and DuckDB's RE2 count the same characters."""
+    t = text or ""
+    return int(len(t.split(" ")) >= 30
+               and 5 * len(_CLF_DIGIT_RE.findall(t)) < len(t))
+
+
+def quality_classifier(ds, max_vocab: int = 5_000_000,
+                       scale: int = 1_000_000_000):
+    """fastText-style hashed-free linear quality classifier (the CCNet /
+    LLaMA "trained quality filter" tier; Joulin et al. 2017 supervised
+    fastText, Wenzek et al. 2020 §4.4): self-train token weights from a
+    weak heuristic label, then score every document with the learned
+    linear model. Log-free so SQL replays it bit-for-bit: a token's
+    weight is its scaled class-frequency difference
+
+        w[tok] = cnt_pos·scale // N_pos  −  cnt_neg·scale // N_neg
+
+    (occurrence counts; N_* = total occurrences per class) — the sign of
+    the multinomial Naive-Bayes log-ratio without the log, integer-exact
+    under floor division. A document's score is the sum of w over its
+    token OCCURRENCES; keep = score > 0.
+
+    Distribution shape mirrors ``unigram_rarity``: one counting pass of
+    per-batch (token, cnt_pos, cnt_neg) Counter partials → small groupby
+    Sum (the shuffle moves partials, never text); the learned weight
+    table is a model artifact broadcast ONCE via ``ray.put`` (guarded by
+    ``max_vocab`` — prune by min-count or switch to the PartitionedLookup
+    join past it); the scoring pass is shuffle-free. Weight magnitudes
+    are ≤ ``scale`` so a doc's int64 score headroom is ~9·10⁹ tokens.
+
+    Returns (doc_id, clf_score, clf_keep) — all int64. Oracle-gated end
+    to end by the ``quality_classifier`` SQL (label CASE → exploded
+    HUGEINT class counts → floor-division weights → occurrence-sum)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cp, cn = Counter(), Counter()
+        for t in batch["text"].to_pylist():
+            (cp if _clf_weak_label(t) else cn).update((t or "").split(" "))
+        toks = list(cp.keys() | cn.keys())
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "cp": pa.array([cp[k] for k in toks], pa.int64()),
+                         "cn": pa.array([cn[k] for k in toks], pa.int64())})
+
+    vocab_ds = (ds.map_batches(count_partial, batch_format="pyarrow")
+                .groupby("token")
+                .aggregate(Sum("cp", alias_name="cp"),
+                           Sum("cn", alias_name="cn")))
+    rows = vocab_ds.take(max_vocab + 1)
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"quality_classifier: vocabulary exceeds {max_vocab} tokens; "
+            "apply a min-count prune or switch to a PartitionedLookup join")
+    n_pos = sum(r["cp"] for r in rows)
+    n_neg = sum(r["cn"] for r in rows)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "quality_classifier: one label class is empty — the weak "
+            "label separates nothing on this corpus; adjust the heuristic")
+    weights = {r["token"]: r["cp"] * scale // n_pos - r["cn"] * scale // n_neg
+               for r in rows}
+    w_ref = ray.put(weights)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        scores = []
+        for t in batch["text"].to_pylist():
+            scores.append(sum(w.get(tok, 0) for tok in (t or "").split(" ")))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clf_score": pa.array(scores, pa.int64()),
+            "clf_keep": pa.array([int(s > 0) for s in scores], pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -2430,3 +2430,58 @@ def test_intexact_bounds_guard():
     _check_bounds(ok)  # production envelope: fine
     with pytest.raises(ValueError):
         _check_bounds(np.full((4, 64), 1 << 20, dtype=np.int64))
+
+
+def test_quality_classifier_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import quality_classifier, _clf_weak_label
+
+    # one pos-labeled doc (30 tokens, no digits), one neg (short + digits)
+    pos_text = " ".join(["good"] * 30)
+    neg_text = "12345 spam"
+    assert _clf_weak_label(pos_text) == 1 and _clf_weak_label(neg_text) == 0
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([pos_text, neg_text], pa.string()),
+    }))
+    out = quality_classifier(ds).to_pandas().set_index("doc_id").sort_index()
+    S = 1_000_000_000
+    # weights: good = 30*S//30 - 0 = S; 12345/spam = 0 - 1*S//2
+    assert out.loc[0, "clf_score"] == 30 * S
+    assert out.loc[1, "clf_score"] == 2 * (0 - S // 2)
+    assert out.loc[0, "clf_keep"] == 1 and out.loc[1, "clf_keep"] == 0
+
+
+def test_quality_classifier_partition_independent(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.textstats import quality_classifier
+
+    texts = [" ".join([f"w{chr(97 + i % 7)}"] * (10 + 5 * (i % 6)))
+             for i in range(40)]
+    texts += [f"{i}{i}{i} x" for i in range(10)]  # digit-heavy negatives
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    a = (quality_classifier(rd.from_arrow(t).repartition(1))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (quality_classifier(rd.from_arrow(t).repartition(7))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_quality_classifier_guards(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from raycrawl.ops.textstats import quality_classifier
+
+    all_neg = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["1 2", "3 4"], pa.string())}))
+    with _pytest.raises(ValueError, match="label class is empty"):
+        quality_classifier(all_neg).to_pandas()
+    tiny_vocab = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(f"w{i}" for i in range(40))],
+                         pa.string())}))
+    with _pytest.raises(ValueError, match="vocabulary exceeds"):
+        quality_classifier(tiny_vocab, max_vocab=3).to_pandas()
