@@ -1000,6 +1000,31 @@ def q_tpch_revenue_nation_dist(sf_dir: str):
     )
 
 
+def q_tpch_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape (ops/relational.local_supplier_volume): revenue per
+    ASIA nation from 1995-1999 orders whose customer and supplier share
+    the nation. nation⋈region collapses to a ≤25-entry broadcast map;
+    customer/supplier pre-filter to the region in-block; lineitem⋈supplier
+    (suppkey) and orders⋈customer (custkey) are partitioned hash joins;
+    the colocation predicate is a vectorized filter after the final
+    fixed-width orderkey join."""
+    from raycrawl.ops.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name", "n_regionkey"]),
+        pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                      columns=["r_regionkey", "r_name"]),
+    )
+
+
 def q_wiki_documents(sf_dir: str):
     """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
     categories, refs) derived from documents → clean → filter → document
@@ -2898,6 +2923,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing": q_tpch_pricing,
         "tpch_revenue_nation": q_tpch_revenue_nation,
         "tpch_shipping": q_tpch_shipping,
+        "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
@@ -3766,6 +3792,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT 10
+        """,
+        # tpch_local_supplier: Q5 shape — per-row cents rounding BEFORE
+        # the sum (matches _cents), customer and supplier nation equality
+        "tpch_local_supplier": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n.n_name
         """,
         "wiki_documents": f"""
             SELECT doc_id AS page_id,

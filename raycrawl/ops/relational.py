@@ -264,6 +264,139 @@ def revenue_by_nation_dist(lineitem_ds, orders_ds, customer_ds,
     ).groupby("n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
 
 
+def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                          nation_tbl: pa.Table, region_tbl: pa.Table,
+                          region: str = "ASIA", lo: str = "1995-01-01",
+                          hi: str = "1999-01-01",
+                          n_parts: int | None = None):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the CUSTOMER and the SUPPLIER share that nation, region-
+    and orderdate-filtered.
+
+    Scale shape — three fact tables, two partitioned hash joins, every
+    filter pushed below its shuffle:
+
+    - nation⋈region collapses driver-side to the ≤25-entry
+      nationkey→n_name map of the target region, broadcast via ``ray.put``
+      (genuinely-small side by TPC-H spec).
+    - customer and supplier project to (key, nationkey) AND pre-filter to
+      the region's nations in-block, so only in-region rows enter either
+      shuffle.
+    - lineitem ⋈ supplier is a partitioned hash join on suppkey (supplier
+      is 1/6000 of lineitem but still fact-scaled at 100×SF — no
+      broadcast); orders ⋈ customer likewise on custkey, with the
+      orderdate range filter applied in-block first. Each join result is
+      materialized before the next join consumes it (two pipelined hash
+      joins stall the streaming executor's aggregator pool — see
+      revenue_by_nation_dist).
+    - the final orderkey join carries only (orderkey, rev, nationkey)
+      fixed-width rows; the Q5 colocation predicate
+      ``c_nationkey = s_nationkey`` is a vectorized in-block filter after
+      it, then a ≤25-group Sum.
+
+    Revenue in integer cents (exact oracle). Returns
+    (n_name, revenue_cents)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+    rkey = {k: v for k, v in zip(region_tbl["r_name"].to_pylist(),
+                                 region_tbl["r_regionkey"].to_pylist())}
+    target = rkey[region]
+    nname = {nk: nm for nk, nm, rk in zip(
+        nation_tbl["n_nationkey"].to_pylist(),
+        nation_tbl["n_name"].to_pylist(),
+        nation_tbl["n_regionkey"].to_pylist()) if rk == target}
+    nref = ray.put(nname)
+
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def sup_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        keep = np.isin(nk, np.fromiter(nn.keys(), np.int64, len(nn)))
+        return pa.table({
+            "l_suppkey": pa.array(
+                np.asarray(batch["s_suppkey"], np.int64)[keep], pa.int64()),
+            "s_nationkey": pa.array(nk[keep], pa.int64())})
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        keep = np.isin(nk, np.fromiter(nn.keys(), np.int64, len(nn)))
+        return pa.table({
+            "o_custkey": pa.array(
+                np.asarray(batch["c_custkey"], np.int64)[keep], pa.int64()),
+            "c_nationkey": pa.array(nk[keep], pa.int64())})
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        keep = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep], pa.int64()),
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], np.int64)[keep], pa.int64())})
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)
+            * (1 - np.asarray(batch["l_discount"], np.float64)))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64())})
+
+    # the region filters make sup/cust sparse: a tiny/oversplit read plus a
+    # selective filter leaves zero-row SCHEMA-LESS blocks (they skip the
+    # UDF), which Acero's Dataset.join rejects — strip them (ray_guide /
+    # grouping.drop_empty_blocks; blocks stay in plasma, O(blocks) driver
+    # ints)
+    sup_schema = pa.schema([("l_suppkey", pa.int64()),
+                            ("s_nationkey", pa.int64())])
+    cust_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("c_nationkey", pa.int64())])
+
+    li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    sup = drop_empty_blocks(
+        supplier_ds.map_batches(sup_slim, batch_format="pyarrow"),
+        empty_schema=sup_schema)
+    ls = li.join(sup, join_type="inner", num_partitions=n_parts,
+                 on=("l_suppkey",)).map_batches(
+        lambda b: b.select(["l_orderkey", "rev", "s_nationkey"]),
+        batch_format="pyarrow").materialize()
+
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow")
+    cust = drop_empty_blocks(
+        customer_ds.map_batches(cust_slim, batch_format="pyarrow"),
+        empty_schema=cust_schema)
+    oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                     on=("o_custkey",)).map_batches(
+        lambda b: b.select(["l_orderkey", "c_nationkey"]),
+        batch_format="pyarrow").materialize()
+
+    joined = ls.join(oc, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",))
+
+    def colocate(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        sn = np.asarray(batch["s_nationkey"], np.int64)
+        cn = np.asarray(batch["c_nationkey"], np.int64)
+        keep = sn == cn
+        names = [nn[k] for k in sn[keep]]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "rev": pa.array(np.asarray(batch["rev"], np.int64)[keep],
+                            pa.int64())})
+
+    return joined.map_batches(colocate, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg
