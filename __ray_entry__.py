@@ -1025,6 +1025,29 @@ def q_tpch_local_supplier(sf_dir: str):
     )
 
 
+def q_tpch_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (ops/relational.returned_item_report): top-20
+    customers by returned-item revenue in a 6-month window. lineitem
+    pre-aggregates R-flag rev per orderkey BEFORE the orderkey hash
+    join; customer joins as a fact-sized Dataset on custkey (no
+    broadcast); nation broadcast ≤25 entries; final top-k is per-block
+    partials + one O(blocks·k) driver merge — the customer-scaled table
+    is never globally sorted."""
+    from raycrawl.ops.relational import returned_item_report
+
+    return returned_item_report(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read_ds(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"]),
+    )
+
+
 def q_wiki_documents(sf_dir: str):
     """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
     categories, refs) derived from documents → clean → filter → document
@@ -2003,6 +2026,44 @@ def q_url_surt(sf_dir: str):
             .map_batches(to_surt, batch_format="pyarrow"))
 
 
+_URLF_DOMAINS = ["news.example.com", "blog.example.org", "shop.example.net",
+                 "forum.example.io", "spam-mill.example.biz",
+                 "tracker-ads.example.xyz", "wiki.example.edu",
+                 "media.example.tv"]
+_URLF_SEG1 = ["free-download", "articles", "archive", "casino-games",
+              "research"]
+_URLF_BLOCKED = ["spam-mill.example.biz", "tracker-ads.example.xyz"]
+_URLF_KW = {"casino": 3, "free": 1, "download": 1, "win": 2}
+
+
+def _plant_rich_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic URL enrichment (the corpus's own URLs are uniform
+    ``srcK.example.org/doc/N`` — too clean to exercise a URL filter):
+    domain by doc_id%8 (two blocklisted), path segment 1 by doc_id%5
+    (two carrying scored keywords), segment 2 = 'win-big-now' on
+    doc_id%7==3 else 'page'. The oracle replants identically in SQL."""
+    d = np.asarray(batch["doc_id"], np.int64)
+    urls = ["https://%s/%s/%s/doc%d" % (
+        _URLF_DOMAINS[i % 8], _URLF_SEG1[i % 5],
+        "win-big-now" if i % 7 == 3 else "page", i) for i in d]
+    return pa.table({"doc_id": pa.array(d, pa.int64()),
+                     "url": pa.array(urls, pa.string())})
+
+
+def q_url_filter(sf_dir: str):
+    """RefinedWeb-style URL filtering (ops/urlstats.url_quality_filter):
+    registered-domain blocklist (broadcast once via ray.put) + weighted
+    keyword substring score over the lowercased URL, keep = not blocked
+    ∧ score < 3. Stateless shuffle-free Arrow-compute map_batches over
+    the planted rich URLs (see _plant_rich_urls)."""
+    from raycrawl.ops.urlstats import url_quality_filter
+
+    return url_quality_filter(
+        _read_ds(sf_dir, "documents", ["doc_id"])
+        .map_batches(_plant_rich_urls, batch_format="pyarrow"),
+        blocked_domains=_URLF_BLOCKED, kw_weights=_URLF_KW, threshold=3)
+
+
 def q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (ops/bpe.bpe_train, the Sennrich
     2016 / GPT-2 recipe): ONE corpus pass builds (word, count) via Counter
@@ -2924,6 +2985,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_nation": q_tpch_revenue_nation,
         "tpch_shipping": q_tpch_shipping,
         "tpch_local_supplier": q_tpch_local_supplier,
+        "tpch_returned_items": q_tpch_returned_items,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
@@ -2955,6 +3017,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
         "url_surt": q_url_surt,
+        "url_filter": q_url_filter,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
         "crawl_bfs_order": q_crawl_bfs_order,
@@ -3811,6 +3874,27 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1995-01-01'
               AND o.o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n.n_name
+        """,
+        # tpch_returned_items: Q10 shape — per-row cents rounding before
+        # sums, (revenue desc, custkey asc) deterministic top-20
+        "tpch_returned_items": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS c_acctbal_cents,
+                   n.n_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue_cents DESC, c.c_custkey ASC
+            LIMIT 20
         """,
         "wiki_documents": f"""
             SELECT doc_id AS page_id,
@@ -5776,6 +5860,40 @@ def oracle_sql() -> dict[str, str]:
                || ')' ||
                CASE WHEN rest = '' THEN '/' ELSE lower(rest) END AS surt
         FROM p
+    """
+    # url_filter: replant the rich URLs (_plant_rich_urls) and restate
+    # the blocklist + weighted keyword-substring score; keep = not
+    # blocked AND score < 3. URLs are already lowercase so contains()
+    # equals the engine's lowercased match_substring.
+    _urlf_dom = " ".join(f"WHEN {i} THEN '{d}'"
+                         for i, d in enumerate(_URLF_DOMAINS))
+    _urlf_seg1 = " ".join(f"WHEN {i} THEN '{s}'"
+                          for i, s in enumerate(_URLF_SEG1))
+    _urlf_score = " + ".join(
+        f"CASE WHEN contains(url, '{kw}') THEN {w} ELSE 0 END"
+        for kw, w in sorted(_URLF_KW.items()))
+    _urlf_blocked = ", ".join(f"'{d}'" for d in _URLF_BLOCKED)
+    sql["url_filter"] = f"""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 8 {_urlf_dom} END AS host,
+                   CASE doc_id % 5 {_urlf_seg1} END AS seg1,
+                   CASE WHEN doc_id % 7 = 3 THEN 'win-big-now'
+                        ELSE 'page' END AS seg2
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, host,
+                   'https://' || host || '/' || seg1 || '/' || seg2
+                   || '/doc' || CAST(doc_id AS VARCHAR) AS url
+            FROM u
+        ),
+        s AS (SELECT doc_id, url, host, {_urlf_score} AS kw_score FROM w)
+        SELECT doc_id, url, host, CAST(kw_score AS BIGINT) AS kw_score,
+               CAST(CASE WHEN host IN ({_urlf_blocked}) THEN 0
+                         WHEN kw_score >= 3 THEN 0 ELSE 1 END AS BIGINT)
+                   AS keep
+        FROM s
     """
     # epoch_shuffle: rank of md5('{doc_id}:1'), id tie-break, 0-based
     sql["epoch_shuffle"] = """

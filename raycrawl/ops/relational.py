@@ -397,6 +397,117 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         "n_name").aggregate(Sum("rev", alias_name="revenue_cents"))
 
 
+def returned_item_report(lineitem_ds, orders_ds, customer_ds,
+                         nation_tbl: pa.Table, lo: str = "1996-01-01",
+                         hi: str = "1996-07-01", k: int = 20,
+                         n_parts: int | None = None):
+    """TPC-H Q10 shape (returned-item reporting): top-``k`` customers by
+    revenue lost to returns (``l_returnflag='R'``) in an orderdate window.
+
+    Scale shape:
+    - lineitem filters to R rows and pre-aggregates (orderkey, rev-cents)
+      per batch BEFORE the shuffle; orders date-filters in-block and
+      projects to (orderkey, custkey). ONE partitioned hash join on
+      orderkey.
+    - revenue then reduces per custkey (small fixed-width groupby) and
+      joins CUSTOMER as a fact-sized Dataset — partitioned hash join on
+      custkey, never a broadcast (the revenue_by_nation_dist discipline);
+      nation stays a ≤25-entry ``ray.put`` broadcast.
+    - the final top-k never sorts the customer-scaled table: per-block
+      top-k partials, O(blocks·k) rows to the driver, one merge.
+
+    Returns (c_custkey, c_name, revenue_cents, c_acctbal_cents, n_name)
+    ordered by (revenue_cents desc, c_custkey asc), exactly ``k`` rows
+    max."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+    nname = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                      nation_tbl["n_name"].to_pylist())}
+    nref = ray.put(nname)
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def li_returns(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flag = np.asarray(batch["l_returnflag"]) == "R"
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[flag]
+            * (1 - np.asarray(batch["l_discount"], np.float64)[flag]))
+        df = pd.DataFrame({
+            "o_orderkey": np.asarray(batch["l_orderkey"], np.int64)[flag],
+            "rev": rev})
+        g = df.groupby("o_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"o_orderkey": pa.array(g["o_orderkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        keep = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep], pa.int64()),
+            "c_custkey": pa.array(
+                np.asarray(batch["o_custkey"], np.int64)[keep], pa.int64())})
+
+    li = lineitem_ds.map_batches(li_returns, batch_format="pyarrow")
+    orders = drop_empty_blocks(
+        orders_ds.map_batches(orders_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_custkey", pa.int64())]))
+    lo_join = li.join(orders, join_type="inner", num_partitions=n_parts,
+                      on=("o_orderkey",))
+    rev_by_cust = lo_join.groupby("c_custkey").aggregate(
+        Sum("rev", alias_name="revenue_cents"))
+    # hash aggregates emit zero-column blocks for key-less partitions —
+    # strip before the next join (curation/grouping discipline)
+    rev_by_cust = drop_empty_blocks(
+        rev_by_cust, empty_schema=pa.schema([
+            ("c_custkey", pa.int64()), ("revenue_cents", pa.int64())]))
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_name": batch["c_name"].cast(pa.string()),
+            "c_acctbal_cents": pa.array(
+                _cents(np.asarray(batch["c_acctbal"], np.float64)),
+                pa.int64()),
+            "c_nationkey": batch["c_nationkey"].cast(pa.int64())})
+
+    cust = customer_ds.map_batches(cust_slim, batch_format="pyarrow")
+    full = rev_by_cust.join(cust, join_type="inner",
+                            num_partitions=n_parts, on=("c_custkey",))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        df = batch.to_pandas()
+        df = df.sort_values(["revenue_cents", "c_custkey"],
+                            ascending=[False, True],
+                            kind="stable").head(k)
+        df["n_name"] = [nn.get(x, "") for x in df["c_nationkey"]]
+        return pa.Table.from_pandas(
+            df[["c_custkey", "c_name", "revenue_cents",
+                "c_acctbal_cents", "n_name"]], preserve_index=False)
+
+    rows = full.map_batches(local_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["revenue_cents"], r["c_custkey"]))
+    out = rows[:k]
+    return pa.table({
+        "c_custkey": pa.array([r["c_custkey"] for r in out], pa.int64()),
+        "c_name": pa.array([r["c_name"] for r in out], pa.string()),
+        "revenue_cents": pa.array([r["revenue_cents"] for r in out],
+                                  pa.int64()),
+        "c_acctbal_cents": pa.array([r["c_acctbal_cents"] for r in out],
+                                    pa.int64()),
+        "n_name": pa.array([r["n_name"] for r in out], pa.string()),
+    })
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -2485,3 +2485,85 @@ def test_quality_classifier_guards(ray_session):
                          pa.string())}))
     with _pytest.raises(ValueError, match="vocabulary exceeds"):
         quality_classifier(tiny_vocab, max_vocab=3).to_pandas()
+
+
+def test_url_quality_filter_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.urlstats import url_quality_filter
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "url": pa.array([
+            "https://good.example.com/articles/page/doc0",      # keep
+            "https://bad.example.biz/articles/page/doc1",       # blocked
+            "https://good.example.com/CASINO-games/page/doc2",  # 3 -> drop
+            "https://good.example.com/free-download/page/doc3", # 2 -> keep
+            "https://good.example.com/free-download/win/doc4",  # 4 -> drop
+        ], pa.string()),
+    })
+    out = url_quality_filter(
+        rd.from_arrow(t),
+        blocked_domains=["bad.example.biz"],
+        kw_weights={"casino": 3, "free": 1, "download": 1, "win": 2},
+        threshold=3,
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out["kw_score"].tolist() == [0, 0, 3, 2, 4]
+    assert out["keep"].tolist() == [1, 0, 0, 1, 0]
+    assert out["host"].tolist() == ["good.example.com", "bad.example.biz",
+                                    "good.example.com", "good.example.com",
+                                    "good.example.com"]
+
+
+def test_url_quality_filter_edge_urls(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.urlstats import url_quality_filter
+
+    # no-scheme / null / uppercase-host rows must not crash; host folds
+    # to '' (no scheme) or lowercase, null url scores 0 and keeps
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "url": pa.array(["not-a-url", None, "https://UPPER.Example.COM/x"],
+                        pa.string()),
+    })
+    out = url_quality_filter(
+        rd.from_arrow(t), blocked_domains=["upper.example.com"],
+        kw_weights={"casino": 3}, threshold=3,
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out["host"].tolist() == ["", "", "upper.example.com"]
+    assert out["keep"].tolist() == [1, 1, 0]
+
+
+def test_returned_item_report_hand_computed(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.relational import returned_item_report
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R", "R"], pa.string()),
+        "l_extendedprice": pa.array([100.0, 999.0, 50.0, 70.0, 5.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.5, 0.0]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, 20, 30], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1996-02-01", "us")] * 3
+            + [np.datetime64("1995-01-01", "us")]),  # order 4 outside window
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_name": pa.array(["alice", "bob", "carol"], pa.string()),
+        "c_acctbal": pa.array([12.345, -1.0, 0.0]),
+        "c_nationkey": pa.array([0, 1, 0], pa.int64()),
+    })
+    nation = pa.table({"n_nationkey": pa.array([0, 1], pa.int64()),
+                       "n_name": pa.array(["N0", "N1"], pa.string())})
+    out = returned_item_report(
+        rd.from_arrow(li), rd.from_arrow(orders), rd.from_arrow(cust),
+        nation, lo="1996-01-01", hi="1996-07-01", k=2).to_pandas()
+    # alice: order1 R-rev 9000c + order2 5000c = 14000; bob: 3500c (0.5 disc)
+    # carol excluded (date); k=2 keeps both remaining
+    assert out["c_custkey"].tolist() == [10, 20]
+    assert out["revenue_cents"].tolist() == [14000, 3500]
+    assert out["c_acctbal_cents"].tolist() == [1235, -100]
+    assert out["n_name"].tolist() == ["N0", "N1"]
