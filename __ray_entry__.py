@@ -1675,6 +1675,19 @@ def q_domain_cap(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source", "text"]), cap=10)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified eval-set sampler
+    (ops/sampling.stratified_fixed_sample): exactly 7 docs per source,
+    picked by md5('{id}:0') rank — reproducible across reruns/cluster
+    sizes (Dataset.random_sample is neither exact-count nor stable).
+    Two-stage top-N: batches pre-prune locally, only (key, id, 32-B
+    rank) winners cross the one stratum-keyed exchange."""
+    from raycrawl.ops.sampling import stratified_fixed_sample
+
+    return stratified_fixed_sample(
+        _read_ds(sf_dir, "documents", ["doc_id", "source"]), n=7)
+
+
 # fixed retrieval vocabulary over the corpus; mirrored by the VALUES list
 # in the postings / keyword_search oracles
 KEYWORD_TERMS = ["join", "hash", "vector", "spark", "merge"]
@@ -2062,6 +2075,17 @@ def q_url_filter(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id"])
         .map_batches(_plant_rich_urls, batch_format="pyarrow"),
         blocked_domains=_URLF_BLOCKED, kw_weights=_URLF_KW, threshold=3)
+
+
+def q_cdx_index(sf_dir: str):
+    """CDX capture index (ops/export.cdx_records) over the corpus pages:
+    (surt, ts, url)-ordered records with md5 payload digest + byte length
+    and a global 1-based cdx_pos — ONE range-partitioned sort of
+    fixed-width rows + the pack_offsets O(blocks) position scan. The
+    SURT order co-locates each registered domain's captures."""
+    from raycrawl.ops.export import cdx_records
+
+    return cdx_records(_pages_ds(sf_dir))
 
 
 def q_bpe_merges(sf_dir: str):
@@ -3010,6 +3034,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cse_cache": q_cse_cache,
         "doc_sample": q_doc_sample,
         "domain_cap": q_domain_cap,
+        "stratified_sample": q_stratified_sample,
         "export_manifest": q_export_manifest,
         "postings": q_postings,
         "keyword_search": q_keyword_search,
@@ -3018,6 +3043,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "url_surt": q_url_surt,
         "url_filter": q_url_filter,
+        "cdx_index": q_cdx_index,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
         "crawl_bfs_order": q_crawl_bfs_order,
@@ -4274,6 +4300,18 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rnk
                 FROM documents)
             WHERE rnk <= 10
+        """,
+        # stratified_sample: exact-7-per-source md5('{id}:0')-rank pick
+        "stratified_sample": """
+            SELECT source, doc_id, rnk FROM (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0'),
+                                    doc_id ASC)
+                            AS BIGINT) AS rnk
+                FROM documents)
+            WHERE rnk <= 7
         """,
         "export_manifest": """
             SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -5894,6 +5932,33 @@ def oracle_sql() -> dict[str, str]:
                          WHEN kw_score >= 3 THEN 0 ELSE 1 END AS BIGINT)
                    AS keep
         FROM s
+    """
+    # cdx_index: the url_surt fold + warc_ts restated from its fixture
+    # formula (EPOCH_BASE_US + doc_id·10⁶), md5/octet_length payload
+    # digest, ROW_NUMBER over the engine's (surt, ts, url) sort order
+    sql["cdx_index"] = f"""
+        WITH u AS (SELECT doc_id, {_URL} AS url,
+                          coalesce(text, '') AS text FROM documents),
+        s AS (SELECT doc_id, url, text, substr(url, 9) AS t FROM u),
+        p AS (
+            SELECT doc_id, url, text, split_part(t, '/', 1) AS host,
+                   substr(t, length(split_part(t, '/', 1)) + 1) AS rest
+            FROM s
+        ),
+        c AS (
+            SELECT doc_id, url, text,
+                   array_to_string(
+                       list_reverse(string_split(lower(host), '.')), ',')
+                   || ')' ||
+                   CASE WHEN rest = '' THEN '/' ELSE lower(rest) END AS surt,
+                   CAST((1700000000 + doc_id) AS BIGINT) * 1000000 AS ts_us
+            FROM p
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY surt, ts_us, url)
+                    AS BIGINT) AS cdx_pos,
+               surt, ts_us, url, md5(text) AS digest,
+               CAST(strlen(text) AS BIGINT) AS length_bytes
+        FROM c
     """
     # epoch_shuffle: rank of md5('{doc_id}:1'), id tie-break, 0-based
     sql["epoch_shuffle"] = """

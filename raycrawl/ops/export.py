@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import ray as _export_ray
 
 from .sampling import _h32
 
@@ -151,6 +152,79 @@ def read_manifest(out_dir: str):
 
     return (ds.map_batches(fix, batch_format="pyarrow")
             .groupby("shard").aggregate(Count(alias_name="n_rows")))
+
+
+@_export_ray.remote
+def _cdx_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@_export_ray.remote
+def _cdx_finalize(tbl: pa.Table, offset: int) -> pa.Table:
+    import numpy as np
+
+    pos = pa.array(offset + 1 + np.arange(tbl.num_rows, dtype="int64"),
+                   pa.int64())
+    return tbl.add_column(0, "cdx_pos", pos)
+
+
+def cdx_records(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
+                payload_col: str = "text"):
+    """CDX capture index (the web-archive / Common-Crawl index format):
+    one record per capture — SURT key, capture timestamp, original URL,
+    payload digest, payload length — globally ordered by
+    ``(surt, ts, url)`` with a 1-based ``cdx_pos``. The SURT primary
+    order is the point: range partitioning the index co-locates every
+    capture of a registered domain, so lookups, per-host dedup and
+    politeness planning are single-partition reads at 10^10-capture
+    scale. Digest/length are over the extracted payload (content-
+    addressed; a WARC-payload digest would swap in byte-identically).
+
+    Scale shape: per-batch SURT/digest/length columns in ``map_batches``
+    (md5 per row — no vectorized md5 exists; same cost class as
+    ``add_text_hash``), ONE range-partitioned sort of fixed-width rows
+    (digest 32 B, surt/url bounded), then the ``pack_offsets``
+    discipline for global positions: per-block row counts → O(blocks)
+    driver exclusive scan → positions finalized where the blocks live.
+
+    Returns (cdx_pos, surt, ts_us, url, digest, length_bytes)."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..urlnorm import surt_key
+
+    def slim(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        texts = batch[payload_col].to_pylist()
+        return pa.table({
+            "surt": pa.array([surt_key(u or "") for u in urls],
+                             pa.string()),
+            "ts_us": batch[ts_col].cast(pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "digest": pa.array(
+                [hashlib.md5((t or "").encode()).hexdigest()
+                 for t in texts], pa.string()),
+            "length_bytes": pa.array(
+                [len((t or "").encode()) for t in texts], pa.int64()),
+        })
+
+    blocks = (pages_ds.map_batches(slim, batch_format="pyarrow")
+              .sort(["surt", "ts_us", "url"]).to_arrow_refs())
+    rows = ray.get([_cdx_rows.remote(b) for b in blocks])
+    offsets = np.concatenate(
+        ([0], np.cumsum(rows, dtype=np.int64)[:-1]))
+    out = [_cdx_finalize.remote(b, int(o))
+           for b, o, n in zip(blocks, offsets, rows) if n > 0]
+    if not out:
+        return rd.from_arrow(pa.schema(
+            [("cdx_pos", pa.int64()), ("surt", pa.string()),
+             ("ts_us", pa.int64()), ("url", pa.string()),
+             ("digest", pa.string()),
+             ("length_bytes", pa.int64())]).empty_table())
+    return rd.from_arrow_refs(out)
 
 
 # ship by value for Ray workers

@@ -189,6 +189,60 @@ def domain_cap(ds, cap: int = 10, key_col: str = "source",
                              resolve_parts(n_parts))
 
 
+def stratified_fixed_sample(ds, n: int = 5, *, key_col: str = "source",
+                            id_col: str = "doc_id", seed: int = 0,
+                            n_parts: int | None = None):
+    """Exactly ``min(n, |stratum|)`` rows per ``key_col`` stratum, picked
+    by the rank of ``md5('{id}:{seed}')`` (id tie-break) — an unbiased,
+    DETERMINISTIC random sample. The eval/holdout-set constructor: unlike
+    ``Dataset.random_sample`` it is reproducible across reruns, cluster
+    sizes and partitionings, gives an exact count per stratum rather than
+    a rate, and varies with ``seed`` (the ``deterministic_shuffle``
+    key discipline applied per stratum).
+
+    Scale shape (the ``domain_cap`` two-stage top-N): each batch pre-
+    prunes to its local ``n`` smallest keys per stratum — a batch can
+    contribute at most ``n`` winners — so only (key, id, 32-B rank) rows
+    cross the ONE stratum-keyed exchange; losers never move.
+
+    Returns (key_col, id_col, rnk), rnk 1..n per stratum."""
+    import hashlib
+
+    import pandas as pd
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    def rank_key(ids) -> list[str]:
+        return [hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+                for i in ids]
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        pdf = pd.DataFrame({key_col: batch[key_col].to_pylist(),
+                            id_col: ids, "rk": rank_key(ids)})
+        pdf = pdf.sort_values([key_col, "rk", id_col], kind="stable")
+        pdf = pdf.groupby(key_col, sort=False).head(n)
+        return pa.table({key_col: pa.array(pdf[key_col], pa.string()),
+                         id_col: pa.array(pdf[id_col], pa.int64()),
+                         "rk": pa.array(pdf["rk"], pa.string())})
+
+    def final_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype="str"),
+                 id_col: pd.Series([], dtype="int64"),
+                 "rnk": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values([key_col, "rk", id_col], kind="stable")
+        pdf = pdf.groupby(key_col, sort=False).head(n).copy()
+        pdf["rnk"] = pdf.groupby(key_col, sort=False).cumcount() + 1
+        return pdf[[key_col, id_col, "rnk"]].astype(
+            {id_col: "int64", "rnk": "int64"})
+
+    pruned = ds.map_batches(partial_top, batch_format="pyarrow")
+    return partitioned_apply(pruned, [key_col], final_top,
+                             resolve_parts(n_parts))
+
+
 def temperature_flatten_sample(ds, *, key_col: str = "source",
                                id_col: str = "doc_id"):
     """τ=0.5 temperature-flattened mixture sample: downsample each

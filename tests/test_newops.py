@@ -2567,3 +2567,71 @@ def test_returned_item_report_hand_computed(ray_session):
     assert out["revenue_cents"].tolist() == [14000, 3500]
     assert out["c_acctbal_cents"].tolist() == [1235, -100]
     assert out["n_name"].tolist() == ["N0", "N1"]
+
+
+def test_cdx_records_order_positions_digest(ray_session):
+    import hashlib
+    import ray.data as rd
+    from raycrawl.ops.export import cdx_records
+
+    t = pa.table({
+        "url": pa.array([
+            "https://b.example.org/z",   # surt org,example,b)/z
+            "https://a.example.org/p",   # org,example,a)/p  -> first
+            "https://a.example.org/p",   # same url, later capture
+            "https://a.example.org/q",
+        ], pa.string()),
+        "warc_ts": pa.array([np.datetime64(3_000_000, "us"),
+                             np.datetime64(2_000_000, "us"),
+                             np.datetime64(5_000_000, "us"),
+                             np.datetime64(1_000_000, "us")]),
+        "text": pa.array(["zz", "pp", "pp2", ""], pa.string()),
+    })
+    out = (cdx_records(rd.from_arrow(t).repartition(3))
+           .to_pandas().sort_values("cdx_pos").reset_index(drop=True))
+    # order: a)/p ts2, a)/p ts5, a)/q ts1, b)/z
+    assert out["cdx_pos"].tolist() == [1, 2, 3, 4]
+    assert out["surt"].tolist() == [
+        "org,example,a)/p", "org,example,a)/p",
+        "org,example,a)/q", "org,example,b)/z"]
+    assert out["ts_us"].tolist() == [2_000_000, 5_000_000,
+                                     1_000_000, 3_000_000]
+    assert out["digest"].tolist() == [
+        hashlib.md5(b"pp").hexdigest(), hashlib.md5(b"pp2").hexdigest(),
+        hashlib.md5(b"").hexdigest(), hashlib.md5(b"zz").hexdigest()]
+    assert out["length_bytes"].tolist() == [2, 3, 0, 2]
+
+
+def test_stratified_fixed_sample_exact_and_stable(ray_session):
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from raycrawl.ops.sampling import stratified_fixed_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "source": pa.array(["a"] * 20 + ["b"] * 8 + ["c"] * 2, pa.string()),
+    })
+    out = (stratified_fixed_sample(rd.from_arrow(t).repartition(5), n=4)
+           .to_pandas().sort_values(["source", "rnk"])
+           .reset_index(drop=True))
+    # exact min(n, |stratum|) per stratum
+    assert out.groupby("source")["doc_id"].count().to_dict() == {
+        "a": 4, "b": 4, "c": 2}
+    # brute-force md5 rank agrees
+    for src, ids in [("a", range(0, 20)), ("b", range(20, 28)),
+                     ("c", range(28, 30))]:
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"{i}:0".encode()).hexdigest(), i))[:4]
+        got = out[out["source"] == src]["doc_id"].tolist()
+        assert got == want, (src, got, want)
+    # partition-independent
+    other = (stratified_fixed_sample(rd.from_arrow(t).repartition(1), n=4)
+             .to_pandas().sort_values(["source", "rnk"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, other)
+    # seed changes the pick
+    seeded = (stratified_fixed_sample(rd.from_arrow(t), n=4, seed=1)
+              .to_pandas())
+    assert set(map(tuple, seeded[["source", "doc_id"]].values)) != \
+        set(map(tuple, out[["source", "doc_id"]].values))
