@@ -1893,6 +1893,39 @@ def q_link_pagerank(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_link_hits(sf_dir: str):
+    """Fixed-iteration integer HITS hubs/authorities
+    (ops/pagerank.hits) over the corpus link graph — authority = where
+    good hubs point, the second link-quality prior beyond PageRank.
+    ∞-norm integer normalization per half-round keeps every step
+    bit-reproducible under any partitioning; edges are hash-partitioned
+    once per direction, each half-round is one message + one reduce
+    task wave of fixed-width int64 pairs plus an O(width) driver max."""
+    from raycrawl.ops.pagerank import hits
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = hits(e, nodes, n_iters=4)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "auth_ppm": t["auth_ppm"],
+                            "hub_ppm": t["hub_ppm"]}),
+        batch_format="pyarrow")
+
+
 def q_host_pagerank(sf_dir: str):
     """Host-level PageRank — the graph-COARSENING composition: the cross-host
     doc link set (the anchor-stats (7d+11s)%N fan-out, whose dst hosts mix)
@@ -3039,6 +3072,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "postings": q_postings,
         "keyword_search": q_keyword_search,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
         "url_surt": q_url_surt,
@@ -3193,6 +3227,62 @@ def _pagerank_oracle_sql(n_iters: int = 5) -> str:
             r0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS r FROM nodes),
             {",".join(iters)}
             SELECT node AS doc_id, r AS rank_ppm FROM r{n_iters}
+    """
+
+
+def _hits_oracle_sql(n_iters: int = 4) -> str:
+    """Unrolled-CTE restatement of ops/pagerank.hits: per iteration one
+    authority half-round (Σ h over in-edges, ∞-norm max-normalized by
+    integer floor division) then one hub half-round (Σ a over
+    out-edges, same normalization) — the global max is a scalar
+    subquery, exactly the engine's O(width) driver max sync."""
+    from raycrawl.ops.pagerank import HITS_SCALE
+
+    S = HITS_SCALE
+    iters = []
+    for k in range(1, n_iters + 1):
+        iters.append(f"""
+            a{k}raw AS MATERIALIZED (
+                SELECT n.node AS node,
+                       CAST(coalesce(SUM(h.s), 0) AS BIGINT) AS s
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN h{k - 1} h ON h.node = e.src
+                GROUP BY n.node
+            ),
+            a{k} AS MATERIALIZED (
+                SELECT node, (s * {S}) // greatest(
+                    (SELECT max(s) FROM a{k}raw), 1) AS s
+                FROM a{k}raw
+            ),
+            h{k}raw AS MATERIALIZED (
+                SELECT n.node AS node,
+                       CAST(coalesce(SUM(a.s), 0) AS BIGINT) AS s
+                FROM nodes n
+                LEFT JOIN edges e ON e.src = n.node
+                LEFT JOIN a{k} a ON a.node = e.dst
+                GROUP BY n.node
+            ),
+            h{k} AS MATERIALIZED (
+                SELECT node, (s * {S}) // greatest(
+                    (SELECT max(s) FROM h{k}raw), 1) AS s
+                FROM h{k}raw
+            )""")
+    return f"""
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            edges AS (
+                SELECT p.doc_id AS src, c.doc_id AS dst
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 1)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 2)
+            ),
+            h0 AS (SELECT node, CAST({S} AS BIGINT) AS s FROM nodes),
+            {",".join(iters)}
+            SELECT a.node AS doc_id, a.s AS auth_ppm, h.s AS hub_ppm
+            FROM a{n_iters} a JOIN h{n_iters} h USING (node)
     """
 
 
@@ -4444,6 +4534,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
+        "link_hits": _hits_oracle_sql(4),
         "host_pagerank": _host_pagerank_oracle_sql(4),
         "pack_sequences": """
             WITH t AS (

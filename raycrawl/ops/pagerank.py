@@ -186,6 +186,160 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 5,
     )
 
 
+HITS_SCALE = 1_000_000
+
+
+@ray.remote(num_returns=2)
+def _hits_init(width: int, direction_src: bool, *parts):
+    """One partition's static edge layout + round-0 scores.
+
+    ``direction_src=True`` builds the by-src layout (holds h of its srcs,
+    emits per-dst partials of h); ``False`` the by-dst layout (holds a of
+    its dsts, emits per-src partials of a). Message key is pre-sorted so
+    each round is one ``reduceat``."""
+    node_slices = [p for p in parts if isinstance(p, pa.Array)]
+    edge_slices = [p for p in parts if isinstance(p, pa.Table)]
+    nodes = (np.unique(np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in node_slices]))
+        if node_slices else np.empty(0, np.int64))
+    srcs = [_np(t["src"]) for t in edge_slices if t.num_rows]
+    dsts = [_np(t["dst"]) for t in edge_slices if t.num_rows]
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    own, msg = (src, dst) if direction_src else (dst, src)
+    if len(own):
+        order = np.argsort(msg, kind="stable")
+        own, msg = own[order], msg[order]
+    state = pa.table({"own": own, "msg": msg})
+    scores = pa.table({"node": nodes,
+                       "score": np.full(len(nodes), HITS_SCALE, np.int64)})
+    return state, scores
+
+
+@ray.remote
+def _hits_messages(width: int, state: pa.Table, scores: pa.Table):
+    """Per-msg-node partial sums of the partition's own-node scores."""
+    own, msg = _np(state["own"]), _np(state["msg"])
+    if not len(own):
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    sn, sv = _np(scores["node"]), _np(scores["score"])
+    s = sv[np.searchsorted(sn, own)]
+    uniq, starts = np.unique(msg, return_index=True)
+    partial = np.add.reduceat(s, starts)
+    p = uniq % width
+    return tuple(pa.table({"node": uniq[p == i], "c": partial[p == i]})
+                 for i in range(width))
+
+
+@ray.remote
+def _hits_reduce(scores: pa.Table, *msg_slices):
+    """Raw new scores: Σ incoming partials (0 for no-edge nodes)."""
+    rn = _np(scores["node"])
+    acc = np.zeros(len(rn), np.int64)
+    for t in msg_slices:
+        if t.num_rows:
+            node, c = _np(t["node"]), _np(t["c"])
+            acc[np.searchsorted(rn, node)] += c
+    return pa.table({"node": rn, "score": acc})
+
+
+@ray.remote
+def _hits_max(scores: pa.Table) -> int:
+    v = _np(scores["score"])
+    return int(v.max()) if len(v) else 0
+
+
+@ray.remote
+def _hits_scale(scores: pa.Table, gmax: int) -> pa.Table:
+    v = _np(scores["score"])
+    return pa.table({"node": scores["node"],
+                     "score": (v * HITS_SCALE) // max(gmax, 1)})
+
+
+def hits(edges_ds, nodes_ds, n_iters: int = 4,
+         src_col: str = "src", dst_col: str = "dst",
+         node_col: str = "node", n_parts: int | None = None):
+    """Fixed-iteration integer HITS (Kleinberg 1999 hubs/authorities) —
+    the second classic link-analysis pass over the harvested crawl graph
+    (authority ≈ where good hubs point; the quality prior for frontier
+    triage and retrieval that PageRank's single score conflates).
+
+    Integer-exact recurrence (bit-reproducible under any partitioning,
+    so a DuckDB oracle gates the distributed run):
+
+        a_0 = h_0 = SCALE
+        raw_a_k(v) = Σ_{u→v} h_{k-1}(u);  a_k = (raw_a_k·SCALE) // max raw_a_k
+        raw_h_k(u) = Σ_{u→v} a_k(v);      h_k = (raw_h_k·SCALE) // max raw_h_k
+
+    — max-normalization (the ∞-norm instead of the usual 2-norm) keeps
+    every step in int64 and is a global integer scalar per half-round:
+    O(width) ints to the driver, never the score tables.
+
+    Execution (the ``pagerank`` task-shuffle shape, run in BOTH edge
+    directions): edges are hash-partitioned ONCE by src (pre-sorted by
+    dst) for the h→a wave and once by dst (pre-sorted by src) for the
+    a→h wave; each half-round is one message wave of per-node partial
+    sums + one reduce wave of fixed-width int64 pairs, then the O(width)
+    max sync. Returns (node, auth_ppm, hub_ppm)."""
+    from raycrawl.ops.grouping import resolve_parts
+
+    width = resolve_parts(n_parts)
+    eblocks = edges_ds.to_arrow_refs()
+    nblocks = nodes_ds.to_arrow_refs()
+    # by-src split routes on src (h lives with src); by-dst on dst
+    esplit_src = [_edge_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in eblocks]
+
+    @ray.remote
+    def _edge_split_dst(width: int, tbl: pa.Table):
+        src, dst = _np(tbl[src_col]), _np(tbl[dst_col])
+        p = dst % width
+        return tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
+                     for i in range(width))
+
+    esplit_dst = [_edge_split_dst.options(num_returns=width).remote(
+        width, b) for b in eblocks]
+    nsplit = [_node_split.options(num_returns=width).remote(
+        width, b, node_col) for b in nblocks]
+
+    hub_parts = [_hits_init.remote(width, True,
+                                   *[s[p] for s in nsplit],
+                                   *[s[p] for s in esplit_src])
+                 for p in range(width)]
+    auth_parts = [_hits_init.remote(width, False,
+                                    *[s[p] for s in nsplit],
+                                    *[s[p] for s in esplit_dst])
+                  for p in range(width)]
+    hub_state = [p[0] for p in hub_parts]
+    hub_refs = [p[1] for p in hub_parts]      # h, partitioned by node hash
+    auth_state = [p[0] for p in auth_parts]
+    auth_refs = [p[1] for p in auth_parts]    # a, same node-hash partitions
+
+    def _half_round(state_refs, score_refs):
+        msgs = [_hits_messages.options(num_returns=width).remote(
+            width, state_refs[p], score_refs[p]) for p in range(width)]
+        raw = [_hits_reduce.remote(score_refs[p], *[m[p] for m in msgs])
+               for p in range(width)]
+        gmax = max(ray.get([_hits_max.remote(r) for r in raw]))
+        return [_hits_scale.remote(r, gmax) for r in raw]
+
+    for _ in range(n_iters):
+        # h partitions hold h by src-hash == node-hash, so the reduce
+        # target for a is the SAME node-hash partitioning (auth_refs)
+        auth_refs = _half_round(hub_state, hub_refs)
+        hub_refs = _half_round(auth_state, auth_refs)
+
+    @ray.remote
+    def _zip_scores(a: pa.Table, h: pa.Table) -> pa.Table:
+        return pa.table({"node": a["node"], "auth_ppm": a["score"],
+                         "hub_ppm": h["score"]})
+
+    out = [_zip_scores.remote(a, h) for a, h in zip(auth_refs, hub_refs)]
+    return rd.from_arrow_refs(out)
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

@@ -2635,3 +2635,65 @@ def test_stratified_fixed_sample_exact_and_stable(ray_session):
               .to_pandas())
     assert set(map(tuple, seeded[["source", "doc_id"]].values)) != \
         set(map(tuple, out[["source", "doc_id"]].values))
+
+
+def _hits_reference(edges, nodes, n_iters):
+    """Single-process integer HITS mirroring ops/pagerank.hits."""
+    from raycrawl.ops.pagerank import HITS_SCALE
+
+    a = {v: HITS_SCALE for v in nodes}
+    h = {v: HITS_SCALE for v in nodes}
+    for _ in range(n_iters):
+        ra = {v: 0 for v in nodes}
+        for s, d in edges:
+            ra[d] += h[s]
+        ma = max(max(ra.values(), default=0), 1)
+        a = {v: (x * HITS_SCALE) // ma for v, x in ra.items()}
+        rh = {v: 0 for v in nodes}
+        for s, d in edges:
+            rh[s] += a[d]
+        mh = max(max(rh.values(), default=0), 1)
+        h = {v: (x * HITS_SCALE) // mh for v, x in rh.items()}
+    return a, h
+
+
+def test_hits_matches_reference_and_partition_independent(ray_session):
+    from raycrawl.ops.pagerank import hits
+
+    rng = np.random.default_rng(11)
+    nodes = list(range(50))
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 50, size=(240, 2))
+                    if a != b})
+    want_a, want_h = _hits_reference(edges, nodes, n_iters=4)
+
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    for parts, nblocks in [(3, 1), (8, 5)]:
+        out = hits(rd.from_arrow(e_tbl).repartition(nblocks),
+                   rd.from_arrow(n_tbl).repartition(nblocks),
+                   n_iters=4, n_parts=parts).to_pandas()
+        got_a = dict(zip(out["node"], out["auth_ppm"]))
+        got_h = dict(zip(out["node"], out["hub_ppm"]))
+        assert got_a == want_a, f"auth mismatch at n_parts={parts}"
+        assert got_h == want_h, f"hub mismatch at n_parts={parts}"
+
+
+def test_hits_hub_authority_shape(ray_session):
+    """Star graph: the center pointing at k leaves is the best hub; the
+    leaves are equal authorities; a disconnected node scores 0/0."""
+    from raycrawl.ops.pagerank import HITS_SCALE, hits
+
+    e_tbl = pa.table({"src": pa.array([0, 0, 0], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1, 2, 3, 9], pa.int64())})
+    out = hits(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+               n_iters=3, n_parts=2).to_pandas()
+    got = out.set_index("node")
+    assert got.loc[0, "hub_ppm"] == HITS_SCALE          # max hub
+    assert got.loc[0, "auth_ppm"] == 0                  # nothing points at 0
+    for leaf in (1, 2, 3):
+        assert got.loc[leaf, "auth_ppm"] == HITS_SCALE  # equal max auth
+        assert got.loc[leaf, "hub_ppm"] == 0
+    assert got.loc[9, "auth_ppm"] == 0 and got.loc[9, "hub_ppm"] == 0
