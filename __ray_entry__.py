@@ -2110,6 +2110,35 @@ def q_url_filter(sf_dir: str):
         blocked_domains=_URLF_BLOCKED, kw_weights=_URLF_KW, threshold=3)
 
 
+def q_archive_roundtrip(sf_dir: str):
+    """Packed-archive export round trip (ops/export.write_archives →
+    read_archive_docs): payloads concatenated per shard in ascending id
+    order with _SUCCESS-gated resume, then randomly-accessed back by the
+    manifest's (offset, len) — one shard-keyed exchange each way, blobs
+    never touch the driver. The gate: every payload survives the
+    write+read byte-identically."""
+    import hashlib as _hl
+    import shutil
+
+    from raycrawl.ops.export import read_archive_docs, write_archives
+
+    out = "/tmp/raycrawl_archive_" + _hl.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    manifest = write_archives(docs, out, n_shards=16)
+    back = read_archive_docs(out, manifest)
+
+    def add_len(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "len_bytes": pa.array(
+                [len((t or "").encode()) for t in b["text"].to_pylist()],
+                pa.int64())})
+
+    return back.map_batches(add_len, batch_format="pyarrow")
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3078,6 +3107,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "url_surt": q_url_surt,
         "url_filter": q_url_filter,
         "cdx_index": q_cdx_index,
+        "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
         "crawl_bfs_order": q_crawl_bfs_order,
@@ -4402,6 +4432,11 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rnk
                 FROM documents)
             WHERE rnk <= 7
+        """,
+        "archive_roundtrip": """
+            SELECT doc_id, coalesce(text, '') AS text,
+                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS len_bytes
+            FROM documents
         """,
         "export_manifest": """
             SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

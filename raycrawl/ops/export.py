@@ -154,6 +154,110 @@ def read_manifest(out_dir: str):
             .groupby("shard").aggregate(Count(alias_name="n_rows")))
 
 
+def write_archives(ds, out_dir: str, n_shards: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_parts: int | None = None):
+    """Materialize the packed blob archives whose layout
+    ``archive_offsets`` describes: per shard (``h32(md5(id)) % n_shards``
+    — the export_shards row property), documents' UTF-8 payloads
+    concatenated in ascending id order into ``shard=K/blob.bin``, plus a
+    ``_SUCCESS`` marker per finished shard so a failed run resumes
+    without rewriting finished archives (the export_shards discipline).
+
+    Scale shape: ONE shard-keyed task hash exchange (partitioned_apply —
+    every shard lands whole in exactly one partition task); each task
+    writes its shards' blobs sequentially and emits fixed-width manifest
+    rows. Payloads cross the exchange once — unavoidable: the archive IS
+    the payload — and never touch the driver.
+
+    Returns the manifest Dataset (doc_id, shard, len_bytes,
+    offset_bytes), byte-identical to ``archive_offsets`` of the same
+    input."""
+    import pandas as pd
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_shards(out_dir, n_shards)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        shards = [_h32(str(i)) % n_shards for i in ids]
+        keep = [k for k, s in enumerate(shards) if s not in done]
+        return pa.table({
+            id_col: pa.array([ids[k] for k in keep], pa.int64()),
+            "shard": pa.array([shards[k] for k in keep], pa.int64()),
+            "text": pa.array([texts[k] or "" for k in keep], pa.string()),
+        })
+
+    rows = ds.map_batches(slim, batch_format="pyarrow")
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 (id_col, "shard", "len_bytes",
+                                  "offset_bytes")})
+        pdf = pdf.sort_values(["shard", id_col], kind="mergesort")
+        out_rows = []
+        for shard, g in pdf.groupby("shard", sort=True):
+            sdir = _shard_dir(out_dir, int(shard))
+            os.makedirs(sdir, exist_ok=True)
+            off = 0
+            tmp = os.path.join(sdir, "blob.bin.tmp")
+            with open(tmp, "wb") as f:
+                for _, r in g.iterrows():
+                    payload = (r["text"] or "").encode()
+                    f.write(payload)
+                    out_rows.append((int(r[id_col]), int(shard),
+                                     len(payload), off))
+                    off += len(payload)
+            os.replace(tmp, os.path.join(sdir, "blob.bin"))
+            with open(os.path.join(sdir, SUCCESS), "w"):
+                pass
+        return pd.DataFrame(out_rows, columns=[id_col, "shard",
+                                               "len_bytes",
+                                               "offset_bytes"])
+
+    return partitioned_apply(rows, ["shard"], per_shard, width)
+
+
+def read_archive_docs(archive_dir: str, manifest_ds,
+                      id_col: str = "doc_id",
+                      n_parts: int | None = None):
+    """Random-access distributed read back out of packed blob archives:
+    given the manifest (doc_id, shard, len_bytes, offset_bytes), return
+    (doc_id, text). ONE shard-keyed exchange of fixed-width manifest
+    rows; each partition task opens its shards' blobs once and slices
+    every requested payload by (offset, len) — no scan, no driver
+    bytes. The read half of the WARC/tar-style export pair
+    (``write_archives``)."""
+    import pandas as pd
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "text": pd.Series(dtype="str")})
+        out_ids, out_txt = [], []
+        for shard, g in pdf.groupby("shard", sort=True):
+            with open(os.path.join(_shard_dir(archive_dir, int(shard)),
+                                   "blob.bin"), "rb") as f:
+                blob = f.read()
+            for _, r in g.iterrows():
+                o, n = int(r["offset_bytes"]), int(r["len_bytes"])
+                out_ids.append(int(r[id_col]))
+                out_txt.append(blob[o:o + n].decode())
+        return pd.DataFrame({id_col: pd.Series(out_ids, dtype="int64"),
+                             "text": out_txt})
+
+    return partitioned_apply(manifest_ds, ["shard"], per_shard, width)
+
+
 @_export_ray.remote
 def _cdx_rows(tbl: pa.Table) -> int:
     return tbl.num_rows

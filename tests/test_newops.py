@@ -2697,3 +2697,40 @@ def test_hits_hub_authority_shape(ray_session):
         assert got.loc[leaf, "auth_ppm"] == HITS_SCALE  # equal max auth
         assert got.loc[leaf, "hub_ppm"] == 0
     assert got.loc[9, "auth_ppm"] == 0 and got.loc[9, "hub_ppm"] == 0
+
+
+def test_archive_write_read_roundtrip_and_resume(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+    from raycrawl.ops.export import (SUCCESS, archive_offsets,
+                                     read_archive_docs, write_archives)
+
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"payload-{i}" * (i % 3 + 1) for i in range(20)],
+                         pa.string()),
+    })
+    out = str(tmp_path / "arch")
+    manifest = write_archives(rd.from_arrow(t).repartition(4), out,
+                              n_shards=4)
+    m = manifest.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # manifest byte-identical to the layout op
+    want = (archive_offsets(rd.from_arrow(t), n_shards=4).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(m[want.columns], want)
+    # read back byte-identical
+    back = (read_archive_docs(out, rd.from_arrow(pa.Table.from_pandas(m)))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert back["text"].tolist() == t["text"].to_pylist()
+    # resume: finished shards are skipped (blobs untouched on rerun)
+    blobs = {s: os.path.getmtime(os.path.join(out, f"shard={s}",
+                                              "blob.bin"))
+             for s in range(4)}
+    assert all(os.path.exists(os.path.join(out, f"shard={s}", SUCCESS))
+               for s in range(4))
+    m2 = write_archives(rd.from_arrow(t), out, n_shards=4).to_pandas()
+    assert len(m2) == 0  # everything already finished
+    for s in range(4):
+        assert os.path.getmtime(
+            os.path.join(out, f"shard={s}", "blob.bin")) == blobs[s]
