@@ -1048,6 +1048,29 @@ def q_tpch_returned_items(sf_dir: str):
     )
 
 
+def q_tpch_local_supplier_bloom(sf_dir: str):
+    """Q5 with the Bloom semi-join pushdown (cust_bloom=True): a 128-KiB
+    bitmap of the region's custkeys drops out-of-region orders in-block
+    BEFORE the custkey shuffle; the bitmap is a superset test so the
+    exact join (and the shared Q5 oracle) is unchanged."""
+    from raycrawl.ops.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name", "n_regionkey"]),
+        pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                      columns=["r_regionkey", "r_name"]),
+        cust_bloom=True,
+    )
+
+
 def q_wiki_documents(sf_dir: str):
     """MediaWiki source pipeline: synthetic wikitext (templates, wikilinks,
     categories, refs) derived from documents → clean → filter → document
@@ -3072,6 +3095,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_shipping": q_tpch_shipping,
         "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_returned_items": q_tpch_returned_items,
+        "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
         "wiki_documents": q_wiki_documents,
@@ -4021,6 +4045,9 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n.n_name
         """,
+        # tpch_local_supplier_bloom: the Bloom pushdown is a superset
+        # pre-filter — result identical to the plain Q5 (same SQL below,
+        # injected programmatically after the dict literal)
         # tpch_returned_items: Q10 shape — per-row cents rounding before
         # sums, (revenue desc, custkey asc) deterministic top-20
         "tpch_returned_items": """
@@ -6062,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
     # cdx_index: the url_surt fold + warc_ts restated from its fixture
     # formula (EPOCH_BASE_US + doc_id·10⁶), md5/octet_length payload
     # digest, ROW_NUMBER over the engine's (surt, ts, url) sort order
+    sql["tpch_local_supplier_bloom"] = sql["tpch_local_supplier"]
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,
                           coalesce(text, '') AS text FROM documents),

@@ -2734,3 +2734,31 @@ def test_archive_write_read_roundtrip_and_resume(ray_session, tmp_path):
     for s in range(4):
         assert os.path.getmtime(
             os.path.join(out, f"shard={s}", "blob.bin")) == blobs[s]
+
+
+def test_int_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.relational import (_BLOOM_M_BITS, bloom_member_mask,
+                                         build_int_bloom)
+
+    keys = np.arange(0, 5000, 7, dtype=np.int64)  # 715 keys
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    bits = build_int_bloom(ds, "k", _BLOOM_M_BITS)
+    # every inserted key tests positive
+    assert bloom_member_mask(bits, keys, _BLOOM_M_BITS).all()
+    # absent keys: superset semantics with a tiny fp rate
+    absent = np.arange(1, 200001, 2, dtype=np.int64) * 7 + 3
+    fp = bloom_member_mask(bits, absent, _BLOOM_M_BITS).mean()
+    assert fp < 0.01, fp
+
+
+def test_q5_bloom_variant_equals_plain(ray_session):
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    a = (entrymod.queries()["tpch_local_supplier"](sf).to_pandas()
+         .sort_values("n_name").reset_index(drop=True))
+    b = (entrymod.queries()["tpch_local_supplier_bloom"](sf).to_pandas()
+         .sort_values("n_name").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
