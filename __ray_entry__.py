@@ -440,6 +440,17 @@ def q_embed_topk_lsh(sf_dir: str):
     return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_hamming=8)
 
 
+def q_embed_topk_int8(sf_dir: str):
+    """int8-quantized ANN (ops/similarity.int8_topk): per-vector symmetric
+    quantization (elementwise-exact, no float reductions) + INTEGER dot
+    ranking — the 4x-memory scale path, and the one ANN variant whose
+    entire retrieval is integer-exact in SQL."""
+    from raycrawl.ops.similarity import int8_topk
+
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return int8_topk(ds, _query_vectors(sf_dir), k=10)
+
+
 def q_embed_topk_ivf(sf_dir: str):
     """IVF coarse-quantized top-k (the adaptive scale path next to LSH
     probing) driven end to end — distributed Lloyd (id-keyed init, so
@@ -3064,6 +3075,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "minhash_sig": q_minhash_sig,
         "simhash_sig": q_simhash_sig,
         "embed_topk": q_embed_topk,
+        "embed_topk_int8": q_embed_topk_int8,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
         "text_tokens": q_text_tokens,
@@ -6258,6 +6270,39 @@ def oracle_sql() -> dict[str, str]:
     # per-batch partials, merge) exactly. Pruned-probe behavior is pinned
     # by recall + partition-independence pytest.
     sql["embed_topk_lsh"] = sql["embed_topk"]
+    # embed_topk_int8: the whole quantized retrieval replayed exactly —
+    # per-vector max-abs scale, elementwise floor(x*127/scale + 0.5)
+    # (identical IEEE double ops both sides; no order-sensitive float
+    # reduction), int64 dot, (score desc, vec_id asc) rank
+    sql["embed_topk_int8"] = """
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(
+                       embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+            FROM embeddings
+        ),
+        qz AS (
+            SELECT vec_id, i,
+                   CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 127.0 /
+                        (CASE WHEN sc = 0 THEN 1 ELSE sc END) + 0.5)
+                        AS BIGINT) AS qv
+            FROM base, unnest(range(len(embedding))) u(i)
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+                   SUM(q.qv * d.qv) AS score
+            FROM qz q JOIN qz d USING (i)
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2
+        )
+        SELECT query_id, rank, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC)
+                       AS rank
+            FROM dots
+        ) WHERE rank <= 10
+    """
     sql["embed_topk_ivf"] = sql["embed_topk"]
     # dedup_minhash: the ENTIRE md5 MinHash+LSH dedup replayed — signatures
     # (the minhash_sig kernel above), band candidacy restated as per-band

@@ -255,6 +255,13 @@ def run_bench() -> dict:
         timed("token_top20", lambda: em.q_token_top20(sf_dir).count())
         timed("events_sessions", lambda: em.q_events_sessions(sf_dir).count())
         timed("tpch_pricing", lambda: em.q_tpch_pricing(sf_dir).count())
+        # r4 additions: a three-fact-table partitioned join chain (Q5), a
+        # global range-partitioned sort (CDX), and the bidirectional
+        # iterative graph kernel (HITS)
+        timed("tpch_local_supplier",
+              lambda: em.q_tpch_local_supplier(sf_dir).count())
+        timed("cdx_index", lambda: em.q_cdx_index(sf_dir).count())
+        timed("link_hits", lambda: em.q_link_hits(sf_dir).count())
 
     crawl_s = timings["crawl_full"]
     visited = (r.visits.num_rows if r.visits.num_rows else

@@ -75,6 +75,59 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
     return _merge_topk(partials, k)
 
 
+def quantize_int8(X: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 quantization: q = floor(x·127/max|x| +
+    0.5). ELEMENTWISE float64 ops only (widen → mul → div → add →
+    floor), so a SQL oracle replays it bit-exactly — there is no
+    order-sensitive float reduction anywhere (max is exact). A zero
+    vector quantizes to zeros."""
+    scale = np.abs(X).max(axis=1, keepdims=True) if X.size else \
+        np.ones((X.shape[0], 1))
+    safe = np.where(scale == 0, 1.0, scale)
+    return np.floor(X * 127.0 / safe + 0.5).astype(np.int64)
+
+
+def int8_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Quantized ANN: top-k by INTEGER dot product of per-vector int8
+    quantizations — the 4×-memory / SIMD-int8 scale path for
+    cosine retrieval over unit-normalized embeddings (quantized dot ≈
+    cosine·127²; recall vs ``brute_topk`` pinned in tests). Because
+    scores are int64 and quantization is elementwise-exact, the WHOLE
+    retrieval is oracle-gated exactly — unlike the float cosine path
+    whose last-ulp ties SQL must reproduce.
+
+    Same shape as ``brute_topk``: queries quantized once and broadcast,
+    per-batch integer matmul partials, O(batches·Q·k) rows to one driver
+    merge. Returns (query_id, rank, vec_id)."""
+    import ray
+
+    qq = quantize_int8(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qq)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = quantize_int8(_emb_matrix(batch[emb_col]))
+        sims = emb @ q.T  # (n, Q) int64
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            idx = _topk_batch_idx(col, ids, kk)
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k)
+
+
 def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
              probe_hamming: int = 2, id_col: str = "vec_id",
              emb_col: str = "embedding", seed: int = 11):

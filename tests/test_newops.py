@@ -2762,3 +2762,55 @@ def test_q5_bloom_variant_equals_plain(ray_session):
          .sort_values("n_name").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_int8_topk_quantization_and_recall(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.similarity import brute_topk, int8_topk, quantize_int8
+
+    # hand-checked quantization: scale = 0.5 -> q = floor(x*254 + 0.5)
+    X = np.array([[0.5, -0.25, 0.1, 0.0],
+                  [0.0, 0.0, 0.0, 0.0]], dtype=np.float64)
+    Q = quantize_int8(X)
+    assert Q[0].tolist() == [127, -63, 25, 0]  # floor(25.4+0.5)=25, etc.
+    assert Q[1].tolist() == [0, 0, 0, 0]
+
+    # planted neighbors with WELL-SEPARATED cosines (0.08-rad steps):
+    # int8 quantization (~1e-2 relative dot error) must preserve them;
+    # near-tied cosines would only test tie reshuffling, not retrieval
+    rng = np.random.default_rng(5)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    qs, rows = [], []
+    for qi in range(4):
+        q = unit(rng.standard_normal(32))
+        u = unit(rng.standard_normal(32) - 0)
+        u = unit(u - (u @ q) * q)  # orthogonal direction
+        qs.append(q)
+        for j in range(10):
+            th = 0.08 * (j + 1)
+            rows.append(np.cos(th) * q + np.sin(th) * u)
+    far = rng.standard_normal((260, 32))
+    far /= np.linalg.norm(far, axis=1, keepdims=True)
+    emb = np.vstack([np.array(rows), far])
+    t = pa.table({"vec_id": pa.array(range(len(emb)), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in emb])})
+    got = int8_topk(rd.from_arrow(t).repartition(5), np.array(qs),
+                    k=10).to_pandas()
+    want = brute_topk(rd.from_arrow(t), np.array(qs), k=10).to_pandas()
+    rec = []
+    for qi in range(4):
+        planted = set(range(qi * 10, qi * 10 + 10))
+        g = set(got[got["query_id"] == qi]["vec_id"])
+        w = set(want[want["query_id"] == qi]["vec_id"])
+        assert w == planted  # brute finds exactly the planted neighbors
+        rec.append(len(g & planted) / 10)
+    assert np.mean(rec) >= 0.9, rec
+    # partition independence (integer scores: exact equality)
+    other = int8_topk(rd.from_arrow(t).repartition(1), qs, k=10).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        other.sort_values(["query_id", "rank"]).reset_index(drop=True))
