@@ -340,10 +340,14 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     - lineitem ⋈ supplier is a partitioned hash join on suppkey (supplier
       is 1/6000 of lineitem but still fact-scaled at 100×SF — no
       broadcast); orders ⋈ customer likewise on custkey, with the
-      orderdate range filter applied in-block first. Each join result is
-      materialized before the next join consumes it (two pipelined hash
-      joins stall the streaming executor's aggregator pool — see
-      revenue_by_nation_dist).
+      orderdate range filter applied in-block first. All three joins
+      PIPELINE in one DAG — measured at sf0.1/32 CPUs: pipelined 12.0 s
+      vs 15.9 s with materialize barriers between joins (the round-2
+      two-join stall does not reproduce on this shape), and the default
+      per-join width is CPUs/4 (floor 8) rather than one-per-CPU: three
+      sequential aggregator pools at full CPU width are actor-startup
+      bound on a node (5.7 s at width 8 vs 12.0 s at 32), while CPUs/4
+      still gives a 256-node cluster 2 000-wide exchanges.
     - the final orderkey join carries only (orderkey, rev, nationkey)
       fixed-width rows; the Q5 colocation predicate
       ``c_nationkey = s_nationkey`` is a vectorized in-block filter after
@@ -366,7 +370,8 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
 
     from .grouping import drop_empty_blocks, resolve_parts
 
-    n_parts = resolve_parts(n_parts)
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
     rkey = {k: v for k, v in zip(region_tbl["r_name"].to_pylist(),
                                  region_tbl["r_regionkey"].to_pylist())}
     target = rkey[region]
@@ -438,7 +443,7 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     ls = li.join(sup, join_type="inner", num_partitions=n_parts,
                  on=("l_suppkey",)).map_batches(
         lambda b: b.select(["l_orderkey", "rev", "s_nationkey"]),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
 
     cust = drop_empty_blocks(
         customer_ds.map_batches(cust_slim, batch_format="pyarrow"),
@@ -451,7 +456,7 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
     oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
                      on=("o_custkey",)).map_batches(
         lambda b: b.select(["l_orderkey", "c_nationkey"]),
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow")
 
     joined = ls.join(oc, join_type="inner", num_partitions=n_parts,
                      on=("l_orderkey",))
