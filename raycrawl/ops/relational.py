@@ -504,7 +504,11 @@ def returned_item_report(lineitem_ds, orders_ds, customer_ds,
 
     from .grouping import drop_empty_blocks, resolve_parts
 
-    n_parts = resolve_parts(n_parts)
+    if n_parts is None:
+        # multi-join DAG: quarter the per-join width (floor 8) — the Q5
+        # measurement (sequential aggregator pools are actor-startup
+        # bound at one-per-CPU on a node; CPUs/4 stays cluster-wide)
+        n_parts = max(8, resolve_parts(None) // 4)
     nname = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
                                       nation_tbl["n_name"].to_pylist())}
     nref = ray.put(nname)
@@ -541,8 +545,20 @@ def returned_item_report(lineitem_ds, orders_ds, customer_ds,
                                 ("c_custkey", pa.int64())]))
     lo_join = li.join(orders, join_type="inner", num_partitions=n_parts,
                       on=("o_orderkey",))
-    rev_by_cust = lo_join.groupby("c_custkey").aggregate(
-        Sum("rev", alias_name="revenue_cents"))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "c_custkey": np.asarray(batch["c_custkey"], np.int64),
+            "rev": np.asarray(batch["rev"], np.int64)})
+        g = df.groupby("c_custkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"c_custkey": pa.array(g["c_custkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    rev_by_cust = lo_join.map_batches(
+        cust_partial, batch_format="pyarrow").groupby(
+        "c_custkey").aggregate(Sum("rev", alias_name="revenue_cents"))
     # hash aggregates emit zero-column blocks for key-less partitions —
     # strip before the next join (curation/grouping discipline)
     rev_by_cust = drop_empty_blocks(
