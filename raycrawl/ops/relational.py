@@ -223,17 +223,20 @@ def revenue_by_nation_dist(lineitem_ds, orders_ds, customer_ds,
     custkey — the path when the customer dimension outgrows a broadcast
     (a 100×-SF TPC-H customer table is a multi-GB pickle per node as a
     dict; see the round-2 verdict note). Only nation (25 rows, fixed by
-    the TPC-H spec) stays broadcast. The orders⋈customer result is
-    materialized before the second join: two hash joins pipelined in one
-    DAG stall Ray's streaming executor on aggregator-pool scheduling
-    (round-2 lesson, grouping.resolve_parts docstring)."""
+    the TPC-H spec) stays broadcast. Both hash joins pipeline in one
+    DAG at CPUs/4 per-join width (floor 8) — re-measured in round 4 on
+    this shape and on Q5: the round-2 pipelined-joins stall does not
+    reproduce, while sequential aggregator pools at one partition per
+    CPU are actor-startup bound on a node (see local_supplier_volume's
+    numbers)."""
     import ray
 
     from ray.data.aggregate import Sum
 
     from .grouping import resolve_parts
 
-    n_parts = resolve_parts(n_parts)
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
     nname = {k: v for k, v in zip(nation_tbl["n_nationkey"].to_pylist(),
                                   nation_tbl["n_name"].to_pylist())}
     nref = ray.put(nname)
@@ -255,7 +258,7 @@ def revenue_by_nation_dist(lineitem_ds, orders_ds, customer_ds,
         return pa.table({"l_orderkey": batch["o_orderkey"].cast(pa.int64()),
                          "n_name": pa.array(names, pa.string())})
 
-    right = oc.map_batches(to_nation, batch_format="pyarrow").materialize()
+    right = oc.map_batches(to_nation, batch_format="pyarrow")
     li = lineitem_rev_partials(lineitem_ds)
     joined = li.join(right, join_type="inner", num_partitions=n_parts,
                      on=("l_orderkey",))
