@@ -103,6 +103,14 @@ class CrawlConfig:
                                          # MAX_CRAWL_DURATION=1800, crawler.py:108,
                                          # 1138-1141)
     checkpoint_dir: str | None = None
+    checkpoint_keep: int | None = None   # retention: keep only the last K
+                                         # COMPLETE epoch checkpoints (a
+                                         # 100-TB crawl's frontier snapshot
+                                         # dwarfs everything else on disk —
+                                         # the stats-retention discipline
+                                         # applied to resume state). None →
+                                         # keep all (default; resume uses
+                                         # only the newest).
     fetch_batch_size: int = 512
     host_grant_cap: int = 1_000_000_000  # optional per-host per-epoch ceiling
     plan_partitions: int = 32            # coarse host partitions per wave
@@ -893,7 +901,8 @@ class CrawlEngine:
                 self._checkpoint(cfg.checkpoint_dir, epoch,
                                  rd.from_arrow_refs(frontier_refs)
                                  if frontier_refs else None,
-                                 seen, politeness, counters)
+                                 seen, politeness, counters,
+                                 keep=cfg.checkpoint_keep)
 
         for t in (ray.get(retire_refs) if retire_refs else []):
             if t.num_rows:
@@ -909,7 +918,8 @@ class CrawlEngine:
         frontier = rd.from_arrow_refs(frontier_refs) if frontier_refs else None
         if cfg.checkpoint_dir:
             self._checkpoint(cfg.checkpoint_dir, epoch, frontier, seen, politeness,
-                             counters, final_ok=True)
+                             counters, final_ok=True,
+                             keep=cfg.checkpoint_keep)
         return CrawlResult(
             visits=pa.Table.from_pylist(visits, schema=VISITS_SCHEMA),
             docs=pa.Table.from_pylist(
@@ -925,7 +935,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def _checkpoint(self, ckpt_dir: str, epoch: int, frontier, seen, politeness,
-                    counters, final_ok: bool = False) -> None:
+                    counters, final_ok: bool = False,
+                    keep: int | None = None) -> None:
         d = os.path.join(ckpt_dir, f"epoch={epoch:05d}")
         os.makedirs(d, exist_ok=True)
         if frontier is not None:
@@ -946,6 +957,21 @@ class CrawlEngine:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "manifest.json"))
+        if keep is not None and keep > 0:
+            # retention: prune the oldest COMPLETE checkpoints beyond the
+            # newest ``keep`` — only after this epoch's manifest landed
+            # (the atomic replace above), so a crash mid-prune still
+            # leaves a resumable newest. Incomplete dirs are left alone.
+            import shutil
+
+            complete = sorted(
+                e for e in os.listdir(ckpt_dir)
+                if e.startswith("epoch=")
+                and os.path.exists(os.path.join(ckpt_dir, e,
+                                                "manifest.json")))
+            for stale in complete[:-keep]:
+                shutil.rmtree(os.path.join(ckpt_dir, stale),
+                              ignore_errors=True)
 
     @staticmethod
     def _peek_manifest(ckpt_dir: str) -> dict:

@@ -493,3 +493,30 @@ def test_collected_docs_schema_uses_provider_resolved_dim(ray_session):
                               "provider_kwargs": {"dim": 16}})
     r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"], cfg=cfg2).run()
     assert r2.docs.schema.field("embedding").type == pa.list_(pa.float32(), 16)
+
+
+def test_checkpoint_retention_prunes_and_resumes(ray_session, tmp_path):
+    """checkpoint_keep=2: only the newest two complete epoch checkpoints
+    survive, and resume from the pruned directory still completes the
+    crawl with no re-fetches."""
+    import os
+
+    s = scenario("tree")
+    r_full = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                         cfg=CrawlConfig(mode="wave")).run()
+    ck = str(tmp_path / "ckpt")
+    r1 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", max_epochs=3,
+                                     checkpoint_dir=ck,
+                                     checkpoint_keep=2)).run()
+    epochs = sorted(e for e in os.listdir(ck) if e.startswith("epoch="))
+    assert len(epochs) == 2  # pruned to the newest two
+    r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", checkpoint_dir=ck,
+                                     checkpoint_keep=2)).run(resume_from=ck)
+    all_urls = sorted([d["url"] for d in r1.docs.to_pylist()]
+                      + [d["url"] for d in r2.docs.to_pylist()])
+    assert all_urls == sorted(d["url"] for d in r_full.docs.to_pylist())
+    seen_first = {v["url"] for v in r1.visits.to_pylist()}
+    seen_second = {v["url"] for v in r2.visits.to_pylist()}
+    assert not (seen_first & seen_second)
