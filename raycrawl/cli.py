@@ -111,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
                      "(documents/refreshes/visits per epoch)")
     out.add_argument("--checkpoint-dir", help="frontier+seen+politeness "
                      "checkpoints, one directory per epoch")
+    out.add_argument("--checkpoint-keep", type=int, default=None,
+                     help="retention: keep only the newest K complete "
+                          "epoch checkpoints (default: keep all)")
     run = p.add_argument_group("run")
     run.add_argument("--resume", action="store_true",
                      help="resume from the latest checkpoint in "
@@ -220,6 +223,7 @@ def main(argv: list[str] | None = None) -> int:
         max_epochs=args.max_epochs,
         max_duration_s=args.max_duration_s,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_keep=args.checkpoint_keep,
         collect_docs=not args.out_dir,   # docs go to the sink when present
         collect_visits=False,            # counters via distributed partials
         **cfg_extra,
