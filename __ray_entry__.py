@@ -2173,6 +2173,38 @@ def q_archive_roundtrip(sf_dir: str):
     return back.map_batches(add_len, batch_format="pyarrow")
 
 
+_CHROME_TOKENS = ["nav", None, "home", "about", "cookie", "banner",
+                  "copyright", "footer"]  # None slot = the source name
+
+
+def _plant_site_chrome(batch: pa.Table) -> pa.Table:
+    """Prefix every doc with its source's 8-token site chrome (nav/cookie
+    banner) so host-scoped template removal has real chrome to find; the
+    oracle replants identically in SQL."""
+    srcs = batch["source"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = ["nav %s home about cookie banner copyright footer %s"
+           % (s, t) for s, t in zip(srcs, texts)]
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                     "host": pa.array(srcs, pa.string()),
+                     "text": pa.array(out, pa.string())})
+
+
+def q_host_chunk_dedup(sf_dir: str):
+    """Host-scoped site-chrome removal
+    (ops/textstats.host_template_removal): chunks appearing in >=50% of
+    their OWN host's docs (and df>=2) are stripped — the per-site
+    boilerplate rule a global df threshold can't express. Planted
+    8-token chrome per source; 32-B (host, hash) rows cross the one
+    shuffle, hot set broadcast once."""
+    from raycrawl.ops.textstats import host_template_removal
+
+    return host_template_removal(
+        _read_ds(sf_dir, "documents", ["doc_id", "source", "text"])
+        .map_batches(_plant_site_chrome, batch_format="pyarrow"),
+        chunk_tokens=8)
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3143,6 +3175,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "url_surt": q_url_surt,
         "url_filter": q_url_filter,
         "cdx_index": q_cdx_index,
+        "host_chunk_dedup": q_host_chunk_dedup,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6102,6 +6135,48 @@ def oracle_sql() -> dict[str, str]:
     # formula (EPOCH_BASE_US + doc_id·10⁶), md5/octet_length payload
     # digest, ROW_NUMBER over the engine's (surt, ts, url) sort order
     sql["tpch_local_supplier_bloom"] = sql["tpch_local_supplier"]
+    # host_chunk_dedup: the text_chunk_dedup fold keyed by (host, hash)
+    # with the planted chrome prefix and the integer share rule
+    sql["host_chunk_dedup"] = """
+        WITH docs AS (
+            SELECT doc_id, source AS host,
+                   'nav ' || source ||
+                   ' home about cookie banner copyright footer ' || text
+                       AS t
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, host, string_split(t, ' ') AS w FROM docs),
+        chunks AS (
+            SELECT doc_id, host, w,
+                   unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS ci
+            FROM toks
+        ),
+        chunk_txt AS (
+            SELECT doc_id, host, ci,
+                   array_to_string(w[(ci*8+1):(ci*8+8)], ' ') AS ctext,
+                   md5(array_to_string(w[(ci*8+1):(ci*8+8)], ' ')) AS h
+            FROM chunks
+        ),
+        freq AS (
+            SELECT host, h, count(DISTINCT doc_id) AS df
+            FROM chunk_txt GROUP BY host, h
+        ),
+        nd AS (SELECT host, count(*) AS n FROM docs GROUP BY host),
+        hot AS (
+            SELECT f.host, f.h
+            FROM freq f JOIN nd USING (host)
+            WHERE df >= 2 AND 100 * df >= 50 * n
+        )
+        SELECT c.doc_id, c.host,
+               coalesce(string_agg(
+                   CASE WHEN hot.h IS NULL THEN c.ctext END,
+                   ' ' ORDER BY c.ci), '') AS kept_text,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(hot.h) AS BIGINT) AS n_removed
+        FROM chunk_txt c
+        LEFT JOIN hot ON c.host = hot.host AND c.h = hot.h
+        GROUP BY c.doc_id, c.host
+    """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,
                           coalesce(text, '') AS text FROM documents),

@@ -329,6 +329,101 @@ def repeated_chunk_removal(ds, chunk_tokens: int = 20, min_df: int = 2,
     return ds.map_batches(remove, batch_format="pyarrow")
 
 
+def host_template_removal(ds, host_col: str = "host",
+                          chunk_tokens: int = 20, min_share_pct: int = 50,
+                          min_df: int = 2, max_hot: int = 1_000_000,
+                          max_hosts: int = 1_000_000):
+    """HOST-scoped boilerplate (site-chrome) removal: delete every
+    ``chunk_tokens``-token chunk that appears in ≥ ``min_share_pct`` %
+    of ITS OWN host's documents (and ≥ ``min_df`` absolute). Site chrome
+    — nav menus, cookie banners, footers — is host-local at web scale:
+    a GLOBAL df threshold (``repeated_chunk_removal``) misses the chrome
+    of small sites and over-fires on common cross-site idioms; the
+    share-of-host rule is scale-free per site (the CCNet/C4 practice of
+    deduplicating boilerplate within a source).
+
+    Same two-pass shape as the global op, keyed by (host, chunk-md5):
+    per-batch distinct-per-doc Counter partials → small groupby Sum (32-B
+    hashes cross the shuffle, never chunk text); per-host doc counts are
+    a second tiny aggregate (guarded by ``max_hosts``); the hot
+    (host, hash) set — df ≥ min_df ∧ 100·df ≥ share·host_docs, pure
+    integer cross-multiplication — broadcasts ONCE via ``ray.put`` under
+    the ``max_hot`` raise-guard; the strip pass is shuffle-free.
+
+    Returns (doc_id, host, kept_text, n_chunks, n_removed), chunk order
+    preserved. Exactly SQL-expressible — the ``host_chunk_dedup`` oracle
+    gates it end to end."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        nd: Counter = Counter()
+        for host, t in zip(batch[host_col].to_pylist(),
+                           batch["text"].to_pylist()):
+            h = host or ""
+            nd[h] += 1
+            c.update({(h, hashlib.md5(ch.encode()).hexdigest())
+                      for ch in _doc_chunks(t, chunk_tokens)})
+        keys = list(c.keys())
+        return pa.table({
+            "host": pa.array([k[0] for k in keys], pa.string()),
+            "h": pa.array([k[1] for k in keys], pa.string()),
+            "df": pa.array([c[k] for k in keys], pa.int64())})
+
+    def ndocs_partial(batch: pa.Table) -> pa.Table:
+        nd: Counter = Counter(
+            (h or "") for h in batch[host_col].to_pylist())
+        hosts = list(nd.keys())
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "n": pa.array([nd[h] for h in hosts], pa.int64())})
+
+    nd_rows = (ds.map_batches(ndocs_partial, batch_format="pyarrow")
+               .groupby("host").aggregate(Sum("n", alias_name="n"))
+               .take(max_hosts + 1))
+    if len(nd_rows) > max_hosts:
+        raise ValueError(
+            f"host_template_removal: >{max_hosts} hosts; raise max_hosts "
+            "— the per-host doc-count table is assumed driver-small")
+    host_docs = {r["host"]: r["n"] for r in nd_rows}
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby(["host", "h"]).aggregate(Sum("df", alias_name="df"))
+             .filter(expr=f"df >= {int(min_df)}"))
+    cand = df_ds.take(max_hot + 1)
+    if len(cand) > max_hot:
+        raise ValueError(
+            f"host_template_removal: >{max_hot} chunks with df>={min_df}; "
+            "raise max_hot or min_df — the broadcast-blocklist design "
+            "assumes chrome is a small fraction of distinct chunks")
+    hot_ref = ray.put(frozenset(
+        (r["host"], r["h"]) for r in cand
+        if 100 * r["df"] >= min_share_pct * host_docs[r["host"]]))
+
+    def remove(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        kept, n_chunks, n_removed = [], [], []
+        hosts = [h or "" for h in batch[host_col].to_pylist()]
+        for host, t in zip(hosts, batch["text"].to_pylist()):
+            cs = _doc_chunks(t, chunk_tokens)
+            flags = [(host, hashlib.md5(c.encode()).hexdigest()) in hot
+                     for c in cs]
+            kept.append(" ".join(c for c, f in zip(cs, flags) if not f))
+            n_chunks.append(len(cs))
+            n_removed.append(sum(flags))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "host": pa.array(hosts, pa.string()),
+             "kept_text": pa.array(kept, pa.string()),
+             "n_chunks": pa.array(n_chunks, pa.int64()),
+             "n_removed": pa.array(n_removed, pa.int64())}
+        )
+
+    return ds.map_batches(remove, batch_format="pyarrow")
+
+
 def repetition_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
     "Scaling Language Models", quality-filter table): duplicate-line and

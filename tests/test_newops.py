@@ -2814,3 +2814,49 @@ def test_int8_topk_quantization_and_recall(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         other.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_host_template_removal_share_rule(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.textstats import host_template_removal
+
+    chrome_a = "a1 a2 a3 a4"          # 4-token chrome for host a (all docs)
+    half_b = "b1 b2 b3 b4"            # in only 1 of 3 b docs -> 33% < 50%
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "host": pa.array(["a", "a", "b", "b", "b"], pa.string()),
+        "text": pa.array([
+            chrome_a + " u1 u2 u3 u4",
+            chrome_a + " v1 v2 v3 v4",
+            half_b + " w1 w2 w3 w4",
+            "x1 x2 x3 x4 y1 y2 y3 y4",
+            "z1 z2 z3 z4 q1 q2 q3 q4",
+        ], pa.string()),
+    })
+    out = (host_template_removal(rd.from_arrow(t).repartition(3),
+                                 chunk_tokens=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    # host a's chrome (2/2 docs = 100%) stripped; unique tails kept
+    assert out.loc[0, "kept_text"] == "u1 u2 u3 u4"
+    assert out.loc[1, "kept_text"] == "v1 v2 v3 v4"
+    assert out.loc[0, "n_removed"] == 1 and out.loc[0, "n_chunks"] == 2
+    # host b's candidate chunk is at 1/3 = 33% < 50% -> kept
+    assert out.loc[2, "kept_text"].startswith("b1 b2 b3 b4")
+    assert out.loc[2, "n_removed"] == 0
+    # same chunk text under ANOTHER host is independent: plant chrome_a
+    # in a b-doc? (not planted) — cross-host isolation implied by keys
+
+
+def test_host_template_removal_guards(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from raycrawl.ops.textstats import host_template_removal
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "host": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["t1 t2", "t3 t4"], pa.string()),
+    })
+    with _pytest.raises(ValueError, match="hosts"):
+        host_template_removal(rd.from_arrow(t), chunk_tokens=2,
+                              max_hosts=1).to_pandas()
