@@ -2205,6 +2205,34 @@ def q_host_chunk_dedup(sf_dir: str):
         chunk_tokens=8)
 
 
+def q_sitemap_coverage(sf_dir: str):
+    """Crawl-vs-sitemap coverage (ops/urlstats.sitemap_coverage): FULL
+    OUTER url-keyed hash join classifying covered / missed / organic.
+    Plant: the sitemap declares two-thirds of the corpus (doc_id%3!=0)
+    plus ghost URLs (doc_id%10==0) that were never crawled; the crawl
+    saw every corpus URL."""
+    from raycrawl.ops.urlstats import sitemap_coverage
+
+    def crawled(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], np.int64)
+        return pa.table({"url": pa.array(
+            [f"https://src{i % 20}.example.org/doc/{i}" for i in d],
+            pa.string())})
+
+    def sitemap(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], np.int64)
+        urls = [f"https://src{i % 20}.example.org/doc/{i}"
+                for i in d if i % 3 != 0]
+        urls += [f"https://src{i % 20}.example.org/doc/ghost{i}"
+                 for i in d if i % 10 == 0]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    return sitemap_coverage(
+        docs.map_batches(crawled, batch_format="pyarrow"),
+        docs.map_batches(sitemap, batch_format="pyarrow"))
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3176,6 +3204,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "url_filter": q_url_filter,
         "cdx_index": q_cdx_index,
         "host_chunk_dedup": q_host_chunk_dedup,
+        "sitemap_coverage": q_sitemap_coverage,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6176,6 +6205,23 @@ def oracle_sql() -> dict[str, str]:
         FROM chunk_txt c
         LEFT JOIN hot ON c.host = hot.host AND c.h = hot.h
         GROUP BY c.doc_id, c.host
+    """
+    # sitemap_coverage: replant both URL sets, FULL OUTER JOIN, classify
+    sql["sitemap_coverage"] = f"""
+        WITH crawled AS (SELECT {_URL} AS url FROM documents),
+        sm AS (
+            SELECT {_URL} AS url FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT 'https://src' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example.org/doc/ghost' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT coalesce(c.url, s.url) AS url,
+               CASE WHEN c.url IS NOT NULL AND s.url IS NOT NULL
+                    THEN 'covered'
+                    WHEN s.url IS NOT NULL THEN 'missed'
+                    ELSE 'organic' END AS status
+        FROM crawled c FULL OUTER JOIN sm s ON c.url = s.url
     """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,

@@ -83,6 +83,52 @@ def url_pattern_stats(urls_ds, *, url_col: str = "url", top_n: int = 50):
     })
 
 
+def sitemap_coverage(crawled_ds, sitemap_ds, *, url_col: str = "url",
+                     n_parts: int | None = None):
+    """Crawl-vs-sitemap coverage report: one FULL OUTER partitioned hash
+    join on the (caller-normalized) URL, classified in-block:
+
+    - ``covered``  — in both: the sitemap URL was crawled;
+    - ``missed``   — sitemap only: declared by the site but never
+      crawled (robots-blocked, over-depth, queue-capped, or orphaned) —
+      the recrawl scheduler's gap list;
+    - ``organic``  — crawled only: discovered via links but absent from
+      sitemaps — the site's own discovery gap.
+
+    Scale shape: each side projects to (url, marker-int) in-block before
+    the ONE url-keyed exchange; at 10^10 URLs nothing else moves.
+    Returns (url, status)."""
+    import pyarrow.compute as pc
+
+    from .grouping import resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+
+    def mark(col_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch[url_col]
+            return pa.table({
+                "url": urls.cast(pa.string()) if not isinstance(
+                    urls, pa.ChunkedArray) else urls.cast(pa.string()),
+                col_name: pa.array([1] * batch.num_rows, pa.int64())})
+        return fn
+
+    c = crawled_ds.map_batches(mark("is_crawled"), batch_format="pyarrow")
+    s = sitemap_ds.map_batches(mark("in_sitemap"), batch_format="pyarrow")
+    j = c.join(s, join_type="full_outer", num_partitions=n_parts,
+               on=("url",))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        cr = pc.is_valid(batch["is_crawled"])
+        sm = pc.is_valid(batch["in_sitemap"])
+        status = pc.if_else(
+            pc.and_(cr, sm), "covered",
+            pc.if_else(sm, "missed", "organic"))
+        return pa.table({"url": batch["url"], "status": status})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
 def url_quality_filter(ds, *, blocked_domains, kw_weights: dict[str, int],
                        threshold: int = 3, url_col: str = "url",
                        id_col: str = "doc_id"):

@@ -2860,3 +2860,17 @@ def test_host_template_removal_guards(ray_session):
     with _pytest.raises(ValueError, match="hosts"):
         host_template_removal(rd.from_arrow(t), chunk_tokens=2,
                               max_hosts=1).to_pandas()
+
+
+def test_sitemap_coverage_classification(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.urlstats import sitemap_coverage
+
+    crawled = rd.from_arrow(pa.table({
+        "url": pa.array(["u/a", "u/b", "u/c"], pa.string())}))
+    sitemap = rd.from_arrow(pa.table({
+        "url": pa.array(["u/b", "u/c", "u/d"], pa.string())}))
+    out = (sitemap_coverage(crawled, sitemap)
+           .to_pandas().set_index("url")["status"].to_dict())
+    assert out == {"u/a": "organic", "u/b": "covered",
+                   "u/c": "covered", "u/d": "missed"}
