@@ -2233,6 +2233,36 @@ def q_sitemap_coverage(sf_dir: str):
         docs.map_batches(sitemap, batch_format="pyarrow"))
 
 
+def q_search_snippets(sf_dir: str):
+    """Query-dependent snippet extraction (ops/index.snippet_windows):
+    best 16-token window per matching doc for the fixed retrieval
+    vocabulary — shuffle-free row property, rows only for matching
+    docs (the reference's per-result excerpt surface)."""
+    from raycrawl.ops.index import snippet_windows
+
+    return snippet_windows(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        KEYWORD_TERMS, window=16)
+
+
+def q_fuzzy_search(sf_dir: str):
+    """Typo-tolerant retrieval (ops/index.fuzzy_topk — the Meilisearch
+    'typo' ranking tier the reference indexes with): typo'd query terms
+    match corpus tokens within the 0/1/2 edit budget; shuffle-free
+    scoring + O(batches·k) top-k merge."""
+    from raycrawl.ops.index import fuzzy_topk
+
+    return fuzzy_topk(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        FUZZY_TERMS, k=10)
+
+
+# typo'd forms of the retrieval vocabulary: 'joinn'/'vectr' are 1 edit
+# from their targets (budget 1 at len>=5); 'hash' (len 4, budget 0)
+# stays exact-only
+FUZZY_TERMS = ["joinn", "vectr", "hash"]
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3205,6 +3235,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "host_chunk_dedup": q_host_chunk_dedup,
         "sitemap_coverage": q_sitemap_coverage,
+        "search_snippets": q_search_snippets,
+        "fuzzy_search": q_fuzzy_search,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6222,6 +6254,66 @@ def oracle_sql() -> dict[str, str]:
                     WHEN s.url IS NOT NULL THEN 'missed'
                     ELSE 'organic' END AS status
         FROM crawled c FULL OUTER JOIN sm s ON c.url = s.url
+    """
+    # search_snippets: O(n·W) window scan per doc in SQL — best window =
+    # max hits, smallest start; snippet via list slice (clamped both
+    # sides)
+    sql["search_snippets"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, i,
+                   CASE WHEN w[CAST(i + 1 AS INT)] IN
+                        ('join', 'hash', 'vector', 'spark', 'merge')
+                        THEN 1 ELSE 0 END AS hit
+            FROM toks, unnest(range(len(w))) u(i)
+        ),
+        starts AS (
+            SELECT doc_id, w,
+                   unnest(range(greatest(CAST(len(w) AS BIGINT) - 16 + 1,
+                                         1))) AS s
+            FROM toks
+        ),
+        wsum AS (
+            SELECT st.doc_id, st.s, st.w, SUM(h.hit) AS n_hits
+            FROM starts st JOIN hits h
+              ON h.doc_id = st.doc_id AND h.i >= st.s AND h.i < st.s + 16
+            GROUP BY st.doc_id, st.s, st.w
+        ),
+        best AS (
+            SELECT doc_id, s, n_hits, w,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, s ASC) AS rn
+            FROM wsum
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS start_tok,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               array_to_string(w[CAST(s + 1 AS INT):CAST(s + 16 AS INT)],
+                               ' ') AS snippet
+        FROM best WHERE rn = 1 AND n_hits >= 1
+    """
+    # fuzzy_search: levenshtein within the Meilisearch typo budget
+    sql["fuzzy_search"] = """
+        WITH q(term) AS (VALUES ('joinn'), ('vectr'), ('hash')),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        m AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM toks t JOIN q
+              ON levenshtein(t.tok, q.term) <=
+                 CASE WHEN length(q.term) < 5 THEN 0
+                      WHEN length(q.term) < 9 THEN 1 ELSE 2 END
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_hits,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id ASC)
+                    AS BIGINT) AS rnk
+        FROM m
+        ORDER BY n_hits DESC, doc_id ASC
+        LIMIT 10
     """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,

@@ -434,3 +434,125 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id",
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def snippet_windows(ds, terms: list[str], window: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Query-dependent snippet/highlight extraction (the search surface's
+    excerpt — the reference displays per-result snippets from its search
+    backends, wiki_client.py:121-153, cse_client.py:207): for every doc
+    containing ≥1 query term, the best ``window``-token window = max
+    query-term hits, ties to the SMALLEST start. Deterministic and
+    integer-ranked, so exactly SQL-expressible.
+
+    Scale shape: completely SHUFFLE-FREE — a doc's best window is a pure
+    row property (token hit mask → cumsum sliding-window sums → first
+    argmax), so the corpus never leaves its blocks; output is one short
+    row per MATCHING doc only. Returns (doc_id, start_tok, n_hits,
+    snippet)."""
+    tset = set(terms)
+
+    def best(batch: pa.Table) -> pa.Table:
+        out_id, out_s, out_n, out_txt = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = (t or "").split(" ")
+            hit = np.fromiter((tok in tset for tok in toks), np.int64,
+                              len(toks))
+            if not hit.any():
+                continue
+            c = np.concatenate(([0], np.cumsum(hit)))
+            n_starts = max(len(toks) - window + 1, 1)
+            ends = np.minimum(np.arange(n_starts) + window, len(toks))
+            wsum = c[ends] - c[:n_starts]
+            s = int(np.argmax(wsum))  # first max = smallest start
+            out_id.append(did)
+            out_s.append(s)
+            out_n.append(int(wsum[s]))
+            out_txt.append(" ".join(toks[s:s + window]))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "start_tok": pa.array(out_s, pa.int64()),
+            "n_hits": pa.array(out_n, pa.int64()),
+            "snippet": pa.array(out_txt, pa.string())})
+
+    return ds.map_batches(best, batch_format="pyarrow")
+
+
+def _typo_budget(term: str) -> int:
+    """Meilisearch's typo-tolerance rule (the reference indexes with
+    ranking rule 'typo', crawler.py:341): 0 typos under 5 chars, 1 from
+    5, 2 from 9 — DuckDB's levenshtein() restates it exactly."""
+    n = len(term)
+    return 0 if n < 5 else (1 if n < 9 else 2)
+
+
+def _ed_within(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k with band pruning (k <= 2, short tokens)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if k == 0:
+        return a == b
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            lo = min(lo, v)
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def fuzzy_topk(ds, terms: list[str], k: int = 10,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Typo-tolerant retrieval (Meilisearch 'typo' ranking tier): a doc
+    token matches a query term when their edit distance is within the
+    term's typo budget (0/<5 chars, 1/<9, 2 else). Score = total matched
+    occurrences; top-``k`` by (score desc, doc_id asc).
+
+    Scale shape: shuffle-free scoring — the query set is tiny and
+    closed, so each batch tests its own tokens against it (per-distinct-
+    token memo per batch; band-pruned DP only for near-length tokens) —
+    then per-batch top-k partials, O(batches·k) rows to one driver
+    merge. No vocabulary broadcast, no exchange.
+
+    Returns (doc_id, n_hits, rnk)."""
+    budgets = [(t, _typo_budget(t)) for t in terms]
+
+    def score(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def tok_hits(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = sum(1 for t, b in budgets if _ed_within(tok, t, b))
+                memo[tok] = v
+            return v
+
+        out_id, out_n = [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            n = sum(tok_hits(tok) for tok in (t or "").split(" "))
+            if n:
+                out_id.append(did)
+                out_n.append(n)
+        ids = np.array(out_id, np.int64)
+        ns = np.array(out_n, np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, -ns))[:k]
+            ids, ns = ids[top], ns[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(ns, pa.int64())})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["n_hits"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "n_hits": pa.array([r["n_hits"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())})

@@ -2874,3 +2874,45 @@ def test_sitemap_coverage_classification(ray_session):
            .to_pandas().set_index("url")["status"].to_dict())
     assert out == {"u/a": "organic", "u/b": "covered",
                    "u/c": "covered", "u/d": "missed"}
+
+
+def test_snippet_windows_best_window_and_ties(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import snippet_windows
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            # hits at 0 and 8; window 4: both windows have 1 hit ->
+            # smallest start wins
+            "hit a b c d e f g hit j k l",
+            "x y z w",                      # no hits -> dropped
+            "a hit hit b",                  # short doc: whole-doc window
+        ], pa.string()),
+    })
+    out = (snippet_windows(rd.from_arrow(t), ["hit"], window=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [0, 2]
+    assert out.loc[0, "start_tok"] == 0 and out.loc[0, "n_hits"] == 1
+    assert out.loc[0, "snippet"] == "hit a b c"
+    assert out.loc[2, "start_tok"] == 0 and out.loc[2, "n_hits"] == 2
+    assert out.loc[2, "snippet"] == "a hit hit b"
+
+
+def test_fuzzy_topk_typo_budgets(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import fuzzy_topk
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "join join vector",   # 'joinn'(b1) matches join x2; 'vectr'(b1) matches vector
+            "hashx hash",         # 'hash' budget 0: exact only -> 1 hit
+            "nothing here",
+        ], pa.string()),
+    })
+    out = fuzzy_topk(rd.from_arrow(t), ["joinn", "vectr", "hash"],
+                     k=10).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {0: 3, 1: 1}
+    assert out["rnk"].tolist() == [1, 2]
