@@ -2263,6 +2263,18 @@ def q_fuzzy_search(sf_dir: str):
 FUZZY_TERMS = ["joinn", "vectr", "hash"]
 
 
+def q_proximity_search(sf_dir: str):
+    """Proximity ranking (ops/index.proximity_topk — Meilisearch's
+    'proximity' tier): docs containing ALL of join/hash/merge ranked by
+    the minimal token span covering the three; shuffle-free scoring,
+    O(batches·k) top-k merge."""
+    from raycrawl.ops.index import proximity_topk
+
+    return proximity_topk(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "hash", "merge"], k=10)
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3237,6 +3249,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "sitemap_coverage": q_sitemap_coverage,
         "search_snippets": q_search_snippets,
         "fuzzy_search": q_fuzzy_search,
+        "proximity_search": q_proximity_search,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6314,6 +6327,38 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         ORDER BY n_hits DESC, doc_id ASC
         LIMIT 10
+    """
+    # proximity_search: minimal cover span — optimal windows start at an
+    # occurrence; per (doc, start, term) the first position >= start,
+    # covered starts need all terms, span = MAX(first) - start + 1
+    sql["proximity_search"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i, w[CAST(i + 1 AS INT)] AS tok
+            FROM toks, unnest(range(len(w))) u(i)
+            WHERE w[CAST(i + 1 AS INT)] IN ('join', 'hash', 'merge')
+        ),
+        spans AS (
+            SELECT p.doc_id, p.i AS s, q.tok, MIN(q.i) AS mn
+            FROM pos p JOIN pos q
+              ON q.doc_id = p.doc_id AND q.i >= p.i
+            GROUP BY p.doc_id, p.i, q.tok
+        ),
+        covers AS (
+            SELECT doc_id, s, MAX(mn) - s + 1 AS span
+            FROM spans GROUP BY doc_id, s
+            HAVING COUNT(DISTINCT tok) = 3
+        ),
+        best AS (
+            SELECT doc_id, CAST(MIN(span) AS BIGINT) AS span
+            FROM covers GROUP BY doc_id
+        )
+        SELECT doc_id, span,
+               CAST(ROW_NUMBER() OVER (ORDER BY span ASC, doc_id ASC)
+                    AS BIGINT) AS rnk
+        FROM best ORDER BY span ASC, doc_id ASC LIMIT 10
     """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,

@@ -556,3 +556,65 @@ def fuzzy_topk(ds, terms: list[str], k: int = 10,
         {id_col: pa.array([r[id_col] for r in out], pa.int64()),
          "n_hits": pa.array([r["n_hits"] for r in out], pa.int64()),
          "rnk": pa.array(range(1, len(out) + 1), pa.int64())})
+
+
+def proximity_topk(ds, terms: list[str], k: int = 10,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Proximity ranking (Meilisearch's 'proximity' tier, crawler.py:341):
+    rank docs containing ALL query terms by the minimal token span
+    covering every term at least once — closer terms rank higher. The
+    optimal window always starts at an occurrence of some query term, so
+    span(doc) = min over occurrence positions p of
+    (max over terms of its first position ≥ p) − p + 1.
+
+    Scale shape: shuffle-free — per-term position arrays per doc, one
+    ``searchsorted`` per (occurrence, term); docs missing any term drop
+    in-block; per-batch top-k partials (smallest spans) → O(batches·k)
+    rows to one driver merge. Returns (doc_id, span, rnk) — span asc,
+    doc_id asc ties."""
+    tlist = list(dict.fromkeys(terms))
+    if not tlist:
+        raise ValueError("proximity_topk: empty terms")
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_id, out_sp = [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = np.array((t or "").split(" "))
+            pos = {q: np.flatnonzero(toks == q) for q in tlist}
+            if any(len(p) == 0 for p in pos.values()):
+                continue
+            allpos = np.sort(np.concatenate(list(pos.values())))
+            best = None
+            for p in allpos:
+                mx = -1
+                for q in tlist:
+                    arr = pos[q]
+                    idx = int(np.searchsorted(arr, p))
+                    if idx == len(arr):
+                        mx = None
+                        break
+                    mx = max(mx, int(arr[idx]))
+                if mx is None:
+                    break  # larger p can only run out of terms too
+                span = mx - int(p) + 1
+                if best is None or span < best:
+                    best = span
+            if best is not None:
+                out_id.append(did)
+                out_sp.append(best)
+        ids = np.array(out_id, np.int64)
+        sp = np.array(out_sp, np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, sp))[:k]
+            ids, sp = ids[top], sp[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "span": pa.array(sp, pa.int64())})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["span"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "span": pa.array([r["span"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())})

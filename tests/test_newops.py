@@ -2916,3 +2916,22 @@ def test_fuzzy_topk_typo_budgets(ray_session):
     got = dict(zip(out["doc_id"], out["n_hits"]))
     assert got == {0: 3, 1: 1}
     assert out["rnk"].tolist() == [1, 2]
+
+
+def test_proximity_topk_minimal_span(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.index import proximity_topk
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b x y a b",        # adjacent pair at the end: span 2
+            "a x x b",            # span 4
+            "a only here",        # missing 'b' -> dropped
+            "b a",                # reversed adjacent: span 2 (tie w/ 0)
+        ], pa.string()),
+    })
+    out = proximity_topk(rd.from_arrow(t).repartition(2), ["a", "b"],
+                         k=10).to_pandas()
+    assert list(zip(out["doc_id"], out["span"], out["rnk"])) == [
+        (0, 2, 1), (3, 2, 2), (1, 4, 3)]
