@@ -2275,6 +2275,17 @@ def q_proximity_search(sf_dir: str):
         ["join", "hash", "merge"], k=10)
 
 
+def q_length_batches(sf_dir: str):
+    """Length-bucketed inference batching plan
+    (ops/packing.length_batches): docs sorted by token count and cut
+    into fixed-size batches so each pads only to its own max — one
+    fixed-width sort + the pack_offsets O(blocks) position scan."""
+    from raycrawl.ops.packing import length_batches
+
+    return length_batches(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]), batch_size=32)
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3250,6 +3261,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "search_snippets": q_search_snippets,
         "fuzzy_search": q_fuzzy_search,
         "proximity_search": q_proximity_search,
+        "length_batches": q_length_batches,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6359,6 +6371,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(ROW_NUMBER() OVER (ORDER BY span ASC, doc_id ASC)
                     AS BIGINT) AS rnk
         FROM best ORDER BY span ASC, doc_id ASC LIMIT 10
+    """
+    # length_batches: ROW_NUMBER over (n_tokens, doc_id), fixed cuts
+    sql["length_batches"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1
+                       AS pos
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(pos // 32 AS BIGINT) AS batch_id,
+               CAST(pos % 32 AS BIGINT) AS pos_in_batch
+        FROM r
     """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,

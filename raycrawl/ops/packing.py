@@ -140,6 +140,55 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id"):
         [_pos_finalize.remote(b, int(o)) for b, o in zip(blocks, offsets)])
 
 
+@ray.remote
+def _lb_finalize(tbl: pa.Table, offset: int, batch_size: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "batch_id": pa.array([], pa.int64()),
+                         "pos_in_batch": pa.array([], pa.int64())})
+    pos = offset + np.arange(tbl.num_rows, dtype=np.int64)
+    return pa.table({
+        "doc_id": tbl["doc_id"],
+        "n_tokens": tbl["n_tokens"],
+        "batch_id": pa.array(pos // batch_size, pa.int64()),
+        "pos_in_batch": pa.array(pos % batch_size, pa.int64()),
+    })
+
+
+def length_batches(ds, batch_size: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Length-bucketed inference batching plan (padding minimization —
+    the standard smart-batching trick for embedding/scoring a corpus
+    with a fixed-shape model): sort docs by token count, cut into
+    consecutive fixed-size batches, so each batch holds near-equal
+    lengths and pads only to ITS OWN max instead of the corpus max.
+    Deterministic ((n_tokens, doc_id) order), so resumable and
+    SQL-gateable — unlike arrival-order batching, which wastes up to
+    (max_len − mean_len)·batch_size tokens of compute per batch.
+
+    Scale shape (the ``pack_offsets`` discipline): token counts computed
+    in-block, ONE range-partitioned sort of (id, n_tokens) fixed-width
+    rows, O(blocks) driver exclusive scan, batch ids finalized where the
+    blocks live. Returns (doc_id, n_tokens, batch_id, pos_in_batch) —
+    feed each ``batch_id`` group to one model call."""
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = [len((t or "").split(" "))
+                for t in batch[text_col].to_pylist()]
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    blocks = (ds.map_batches(counts, batch_format="pyarrow")
+              .sort(["n_tokens", "doc_id"]).to_arrow_refs())
+    rows = ray.get([_block_rows.remote(b) for b in blocks])
+    offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
+    return rd.from_arrow_refs(
+        [_lb_finalize.remote(b, int(o), batch_size)
+         for b, o in zip(blocks, offsets)])
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

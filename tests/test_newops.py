@@ -2935,3 +2935,27 @@ def test_proximity_topk_minimal_span(ray_session):
                          k=10).to_pandas()
     assert list(zip(out["doc_id"], out["span"], out["rnk"])) == [
         (0, 2, 1), (3, 2, 2), (1, 4, 3)]
+
+
+def test_length_batches_padding_savings(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.packing import length_batches
+
+    texts = [" ".join(["w"] * n) for n in (1, 50, 2, 49, 3, 48, 4, 47)]
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (length_batches(rd.from_arrow(t).repartition(3), batch_size=4)
+           .to_pandas().sort_values(["batch_id", "pos_in_batch"])
+           .reset_index(drop=True))
+    # sorted by length: batch 0 = lengths 1..4 (docs 0,2,4,6),
+    # batch 1 = 47..50 (docs 7,5,3,1) — short docs never pad to 50
+    assert out[out["batch_id"] == 0]["doc_id"].tolist() == [0, 2, 4, 6]
+    assert out[out["batch_id"] == 1]["doc_id"].tolist() == [7, 5, 3, 1]
+    assert out[out["batch_id"] == 0]["n_tokens"].max() == 4
+    assert out["pos_in_batch"].tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    # partition-independent
+    import pandas as pd
+    other = (length_batches(rd.from_arrow(t).repartition(1), batch_size=4)
+             .to_pandas().sort_values(["batch_id", "pos_in_batch"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, other)
