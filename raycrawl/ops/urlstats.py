@@ -97,7 +97,10 @@ def sitemap_coverage(crawled_ds, sitemap_ds, *, url_col: str = "url",
 
     Scale shape: each side projects to (url, marker-int) in-block before
     the ONE url-keyed exchange; at 10^10 URLs nothing else moves.
-    Returns (url, status)."""
+    Contract: both sides carry caller-normalized, DEDUPED URLs (the
+    crawl's seen set and a sitemap's URL set are both unique by
+    construction) — a duplicated URL on either side multiplies its join
+    rows. Returns (url, status)."""
     import pyarrow.compute as pc
 
     from .grouping import resolve_parts
