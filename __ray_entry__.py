@@ -2286,6 +2286,30 @@ def q_length_batches(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "text"]), batch_size=32)
 
 
+def q_balanced_shards(sf_dir: str):
+    """Skew-aware shard plan (ops/export.balanced_shards): per-source
+    byte totals → snake assignment over size-desc rank across 8 shards
+    (boustrophedon spreads hot hosts) — deterministic, unlike greedy
+    LPT, so exactly SQL-gateable."""
+    from raycrawl.ops.export import balanced_shards
+
+    return balanced_shards(
+        _read_ds(sf_dir, "documents", ["source", "text"]), n_shards=8)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional Poisson sample (ops/sampling.weighted_sample):
+    keep prob min(1, 200·w/Σw) on n_chars, decided by the integer
+    cross-multiplication h32(id)·Σw < 2³²·200·w — token-unbiased doc
+    sampling for mixture construction; one global Sum + a shuffle-free
+    filter."""
+    from raycrawl.ops.sampling import weighted_sample
+
+    return weighted_sample(
+        _read_ds(sf_dir, "documents", ["doc_id", "n_chars"]),
+        n_target=200)
+
+
 def q_cdx_index(sf_dir: str):
     """CDX capture index (ops/export.cdx_records) over the corpus pages:
     (surt, ts, url)-ordered records with md5 payload digest + byte length
@@ -3262,6 +3286,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": q_fuzzy_search,
         "proximity_search": q_proximity_search,
         "length_batches": q_length_batches,
+        "balanced_shards": q_balanced_shards,
+        "weighted_sample": q_weighted_sample,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
         "crawl_depth_hist": q_crawl_depth_hist,
@@ -6390,6 +6416,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(pos // 32 AS BIGINT) AS batch_id,
                CAST(pos % 32 AS BIGINT) AS pos_in_batch
         FROM r
+    """
+    # balanced_shards: size-desc rank + snake (boustrophedon) formula
+    sql["balanced_shards"] = """
+        WITH s AS (
+            SELECT source,
+                   CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT)
+                       AS size_bytes
+            FROM documents GROUP BY source
+        ),
+        r AS (
+            SELECT source, size_bytes,
+                   CAST(ROW_NUMBER() OVER (ORDER BY size_bytes DESC,
+                                           source ASC) AS BIGINT) AS rnk
+            FROM s
+        )
+        SELECT source, size_bytes, rnk,
+               CAST(CASE WHEN ((rnk - 1) // 8) % 2 = 0
+                         THEN (rnk - 1) % 8
+                         ELSE 7 - ((rnk - 1) % 8) END AS BIGINT) AS shard
+        FROM r
+    """
+    # weighted_sample: HUGEINT cross-multiplication of the h32 rule
+    sql["weighted_sample"] = """
+        WITH t AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS tot
+                   FROM documents)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(CASE WHEN CAST(CAST('0x' || substr(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) AS HUGEINT) * t.tot
+                         < CAST(4294967296 AS HUGEINT) * 200
+                           * CAST(n_chars AS HUGEINT)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents, t
     """
     sql["cdx_index"] = f"""
         WITH u AS (SELECT doc_id, {_URL} AS url,

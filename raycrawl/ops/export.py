@@ -258,6 +258,57 @@ def read_archive_docs(archive_dir: str, manifest_ds,
     return partitioned_apply(manifest_ds, ["shard"], per_shard, width)
 
 
+def balanced_shards(ds, n_shards: int = 16, key_col: str = "source",
+                    text_col: str = "text", max_keys: int = 1_000_000):
+    """Skew-aware output-shard planner: assign each key (host/source) to
+    a shard by SNAKE order over keys sorted by total payload size desc —
+    rank r goes to shard r%S on even rounds and S−1−(r%S) on odd rounds
+    (boustrophedon), so the heaviest keys spread across shards and each
+    round re-balances in reverse. The fix for hash-sharded output under
+    host skew, where one hot host makes one Parquet shard 100× the
+    others; deterministic and SQL-gateable, unlike greedy LPT whose
+    running-bin state has no clean restatement.
+
+    Scale shape: per-key byte totals are in-block partials → one small
+    key-keyed Sum (the key cardinality is guarded by ``max_keys`` — the
+    plan table is driver-small by assumption); the assignment itself is
+    O(keys) driver arithmetic. Returns (key, size_bytes, rnk, shard) —
+    broadcast it and tag rows in-block to route the actual write."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: [k or "" for k in batch[key_col].to_pylist()],
+            "b": [len((t or "").encode())
+                  for t in batch[text_col].to_pylist()]})
+        g = df.groupby(key_col, as_index=False).agg(b=("b", "sum"))
+        return pa.table({key_col: pa.array(g[key_col], pa.string()),
+                         "b": pa.array(g["b"], pa.int64())})
+
+    rows = (ds.map_batches(size_partial, batch_format="pyarrow")
+            .groupby(key_col).aggregate(Sum("b", alias_name="size_bytes"))
+            .take(max_keys + 1))
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"balanced_shards: >{max_keys} keys; raise max_keys — the "
+            "plan table is assumed driver-small")
+    rows.sort(key=lambda r: (-r["size_bytes"], r[key_col]))
+    keys, sizes, rnks, shards = [], [], [], []
+    for r, row in enumerate(rows):
+        rnd, pos = divmod(r, n_shards)
+        keys.append(row[key_col])
+        sizes.append(row["size_bytes"])
+        rnks.append(r + 1)
+        shards.append(pos if rnd % 2 == 0 else n_shards - 1 - pos)
+    return pa.table({
+        key_col: pa.array(keys, pa.string()),
+        "size_bytes": pa.array(sizes, pa.int64()),
+        "rnk": pa.array(rnks, pa.int64()),
+        "shard": pa.array(shards, pa.int64())})
+
+
 @_export_ray.remote
 def _cdx_rows(tbl: pa.Table) -> int:
     return tbl.num_rows

@@ -189,6 +189,42 @@ def domain_cap(ds, cap: int = 10, key_col: str = "source",
                              resolve_parts(n_parts))
 
 
+def weighted_sample(ds, n_target: int = 100, *, id_col: str = "doc_id",
+                    weight_col: str = "n_chars"):
+    """Weight-proportional Poisson sampling: keep doc i with probability
+    min(1, n_target·wᵢ / Σw) — heavier docs (more chars/tokens) are
+    proportionally likelier, E[kept] ≈ n_target. The decision is the
+    pure-integer cross-multiplication ``h32(id)·Σw < 2³²·n_target·wᵢ``
+    (Python/HUGEINT exact — no float probabilities), so it is
+    partition-independent, retry-stable, and replayed exactly by the
+    SQL oracle. The data-mixture building block: sampling documents
+    proportional to token count keeps the TOKEN distribution unbiased
+    where uniform doc sampling skews toward short docs.
+
+    Scale shape: pass 1 is one global integer Sum (a scalar to the
+    driver); pass 2 is a shuffle-free in-block filter. Returns
+    (id, weight, keep 0/1)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    total = ds.aggregate(Sum(weight_col, alias_name="t"))["t"]
+    if total is None or total <= 0:
+        raise ValueError("weighted_sample: non-positive total weight")
+    t_ref = ray.put(int(total))
+
+    def decide(batch: pa.Table) -> pa.Table:
+        tot = ray.get(t_ref)
+        ids = batch[id_col].to_pylist()
+        ws = np.asarray(batch[weight_col], np.int64)
+        keep = [1 if _h32(str(i)) * tot < (1 << 32) * n_target * int(w)
+                else 0 for i, w in zip(ids, ws)]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "weight": pa.array(ws, pa.int64()),
+                         "keep": pa.array(keep, pa.int64())})
+
+    return ds.map_batches(decide, batch_format="pyarrow")
+
+
 def stratified_fixed_sample(ds, n: int = 5, *, key_col: str = "source",
                             id_col: str = "doc_id", seed: int = 0,
                             n_parts: int | None = None):

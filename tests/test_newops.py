@@ -2959,3 +2959,46 @@ def test_length_batches_padding_savings(ray_session):
              .to_pandas().sort_values(["batch_id", "pos_in_batch"])
              .reset_index(drop=True))
     pd.testing.assert_frame_equal(out, other)
+
+
+def test_balanced_shards_snake_assignment(ray_session):
+    import ray.data as rd
+    from raycrawl.ops.export import balanced_shards
+
+    # 6 keys, sizes 60..10 desc, 3 shards: snake = 0,1,2,2,1,0
+    t = pa.table({
+        "source": pa.array([c for c in "abcdef"], pa.string()),
+        "text": pa.array(["x" * (60 - 10 * i) for i in range(6)],
+                         pa.string()),
+    })
+    out = (balanced_shards(rd.from_arrow(t).repartition(2), n_shards=3)
+           .to_pandas().sort_values("rnk").reset_index(drop=True))
+    assert out["source"].tolist() == list("abcdef")
+    assert out["shard"].tolist() == [0, 1, 2, 2, 1, 0]
+    # snake balances: per-shard totals within one smallest-item spread
+    loads = out.groupby("shard")["size_bytes"].sum()
+    assert loads.max() - loads.min() <= 20
+
+
+def test_weighted_sample_rule_and_bias(ray_session):
+    import hashlib
+    import ray.data as rd
+    from raycrawl.ops.sampling import weighted_sample
+
+    n = 400
+    w = np.where(np.arange(n) % 4 == 0, 900, 100).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_chars": pa.array(w, pa.int64())})
+    out = (weighted_sample(rd.from_arrow(t).repartition(5), n_target=50)
+           .to_pandas().set_index("doc_id").sort_index())
+    tot = int(w.sum())
+    # exact rule replay
+    for i in range(n):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        assert out.loc[i, "keep"] == (
+            1 if h * tot < (1 << 32) * 50 * int(w[i]) else 0)
+    # heavier docs are kept at ~9x the rate of light ones
+    kept = out[out["keep"] == 1]
+    heavy_rate = (kept["weight"] == 900).sum() / (w == 900).sum()
+    light_rate = (kept["weight"] == 100).sum() / (w == 100).sum()
+    assert heavy_rate > 3 * light_rate
