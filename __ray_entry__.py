@@ -2509,6 +2509,35 @@ def q_doc_split_grouped(sf_dir: str):
         group_split_batch, batch_format="pyarrow")
 
 
+def q_allpairs_cosine(sf_dir: str):
+    """EXACT sparse tf-cosine similarity join at cos² ≥ 0.81 (cos ≥ 0.9)
+    via Bayardo 2007 prefix filtering (ops/allpairs.cosine_allpairs):
+    df-ordered prefixes bound candidate generation, integer verification
+    restores exactness — output (a, b, cos2_ppm) is byte-identical to the
+    quadratic scan, so the DuckDB token self-join gates the SCALE path
+    itself, not an oracle sibling."""
+    from raycrawl.ops.allpairs import cosine_allpairs
+
+    return cosine_allpairs(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                           tau2_ppm=810_000)
+
+
+def q_cluster_split(sf_dir: str):
+    """Near-dup-cluster-keyed leakage-safe split
+    (ops/sampling.cluster_split): exact Jaccard ≥ 0.5 pairs → distributed
+    connected components → docs ⟕ labels hash join → h32(cluster_id)
+    90/5/5 split. Dup families never straddle train/test even when they
+    span sources. Oracle: the dedup_clusters recursive CTE + the md5
+    split CASE."""
+    from raycrawl.ops.dedup import all_pairs_jaccard
+    from raycrawl.ops.sampling import cluster_split
+
+    pairs = all_pairs_jaccard(
+        _docs_table(sf_dir).select(["doc_id", "text"]), threshold_ppm=500_000
+    )
+    return cluster_split(_read_ds(sf_dir, "documents", ["doc_id"]), pairs)
+
+
 def q_curation_pipeline(sf_dir: str):
     """The composed end-to-end curation pipeline (ops/curation.py): stub
     filter → exact dedup (winner hash join) → per-source cap 10 → train
@@ -3345,6 +3374,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "minhash_refresh": q_minhash_refresh,
+        "allpairs_cosine": q_allpairs_cosine,
+        "cluster_split": q_cluster_split,
     }
 
 
@@ -6009,6 +6040,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM ud JOIN coh ON ud.user_id = coh.user_id
             GROUP BY 1, 2
+        """,
+        # allpairs_cosine: exact sparse tf-cosine join as the quadratic
+        # token self-join — string_split(' ') tokenizer (empties kept,
+        # matching ops/allpairs._tf), HUGEINT-exact cos² threshold with
+        # no sqrt: dot²·10⁶ ≥ 810000·‖a‖²·‖b‖². Gates the prefix-filtered
+        # scale path directly (its verified output is exact by design).
+        "allpairs_cosine": """
+            WITH tf AS (
+                SELECT doc_id, tok, CAST(COUNT(*) AS HUGEINT) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok
+            ),
+            norms AS (SELECT doc_id, SUM(c * c) AS n2 FROM tf GROUP BY doc_id),
+            dots AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.c * y.c) AS dot
+                FROM tf x JOIN tf y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+                       AS cos2_ppm
+            FROM dots JOIN norms na ON dots.a = na.doc_id
+                      JOIN norms nb ON dots.b = nb.doc_id
+            WHERE dot * dot * 1000000 >= 810000 * na.n2 * nb.n2
+        """,
+        # cluster_split: the dedup_clusters recursive-CTE component labels
+        # + the repo-wide md5 90/5/5 split rule keyed on the CLUSTER id
+        # (docs in no pair are their own singleton cluster).
+        "cluster_split": """
+            WITH RECURSIVE pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 3, 2))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS sh FROM pos
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+                FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+                GROUP BY s1.doc_id, s2.doc_id
+            ),
+            pairs AS (
+                SELECT a, b
+                FROM inter JOIN sizes za ON inter.a = za.doc_id
+                           JOIN sizes zb ON inter.b = zb.doc_id
+                WHERE (i * 1000000) // (za.n + zb.n - i) >= 500000
+            ),
+            edges AS (SELECT a AS u, b AS v FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            cc(node, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+                WHERE cc.lbl < e.v
+            ),
+            lab AS (SELECT node, MIN(lbl) AS cluster_id FROM cc GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+                   CAST('0x' || substr(md5(CAST(coalesce(lab.cluster_id,
+                            d.doc_id) AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                       AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(coalesce(
+                                 lab.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 90 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(coalesce(
+                                 lab.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
         """,
     }
     # identical semantics, different physical join plan — same oracle

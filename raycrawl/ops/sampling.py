@@ -361,3 +361,65 @@ def negative_samples(ds, n_docs: int, k: int = 4, id_col: str = "doc_id"):
                          "neg_id": pa.array(neg_out, pa.int64())})
 
     return ds.map_batches(draw, batch_format="pyarrow")
+
+
+def cluster_split(docs_ds, pairs_ds, *, id_col: str = "doc_id",
+                  train_pct: int = 90, val_pct: int = 5,
+                  n_parts: int | None = None):
+    """Near-dup-cluster-keyed leakage-safe split: every member of a
+    duplicate CLUSTER (connected component of the near-dup pair graph)
+    lands in the same train/val/test split.
+
+    ``group_split_batch`` keys on a metadata column (source/host) — but
+    near-duplicate families routinely span sources (syndication, mirrors,
+    quote farms), and a train/test boundary through such a family is the
+    classic eval-contamination vector the dedup literature warns about.
+    Keying the split on the component label closes it: the pair source is
+    any of the engine's similarity joins (exact Jaccard kernel,
+    minhash_dedup at scale, cosine_allpairs), the labels come from the
+    distributed min-label propagation (``ops/graph.connected_components``
+    — O(log diameter) fixed-width exchanges), and docs that appear in no
+    pair are their own singleton cluster (cluster_id = doc_id).
+
+    One hash join (docs ⟕ labels on id — labels are one int64 row per
+    PAIRED doc, a small fraction of the corpus) then a shuffle-free split
+    pass; bucket = h32(str(cluster_id)) % 100, the repo-wide md5 split
+    rule, so the assignment is partition/retry/join stable and the DuckDB
+    oracle restates it exactly."""
+    import ray.data as rd
+
+    from .graph import connected_components
+    from .grouping import nonempty_refs, resolve_parts
+
+    labels = connected_components(pairs_ds, "a", "b", n_parts=n_parts)
+    ids_only = docs_ds.map_batches(
+        lambda b: pa.Table.from_arrays([b[id_col]], names=[id_col]),
+        batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        labs = batch["label"].to_pylist() if "label" in batch.column_names \
+            else [None] * len(ids)
+        cid = np.fromiter(
+            (i if l is None else l for i, l in zip(ids, labs)),
+            dtype=np.int64, count=len(ids))
+        buckets = np.fromiter((_h32(str(c)) % 100 for c in cid.tolist()),
+                              dtype=np.int64, count=len(cid))
+        split = np.where(buckets < train_pct, "train",
+                         np.where(buckets < train_pct + val_pct, "val",
+                                  "test"))
+        return pa.table({id_col: batch[id_col],
+                         "cluster_id": pa.array(cid),
+                         "bucket": pa.array(buckets),
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    live, _ = nonempty_refs(labels.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["node"], b["label"]], names=[id_col, "label"]),
+        batch_format="pyarrow"))
+    if not live:  # no pairs at all: every doc is its own cluster
+        return ids_only.map_batches(finish, batch_format="pyarrow")
+    joined = ids_only.join(rd.from_arrow_refs(live), join_type="left_outer",
+                           num_partitions=resolve_parts(n_parts),
+                           on=(id_col,))
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -3002,3 +3002,101 @@ def test_weighted_sample_rule_and_bias(ray_session):
     heavy_rate = (kept["weight"] == 900).sum() / (w == 900).sum()
     light_rate = (kept["weight"] == 100).sum() / (w == 100).sum()
     assert heavy_rate > 3 * light_rate
+
+
+# ---------------------------------------------------------------- allpairs
+
+
+def _ap_fixture():
+    """Small corpus with planted near-identical, disjoint, and scaled docs."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",          # 0
+        "alpha beta gamma delta epsilon eta",            # 1: near-dup of 0
+        "one two three four five six seven",             # 2: disjoint
+        "alpha alpha beta beta gamma gamma",             # 3: same support as 0,
+                                                         #    different weights
+        "alpha beta gamma delta epsilon zeta",           # 4: exact dup of 0
+        "totally different words here entirely",         # 5
+    ]
+    return pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_cosine_allpairs_matches_bruteforce_any_partitioning(ray_session):
+    """The prefix-filtered path is EXACT: byte-identical to the quadratic
+    scan under 1-block and pathological 7-block partitionings."""
+    import pandas as pd
+
+    from raycrawl.ops.allpairs import (cosine_allpairs,
+                                       cosine_allpairs_bruteforce)
+
+    tbl = _ap_fixture()
+    ref = cosine_allpairs_bruteforce(tbl, tau2_ppm=640_000).to_pandas()
+    ref = ref.sort_values(["a", "b"]).reset_index(drop=True)
+    assert {(0, 1), (0, 4), (1, 4)} <= set(zip(ref["a"], ref["b"]))
+    assert (2, 5) not in set(zip(ref["a"], ref["b"]))
+    for nparts in (1, 7):
+        got = cosine_allpairs(rd.from_arrow(tbl).repartition(nparts),
+                              tau2_ppm=640_000, n_parts=4)
+        got = got.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+
+def test_cosine_allpairs_exact_dup_is_million_ppm(ray_session):
+    from raycrawl.ops.allpairs import cosine_allpairs_bruteforce
+
+    ref = cosine_allpairs_bruteforce(_ap_fixture(), tau2_ppm=999_000)
+    pairs = {(a, b): c for a, b, c in zip(ref["a"].to_pylist(),
+                                          ref["b"].to_pylist(),
+                                          ref["cos2_ppm"].to_pylist())}
+    # exact duplicate text → cos² exactly 1.0; doc 3 has the same support
+    # as doc 0 but different tf weights → cos < 1 (weighted, not set, sim)
+    assert pairs[(0, 4)] == 1_000_000
+    assert (0, 3) not in pairs
+
+
+def test_cosine_allpairs_hot_token_guard_raises(ray_session):
+    """A token bucket whose index×probe cost exceeds the guard RAISES
+    (silently dropping candidates would break the exact contract)."""
+    from raycrawl.ops.allpairs import cosine_allpairs
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "text": pa.array(["common shared token text"] * 30),
+    })
+    with pytest.raises(Exception, match="bucket cost"):
+        cosine_allpairs(rd.from_arrow(tbl), tau2_ppm=640_000,
+                        n_parts=2, max_bucket_cost=10).materialize()
+
+
+def test_cluster_split_members_share_split(ray_session):
+    """Every member of a near-dup component gets the component's split;
+    docs in no pair are singleton clusters keyed on their own id."""
+    from raycrawl.ops.sampling import _h32, cluster_split
+
+    docs = pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    # components: {0,1,2} (chain), {5,6}; 3,4,7,8,9 singletons
+    pairs = pa.table({"a": pa.array([0, 1, 5], pa.int64()),
+                      "b": pa.array([1, 2, 6], pa.int64())})
+    out = cluster_split(rd.from_arrow(docs).repartition(3),
+                        rd.from_arrow(pairs), n_parts=2).to_pandas()
+    out = out.set_index("doc_id")
+    assert len(out) == 10
+    for member in (0, 1, 2):
+        assert out.loc[member, "cluster_id"] == 0
+        assert out.loc[member, "split"] == out.loc[0, "split"]
+    assert out.loc[5, "cluster_id"] == out.loc[6, "cluster_id"] == 5
+    for single in (3, 4, 7, 8, 9):
+        assert out.loc[single, "cluster_id"] == single
+        assert out.loc[single, "bucket"] == _h32(str(single)) % 100
+
+
+def test_cluster_split_no_pairs_all_singletons(ray_session):
+    from raycrawl.ops.sampling import cluster_split
+
+    docs = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64())})
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    out = cluster_split(rd.from_arrow(docs), rd.from_arrow(empty),
+                        n_parts=2).to_pandas()
+    assert sorted(out["cluster_id"]) == [7, 8, 9]
