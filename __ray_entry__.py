@@ -2509,6 +2509,21 @@ def q_doc_split_grouped(sf_dir: str):
         group_split_batch, batch_format="pyarrow")
 
 
+def q_index_search_maxscore(sf_dir: str):
+    """Impact-ordered index build + MaxScore candidate-pruned top-20
+    (ops/index.impact_postings + maxscore_search, Turtle & Flood 1995):
+    per-posting BM25 contributions precomputed at build time, per-term
+    max_w upper bounds drive the essential/non-essential term split, and
+    stopword-sized non-essential posting lists cross the doc-keyed
+    shuffle only semi-joined to the candidate set. EXACT — shares the
+    keyword_bm25 oracle verbatim."""
+    from raycrawl.ops.index import impact_postings, maxscore_search
+
+    post, summ, _, _ = impact_postings(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+    return maxscore_search(post, summ, KEYWORD_TERMS, k=20)
+
+
 def q_allpairs_cosine(sf_dir: str):
     """EXACT sparse tf-cosine similarity join at cos² ≥ 0.81 (cos ≥ 0.9)
     via Bayardo 2007 prefix filtering (ops/allpairs.cosine_allpairs):
@@ -3376,6 +3391,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "minhash_refresh": q_minhash_refresh,
         "allpairs_cosine": q_allpairs_cosine,
         "cluster_split": q_cluster_split,
+        "index_search_maxscore": q_index_search_maxscore,
     }
 
 
@@ -7309,4 +7325,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN seglen s ON s.word = docw.word
         GROUP BY d.doc_id
     """
+    # index_search_maxscore is EXACT pruning: byte-identical output to the
+    # full-scan BM25, so it shares the keyword_bm25 oracle verbatim
+    sql["index_search_maxscore"] = sql["keyword_bm25"]
     return sql

@@ -618,3 +618,192 @@ def proximity_topk(ds, terms: list[str], k: int = 10,
         {id_col: pa.array([r[id_col] for r in out], pa.int64()),
          "span": pa.array([r["span"] for r in out], pa.int64()),
          "rnk": pa.array(range(1, len(out) + 1), pa.int64())})
+
+
+def _bm25_w_ppm(tf: int, dl: int, df: int, n_docs: int, t_toks: int) -> int:
+    """The repo's rational BM25 per-posting weight (k1=1.2, b=0.75,
+    idf=(N+1)/(df+1), denominators cleared into ONE floor division) —
+    the bm25_topk formula factored out so the impact index stores the
+    same integers the query-time oracle recomputes. Python bignums: the
+    numerator overflows int64 at corpus scale."""
+    num = 1_000_000 * (n_docs + 1) * 22 * tf * t_toks
+    den = (df + 1) * (10 * tf * t_toks + 3 * t_toks + 9 * dl * n_docs)
+    return num // den
+
+
+def impact_postings(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Impact-ordered index build: the postings table with the quantized
+    per-posting BM25 contribution PRECOMPUTED — (token, doc_id, w_ppm)
+    — plus the per-term summary (token, df, max_w) that query-time
+    pruning needs (Anh & Moffat's impact-sorted index layout, public).
+
+    Query-time scoring then never touches document text or lengths:
+    score(doc) = Σ w_ppm over the doc's query-term rows, and max_w is an
+    EXACT per-term score upper bound (floor is monotone, so the max of
+    the stored floors is the max posting score).
+
+    Build shape: one stats pass (two scalars), one posting pass emitting
+    (token, doc, tf, dl), a token-keyed Count for df (fixed-width rows),
+    df broadcast once via ``ray.put``, then a shuffle-free weight pass;
+    the summary is a token-keyed (Count, Max) aggregate. Returns
+    ``(postings_ds, summary_ds, n_docs, t_toks)``."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        dls = [len((t or "").split(" ")) for t in batch[text_col].to_pylist()]
+        return pa.table({"n": pa.array([len(dls)], pa.int64()),
+                         "t": pa.array([sum(dls)], pa.int64())})
+
+    tot = (ds.map_batches(len_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t")))
+    n_docs, t_toks = int(tot["n"]), int(tot["t"])
+
+    def posting_partial(batch: pa.Table) -> pa.Table:
+        toks_out, ids_out, tf_out, dl_out = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            words = (t or "").split(" ")
+            c = Counter(words)
+            for tok, tf in c.items():
+                toks_out.append(tok)
+                ids_out.append(did)
+                tf_out.append(tf)
+                dl_out.append(len(words))
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         id_col: pa.array(ids_out, pa.int64()),
+                         "tf": pa.array(tf_out, pa.int64()),
+                         "dl": pa.array(dl_out, pa.int64())})
+
+    raw = ds.map_batches(posting_partial, batch_format="pyarrow").materialize()
+    df_rows = raw.groupby("token").aggregate(Count(alias_name="df")).take_all()
+    df_ref = ray.put({r["token"]: int(r["df"]) for r in df_rows})
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        w = [_bm25_w_ppm(tf, dl, df[tok], n_docs, t_toks)
+             for tok, tf, dl in zip(batch["token"].to_pylist(),
+                                    batch["tf"].to_pylist(),
+                                    batch["dl"].to_pylist())]
+        return pa.table({"token": batch["token"], id_col: batch[id_col],
+                         "w_ppm": pa.array(w, pa.int64())})
+
+    postings = raw.map_batches(weigh, batch_format="pyarrow").materialize()
+    summary = postings.groupby("token").aggregate(
+        Count(alias_name="df"), Max("w_ppm", alias_name="max_w"))
+    return postings, summary, n_docs, t_toks
+
+
+def maxscore_search(postings_ds, summary_ds, terms: list[str], k: int = 10,
+                    id_col: str = "doc_id", n_parts: int | None = None):
+    """MaxScore candidate-pruned top-k over an impact index (Turtle &
+    Flood 1995, restated for a batch engine) — EXACT: returns the same
+    (doc_id, bm25_ppm, rnk) rows as the full-scan ``bm25_topk``.
+
+    1. per-term upper bounds UB(t) = max_w from the index summary
+       (O(|terms|) scalar rows to the driver);
+    2. θ = k-th best PER-BLOCK partial doc score over the query-term
+       postings — partial sums of non-negative weights are lower bounds
+       of true scores, so θ ≤ the true k-th best score;
+    3. terms split into non-essential NE (the maximal ascending-UB
+       prefix with Σ UB < θ) and essential E. A doc containing only NE
+       terms scores ≤ Σ UB(NE) < θ — it cannot reach the top k, so
+       candidate docs = docs appearing in postings(E);
+    4. exact scoring shuffles postings(E) in full but postings(NE) only
+       SEMI-JOINED to the candidate doc set — on a head-heavy query mix
+       the stopword-sized NE lists are the bulk of the index, and this
+       is the row traffic MaxScore removes; doc-keyed Sum → per-block
+       top-k partials → one O(blocks·k) driver merge.
+
+    Every doc with true score ≥ θ contains an E term, enters the
+    candidate set, and has ALL its query-term rows in the Sum — its
+    score is exact; the pruned docs score < θ ≤ k-th best, so the top-k
+    and tie order (score desc, id asc) are byte-identical to the full
+    scan."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    tlist = list(dict.fromkeys(terms))
+    if not tlist:
+        raise ValueError("maxscore_search: empty terms")
+
+    post_schema = pa.schema([("token", pa.string()), (id_col, pa.int64()),
+                             ("w_ppm", pa.int64())])
+    summ_schema = pa.schema([("token", pa.string()), ("df", pa.int64()),
+                             ("max_w", pa.int64())])
+
+    def tok_filter(ds_in, toks, schema):
+        vset = pa.array(list(toks), pa.string())
+        return drop_empty_blocks(ds_in.map_batches(
+            lambda b: b.filter(pc.is_in(b["token"], value_set=vset)),
+            batch_format="pyarrow"), empty_schema=schema)
+
+    qpost = tok_filter(postings_ds, tlist, post_schema).materialize()
+    ub_rows = tok_filter(summary_ds, tlist, summ_schema).take_all()
+    ub = {r["token"]: int(r["max_w"]) for r in ub_rows}
+    if not ub:  # no query term occurs in the corpus
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "bm25_ppm": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+
+    # θ seed: per-block partial doc sums (valid lower bounds)
+    def block_partial_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pdf = batch.select([id_col, "w_ppm"]).to_pandas()
+        sums = pdf.groupby(id_col)["w_ppm"].sum().nlargest(k)
+        return pa.table({"s": pa.array(sums.to_numpy(), pa.int64())})
+
+    seed = qpost.map_batches(block_partial_topk,
+                             batch_format="pyarrow").take_all()
+    seed_scores = sorted((int(r["s"]) for r in seed), reverse=True)
+    theta = seed_scores[k - 1] if len(seed_scores) >= k else 0
+
+    # term partition: NE = maximal ascending-UB prefix with Σ UB < θ
+    by_ub = sorted(ub, key=lambda t: (ub[t], t))
+    ne, acc = [], 0
+    for t in by_ub:
+        if acc + ub[t] < theta:
+            ne.append(t)
+            acc += ub[t]
+        else:
+            break
+    essential = [t for t in by_ub if t not in set(ne)]
+
+    cols = [id_col, "w_ppm"]
+    if ne:
+        e_post = tok_filter(qpost, essential, post_schema).materialize()
+        cand = drop_empty_blocks(e_post.map_batches(
+            lambda b: pa.Table.from_arrays([b[id_col]], names=[id_col]),
+            batch_format="pyarrow"))
+        ne_kept = tok_filter(qpost, ne, post_schema).join(
+            cand, join_type="left_semi",
+            num_partitions=resolve_parts(n_parts), on=(id_col,))
+        scored = (e_post.select_columns(cols)
+                  .union(ne_kept.select_columns(cols)))
+    else:
+        scored = qpost.select_columns(cols)
+
+    sums = scored.groupby(id_col).aggregate(Sum("w_ppm",
+                                                alias_name="bm25_ppm"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        s = np.asarray(batch["bm25_ppm"], np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, -s))[:k]
+            ids, s = ids[top], s[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bm25_ppm": pa.array(s, pa.int64())})
+
+    rows = sums.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["bm25_ppm"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "bm25_ppm": pa.array([r["bm25_ppm"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())}
+    )

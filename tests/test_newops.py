@@ -3100,3 +3100,65 @@ def test_cluster_split_no_pairs_all_singletons(ray_session):
     out = cluster_split(rd.from_arrow(docs), rd.from_arrow(empty),
                         n_parts=2).to_pandas()
     assert sorted(out["cluster_id"]) == [7, 8, 9]
+
+
+# ------------------------------------------------------------- maxscore
+
+
+def _ix_fixture():
+    """Stopword-heavy corpus: 'the' appears everywhere (huge posting list,
+    tiny UB → non-essential), 'zebra' is rare (big UB → essential)."""
+    texts = (["the quick brown fox the lazy dog the end"] * 12
+             + ["the zebra runs far beyond the plains"]
+             + ["zebra stripes under the acacia shade today"]
+             + ["completely unrelated filler words here now"] * 6)
+    return pa.table({"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_maxscore_equals_full_scan_and_prunes(ray_session):
+    """MaxScore over the impact index returns byte-identical top-k to the
+    full-scan bm25_topk, under 1- and 5-block partitionings, and the
+    stopword term really goes non-essential on this fixture."""
+    import pandas as pd
+
+    from raycrawl.ops.index import bm25_topk, impact_postings, maxscore_search
+
+    tbl = _ix_fixture()
+    terms = ["the", "zebra"]
+    for nparts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        post, summ, n_docs, t_toks = impact_postings(ds)
+        got = maxscore_search(post, summ, terms, k=2).to_pandas()
+        want = bm25_topk(rd.from_arrow(tbl).repartition(nparts),
+                         terms, k=2).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+    # the zebra docs must win (rarity), and 'the''s UB must sit STRICTLY
+    # below theta (= the 2nd zebra doc's full score, both terms) so the
+    # non-essential semi-join branch is the code path under test
+    assert set(got["doc_id"]) == {12, 13}
+    ub = {r["token"]: r["max_w"] for r in summ.take_all()}
+    assert ub["the"] < int(want["bm25_ppm"].iloc[-1])
+
+
+def test_maxscore_absent_terms_empty(ray_session):
+    from raycrawl.ops.index import impact_postings, maxscore_search
+
+    post, summ, _, _ = impact_postings(rd.from_arrow(_ix_fixture()))
+    out = maxscore_search(post, summ, ["nonexistentterm"], k=5)
+    assert out.num_rows == 0
+
+
+def test_maxscore_k_exceeds_docs_no_prune_path(ray_session):
+    """k > matching docs → θ=0 → no term is non-essential → full path."""
+    import pandas as pd
+
+    from raycrawl.ops.index import bm25_topk, impact_postings, maxscore_search
+
+    tbl = _ix_fixture()
+    post, summ, _, _ = impact_postings(rd.from_arrow(tbl).repartition(3))
+    got = maxscore_search(post, summ, ["zebra"], k=50).to_pandas()
+    want = bm25_topk(rd.from_arrow(tbl).repartition(3),
+                     ["zebra"], k=50).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 2
