@@ -1927,6 +1927,35 @@ def q_link_pagerank(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_link_ppr(sf_dir: str):
+    """Personalized PageRank (ops/pagerank.personalized_pagerank): teleport
+    concentrated on the seed set doc_id % 25 == 0 — the focused-crawl
+    frontier-prioritisation signal (rank mass radiates from the curated
+    seeds through the link graph; unreachable nodes rank exactly 0). Same
+    binary-tree edge fixture and integer floors as link_pagerank; oracle =
+    the unrolled-CTE sibling with seed-gated teleport terms."""
+    from raycrawl.ops.pagerank import personalized_pagerank
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = personalized_pagerank(e, nodes, range(0, n, 25), n_iters=5)
+    return out.map_batches(lambda t: t.rename_columns(["doc_id", "rank_ppm"]),
+                           batch_format="pyarrow")
+
+
 def q_link_hits(sf_dir: str):
     """Fixed-iteration integer HITS hubs/authorities
     (ops/pagerank.hits) over the corpus link graph — authority = where
@@ -3392,6 +3421,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "allpairs_cosine": q_allpairs_cosine,
         "cluster_split": q_cluster_split,
         "index_search_maxscore": q_index_search_maxscore,
+        "link_ppr": q_link_ppr,
     }
 
 
@@ -3541,6 +3571,49 @@ def _hits_oracle_sql(n_iters: int = 4) -> str:
             {",".join(iters)}
             SELECT a.node AS doc_id, a.s AS auth_ppm, h.s AS hub_ppm
             FROM a{n_iters} a JOIN h{n_iters} h USING (node)
+    """
+
+
+def _ppr_oracle_sql(n_iters: int = 5, seed_mod: int = 25) -> str:
+    """Personalized-PageRank sibling of ``_pagerank_oracle_sql``: the
+    teleport terms (round-0 INIT and the per-round BASE) land only on the
+    seed nodes (doc_id % seed_mod == 0); everything else is identical —
+    same edges self-join, same per-contribution floor BEFORE the sum."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM
+
+    iters = []
+    for k in range(n_iters):
+        iters.append(f"""
+            r{k + 1} AS (
+                SELECT n.node AS node,
+                       CAST((CASE WHEN n.node % {seed_mod} = 0
+                                  THEN {BASE_PPM} ELSE 0 END) + coalesce(
+                           SUM((r.r * {DAMP_PCT}) // (100 * d.d)), 0)
+                            AS BIGINT) AS r
+                FROM nodes n
+                LEFT JOIN edges e ON e.dst = n.node
+                LEFT JOIN r{k} r ON r.node = e.src
+                LEFT JOIN deg d ON d.src = e.src
+                GROUP BY n.node
+            )""")
+    return f"""
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            edges AS (
+                SELECT p.doc_id AS src, c.doc_id AS dst
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 1)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 2)
+            ),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node,
+                          CAST(CASE WHEN node % {seed_mod} = 0
+                                    THEN {INIT_PPM} ELSE 0 END AS BIGINT) AS r
+                   FROM nodes),
+            {",".join(iters)}
+            SELECT node AS doc_id, r AS rank_ppm FROM r{n_iters}
     """
 
 
@@ -4800,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
+        "link_ppr": _ppr_oracle_sql(5, 25),
         "link_hits": _hits_oracle_sql(4),
         "host_pagerank": _host_pagerank_oracle_sql(4),
         "pack_sequences": """

@@ -3162,3 +3162,73 @@ def test_maxscore_k_exceeds_docs_no_prune_path(ray_session):
                      ["zebra"], k=50).to_pandas()
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 2
+
+
+# ----------------------------------------------------- personalized PR
+
+
+def _ppr_reference(edges, nodes, seeds, n_iters):
+    """Single-process personalized-PageRank oracle (same integer rule)."""
+    from raycrawl.ops.pagerank import BASE_PPM, DAMP_PCT, INIT_PPM
+
+    sset = set(seeds)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: (INIT_PPM if v in sset else 0) for v in nodes}
+    for _ in range(n_iters):
+        nxt = {v: (BASE_PPM if v in sset else 0) for v in nodes}
+        for s, d in edges:
+            nxt[d] += (rank[s] * DAMP_PCT) // (100 * outdeg[s])
+        rank = nxt
+    return rank
+
+
+def test_ppr_matches_reference_and_partition_independent(ray_session):
+    from raycrawl.ops.pagerank import personalized_pagerank
+
+    rng = np.random.default_rng(11)
+    nodes = list(range(60))
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 60, size=(300, 2))
+                    if a != b})
+    seeds = [0, 7, 33]
+    want = _ppr_reference(edges, nodes, seeds, n_iters=4)
+
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    for parts, nblocks in [(3, 1), (8, 5)]:
+        out = personalized_pagerank(
+            rd.from_arrow(e_tbl).repartition(nblocks),
+            rd.from_arrow(n_tbl).repartition(nblocks),
+            seeds, n_iters=4, n_parts=parts).to_pandas()
+        got = dict(zip(out["node"], out["rank_ppm"]))
+        assert got == want, f"mismatch at n_parts={parts}"
+
+
+def test_ppr_unreachable_nodes_rank_zero(ray_session):
+    """Mass radiates only from the seeds: a component with no path from
+    any seed ranks exactly 0 (the focused-crawl pruning signal), while
+    global pagerank would give it BASE-level mass."""
+    from raycrawl.ops.pagerank import personalized_pagerank
+
+    # seed component: 0 -> 1 -> 2 ; unreachable component: 3 <-> 4
+    e_tbl = pa.table({"src": pa.array([0, 1, 3, 4], pa.int64()),
+                      "dst": pa.array([1, 2, 4, 3], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    out = personalized_pagerank(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                                [0], n_iters=3, n_parts=2).to_pandas()
+    got = dict(zip(out["node"], out["rank_ppm"]))
+    assert got[3] == 0 and got[4] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def test_ppr_empty_seed_set_raises(ray_session):
+    from raycrawl.ops.pagerank import personalized_pagerank
+
+    e_tbl = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1], pa.int64())})
+    with pytest.raises(ValueError, match="empty seed"):
+        personalized_pagerank(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl), [])
