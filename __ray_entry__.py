@@ -3240,6 +3240,30 @@ def q_url_patterns(sf_dir: str):
     return url_pattern_stats(urls, top_n=50)
 
 
+def q_text_keywords(sf_dir: str):
+    """Per-document tf-idf keyword extraction (ops/keywords.tfidf_keywords):
+    top-3 tokens per doc by the integer-exact linear-idf score
+    tf·10⁶·N // df (ties: token asc). The df table is a Counter-partial
+    groupby broadcast once behind the max_vocab raise-guard; the top-k cut
+    is local because a doc lives in exactly one row."""
+    from raycrawl.ops.keywords import tfidf_keywords
+
+    return tfidf_keywords(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                          k=3)
+
+
+def q_text_pmi(sf_dir: str):
+    """Corpus collocation mining (ops/keywords.pmi_collocations): top-50
+    adjacent word pairs by floored-rational PMI c_xy·T·10⁶ // (c_x·c_y)
+    among pairs with c_xy ≥ 5. Counter partials → fixed-width groupbys;
+    unigram table broadcast once (guarded); per-batch top-50 partials so
+    only O(batches·50) rows reach the driver."""
+    from raycrawl.ops.keywords import pmi_collocations
+
+    return pmi_collocations(_read_ds(sf_dir, "documents", ["text"]),
+                            min_count=5, top_n=50)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3400,6 +3424,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": q_dedup_containment,
         "dedup_containment_lsh": q_dedup_containment_lsh,
         "text_bigrams": q_text_bigrams,
+        "text_keywords": q_text_keywords,
+        "text_pmi": q_text_pmi,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -5773,6 +5799,77 @@ def oracle_sql() -> dict[str, str]:
                         THEN (per.n_known * 1000000) // per.n_bigrams
                         ELSE 0 END AS known_ppm
             FROM documents doc LEFT JOIN per USING (doc_id)
+        """,
+        # text_keywords: explode → tf per (doc, token) → df per token →
+        # linear-idf floored rational, top-3 per doc by (score desc, token)
+        "text_keywords": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY token
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       CAST((tf.tf * 1000000 * n.n_docs) // df.df
+                            AS BIGINT) AS score_q
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_q DESC, token ASC) AS rn
+                FROM s
+            )
+            SELECT doc_id, token, tf, df, score_q,
+                   CAST(rn AS BIGINT) AS rnk
+            FROM r WHERE rn <= 3
+        """,
+        # text_pmi: adjacent pairs via the list-slice fan-out, unigram and
+        # bigram counts, floored-rational PMI in HUGEINT, top-50
+        "text_pmi": """
+            WITH d AS (
+                SELECT string_split(text, ' ') AS toks FROM documents
+            ),
+            pos AS (
+                SELECT toks, unnest(range(1, len(toks))) AS i FROM d
+            ),
+            bi AS (
+                SELECT toks[i] AS x, toks[i + 1] AS y FROM pos
+            ),
+            uni AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT unnest(toks) AS token FROM d)
+                GROUP BY token
+            ),
+            tot AS (SELECT SUM(n) AS t FROM uni),
+            cxy AS (
+                SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+                FROM bi GROUP BY x, y HAVING COUNT(*) >= 5
+            ),
+            scored AS (
+                SELECT cxy.x, cxy.y, cxy.c_xy, ux.n AS c_x, uy.n AS c_y,
+                       CAST((CAST(cxy.c_xy AS HUGEINT) * tot.t * 1000000)
+                            // (CAST(ux.n AS HUGEINT) * uy.n)
+                            AS BIGINT) AS pmi_q
+                FROM cxy
+                JOIN uni ux ON ux.token = cxy.x
+                JOIN uni uy ON uy.token = cxy.y
+                CROSS JOIN tot
+            )
+            SELECT x, y, c_xy, c_x, c_y, pmi_q,
+                   CAST(row_number() OVER (
+                       ORDER BY pmi_q DESC, x ASC, y ASC) AS BIGINT) AS rnk
+            FROM scored
+            ORDER BY pmi_q DESC, x ASC, y ASC
+            LIMIT 50
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

@@ -3232,3 +3232,97 @@ def test_ppr_empty_seed_set_raises(ray_session):
     n_tbl = pa.table({"node": pa.array([0, 1], pa.int64())})
     with pytest.raises(ValueError, match="empty seed"):
         personalized_pagerank(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl), [])
+
+
+# ---------------------------------------------------------------------------
+# keywords: tf-idf top-k and PMI collocations
+# ---------------------------------------------------------------------------
+
+def _kw_corpus():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps",
+        "a lazy dog sleeps all day long",
+        "quantum flux capacitor hums",
+        "the dog and the fox share a den",
+        "quantum flux readings spike at dawn",
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def _brute_tfidf(tbl, k):
+    from collections import Counter
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    n = len(rows)
+    df = Counter()
+    for _, t in rows:
+        df.update(set(t.split(" ")))
+    out = set()
+    for did, t in rows:
+        c = Counter(t.split(" "))
+        scored = sorted(((-(tf * 1_000_000 * n // df[tok]), tok, tf)
+                         for tok, tf in c.items()))[:k]
+        for i, (neg, tok, tf) in enumerate(scored):
+            out.add((did, tok, tf, df[tok], -neg, i + 1))
+    return out
+
+
+def test_tfidf_keywords_matches_bruteforce_any_partitioning(ray_session):
+    from raycrawl.ops.keywords import tfidf_keywords
+    tbl = _kw_corpus()
+    want = _brute_tfidf(tbl, 2)
+    for nparts in (1, 3, 6):
+        got = tfidf_keywords(rd.from_arrow(tbl).repartition(nparts),
+                             k=2).to_pandas()
+        got_set = set(zip(got["doc_id"], got["token"], got["tf"],
+                          got["df"], got["score_q"], got["rnk"]))
+        assert got_set == want, nparts
+
+
+def test_tfidf_keywords_rare_token_outranks_common(ray_session):
+    from raycrawl.ops.keywords import tfidf_keywords
+    tbl = _kw_corpus()
+    got = tfidf_keywords(rd.from_arrow(tbl), k=1).to_pandas()
+    top3 = got[got["doc_id"] == 3]["token"].tolist()
+    # doc 3 is all rare tokens; 'the' (df 4) must never win rank 1 anywhere
+    assert top3 and top3[0] in {"quantum", "flux", "capacitor", "hums"}
+    assert "the" not in got[got["rnk"] == 1]["token"].tolist()
+
+
+def test_tfidf_vocab_guard_raises(ray_session):
+    from raycrawl.ops.keywords import tfidf_keywords
+    with pytest.raises(ValueError, match="vocabulary exceeds"):
+        tfidf_keywords(rd.from_arrow(_kw_corpus()), k=2,
+                       max_vocab=3).to_pandas()
+
+
+def test_pmi_collocations_matches_bruteforce_any_partitioning(ray_session):
+    from collections import Counter
+    from raycrawl.ops.keywords import pmi_collocations
+    tbl = _kw_corpus()
+    texts = tbl["text"].to_pylist()
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    want = sorted(
+        ((-(c * total * 1_000_000 // (uni[x] * uni[y])), x, y, c)
+         for (x, y), c in bi.items() if c >= 2))[:5]
+    want = [(x, y, c, uni[x], uni[y], -neg, i + 1)
+            for i, (neg, x, y, c) in enumerate(want)]
+    for nparts in (1, 4):
+        got = pmi_collocations(rd.from_arrow(tbl).repartition(nparts),
+                               min_count=2, top_n=5).to_pandas()
+        got_rows = list(zip(got["x"], got["y"], got["c_xy"], got["c_x"],
+                            got["c_y"], got["pmi_q"], got["rnk"]))
+        assert got_rows == want, nparts
+
+
+def test_pmi_no_surviving_pairs_empty(ray_session):
+    from raycrawl.ops.keywords import pmi_collocations
+    got = pmi_collocations(rd.from_arrow(_kw_corpus()), min_count=99,
+                           top_n=5).to_pandas()
+    assert len(got) == 0
