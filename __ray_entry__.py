@@ -3264,6 +3264,32 @@ def q_text_pmi(sf_dir: str):
                             min_count=5, top_n=50)
 
 
+def q_soft404(sf_dir: str):
+    """Soft-404 detection (ops/urlstats.soft404_batch): HTTP-200 error
+    pages convicted by title/body RE2 patterns + a thinness flag (score
+    = 2·f_title + f_body + f_thin, soft404 at ≥2). Error titles and
+    apology bodies are planted by doc_id residue; the Arrow RE2 kernels
+    and DuckDB's regexp_matches are the same regex engine."""
+    from raycrawl.ops.urlstats import soft404_batch
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "title": pa.array(
+                [f"404 Not Found - Doc {d}" if d % 23 == 3
+                 else f"Doc {d}" for d in ids], pa.string()),
+            "text": pa.array(
+                ["Sorry, the page you requested is gone." if d % 29 == 5
+                 else (t or "") for d, t in zip(ids, texts)], pa.string()),
+        })
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+    return ds.map_batches(soft404_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3426,6 +3452,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_bigrams": q_text_bigrams,
         "text_keywords": q_text_keywords,
         "text_pmi": q_text_pmi,
+        "soft404": q_soft404,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -5870,6 +5897,37 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY pmi_q DESC, x ASC, y ASC
             LIMIT 50
+        """,
+        # soft404: the residue title/body plant + the same RE2 patterns
+        # through regexp_matches (DuckDB and Arrow both run RE2)
+        "soft404": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 23 = 3
+                            THEN '404 Not Found - Doc ' || CAST(doc_id AS VARCHAR)
+                            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+                       CASE WHEN doc_id % 29 = 5
+                            THEN 'Sorry, the page you requested is gone.'
+                            ELSE text END AS body
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN regexp_matches(title,
+                            '(?i)(not found|404|error|does not exist|page unavailable)')
+                            THEN 1 ELSE 0 END AS BIGINT) AS f_title,
+                       CAST(CASE WHEN regexp_matches(body,
+                            '(?i)(page you requested|no longer available|could not be found|nothing here)')
+                            THEN 1 ELSE 0 END AS BIGINT) AS f_body,
+                       CAST(CASE WHEN length(body) < 80
+                            THEN 1 ELSE 0 END AS BIGINT) AS f_thin
+                FROM p
+            )
+            SELECT doc_id, f_title, f_body, f_thin,
+                   2 * f_title + f_body + f_thin AS score,
+                   CAST(CASE WHEN 2 * f_title + f_body + f_thin >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS soft404
+            FROM f
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

@@ -3326,3 +3326,25 @@ def test_pmi_no_surviving_pairs_empty(ray_session):
     got = pmi_collocations(rd.from_arrow(_kw_corpus()), min_count=99,
                            top_n=5).to_pandas()
     assert len(got) == 0
+
+
+def test_soft404_flag_logic_and_nulls(ray_session):
+    from raycrawl.ops.urlstats import soft404_batch
+    long_pad = "word " * 40  # > 80 chars
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "title": pa.array(["404 Not Found", "Fine page", "Fine page",
+                           "Fine page", None], pa.string()),
+        "text": pa.array([long_pad,                        # title alone convicts
+                          long_pad + "page you requested", # body alone: no
+                          "tiny",                          # thin alone: no
+                          "the page you requested",        # body+thin convicts
+                          None], pa.string()),
+    })
+    out = soft404_batch(tbl).to_pandas().set_index("doc_id")
+    assert out.loc[1, "soft404"] == 1 and out.loc[1, "score"] == 2
+    assert out.loc[2, "soft404"] == 0 and out.loc[2, "f_body"] == 1
+    assert out.loc[3, "soft404"] == 0 and out.loc[3, "f_thin"] == 1
+    assert out.loc[4, "soft404"] == 1
+    # null title/text fold to "" → thin only, no crash
+    assert out.loc[5, "soft404"] == 0 and out.loc[5, "f_thin"] == 1
