@@ -3290,6 +3290,31 @@ def q_soft404(sf_dir: str):
     return ds.map_batches(soft404_batch, batch_format="pyarrow")
 
 
+def q_budget_alloc(sf_dir: str):
+    """Crawl-budget apportionment (ops/scheduler.allocate_budget):
+    largest-remainder (Hamilton) split of a global fetch budget of
+    n_docs // 3 pages across hosts (= sources), weighted by total chars
+    served; Σ(base+extra) == budget exactly, page-capped hosts report
+    surplus. The remainder rank is one range-partitioned sort finalized
+    by per-block offsets."""
+    from ray.data.aggregate import Count, Sum
+
+    from raycrawl.ops.scheduler import allocate_budget
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    n_docs = docs.count()
+    hosts = (docs.groupby("source")
+             .aggregate(Count(alias_name="n_pages"),
+                        Sum("n_chars", alias_name="weight")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["host" if c == "source" else c for c in batch.column_names])
+
+    return allocate_budget(
+        hosts.map_batches(rename, batch_format="pyarrow"), n_docs // 3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3453,6 +3478,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_keywords": q_text_keywords,
         "text_pmi": q_text_pmi,
         "soft404": q_soft404,
+        "budget_alloc": q_budget_alloc,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -5928,6 +5954,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN 2 * f_title + f_body + f_thin >= 2
                         THEN 1 ELSE 0 END AS BIGINT) AS soft404
             FROM f
+        """,
+        # budget_alloc: Hamilton apportionment restated with window
+        # functions; budget = n_docs // 3, weight = total chars per source
+        "budget_alloc": """
+            WITH h AS (
+                SELECT source AS host,
+                       CAST(COUNT(*) AS BIGINT) AS n_pages,
+                       CAST(SUM(n_chars) AS BIGINT) AS weight
+                FROM documents GROUP BY source
+            ),
+            t AS (
+                SELECT CAST(SUM(weight) AS BIGINT) AS w,
+                       (SELECT CAST(COUNT(*) // 3 AS BIGINT)
+                        FROM documents) AS b
+                FROM h
+            ),
+            s AS (
+                SELECT h.host, h.n_pages, h.weight,
+                       CAST((t.b * h.weight) // t.w AS BIGINT) AS base,
+                       CAST((t.b * h.weight) % t.w AS BIGINT) AS rem,
+                       t.b AS b
+                FROM h CROSS JOIN t
+            ),
+            l AS (SELECT MAX(b) - SUM(base) AS leftover FROM s),
+            r AS (
+                SELECT s.*, row_number() OVER (
+                    ORDER BY rem DESC, host ASC) AS rn
+                FROM s
+            )
+            SELECT host, n_pages, weight, base,
+                   CAST(CASE WHEN rn <= (SELECT leftover FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                   CAST(rn AS BIGINT) AS rnk,
+                   LEAST(n_pages, base + CASE WHEN rn <= (SELECT leftover FROM l)
+                         THEN 1 ELSE 0 END) AS quota,
+                   base + CASE WHEN rn <= (SELECT leftover FROM l)
+                          THEN 1 ELSE 0 END
+                       - LEAST(n_pages, base + CASE WHEN rn <= (SELECT leftover FROM l)
+                               THEN 1 ELSE 0 END) AS surplus
+            FROM r
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

@@ -126,6 +126,91 @@ def focused_frontier_select(frontier, quality, *, budget: int,
                                       dtype=np.int64)))
     return rd.from_arrow(merged.cast(_OUT_SCHEMA))
 
+def allocate_budget(hosts_ds, budget: int, *, host_col: str = "host",
+                    pages_col: str = "n_pages", weight_col: str = "weight"):
+    """Per-host crawl-budget allocation: split a global fetch budget
+    across hosts proportionally to an integer weight (quality × volume
+    prior), exactly — the largest-remainder (Hamilton) apportionment:
+
+      base_h  = budget·w_h // W          (W = Σ w_h)
+      extra_h = 1 for the ``budget - Σ base`` largest remainders
+                (ties: host asc), else 0
+      quota_h = min(n_pages_h, base_h + extra_h)
+
+    Σ (base+extra) == budget exactly; ``surplus`` reports what capped
+    hosts hand back (single-round by design — re-run on the uncapped
+    remainder to redistribute, each round is one cheap pass over the
+    host table). This is the global companion to the per-wave
+    ``focused_frontier_select``: that op picks WHICH frontier rows to
+    fetch this wave, this one decides HOW MANY each host may get for the
+    whole epoch (the reference's per-site ``max_pages``, crawler.py:112,
+    made corpus-adaptive).
+
+    Scale shape: the host table is the corpus-SMALL side (one row per
+    host). Σw is one Sum aggregate; base/rem are a stateless pass
+    (python-int row arithmetic — budget·w_h overflows int64 at
+    10¹⁰-page budgets, and the host table is small enough that the
+    scalar loop is noise); the remainder rank is ONE range-partitioned
+    sort of fixed-width rows + per-block offsets (the ccnet_buckets
+    pack_offsets discipline) — rows are ranked where they live, no
+    driver materialization.
+
+    Output: (host, n_pages, weight, base, extra, rnk, quota, surplus);
+    ``rnk`` is the 1-based remainder rank."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tot = hosts_ds.aggregate(Sum(weight_col, alias_name="w"))
+    W = int(tot["w"] or 0)
+    if W <= 0:
+        raise ValueError("allocate_budget: total weight must be positive")
+
+    def base_rem(batch: pa.Table) -> pa.Table:
+        ws = batch[weight_col].to_pylist()
+        base = [budget * w // W for w in ws]
+        rem = [budget * w % W for w in ws]
+        return pa.table({
+            "host": batch[host_col].cast(pa.string()),
+            "n_pages": batch[pages_col].cast(pa.int64()),
+            "weight": pa.array([int(w) for w in ws], pa.int64()),
+            "base": pa.array(base, pa.int64()),
+            "rem": pa.array(rem, pa.int64()),
+        })
+
+    scored = hosts_ds.map_batches(
+        base_rem, batch_format="pyarrow").materialize()
+    leftover = budget - int(
+        scored.aggregate(Sum("base", alias_name="b"))["b"] or 0)
+
+    blocks = (scored.sort(["rem", "host"], descending=[True, False])
+              .to_arrow_refs())
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    rows = ray.get([_rows.remote(b) for b in blocks])
+    offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
+
+    @ray.remote
+    def _finalize(t: pa.Table, off: int) -> pa.Table:
+        rnk = np.arange(off + 1, off + 1 + t.num_rows, dtype=np.int64)
+        base = np.asarray(t["base"], np.int64)
+        pages = np.asarray(t["n_pages"], np.int64)
+        extra = (rnk <= leftover).astype(np.int64)
+        quota = np.minimum(pages, base + extra)
+        return pa.table({
+            "host": t["host"], "n_pages": t["n_pages"],
+            "weight": t["weight"], "base": t["base"],
+            "extra": pa.array(extra), "rnk": pa.array(rnk),
+            "quota": pa.array(quota),
+            "surplus": pa.array(base + extra - quota),
+        })
+
+    return rd.from_arrow_refs(
+        [_finalize.remote(b, int(o)) for b, o in zip(blocks, offsets)])
+
 
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg

@@ -3348,3 +3348,47 @@ def test_soft404_flag_logic_and_nulls(ray_session):
     assert out.loc[4, "soft404"] == 1
     # null title/text fold to "" → thin only, no crash
     assert out.loc[5, "soft404"] == 0 and out.loc[5, "f_thin"] == 1
+
+
+def test_allocate_budget_exact_sum_any_partitioning(ray_session):
+    from raycrawl.ops.scheduler import allocate_budget
+    tbl = pa.table({
+        "host": pa.array([f"h{i}" for i in range(7)], pa.string()),
+        "n_pages": pa.array([100, 100, 2, 100, 100, 100, 100], pa.int64()),
+        "weight": pa.array([5, 3, 40, 7, 11, 2, 13], pa.int64()),
+    })
+    ref = None
+    for nparts in (1, 3, 7):
+        out = allocate_budget(rd.from_arrow(tbl).repartition(nparts),
+                              50).to_pandas().sort_values("host")
+        assert (out["base"] + out["extra"]).sum() == 50
+        # h2 is weight-heavy but page-capped at 2 → surplus reported
+        h2 = out[out["host"] == "h2"].iloc[0]
+        assert h2["quota"] == 2 and h2["surplus"] == h2["base"] + h2["extra"] - 2
+        # ranks are a permutation of 1..n
+        assert sorted(out["rnk"]) == list(range(1, 8))
+        rows = out.drop(columns=[]).values.tolist()
+        if ref is None:
+            ref = rows
+        else:
+            assert rows == ref, nparts
+
+
+def test_allocate_budget_zero_weight_raises(ray_session):
+    from raycrawl.ops.scheduler import allocate_budget
+    tbl = pa.table({"host": pa.array(["a"], pa.string()),
+                    "n_pages": pa.array([1], pa.int64()),
+                    "weight": pa.array([0], pa.int64())})
+    with pytest.raises(ValueError, match="total weight"):
+        allocate_budget(rd.from_arrow(tbl), 10)
+
+
+def test_allocate_budget_remainder_tiebreak_host_asc(ray_session):
+    from raycrawl.ops.scheduler import allocate_budget
+    # equal weights, budget not divisible: leftover goes to lowest hosts
+    tbl = pa.table({"host": pa.array(["b", "a", "c"], pa.string()),
+                    "n_pages": pa.array([9, 9, 9], pa.int64()),
+                    "weight": pa.array([1, 1, 1], pa.int64())})
+    out = allocate_budget(rd.from_arrow(tbl), 5).to_pandas().set_index("host")
+    assert out.loc["a", "quota"] == 2 and out.loc["b", "quota"] == 2
+    assert out.loc["c", "quota"] == 1
