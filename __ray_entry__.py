@@ -3315,6 +3315,18 @@ def q_budget_alloc(sf_dir: str):
         hosts.map_batches(rename, batch_format="pyarrow"), n_docs // 3)
 
 
+def q_postings_compression(sf_dir: str):
+    """Index-size planning (ops/index.postings_compression_plan): per-term
+    varbyte vs Elias-Fano compressed posting-list cost (exact integer bit
+    math — bitlen via power-of-two searchsorted, never log2), cheaper
+    encoding picked per term, top-50 terms by df. One token-keyed hash
+    exchange; the whole partition is one numpy sort+diff."""
+    from raycrawl.ops.index import postings_compression_plan
+
+    return postings_compression_plan(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3479,6 +3491,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_pmi": q_text_pmi,
         "soft404": q_soft404,
         "budget_alloc": q_budget_alloc,
+        "postings_compression": q_postings_compression,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -5994,6 +6007,44 @@ def oracle_sql() -> dict[str, str]:
                        - LEAST(n_pages, base + CASE WHEN rn <= (SELECT leftover FROM l)
                                THEN 1 ELSE 0 END) AS surplus
             FROM r
+        """,
+        # postings_compression: gap chain via lag(-1), bit lengths via
+        # length(bin(x)), the same EF/varbyte integer formulas
+        "postings_compression": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            p AS (SELECT DISTINCT token, doc_id FROM toks),
+            u AS (SELECT MAX(doc_id) + 1 AS univ FROM documents),
+            g AS (
+                SELECT token,
+                       doc_id - lag(doc_id, 1, -1) OVER (
+                           PARTITION BY token ORDER BY doc_id) AS gap
+                FROM p
+            ),
+            vb AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS n_postings,
+                       CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT)
+                           AS vb_bytes
+                FROM g GROUP BY token
+            ),
+            ef AS (
+                SELECT vb.token, vb.n_postings, vb.vb_bytes,
+                       CAST((vb.n_postings *
+                             (1 + length(bin(u.univ // vb.n_postings)))
+                             + 7) // 8 AS BIGINT) AS ef_bytes
+                FROM vb CROSS JOIN u
+            )
+            SELECT token, n_postings, vb_bytes, ef_bytes,
+                   CASE WHEN ef_bytes < vb_bytes THEN 'ef' ELSE 'vb' END
+                       AS enc,
+                   CAST(row_number() OVER (
+                       ORDER BY n_postings DESC, token ASC) AS BIGINT)
+                       AS rnk
+            FROM ef
+            ORDER BY n_postings DESC, token ASC
+            LIMIT 50
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

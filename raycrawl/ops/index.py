@@ -807,3 +807,103 @@ def maxscore_search(postings_ds, summary_ds, terms: list[str], k: int = 10,
          "bm25_ppm": pa.array([r["bm25_ppm"] for r in out], pa.int64()),
          "rnk": pa.array(range(1, len(out) + 1), pa.int64())}
     )
+
+
+_POW2 = None
+
+
+def _bitlen(x):
+    """Exact int64 bit length, vectorized: count of powers of two ≤ x.
+    (np.log2 misrounds at exact powers of two; searchsorted cannot.)"""
+    global _POW2
+    if _POW2 is None:
+        _POW2 = 2 ** np.arange(63, dtype=np.int64)
+    return np.searchsorted(_POW2, x, side="right").astype(np.int64)
+
+
+def postings_compression_plan(ds, *, id_col: str = "doc_id",
+                              text_col: str = "text", top_n: int = 50,
+                              n_parts: int | None = None):
+    """Index-size planning: per-term compressed posting-list cost under
+    the two standard gap encodings, and which one to pick.
+
+    - varbyte: Σ over d-gaps of ceil(bitlen(gap)/7) bytes (first gap is
+      the delta from -1, i.e. doc_id+1 — every gap ≥ 1);
+    - Elias-Fano: n·(2 + bitlen(U//n) - 1) bits, ceil to bytes — the
+      textbook 2n + n·⌊log₂(U/n)⌋ bound (Vigna WSDM'13) with
+      ⌊log₂(U/n)⌋ computed on the integer quotient (equal: no power of
+      two lies strictly between ⌊U/n⌋ and U/n);
+    - enc: 'ef' when strictly smaller, else 'vb' (EF wins on dense
+      terms, varbyte on sparse clustered ones).
+
+    This is the planner an index sharder runs before `export_shards` —
+    at 100 TB the postings table dwarfs the documents and choosing the
+    wrong encoding per term costs tens of TB.
+
+    Scale shape: postings from the existing `term_doc_tf` Counter
+    partials (one row per (term, doc) — never per occurrence); per-term
+    gap math needs each term's ids co-located once → ONE token-keyed
+    `partitioned_apply` hash exchange of fixed-width rows; inside, the
+    whole partition is ONE numpy sort + diff (term boundaries via
+    np.unique) — no per-term Python loop. Universe U is one Max
+    aggregate. Only per-batch top-`top_n` partials reach the driver.
+
+    Output: top-`top_n` terms by (n_postings desc, token asc) —
+    (token, n_postings, vb_bytes, ef_bytes, enc, rnk)."""
+    from ray.data.aggregate import Max
+
+    from .grouping import partitioned_apply, resolve_parts
+
+    postings = term_doc_tf(ds, None, id_col, text_col)
+    universe = int(ds.aggregate(Max(id_col, alias_name="u"))["u"]) + 1
+
+    def per_term(pdf):
+        import pandas as pd
+        if not len(pdf):
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "n_postings": pd.Series([], dtype="int64"),
+                                 "vb_bytes": pd.Series([], dtype="int64"),
+                                 "ef_bytes": pd.Series([], dtype="int64")})
+        df = pdf.sort_values(["token", id_col], kind="stable")
+        toks = df["token"].to_numpy()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        # term boundaries: gaps within a term, doc_id+1 at each start
+        starts = np.concatenate(([True], toks[1:] != toks[:-1]))
+        gaps = np.empty_like(ids)
+        gaps[starts] = ids[starts] + 1
+        gaps[~starts] = ids[~starts] - ids[np.flatnonzero(~starts) - 1]
+        vb = (_bitlen(gaps) + 6) // 7
+        seg = np.cumsum(starts) - 1
+        n_terms = int(seg[-1]) + 1
+        vb_bytes = np.bincount(seg, weights=vb, minlength=n_terms).astype(
+            np.int64)
+        n_post = np.bincount(seg, minlength=n_terms).astype(np.int64)
+        ef_bits = n_post * (1 + _bitlen(universe // n_post))
+        return pd.DataFrame({
+            "token": toks[starts],
+            "n_postings": n_post,
+            "vb_bytes": vb_bytes,
+            "ef_bytes": (ef_bits + 7) // 8,
+        })
+
+    per = partitioned_apply(postings, ["token"], per_term,
+                            resolve_parts(n_parts))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_postings", "token"],
+                            ascending=[False, True]).head(top_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = per.map_batches(local_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["n_postings"], r["token"]))
+    out = rows[:top_n]
+    return pa.table({
+        "token": pa.array([r["token"] for r in out], pa.string()),
+        "n_postings": pa.array([r["n_postings"] for r in out], pa.int64()),
+        "vb_bytes": pa.array([int(r["vb_bytes"]) for r in out], pa.int64()),
+        "ef_bytes": pa.array([int(r["ef_bytes"]) for r in out], pa.int64()),
+        "enc": pa.array(["ef" if r["ef_bytes"] < r["vb_bytes"] else "vb"
+                         for r in out], pa.string()),
+        "rnk": pa.array(range(1, len(out) + 1), pa.int64()),
+    })

@@ -3392,3 +3392,52 @@ def test_allocate_budget_remainder_tiebreak_host_asc(ray_session):
     out = allocate_budget(rd.from_arrow(tbl), 5).to_pandas().set_index("host")
     assert out.loc["a", "quota"] == 2 and out.loc["b", "quota"] == 2
     assert out.loc["c", "quota"] == 1
+
+
+def test_postings_compression_matches_bruteforce_any_partitioning(ray_session):
+    from raycrawl.ops.index import postings_compression_plan
+
+    def bitlen(x):
+        return int(x).bit_length()
+
+    texts = ["alpha beta gamma", "alpha beta", "alpha delta",
+             "beta gamma delta epsilon", "alpha"]
+    ids = [0, 3, 7, 11, 14]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    # brute force
+    post = {}
+    for d, t in zip(ids, texts):
+        for tok in set(t.split(" ")):
+            post.setdefault(tok, []).append(d)
+    U = max(ids) + 1
+    want = []
+    for tok, ds_ in post.items():
+        ds_ = sorted(ds_)
+        gaps = [ds_[0] + 1] + [b - a for a, b in zip(ds_, ds_[1:])]
+        vb = sum((bitlen(g) + 6) // 7 for g in gaps)
+        ef = (len(ds_) * (1 + bitlen(U // len(ds_))) + 7) // 8
+        want.append((tok, len(ds_), vb, ef,
+                     "ef" if ef < vb else "vb"))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = [r + (i + 1,) for i, r in enumerate(want)]
+    for nparts in (1, 2, 5):
+        got = postings_compression_plan(
+            rd.from_arrow(tbl).repartition(nparts), top_n=50).to_pandas()
+        rows = list(zip(got["token"], got["n_postings"], got["vb_bytes"],
+                        got["ef_bytes"], got["enc"], got["rnk"]))
+        assert rows == want, nparts
+
+
+def test_postings_compression_varbyte_wins_on_sparse(ray_session):
+    from raycrawl.ops.index import postings_compression_plan
+    # 'rare' appears at ids 0 and 99999 → EF pays the wide universe,
+    # varbyte pays only two gaps
+    tbl = pa.table({
+        "doc_id": pa.array([0, 99999], pa.int64()),
+        "text": pa.array(["rare", "rare"], pa.string()),
+    })
+    got = postings_compression_plan(rd.from_arrow(tbl)).to_pandas()
+    row = got[got["token"] == "rare"].iloc[0]
+    assert row["vb_bytes"] == 4 and row["ef_bytes"] == 5
+    assert row["enc"] == "vb"
