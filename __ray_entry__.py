@@ -3327,6 +3327,38 @@ def q_postings_compression(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_link_structure(sf_dir: str):
+    """Link-graph shape report (ops/graph.graph_structure_report): degree
+    histograms + reciprocity over the binary-tree link fixture with
+    reciprocal back-edges planted at doc_id % 7 == 0 (so the reciprocity
+    row is non-vacuous). Degree passes are fixed-width groupby counts;
+    reciprocity is a partitioned hash join of the edge table against its
+    own swap."""
+    from raycrawl.ops.graph import graph_structure_report
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        src, dst = src[m], dst[m]
+        back = d[d % 7 == 0]
+        bsrc = back + 20 * (back // 20 + 1)
+        bm = bsrc < n
+        return pa.table({
+            "src": pa.array(np.concatenate([src, bsrc[bm]])),
+            "dst": pa.array(np.concatenate([dst, back[bm]])),
+        })
+
+    e = _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return graph_structure_report(e)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3492,6 +3524,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "soft404": q_soft404,
         "budget_alloc": q_budget_alloc,
         "postings_compression": q_postings_compression,
+        "link_structure": q_link_structure,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -6045,6 +6078,51 @@ def oracle_sql() -> dict[str, str]:
             FROM ef
             ORDER BY n_postings DESC, token ASC
             LIMIT 50
+        """,
+        # link_structure: the tree fixture + %7 back-edges; degree
+        # histograms and the reciprocity self-join restated directly
+        "link_structure": """
+            WITH d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            fwd AS (
+                SELECT doc_id AS src,
+                       doc_id + 20 * (doc_id // 20 + 1) AS dst
+                FROM d
+                UNION ALL
+                SELECT doc_id AS src,
+                       doc_id + 20 * (doc_id // 20 + 2) AS dst
+                FROM d
+            ),
+            back AS (
+                SELECT doc_id + 20 * (doc_id // 20 + 1) AS src,
+                       doc_id AS dst
+                FROM d
+                WHERE doc_id % 7 = 0
+                  AND doc_id + 20 * (doc_id // 20 + 1)
+                      < (SELECT n FROM nn)
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM fwd
+                    WHERE dst < (SELECT n FROM nn)
+                    UNION ALL SELECT src, dst FROM back
+                )
+            ),
+            o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM e GROUP BY src),
+            i AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM e GROUP BY dst)
+            SELECT 'edges' AS kind, CAST(0 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM e
+            UNION ALL
+            SELECT 'recip', 0, CAST(COUNT(*) AS BIGINT)
+            FROM e JOIN e r ON e.src = r.dst AND e.dst = r.src
+            UNION ALL
+            SELECT 'outdeg', deg, CAST(COUNT(*) AS BIGINT)
+            FROM o GROUP BY deg
+            UNION ALL
+            SELECT 'indeg', deg, CAST(COUNT(*) AS BIGINT)
+            FROM i GROUP BY deg
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

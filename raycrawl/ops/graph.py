@@ -363,6 +363,79 @@ def resolve_redirects(redirects_ds, rounds: int = 6,
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def graph_structure_report(edges_ds, *, src_col: str = "src",
+                           dst_col: str = "dst", n_parts: int | None = None):
+    """Link-graph shape report: the degree distributions and reciprocity
+    a crawl operator reads before trusting link-derived signals (a
+    link-farm host shows up as a reciprocity spike and a fat out-degree
+    tail — Broder et al. WWW'00 measure both on the full web graph; the
+    PageRank/HITS/PPR family above all assume the graph isn't gamed).
+
+    Output rows (kind, k, n), all int64 except kind:
+
+    - ('edges',  0, #distinct directed edges)
+    - ('outdeg', d, #nodes with out-degree d) for every realized d
+    - ('indeg',  d, #nodes with in-degree d)
+    - ('recip',  0, #directed edges whose reverse edge also exists —
+      each reciprocated unordered pair counts twice; self-loops count
+      themselves)
+
+    Scale shape: edges dedupe and both degree passes are fixed-width
+    groupby counts; the histograms group the (node, degree) table again
+    (≤ max-degree rows out). Reciprocity is a partitioned hash join of
+    the edge table against its own swap — never a broadcast (the edge
+    table is the corpus-LARGE side at 100 TB)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[src_col].cast(pa.int64()),
+                         "dst": b[dst_col].cast(pa.int64())})
+
+    # drop_empty_blocks: a groupby can emit empty schema-less blocks that
+    # Acero's Dataset.join rejects (FieldRef resolution fails)
+    distinct = drop_empty_blocks(
+        (edges_ds.map_batches(norm, batch_format="pyarrow")
+         .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+         .map_batches(lambda b: b.select(["src", "dst"]),
+                      batch_format="pyarrow")).materialize(),
+        empty_schema=edge_schema)
+
+    n_edges = distinct.count()
+
+    def deg_hist(key: str, kind: str):
+        deg = distinct.groupby(key).aggregate(Count(alias_name="k"))
+        hist = deg.groupby("k").aggregate(Count(alias_name="n"))
+
+        def fin(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "kind": pa.array([kind] * b.num_rows, pa.string()),
+                "k": b["k"].cast(pa.int64()),
+                "n": b["n"].cast(pa.int64())})
+
+        return hist.map_batches(fin, batch_format="pyarrow")
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({"r_src": b["dst"], "r_dst": b["src"]})
+
+    swapped = distinct.map_batches(swap, batch_format="pyarrow")
+    recip = distinct.join(swapped, join_type="inner",
+                          num_partitions=width, on=("src", "dst"),
+                          right_on=("r_src", "r_dst")).count()
+
+    scalars = rd.from_arrow(pa.table({
+        "kind": pa.array(["edges", "recip"], pa.string()),
+        "k": pa.array([0, 0], pa.int64()),
+        "n": pa.array([n_edges, recip], pa.int64())}))
+    return (scalars.union(deg_hist("src", "outdeg"))
+            .union(deg_hist("dst", "indeg")))
+
+
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()

@@ -3441,3 +3441,20 @@ def test_postings_compression_varbyte_wins_on_sparse(ray_session):
     row = got[got["token"] == "rare"].iloc[0]
     assert row["vb_bytes"] == 4 and row["ef_bytes"] == 5
     assert row["enc"] == "vb"
+
+
+def test_graph_structure_report_hand_graph(ray_session):
+    from raycrawl.ops.graph import graph_structure_report
+    # edges: 1->2, 2->1 (mutual), 1->3, 3->3 (self-loop), dup of 1->2
+    tbl = pa.table({"src": pa.array([1, 2, 1, 3, 1], pa.int64()),
+                    "dst": pa.array([2, 1, 3, 3, 2], pa.int64())})
+    for nparts in (1, 3):
+        out = graph_structure_report(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        rows = {(r["kind"], r["k"]): r["n"] for _, r in out.iterrows()}
+        assert rows[("edges", 0)] == 4          # dup collapsed
+        assert rows[("recip", 0)] == 3          # 1<->2 both ways + self-loop
+        assert rows[("outdeg", 2)] == 1         # node 1
+        assert rows[("outdeg", 1)] == 2         # nodes 2, 3
+        assert rows[("indeg", 1)] == 2          # nodes 1, 2
+        assert rows[("indeg", 2)] == 1          # node 3 (1->3, 3->3)
