@@ -1059,6 +1059,50 @@ def q_tpch_returned_items(sf_dir: str):
     )
 
 
+def q_tpch_forecast(sf_dir: str):
+    """TPC-H Q6 shape (ops/relational.forecast_revenue): one global sum of
+    extendedprice*discount over a shipdate year, an integer-cents discount
+    band [0.05, 0.07], quantity < 24. Every predicate runs in-block; each
+    batch collapses to one partial row, so the only exchange is the
+    O(batches) single-key fold."""
+    from raycrawl.ops.relational import forecast_revenue
+
+    return forecast_revenue(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"]))
+
+
+def q_tpch_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (ops/relational.large_orders): orders whose total
+    lineitem quantity exceeds 250 units, joined back to orders and
+    customer, top-50 by (totalprice desc, orderkey). The HAVING filter
+    runs on the per-order Sum BEFORE either join, so only winner
+    orderkeys cross the two partitioned hash joins."""
+    from raycrawl.ops.relational import large_orders
+
+    return large_orders(
+        _read_ds(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_name"]))
+
+
+def q_tpch_priority_semi(sf_dir: str):
+    """TPC-H Q4 shape adapted to the synthetic schema
+    (ops/relational.priority_semi_counts): per-priority count of 1996
+    orders with AT LEAST ONE returned (l_returnflag='R') lineitem — a
+    distributed EXISTS semi-join. The lineitem side reduces to distinct
+    8-byte orderkeys before its exchange."""
+    from raycrawl.ops.relational import priority_semi_counts
+
+    return priority_semi_counts(
+        _read_ds(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"]))
+
+
 def q_tpch_local_supplier_bloom(sf_dir: str):
     """Q5 with the Bloom semi-join pushdown (cust_bloom=True): a 128-KiB
     bitmap of the region's custkeys drops out-of-region orders in-block
@@ -3436,6 +3480,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_shipping": q_tpch_shipping,
         "tpch_local_supplier": q_tpch_local_supplier,
         "tpch_returned_items": q_tpch_returned_items,
+        "tpch_forecast": q_tpch_forecast,
+        "tpch_large_orders": q_tpch_large_orders,
+        "tpch_priority_semi": q_tpch_priority_semi,
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
@@ -4470,6 +4517,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
             ORDER BY revenue_cents DESC, c.c_custkey ASC
             LIMIT 20
+        """,
+        # tpch_forecast: Q6 shape — the discount band compares in integer
+        # cents (floor(d*100+0.5) in [5,7]), matching the engine kernel;
+        # COALESCE pins the empty-match case to the engine's 0 partial
+        "tpch_forecast": """
+            SELECT CAST(COALESCE(SUM(CAST(floor(l_extendedprice * l_discount
+                                              * 100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # tpch_large_orders: Q18 shape — HAVING on the per-order quantity
+        # sum in cents, deterministic (totalprice desc, orderkey) top-50
+        "tpch_large_orders": """
+            WITH s AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS sum_qty_cents
+                FROM lineitem
+                GROUP BY 1
+                HAVING sum_qty_cents > 25000
+            )
+            SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_totalprice_cents,
+                   s.sum_qty_cents
+            FROM s
+            JOIN orders o ON o.o_orderkey = s.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o_totalprice_cents DESC, o.o_orderkey ASC
+            LIMIT 50
+        """,
+        # tpch_priority_semi: Q4 shape adapted (no commit/receipt dates in
+        # the synthetic schema) — EXISTS semi-join on returned lineitems
+        "tpch_priority_semi": """
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
         """,
         "wiki_documents": f"""
             SELECT doc_id AS page_id,

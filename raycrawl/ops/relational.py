@@ -606,6 +606,225 @@ def returned_item_report(lineitem_ds, orders_ds, customer_ds,
     })
 
 
+def forecast_revenue(lineitem_ds, lo: str = "1996-01-01",
+                     hi: str = "1997-01-01", disc_lo_c: int = 5,
+                     disc_hi_c: int = 7, qty_lt: int = 24):
+    """TPC-H Q6 shape (forecasting revenue change): one global sum of
+    ``extendedprice * discount`` over lineitems in a shipdate year with a
+    discount band and a quantity cap.
+
+    Scale shape: the simplest possible plan — every predicate and the
+    cents projection run in-block, each batch collapses to ONE partial
+    row, and the only exchange is the O(batches) single-key groupby.
+    Discounts compare in integer cents (``floor(d*100+0.5)`` ∈
+    [disc_lo_c, disc_hi_c]) so engine and oracle agree bit-exactly on the
+    band edges. Returns one row (revenue_cents, count_items)."""
+    from ray.data.aggregate import Sum
+
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        disc = np.asarray(batch["l_discount"], np.float64)
+        disc_c = _cents(disc)
+        qty = np.asarray(batch["l_quantity"], np.float64)
+        keep = ((sd >= lo_us) & (sd < hi_us)
+                & (disc_c >= disc_lo_c) & (disc_c <= disc_hi_c)
+                & (qty < qty_lt))
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * disc[keep])
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "rev": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = lineitem_ds.map_batches(
+        partial, batch_format="pyarrow").groupby("k").aggregate(
+        Sum("rev", alias_name="revenue_cents"),
+        Sum("n", alias_name="count_items"))
+    return agg.map_batches(
+        lambda b: b.select(["revenue_cents", "count_items"]),
+        batch_format="pyarrow")
+
+
+def large_orders(lineitem_ds, orders_ds, customer_ds,
+                 qty_threshold_c: int = 25000, k: int = 50,
+                 n_parts: int | None = None):
+    """TPC-H Q18 shape (large-volume customer): orders whose total lineitem
+    quantity exceeds a threshold, with their customer, top-k by
+    (totalprice desc, orderkey asc).
+
+    Scale shape — the HAVING-then-join-back pattern: lineitem pre-
+    aggregates (orderkey, qty-cents) per batch, a per-order Sum groupby
+    applies the HAVING filter so only winner orders (a tiny fraction by
+    construction of the threshold) enter the orderkey hash join with
+    orders; the customer join then only moves winner custkeys. Neither
+    join broadcasts — at 100×SF the winner set is still unbounded, so
+    both stay partitioned ``Dataset.join``s. Quantities in integer cents.
+    Returns (o_orderkey, o_custkey, c_name, o_orderdate 'YYYY-MM-DD',
+    o_totalprice_cents, sum_qty_cents)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": np.asarray(batch["l_orderkey"], np.int64),
+            "qty": _cents(np.asarray(batch["l_quantity"], np.float64))})
+        g = df.groupby("o_orderkey", as_index=False).agg(qty=("qty", "sum"))
+        return pa.table({"o_orderkey": pa.array(g["o_orderkey"], pa.int64()),
+                         "qty": pa.array(g["qty"], pa.int64())})
+
+    per_order = lineitem_ds.map_batches(
+        li_partial, batch_format="pyarrow").groupby(
+        "o_orderkey").aggregate(Sum("qty", alias_name="sum_qty_cents"))
+
+    win_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("sum_qty_cents", pa.int64())])
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["sum_qty_cents"], np.int64)
+        keep = q > qty_threshold_c
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep], pa.int64()),
+            "sum_qty_cents": pa.array(q[keep], pa.int64())})
+
+    # the per-order aggregate emits schema-less empty blocks for empty
+    # partitions at tiny scale, and the HAVING filter empties more —
+    # strip both kinds before the join
+    winners = drop_empty_blocks(
+        drop_empty_blocks(per_order, empty_schema=win_schema).map_batches(
+            having, batch_format="pyarrow"),
+        empty_schema=win_schema)
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "c_custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_orderdate": pa.array(
+                np.datetime_as_string(od.astype("datetime64[D]")),
+                pa.string()),
+            "o_totalprice_cents": pa.array(
+                _cents(np.asarray(batch["o_totalprice"], np.float64)),
+                pa.int64())})
+
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow")
+    wo_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("sum_qty_cents", pa.int64()),
+        ("c_custkey", pa.int64()), ("o_orderdate", pa.string()),
+        ("o_totalprice_cents", pa.int64())])
+    wo = drop_empty_blocks(
+        winners.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("o_orderkey",)),
+        empty_schema=wo_schema)
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_name": batch["c_name"].cast(pa.string())})
+
+    cust = customer_ds.map_batches(cust_slim, batch_format="pyarrow")
+    full = wo.join(cust, join_type="inner", num_partitions=n_parts,
+                   on=("c_custkey",))
+
+    cols = ["o_orderkey", "o_custkey", "c_name", "o_orderdate",
+            "o_totalprice_cents", "sum_qty_cents"]
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={"c_custkey": "o_custkey"})
+        df = df.sort_values(
+            ["o_totalprice_cents", "o_orderkey"],
+            ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(df[cols], preserve_index=False)
+
+    rows = full.map_batches(local_top, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["o_totalprice_cents"], r["o_orderkey"]))
+    out = rows[:k]
+    return pa.table({c: pa.array([r[c] for r in out]) for c in cols}) \
+        if out else pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "o_custkey": pa.array([], pa.int64()),
+         "c_name": pa.array([], pa.string()),
+         "o_orderdate": pa.array([], pa.string()),
+         "o_totalprice_cents": pa.array([], pa.int64()),
+         "sum_qty_cents": pa.array([], pa.int64())})
+
+
+def priority_semi_counts(lineitem_ds, orders_ds, flag: str = "R",
+                         lo: str = "1996-01-01", hi: str = "1997-01-01",
+                         n_parts: int | None = None):
+    """TPC-H Q4 shape adapted to the synthetic schema (it has no
+    commitdate/receiptdate): per-priority count of orders in a date window
+    having AT LEAST ONE lineitem with the given returnflag — a distributed
+    EXISTS semi-join.
+
+    Scale shape: the lineitem side reduces to DISTINCT orderkeys before
+    any exchange (in-block ``np.unique`` per batch, then a fixed-width
+    per-orderkey groupby — 8-byte rows only); the semi-join is then an
+    inner ``Dataset.join`` against the date-filtered slim orders
+    projection, exact because the left side is already unique per
+    orderkey. The text/priority column never enters the wide exchange
+    until after the join prunes to matching orders. Returns
+    (o_orderpriority, order_count)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    li_schema = pa.schema([("o_orderkey", pa.int64())])
+
+    def li_keys(batch: pa.Table) -> pa.Table:
+        rf = np.asarray(batch["l_returnflag"])
+        ok = np.asarray(batch["l_orderkey"], np.int64)[rf == flag]
+        return pa.table({"o_orderkey": pa.array(np.unique(ok), pa.int64())})
+
+    # global distinct via the fixed-width groupby (one 8-B row per key
+    # crosses; Count output is discarded — only the key matters); the
+    # aggregate emits schema-less empty blocks for empty partitions at
+    # tiny scale, which Acero's join rejects — strip them again
+    keys = drop_empty_blocks(
+        drop_empty_blocks(
+            lineitem_ds.map_batches(li_keys, batch_format="pyarrow"),
+            empty_schema=li_schema).groupby("o_orderkey").aggregate(
+            Count(alias_name="_n")).map_batches(
+            lambda b: b.select(["o_orderkey"]), batch_format="pyarrow"),
+        empty_schema=li_schema)
+
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderpriority", pa.string())])
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        keep = (od >= lo_us) & (od < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep], pa.int64()),
+            "o_orderpriority": pa.array(
+                np.asarray(batch["o_orderpriority"])[keep], pa.string())})
+
+    orders = drop_empty_blocks(
+        orders_ds.map_batches(orders_slim, batch_format="pyarrow"),
+        empty_schema=ord_schema)
+    semi = keys.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("o_orderkey",))
+    return semi.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count"))
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

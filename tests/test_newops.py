@@ -3458,3 +3458,92 @@ def test_graph_structure_report_hand_graph(ray_session):
         assert rows[("outdeg", 1)] == 2         # nodes 2, 3
         assert rows[("indeg", 1)] == 2          # nodes 1, 2
         assert rows[("indeg", 2)] == 1          # node 3 (1->3, 3->3)
+
+
+def test_forecast_revenue_band_edges(ray_session):
+    """Q6 edges: shipdate half-open window, integer-cents discount band
+    inclusive on both edges, quantity strict <; partition-independent."""
+    import pandas as pd
+    from raycrawl.ops.relational import forecast_revenue
+
+    li = pa.table({
+        "l_shipdate": pa.array(pd.to_datetime(
+            ["1996-01-01", "1995-12-31", "1997-01-01",
+             "1996-06-01", "1996-06-01", "1996-06-01"])),
+        "l_discount": pa.array([0.05, 0.06, 0.06, 0.04, 0.07, 0.06]),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 10.0, 23.0, 24.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0,
+                                     100.0, 200.0, 100.0]),
+    })
+    # rows: 0 in (d=5c, rev 500); 1 date-early out; 2 date-hi-edge out;
+    # 3 discount 4c below band out; 4 in (7c edge, qty 23 < 24, rev 1400);
+    # 5 qty 24 not < 24 out
+    for nparts in (1, 4):
+        out = forecast_revenue(
+            rd.from_arrow(li).repartition(nparts)).to_pandas()
+        assert out["revenue_cents"].tolist() == [1900]
+        assert out["count_items"].tolist() == [2]
+
+
+def test_large_orders_having_edge_and_join(ray_session):
+    """Q18 edges: per-order qty sums cross batches; HAVING is strictly >;
+    winners join back to orders and customer; (totalprice desc, orderkey)
+    order; partition-independent."""
+    import pandas as pd
+    from raycrawl.ops.relational import large_orders
+
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 12], pa.int64()),
+        # order 10: 2+1.5=3.5 (350c, above 300c); 11: exactly 300c (out,
+        # strict >); 12: 400c in
+        "l_quantity": pa.array([2.0, 1.5, 3.0, 1.0, 3.0]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1996-03-04", "1996-03-05", "1996-03-06"])),
+        "o_totalprice": pa.array([50.0, 60.0, 50.0]),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["alice", "bob"]),
+    })
+    for nparts in (1, 3):
+        out = large_orders(
+            rd.from_arrow(li).repartition(nparts),
+            rd.from_arrow(orders), rd.from_arrow(cust),
+            qty_threshold_c=300, k=10).to_pandas()
+        got = list(out[["o_orderkey", "c_name", "o_totalprice_cents",
+                        "sum_qty_cents"]].itertuples(index=False, name=None))
+        # equal totalprice 5000 ties break orderkey asc
+        assert got == [(10, "alice", 5000, 350), (12, "bob", 5000, 400)]
+        assert out["o_orderdate"].tolist() == ["1996-03-04", "1996-03-06"]
+
+
+def test_priority_semi_counts_exists_once(ray_session):
+    """Q4-shape edges: an order with MANY matching lineitems counts once
+    (EXISTS, not join multiplicity); orders outside the window or with no
+    matching flag drop; partition-independent."""
+    import pandas as pd
+    from raycrawl.ops.relational import priority_semi_counts
+
+    li = pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 11, 12, 13], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R", "R"]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1996-02-01", "1996-02-01", "1996-02-01", "1997-02-01"])),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"]),
+    })
+    for nparts in (1, 4):
+        out = priority_semi_counts(
+            rd.from_arrow(li).repartition(nparts), rd.from_arrow(orders),
+            flag="R", lo="1996-01-01", hi="1997-01-01").to_pandas()
+        rows = dict(zip(out["o_orderpriority"], out["order_count"]))
+        # order 10 counts ONCE despite 3 R-lineitems; 11 has no R; 13 is
+        # out of window
+        assert rows == {"1-URGENT": 1, "2-HIGH": 1}
