@@ -3403,6 +3403,44 @@ def q_link_structure(sf_dir: str):
     return graph_structure_report(e)
 
 
+def q_link_triangles(sf_dir: str):
+    """Per-node triangle counts (ops/graph.triangle_counts) over the link
+    fixture CLOSED with sibling edges at doc_id % 5 == 0 (each planted
+    (c1, c2) edge closes the parent's two tree edges into exactly one
+    triangle — tree + back-edges alone are triangle-free since back
+    edges canonicalize onto existing tree edges). Degree-ordered wedge
+    orientation; the oracle restates the triples id-ordered — both
+    enumerate the same unordered triangle set."""
+    from raycrawl.ops.graph import triangle_counts
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        src, dst = src[m], dst[m]
+        back = d[d % 7 == 0]
+        bsrc = back + 20 * (back // 20 + 1)
+        bm = bsrc < n
+        # sibling closure: for d % 5 == 0 link the two children
+        sib = d[d % 5 == 0]
+        s1 = sib + 20 * (sib // 20 + 1)
+        s2 = sib + 20 * (sib // 20 + 2)
+        sm = s2 < n
+        return pa.table({
+            "src": pa.array(np.concatenate([src, bsrc[bm], s1[sm]])),
+            "dst": pa.array(np.concatenate([dst, back[bm], s2[sm]])),
+        })
+
+    e = _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return triangle_counts(e)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3572,6 +3610,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "budget_alloc": q_budget_alloc,
         "postings_compression": q_postings_compression,
         "link_structure": q_link_structure,
+        "link_triangles": q_link_triangles,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -6221,6 +6260,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'indeg', deg, CAST(COUNT(*) AS BIGINT)
             FROM i GROUP BY deg
+        """,
+        # link_triangles: same fixture + sibling closure at %5==0; the
+        # canonical undirected edge set's id-ordered triple join
+        # enumerates each unordered triangle once, then the 3 corners
+        # unpivot into per-node counts
+        "link_triangles": """
+            WITH d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+                SELECT doc_id AS src,
+                       doc_id + 20 * (doc_id // 20 + 1) AS dst
+                FROM d
+                UNION ALL
+                SELECT doc_id, doc_id + 20 * (doc_id // 20 + 2) FROM d
+                UNION ALL
+                SELECT doc_id + 20 * (doc_id // 20 + 1), doc_id
+                FROM d WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 20 * (doc_id // 20 + 1),
+                       doc_id + 20 * (doc_id // 20 + 2)
+                FROM d WHERE doc_id % 5 = 0
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b
+                FROM raw
+                WHERE src <> dst
+                  AND GREATEST(src, dst) < (SELECT n FROM nn)
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            GROUP BY node
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

@@ -436,6 +436,166 @@ def graph_structure_report(edges_ds, *, src_col: str = "src",
             .union(deg_hist("dst", "indeg")))
 
 
+def triangle_counts(edges_ds, *, src_col: str = "src",
+                    dst_col: str = "dst", n_parts: int | None = None,
+                    max_wedges: int = 50_000_000):
+    """Exact per-node triangle participation counts over the undirected
+    view of a directed link graph — the local-clustering signal a crawl
+    pipeline reads to spot link farms and tightly-knit boilerplate rings
+    (dense mutual-link neighborhoods triangle-saturate; genuine editorial
+    graphs are locally sparse — Broder et al. WWW'00, Schank & Wagner
+    2005).
+
+    Algorithm (node-iterator with degree-ordered orientation): edges
+    canonicalize to unordered (a<b) pairs and dedup; each undirected edge
+    is then oriented from its lower-(degree, id) endpoint to the higher —
+    an acyclic orientation under which every out-neighborhood has
+    O(sqrt(E)) size, so wedge generation is O(E^1.5) worst-case instead
+    of O(E·d_max) (the standard MapReduce triangle bound). A wedge
+    (apex u → x, u → y) closes into a triangle iff the oriented edge
+    (x, y) exists — one partitioned hash join on the (x, y) pair,
+    emitting each triangle exactly once.
+
+    Scale shape: dedup and both degree attachments are fixed-width
+    int64 exchanges (the two degree joins move one (edge, deg) row per
+    edge); wedge generation is a ``partitioned_apply`` keyed on the apex
+    (complete out-neighborhoods per partition by construction) with a
+    raise-guard at ``max_wedges`` per partition — a wedge explosion
+    means orientation skew (a near-clique), and silently sampling would
+    break exactness. The close join and the 3-corner count fold are
+    fixed-width. Nothing materializes driver-side.
+
+    Returns (node, triangles) — one row per node in ≥1 triangle."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .grouping import drop_empty_blocks, partitioned_apply, resolve_parts
+
+    width = resolve_parts(n_parts)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = _np(batch[src_col]).astype(np.int64)
+        d = _np(batch[dst_col]).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    edges = drop_empty_blocks(
+        (edges_ds.map_batches(canon, batch_format="pyarrow")
+         .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+         .map_batches(lambda b: b.select(["a", "b"]),
+                      batch_format="pyarrow")),
+        empty_schema=pair_schema)
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            np.concatenate([_np(b["a"]), _np(b["b"])]), pa.int64())})
+
+    deg = drop_empty_blocks(
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="deg")),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("deg", pa.int64())]))
+
+    da = deg.map_batches(
+        lambda b: pa.table({"a": b["node"], "deg_a": b["deg"]}),
+        batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda b: pa.table({"b": b["node"], "deg_b": b["deg"]}),
+        batch_format="pyarrow")
+    ed = drop_empty_blocks(
+        edges.join(da, join_type="inner", num_partitions=width,
+                   on=("a",)),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("deg_a", pa.int64())]))
+    ed = drop_empty_blocks(
+        ed.join(db, join_type="inner", num_partitions=width, on=("b",)),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("deg_a", pa.int64()),
+                                ("deg_b", pa.int64())]))
+
+    oriented_schema = pa.schema([
+        ("u", pa.int64()), ("v", pa.int64()),
+        ("dv", pa.int64())])
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = _np(b["a"]).astype(np.int64)
+        bb = _np(b["b"]).astype(np.int64)
+        la = _np(b["deg_a"]).astype(np.int64)
+        lb = _np(b["deg_b"]).astype(np.int64)
+        # lower (deg, id) endpoint becomes the apex side
+        a_first = (la < lb) | ((la == lb) & (a < bb))
+        u = np.where(a_first, a, bb)
+        v = np.where(a_first, bb, a)
+        dv = np.where(a_first, lb, la)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "dv": pa.array(dv, pa.int64())})
+
+    oriented = drop_empty_blocks(
+        ed.map_batches(orient, batch_format="pyarrow"),
+        empty_schema=oriented_schema)
+
+    wedge_cols = ["x", "y", "apex"]
+
+    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in wedge_cols})
+        # sort by apex then by the (deg, id) rank of the out-neighbor so
+        # emitted pairs are rank-oriented (x before y), matching the
+        # orientation of the edge table they probe
+        pdf = pdf.sort_values(["u", "dv", "v"], kind="stable")
+        u = pdf["u"].to_numpy(np.int64)
+        v = pdf["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        ks = ends - starts
+        total = int((ks * (ks - 1) // 2).sum())
+        if total > max_wedges:
+            raise ValueError(
+                f"wedge partition would emit {total} > max_wedges="
+                f"{max_wedges} candidate pairs; the orientation is "
+                f"skewed (near-clique) — raise max_wedges or densify "
+                f"n_parts")
+        xs = np.empty(total, np.int64)
+        ys = np.empty(total, np.int64)
+        ap = np.empty(total, np.int64)
+        pos = 0
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            m = len(i)
+            xs[pos:pos + m] = v[s + i]
+            ys[pos:pos + m] = v[s + j]
+            ap[pos:pos + m] = u[s]
+            pos += m
+        return pd.DataFrame({"x": xs, "y": ys, "apex": ap})
+
+    wedge_ds = drop_empty_blocks(
+        partitioned_apply(oriented, ["u"], wedges, n_parts=width),
+        empty_schema=pa.schema([(c, pa.int64()) for c in wedge_cols]))
+
+    closing = oriented.map_batches(
+        lambda b: pa.table({"x": b["u"], "y": b["v"]}),
+        batch_format="pyarrow")
+    tri = wedge_ds.join(closing, join_type="inner", num_partitions=width,
+                        on=("x", "y"))
+
+    def corners(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate(
+            [_np(b["x"]), _np(b["y"]), _np(b["apex"])]), pa.int64())})
+
+    return drop_empty_blocks(
+        tri.map_batches(corners, batch_format="pyarrow"),
+        empty_schema=pa.schema([("node", pa.int64())])).groupby(
+        "node").aggregate(Count(alias_name="triangles"))
+
+
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()

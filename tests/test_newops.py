@@ -3547,3 +3547,37 @@ def test_priority_semi_counts_exists_once(ray_session):
         # order 10 counts ONCE despite 3 R-lineitems; 11 has no R; 13 is
         # out of window
         assert rows == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    """K4 on {1,2,3,4} plus a pendant 5 and a duplicate/reversed edge:
+    K4 has 4 triangles, each node in exactly 3; the pendant joins none.
+    Direction, duplication, and self-loops must not matter;
+    partition-independent."""
+    from raycrawl.ops.graph import triangle_counts
+
+    src = [1, 1, 1, 2, 2, 3, 4, 3, 1, 5, 5]
+    dst = [2, 3, 4, 3, 4, 4, 1, 2, 1, 1, 5]
+    #      ^K4 edges (4,1) reversed dup of (1,4), (3,2) dup of (2,3),
+    #      (1,1) self-loop, (5,1) pendant, (5,5) self-loop
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    for nparts in (1, 5):
+        out = triangle_counts(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        got = dict(zip(out["node"], out["triangles"]))
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_wedge_guard(ray_session):
+    """A clique big enough to blow a tiny max_wedges budget raises rather
+    than silently sampling (exactness contract)."""
+    from raycrawl.ops.graph import triangle_counts
+
+    n = 30
+    src, dst = zip(*[(i, j) for i in range(n) for j in range(i + 1, n)])
+    tbl = pa.table({"src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64())})
+    with pytest.raises(Exception, match="max_wedges"):
+        triangle_counts(rd.from_arrow(tbl), n_parts=2,
+                        max_wedges=50).to_pandas()
