@@ -847,6 +847,18 @@ def q_text_bpe_tokens(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Within-session Markov transition counts between event types
+    (ops/windows.event_transitions, 30-min gap): one sort+shift pass per
+    user-hash partition, then a |type|²-cardinality Sum groupby. Oracle:
+    LAG window over (user, ts, event_id) with the same gap rule."""
+    from raycrawl.ops.windows import event_transitions
+
+    return event_transitions(
+        _read_ds(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "event_type"]))
+
+
 def q_events_sessions(sf_dir: str):
     from raycrawl.ops.windows import sessionize
 
@@ -3441,6 +3453,48 @@ def q_link_triangles(sf_dir: str):
     return triangle_counts(e)
 
 
+def q_link_seed_distance(sf_dir: str):
+    """Bounded-hop BFS distances from the root block (doc_id < 20) over
+    the directed link fixture (ops/graph.seed_distances, max_hops=6):
+    the focused-crawl horizon at rest. The cap is non-vacuous — the
+    fixture tree is ~n/20 blocks deep, so deep pages are absent from
+    the output. Oracle: recursive CTE min-hop walk with the same cap."""
+    from raycrawl.ops.graph import seed_distances
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        src, dst = src[m], dst[m]
+        back = d[d % 7 == 0]
+        bsrc = back + 20 * (back // 20 + 1)
+        bm = bsrc < n
+        return pa.table({
+            "src": pa.array(np.concatenate([src, bsrc[bm]])),
+            "dst": pa.array(np.concatenate([dst, back[bm]])),
+        })
+
+    e = _read_ds(sf_dir, "documents", ["doc_id"]).map_batches(
+        edges, batch_format="pyarrow")
+    return seed_distances(e, range(min(20, n)), max_hops=6)
+
+
+def q_corpus_rollup(sf_dir: str):
+    """Four-grain volume rollup in one pass (ops/hostagg.corpus_rollup):
+    (source, lang), source, lang, and grand total — the GROUPING SETS
+    cube. One exchange whose row count is bounded by grain cardinality,
+    not corpus rows."""
+    from raycrawl.ops.hostagg import corpus_rollup
+
+    return corpus_rollup(
+        _read_ds(sf_dir, "documents", ["source", "lang", "n_chars"]))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3510,6 +3564,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "text_bpe_tokens": q_text_bpe_tokens,
         "events_sessions": q_events_sessions,
+        "events_transitions": q_event_transitions,
         "events_top_users": q_events_top_users,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -3611,6 +3666,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "postings_compression": q_postings_compression,
         "link_structure": q_link_structure,
         "link_triangles": q_link_triangles,
+        "link_seed_distance": q_link_seed_distance,
+        "corpus_rollup": q_corpus_rollup,
         "phrase_search": q_phrase_search,
         "sitemap_seeds": q_sitemap_seeds,
         "semantic_dedup": q_semantic_dedup,
@@ -4444,6 +4501,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(DISTINCT sid) AS n_sessions,
                    COUNT(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        # events_transitions: LAG over the same (user, ts, event_id)
+        # order; a transition counts iff the gap stays within the
+        # 30-minute session rule (complement of events_sessions' break)
+        "events_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER w AS from_type,
+                       ts - LAG(ts) OVER w AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s
+            WHERE from_type IS NOT NULL
+              AND gap <= INTERVAL 30 MINUTE
+            GROUP BY from_type, to_type
         """,
         "events_top_users": """
             SELECT user_id,
@@ -6302,6 +6377,53 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM tri
             )
             GROUP BY node
+        """,
+        # link_seed_distance: recursive min-hop walk from the root block,
+        # capped at 6 hops (UNION dedups (node,dist) pairs so the %7
+        # back-edge cycles terminate)
+        "link_seed_distance": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src,
+                           doc_id + 20 * (doc_id // 20 + 1) AS dst
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id, doc_id + 20 * (doc_id // 20 + 2)
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id + 20 * (doc_id // 20 + 1), doc_id
+                    FROM d WHERE doc_id % 7 = 0
+                )
+                WHERE GREATEST(src, dst) < (SELECT n FROM nn)
+            ),
+            walk(node, dist) AS (
+                SELECT doc_id, CAST(0 AS BIGINT)
+                FROM d WHERE doc_id < 20
+                UNION
+                SELECT e.dst, w.dist + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.dist < 6
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node
+        """,
+        # corpus_rollup: GROUPING SETS restates the one-pass four-grain
+        # cube; GROUPING() tells grouped-out from genuinely-null keys
+        "corpus_rollup": """
+            SELECT CASE WHEN GROUPING(source) = 0 AND GROUPING(lang) = 0
+                             THEN 'source_lang'
+                        WHEN GROUPING(source) = 0 THEN 'source'
+                        WHEN GROUPING(lang) = 0 THEN 'lang'
+                        ELSE 'all' END AS grain,
+                   COALESCE(source, '') AS source,
+                   COALESCE(lang, '') AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """,
         # phrase_search: "big order scan" as a list-slice window equality
         # over the token array; first_pos is 0-based (MIN(i) - 1)

@@ -596,6 +596,93 @@ def triangle_counts(edges_ds, *, src_col: str = "src",
         "node").aggregate(Count(alias_name="triangles"))
 
 
+def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
+                   src_col: str = "src", dst_col: str = "dst",
+                   n_parts: int | None = None):
+    """Minimum link-hop distance from a curated seed set, capped at
+    ``max_hops`` — the focused-crawl horizon signal at rest: a page's BFS
+    depth from the seeds is exactly the earliest wave a frontier crawl
+    could reach it, so the distance table prioritizes recrawl and prunes
+    frontier candidates the same way `personalized_pagerank` weights them
+    (distance is the hop-metric sibling of PPR's decay mass).
+
+    Algorithm: synchronous frontier relaxation, one round per hop. Round
+    r joins the current frontier (nodes at distance exactly r — by
+    induction their minimum) against the directed edge table and folds
+    the (dst, r+1) candidates into the distance table with a min-groupby;
+    a node's distance only ever decreases, and a node first reached at
+    round r is final. ``max_hops`` bounds the rounds — unreachable-
+    within-horizon nodes are absent from the output (the caller's prune
+    signal), which is what keeps the loop O(max_hops) exchanges instead
+    of O(diameter).
+
+    Scale shape: the edge table dedups once, materializes once, and is
+    re-probed per round via a partitioned hash join (fixed-width int64
+    rows; at 256 nodes the join re-shuffles the frontier, not the edge
+    corpus — the plasma-resident CC-style static partitioning in
+    `connected_components` is the upgrade path if max_hops grows).
+    Frontier and distance tables are one int64 pair per reached node.
+
+    Returns (node, dist) for every node within max_hops of a seed
+    (seeds at 0)."""
+    from ray.data.aggregate import Count, Min
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[src_col].cast(pa.int64()),
+                         "dst": b[dst_col].cast(pa.int64())})
+
+    edges = drop_empty_blocks(
+        (edges_ds.map_batches(norm, batch_format="pyarrow")
+         .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+         .map_batches(lambda b: b.select(["src", "dst"]),
+                      batch_format="pyarrow")),
+        empty_schema=edge_schema).materialize()
+
+    seed_arr = np.unique(np.asarray(list(seeds), np.int64))
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(seed_arr, pa.int64()),
+        "dist": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64())}))
+
+    for r in range(max_hops):
+        def at_r(b: pa.Table, _r=r) -> pa.Table:
+            d = _np(b["dist"]).astype(np.int64)
+            keep = d == _r
+            return pa.table({
+                "src": pa.array(_np(b["node"]).astype(np.int64)[keep],
+                                pa.int64())})
+
+        frontier = drop_empty_blocks(
+            dist.map_batches(at_r, batch_format="pyarrow"),
+            empty_schema=pa.schema([("src", pa.int64())]))
+        if frontier.count() == 0:
+            break
+        msgs = frontier.join(edges, join_type="inner",
+                             num_partitions=width, on=("src",))
+
+        def relax(b: pa.Table, _r=r) -> pa.Table:
+            d = _np(b["dst"]).astype(np.int64)
+            return pa.table({
+                "node": pa.array(d, pa.int64()),
+                "dist": pa.array(np.full(len(d), _r + 1, np.int64),
+                                 pa.int64())})
+
+        cand = drop_empty_blocks(
+            msgs.map_batches(relax, batch_format="pyarrow"),
+            empty_schema=dist_schema)
+        dist = drop_empty_blocks(
+            dist.union(cand).groupby("node").aggregate(
+                Min("dist", alias_name="dist")),
+            empty_schema=dist_schema).materialize()
+
+    return dist
+
+
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()

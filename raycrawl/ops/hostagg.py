@@ -320,3 +320,69 @@ def corpus_report(docs_ds, *, source_col: str = "source",
         "top_lang": pa.array([top_lang[s] for s in srcs], pa.string()),
         "total_chars": pa.array([total_chars[s] for s in srcs], pa.int64()),
     })
+
+
+def corpus_rollup(docs_ds, *, source_col: str = "source",
+                  lang_col: str = "lang", chars_col: str = "n_chars"):
+    """OLAP rollup of corpus volume at FOUR grains in ONE distributed pass
+    — (source, lang), source, lang, and grand total — the GROUPING SETS
+    cube a corpus dashboard reads without re-scanning 100 TB per grain.
+
+    Scale shape: each batch pandas-groupbys (source, lang) once, then
+    derives the three coarser partials from that tiny in-block table, so
+    the single exchange carries ≤ 4× the realized (source × lang)
+    cardinality per batch (bounded by grain cardinality, not rows) into
+    one fixed-schema Sum groupby. Null/odd keys coerce to '' exactly like
+    `corpus_report`. Returns (grain, source, lang, docs, chars) with ''
+    in grouped-out key columns; grain ∈
+    {'source_lang','source','lang','all'}."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = pd.DataFrame({
+            "source": [str(s) if s is not None else ""
+                       for s in batch[source_col].to_pylist()],
+            "lang": [lg or "" for lg in batch[lang_col].to_pylist()],
+            "chars": pc.fill_null(
+                batch[chars_col].cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False),
+        })
+        sl = df.groupby(["source", "lang"], as_index=False).agg(
+            docs=("chars", "size"), chars=("chars", "sum"))
+        s = sl.groupby("source", as_index=False).agg(
+            docs=("docs", "sum"), chars=("chars", "sum"))
+        lg = sl.groupby("lang", as_index=False).agg(
+            docs=("docs", "sum"), chars=("chars", "sum"))
+        frames = [
+            pd.DataFrame({"grain": "source_lang", "source": sl["source"],
+                          "lang": sl["lang"], "docs": sl["docs"],
+                          "chars": sl["chars"]}),
+            pd.DataFrame({"grain": "source", "source": s["source"],
+                          "lang": "", "docs": s["docs"],
+                          "chars": s["chars"]}),
+            pd.DataFrame({"grain": "lang", "source": "",
+                          "lang": lg["lang"], "docs": lg["docs"],
+                          "chars": lg["chars"]}),
+            pd.DataFrame({"grain": ["all"], "source": [""], "lang": [""],
+                          "docs": [int(sl["docs"].sum())],
+                          "chars": [int(sl["chars"].sum())]}),
+        ]
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "grain": pa.array(out["grain"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "docs": pa.array(out["docs"].to_numpy(np.int64), pa.int64()),
+            "chars": pa.array(out["chars"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (docs_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["grain", "source", "lang"])
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("chars", alias_name="chars")))

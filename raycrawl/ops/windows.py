@@ -274,6 +274,60 @@ def cohort_retention(ds, n_parts: int | None = None):
     return agg.map_batches(fmt, batch_format="pyarrow")
 
 
+def event_transitions(ds, gap_minutes: float = 30.0,
+                      n_parts: int | None = None):
+    """First-order Markov transition counts between consecutive event
+    types WITHIN a session — the clickstream path-mining primitive (which
+    page/event follows which, the input to next-action models and funnel
+    discovery). A transition (A → B) counts when the same user's next
+    event by (ts, event_id) order arrives within ``gap_minutes`` — the
+    exact complement of `sessionize`'s break rule, so transition totals
+    per user equal (events − sessions).
+
+    Scale shape: one vectorized pass per coarse user-hash partition
+    (sort + shift compare — the `sessionize` kernel) emitting per-
+    partition (from, to, n) partials, then a Sum groupby whose
+    cardinality is |event-type|², never rows. Returns
+    (from_type, to_type, n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, partitioned_apply
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "from_type": pd.Series([], dtype=str),
+            "to_type": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype="int64")})
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = pdf["user_id"].eq(pdf["user_id"].shift())
+        within = pdf["ts"].diff() <= gap
+        keep = (same_user & within).to_numpy()
+        frm = pdf["event_type"].shift().to_numpy()[keep]
+        to = pdf["event_type"].to_numpy()[keep]
+        if len(frm) == 0:
+            return empty
+        out = pd.DataFrame({"from_type": frm, "to_type": to})
+        g = out.groupby(["from_type", "to_type"], as_index=False).agg(
+            n=("to_type", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = drop_empty_blocks(
+        partitioned_apply(ds, ["user_id"], per_partition,
+                          n_parts=n_parts or 32),
+        empty_schema=pa.schema([("from_type", pa.string()),
+                                ("to_type", pa.string()),
+                                ("n", pa.int64())]))
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -3581,3 +3581,87 @@ def test_triangle_counts_wedge_guard(ray_session):
     with pytest.raises(Exception, match="max_wedges"):
         triangle_counts(rd.from_arrow(tbl), n_parts=2,
                         max_wedges=50).to_pandas()
+
+
+def test_seed_distances_hand_graph(ray_session):
+    """Diamond with a shortcut and a cycle: min-hop wins over later
+    relaxations, the hop cap truncates, unreachable nodes are absent;
+    partition-independent."""
+    from raycrawl.ops.graph import seed_distances
+
+    # 0->1->2->3->4->5 chain, shortcut 0->3, cycle 3->0, island 9->9
+    tbl = pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 0, 3, 9], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 5, 3, 0, 9], pa.int64()),
+    })
+    for nparts in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        out = seed_distances(ds, [0], max_hops=3).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        # 3 via the shortcut (1 hop), 4 at 2, 5 at 3; 9 unreachable
+        assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+    out = seed_distances(rd.from_arrow(tbl), [0], max_hops=2).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == {
+        0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # multi-seed: seeding 9 too brings the island in at 0
+    out = seed_distances(rd.from_arrow(tbl), [0, 9], max_hops=1).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {0: 0, 9: 0, 1: 1, 3: 1}
+
+
+def test_corpus_rollup_grains_and_null_coercion(ray_session):
+    """All four grains agree with hand totals; null lang folds into '';
+    partition-independent."""
+    from raycrawl.ops.hostagg import corpus_rollup
+
+    tbl = pa.table({
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+        "lang": pa.array(["fr", None, "fr", "en"], pa.string()),
+        "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    for nparts in (1, 4):
+        out = corpus_rollup(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        rows = {(r["grain"], r["source"], r["lang"]):
+                (r["docs"], r["chars"]) for _, r in out.iterrows()}
+        assert rows[("source_lang", "a", "fr")] == (1, 10)
+        assert rows[("source_lang", "a", "")] == (1, 20)   # null folded
+        assert rows[("source", "a", "")] == (2, 30)
+        assert rows[("source", "b", "")] == (2, 70)
+        assert rows[("lang", "", "fr")] == (2, 40)
+        assert rows[("lang", "", "en")] == (1, 40)
+        assert rows[("all", "", "")] == (4, 100)
+        assert len(rows) == 4 + 2 + 3 + 1
+
+
+def test_event_transitions_session_rule(ray_session):
+    """Transitions count within the 30-min rule only; user boundaries and
+    session breaks cut chains; same-ts ties order by event_id;
+    partition-independent."""
+    import pandas as pd
+    from raycrawl.ops.windows import event_transitions
+
+    def ev(eid, uid, t, typ):
+        return {"event_id": eid, "user_id": uid,
+                "ts": pd.Timestamp(t), "event_type": typ}
+
+    rows = [
+        # user 1: A->B within 10 min, then a 31-min break, then C->A
+        ev(1, 1, "2026-01-01 10:00", "A"),
+        ev(2, 1, "2026-01-01 10:10", "B"),
+        ev(3, 1, "2026-01-01 10:41", "C"),   # 31 min gap: no B->C
+        ev(4, 1, "2026-01-01 10:50", "A"),
+        # exactly 30 min gap stays in-session (<= rule)
+        ev(5, 2, "2026-01-01 09:00", "A"),
+        ev(6, 2, "2026-01-01 09:30", "B"),
+        # same-ts tie: event_id orders 7 before 8 => B->A
+        ev(7, 3, "2026-01-01 09:00", "B"),
+        ev(8, 3, "2026-01-01 09:00", "A"),
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    for nparts in (1, 4):
+        out = event_transitions(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for _, r in out.iterrows()}
+        assert got == {("A", "B"): 2, ("C", "A"): 1, ("B", "A"): 1}
