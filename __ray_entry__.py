@@ -3069,6 +3069,17 @@ def q_keyword_bm25(sf_dir: str):
                      KEYWORD_TERMS, k=20)
 
 
+def q_keyword_bm25f(sf_dir: str):
+    """BM25F fielded retrieval (ops/index.bm25f_topk): the first 8 tokens
+    are the title field at weight 2, the rest body at weight 1; weighted
+    tf/dl feed the same rational kernel as keyword_bm25. Oracle restates
+    the field split with DuckDB list slicing. Top-20."""
+    from raycrawl.ops.index import bm25f_topk
+
+    return bm25f_topk(_read_ds(sf_dir, "documents", ["doc_id", "text"]),
+                      KEYWORD_TERMS, k=20)
+
+
 def q_recrawl_priority(sf_dir: str):
     """Refresh scheduling (ops/recrawl.recrawl_priority): per-source churn
     ranking composed from the recrawl_diff epochs — the stage that decides
@@ -3645,6 +3656,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "contamination_bloom": q_contamination_bloom,
         "token_cms_top20": q_token_cms_top20,
         "keyword_bm25": q_keyword_bm25,
+        "keyword_bm25f": q_keyword_bm25f,
         "recrawl_priority": q_recrawl_priority,
         "length_outliers": q_length_outliers,
         "url_patterns": q_url_patterns,
@@ -5207,6 +5219,59 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY bm25_ppm DESC, doc_id ASC) AS BIGINT) AS rnk
             FROM scores
             ORDER BY bm25_ppm DESC, doc_id ASC
+            LIMIT 20
+        """,
+        # keyword_bm25f: fielded sibling — first-8-token title at weight
+        # 2 via list slicing, weighted tf/dl through the same HUGEINT
+        # rational kernel
+        "keyword_bm25f": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            wdls AS (
+                SELECT doc_id,
+                       CAST(2 * LEAST(len(w), 8)
+                            + GREATEST(len(w) - 8, 0) AS HUGEINT) AS wdl
+                FROM toks
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(wdl) AS HUGEINT) AS t
+                FROM wdls
+            ),
+            post AS (
+                SELECT doc_id, token, CAST(SUM(wgt) AS HUGEINT) AS wtf
+                FROM (
+                    SELECT doc_id, unnest(w[1:8]) AS token, 2 AS wgt
+                    FROM toks
+                    UNION ALL
+                    SELECT doc_id, unnest(w[9:]) AS token, 1 AS wgt
+                    FROM toks
+                )
+                WHERE token IN ({", ".join(f"'{t}'" for t in KEYWORD_TERMS)})
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, CAST(count(*) AS HUGEINT) AS df
+                   FROM post GROUP BY token),
+            scores AS (
+                SELECT p.doc_id,
+                       CAST(SUM(
+                           (1000000 * (s.n + 1) * 22 * p.wtf * s.t)
+                           // ((d.df + 1) * (10 * p.wtf * s.t + 3 * s.t
+                                             + 9 * l.wdl * s.n))
+                       ) AS BIGINT) AS bm25f_ppm
+                FROM post p
+                JOIN df d ON d.token = p.token
+                JOIN wdls l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, bm25f_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY bm25f_ppm DESC, doc_id ASC) AS BIGINT)
+                       AS rnk
+            FROM scores
+            ORDER BY bm25f_ppm DESC, doc_id ASC
             LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),

@@ -907,3 +907,109 @@ def postings_compression_plan(ds, *, id_col: str = "doc_id",
                          for r in out], pa.string()),
         "rnk": pa.array(range(1, len(out) + 1), pa.int64()),
     })
+
+
+def bm25f_topk(ds, terms: list[str], k: int = 10, *,
+               title_tokens: int = 8, w_title: int = 2, w_body: int = 1,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """BM25F fielded retrieval (Robertson & Zaragoza 2009 §6, the "simple
+    BM25F" weighted-field variant): token occurrences in the TITLE field
+    count ``w_title``× and body occurrences ``w_body``× into a weighted
+    term frequency, and document length becomes the same weighted sum —
+    then the rational BM25 kernel of `bm25_topk` scores the weighted
+    quantities. A hit in the title outranks the same hit buried in the
+    body, which is exactly how the reference's Meilisearch ranks its
+    searchableAttributes order (title before content —
+    meilisearch_client.py searchable attribute config).
+
+    The field split is positional and deterministic — the first
+    ``title_tokens`` whitespace tokens are the title field (the corpus
+    documents table has no separate title column; crawl docs get their
+    real title upstream) — so the DuckDB oracle can restate it with list
+    slicing.
+
+    Scale shape identical to `bm25_topk`: term filter in the first pass,
+    weighted-df broadcast as O(|terms|) scalars, doc-keyed Sum, per-batch
+    top-k partials, O(batches·k) driver rows. Integer-exact: weighted
+    tf/dl are integers, scores are the same one-floor-division rational
+    in Python bignums. Returns (doc_id, bm25f_ppm, rnk)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    wt, wb, tt = int(w_title), int(w_body), int(title_tokens)
+
+    def wdl_of(nw: int) -> int:
+        return wt * min(nw, tt) + wb * max(nw - tt, 0)
+
+    def len_partial(batch: pa.Table) -> pa.Table:
+        wdls = [wdl_of(len((t or "").split(" ")))
+                for t in batch[text_col].to_pylist()]
+        return pa.table({"n": pa.array([len(wdls)], pa.int64()),
+                         "t": pa.array([sum(wdls)], pa.int64())})
+
+    tot = (ds.map_batches(len_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t")))
+    n_docs, t_toks = int(tot["n"]), int(tot["t"])
+
+    term_set = frozenset(terms)
+
+    def posting_partial(batch: pa.Table) -> pa.Table:
+        toks_out, ids_out, wtf_out, wdl_out = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            words = (t or "").split(" ")
+            ct = Counter(words[:tt])
+            cb = Counter(words[tt:])
+            wdl = wdl_of(len(words))
+            for tok in term_set:
+                wtf = wt * ct[tok] + wb * cb[tok]
+                if wtf:
+                    toks_out.append(tok)
+                    ids_out.append(did)
+                    wtf_out.append(wtf)
+                    wdl_out.append(wdl)
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         id_col: pa.array(ids_out, pa.int64()),
+                         "wtf": pa.array(wtf_out, pa.int64()),
+                         "wdl": pa.array(wdl_out, pa.int64())})
+
+    postings = ds.map_batches(posting_partial,
+                              batch_format="pyarrow").materialize()
+    df_rows = postings.groupby("token").aggregate(
+        Count(alias_name="df")).take_all()
+    df_ref = ray.put({r["token"]: int(r["df"]) for r in df_rows})
+
+    def weight(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        w = []
+        for tok, wtf, wdl in zip(batch["token"].to_pylist(),
+                                 batch["wtf"].to_pylist(),
+                                 batch["wdl"].to_pylist()):
+            # Python ints: the products overflow int64 at corpus scale
+            num = 1_000_000 * (n_docs + 1) * 22 * wtf * t_toks
+            den = (df[tok] + 1) * (10 * wtf * t_toks + 3 * t_toks
+                                   + 9 * wdl * n_docs)
+            w.append(num // den)
+        return pa.table({id_col: batch[id_col],
+                         "w": pa.array(w, pa.int64())})
+
+    sums = (postings.map_batches(weight, batch_format="pyarrow")
+            .groupby(id_col).aggregate(Sum("w", alias_name="bm25f_ppm")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        s = np.asarray(batch["bm25f_ppm"], np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, -s))[:k]
+            ids, s = ids[top], s[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bm25f_ppm": pa.array(s, pa.int64())})
+
+    rows = sums.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["bm25f_ppm"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "bm25f_ppm": pa.array([r["bm25f_ppm"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())}
+    )

@@ -3665,3 +3665,26 @@ def test_event_transitions_session_rule(ray_session):
         got = {(r["from_type"], r["to_type"]): r["n"]
                for _, r in out.iterrows()}
         assert got == {("A", "B"): 2, ("C", "A"): 1, ("B", "A"): 1}
+
+
+def test_bm25f_title_weight_beats_body(ray_session):
+    """Two docs, same token count: the doc with the query token in its
+    title (first 8 tokens) must outrank the doc with it in the body;
+    weighted tf/dl are exact integers; partition-independent."""
+    from raycrawl.ops.index import bm25f_topk
+
+    filler = " ".join(["x"] * 8)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "hash " + filler + " y y",      # token in title
+            "y " + filler + " hash y",      # token in body only
+            filler + " y y y",              # no hit
+        ]),
+    })
+    for nparts in (1, 3):
+        out = bm25f_topk(rd.from_arrow(tbl).repartition(nparts),
+                         ["hash"], k=5).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2]
+        assert out["bm25f_ppm"][0] > out["bm25f_ppm"][1]
+        assert out["rnk"].tolist() == [1, 2]
