@@ -126,3 +126,37 @@ def test_chunk_reconstruction_law(tokens, chunk):
                       tbl["chunk_text"].to_pylist()))
     assert " ".join(t for _, t in rows) == text
     assert [i for i, _ in rows] == list(range(len(rows)))
+
+
+# --- vectorized CRC shingle kernel ≡ the set-based reference path -----------
+
+@given(st.text(alphabet=string.printable, max_size=400), st.integers(2, 9))
+@settings(max_examples=200, deadline=None)
+def test_shingle_hash_array_matches_set_path(text, k):
+    """_shingle_hash_array (table-driven numpy CRC-32 over sliding windows)
+    must produce exactly the _shingles value set — MinHash signatures are
+    min-over-windows, so array-with-duplicates vs set is equivalence of
+    VALUES. Sweeps ascii/non-ascii/short/empty docs and every k."""
+    import numpy as np
+
+    from raycrawl.ops.dedup import _shingle_hash_array, _shingles
+
+    arr = _shingle_hash_array(text, k)
+    assert set(arr.tolist()) == _shingles(text, k)
+    assert arr.dtype == np.int64
+
+
+@given(st.text(alphabet="abcdef €ñ中", min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_minhash_signature_stable_under_kernel(text):
+    """The signature equals the historical set-based outer-product result —
+    pins that the CRC-array fast path changed no signature bit (LSH band
+    keys and every persisted minhash column depend on this)."""
+    import numpy as np
+
+    from raycrawl.ops.dedup import MERSENNE, MinHasher, _shingles
+
+    h = MinHasher()
+    sh = np.fromiter(_shingles(text, h.k), dtype=np.int64)
+    ref = ((sh[None, :] * h.a[:, None] + h.b[:, None]) % MERSENNE).min(axis=1)
+    assert np.array_equal(h.signature(text), ref)
