@@ -2348,6 +2348,27 @@ def q_fuzzy_search(sf_dir: str):
 FUZZY_TERMS = ["joinn", "vectr", "hash"]
 
 
+def q_meili_ranked(sf_dir: str):
+    """The full Meilisearch default ranking-rule cascade
+    (ops/index.meili_ranked_topk): words > typo > proximity >
+    attribute/position > exactness as lexicographic integer tier keys —
+    the composite ordering the reference's Meilisearch index applies to
+    every search (ranking rules set at index creation). 'join'/'hash'
+    are exact-only (budget 0), 'vectr' tolerates 1 edit (hits 'vector').
+    Shuffle-free scoring, O(batches·k) top-k merge."""
+    from raycrawl.ops.index import meili_ranked_topk
+
+    return meili_ranked_topk(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        MEILI_TERMS, k=10)
+
+
+# one exact-only short term, one typo-tolerant term, one exact mid
+# term — exercises every tier: words (partial matches), typos
+# ('vectr'->'vector' = 1), span/first_pos (exact positions), exactness
+MEILI_TERMS = ["join", "vectr", "hash"]
+
+
 def q_proximity_search(sf_dir: str):
     """Proximity ranking (ops/index.proximity_topk — Meilisearch's
     'proximity' tier): docs containing ALL of join/hash/merge ranked by
@@ -3627,6 +3648,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "sitemap_coverage": q_sitemap_coverage,
         "search_snippets": q_search_snippets,
         "fuzzy_search": q_fuzzy_search,
+        "meili_ranked": q_meili_ranked,
         "proximity_search": q_proximity_search,
         "length_batches": q_length_batches,
         "balanced_shards": q_balanced_shards,
@@ -7273,6 +7295,80 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS rnk
         FROM m
         ORDER BY n_hits DESC, doc_id ASC
+        LIMIT 10
+    """
+    # meili_ranked: the five ranking-rule tier keys restated — per-doc
+    # min levenshtein per term (words/typos), exact-position tables
+    # (exactness/first_pos), and the proximity_search cover-span closed
+    # form restricted to each doc's own exactly-present term set
+    sql["meili_ranked"] = """
+        WITH q(term, budget) AS (
+            VALUES ('join', 0), ('vectr', 1), ('hash', 0)
+        ),
+        toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+        tp AS (
+            SELECT doc_id, i, w[CAST(i + 1 AS INT)] AS tok
+            FROM toks, unnest(range(len(w))) u(i)
+        ),
+        dt AS (SELECT DISTINCT doc_id, tok FROM tp),
+        md AS (
+            SELECT d.doc_id, q.term, q.budget,
+                   MIN(levenshtein(d.tok, q.term)) AS mn
+            FROM dt d CROSS JOIN q
+            GROUP BY d.doc_id, q.term, q.budget
+        ),
+        matched AS (SELECT doc_id, term, mn FROM md WHERE mn <= budget),
+        wt AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS words,
+                   CAST(SUM(mn) AS BIGINT) AS typos
+            FROM matched GROUP BY doc_id
+        ),
+        ep AS (
+            SELECT t.doc_id, t.i, t.tok
+            FROM tp t JOIN q ON t.tok = q.term
+        ),
+        exn AS (
+            SELECT doc_id, COUNT(DISTINCT tok) AS exact_terms,
+                   MIN(i) AS first_exact
+            FROM ep GROUP BY doc_id
+        ),
+        spans AS (
+            SELECT p.doc_id, p.i AS s, e.tok, MIN(e.i) AS mn
+            FROM ep p JOIN ep e ON e.doc_id = p.doc_id AND e.i >= p.i
+            GROUP BY p.doc_id, p.i, e.tok
+        ),
+        covers AS (
+            SELECT s.doc_id, s.s, x.exact_terms,
+                   MAX(s.mn) - s.s + 1 AS span
+            FROM spans s JOIN exn x ON x.doc_id = s.doc_id
+            GROUP BY s.doc_id, s.s, x.exact_terms
+            HAVING COUNT(DISTINCT s.tok) = x.exact_terms
+        ),
+        spn AS (SELECT doc_id, MIN(span) AS span FROM covers GROUP BY doc_id),
+        final AS (
+            SELECT w.doc_id, w.words, w.typos,
+                   CAST(CASE WHEN COALESCE(x.exact_terms, 0) >= 2
+                             THEN s.span ELSE 0 END AS BIGINT) AS span,
+                   CAST(COALESCE(x.first_exact, d.dl) AS BIGINT)
+                       AS first_pos,
+                   CAST(COALESCE(x.exact_terms, 0) AS BIGINT)
+                       AS exact_terms
+            FROM wt w
+            LEFT JOIN exn x USING (doc_id)
+            LEFT JOIN spn s USING (doc_id)
+            JOIN dl d USING (doc_id)
+        )
+        SELECT doc_id, words, typos, span, first_pos, exact_terms,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY words DESC, typos ASC, span ASC,
+                            first_pos ASC, exact_terms DESC, doc_id ASC)
+                   AS BIGINT) AS rnk
+        FROM final
+        ORDER BY words DESC, typos ASC, span ASC, first_pos ASC,
+                 exact_terms DESC, doc_id ASC
         LIMIT 10
     """
     # proximity_search: minimal cover span — optimal windows start at an

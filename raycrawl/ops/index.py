@@ -1013,3 +1013,136 @@ def bm25f_topk(ds, terms: list[str], k: int = 10, *,
          "bm25f_ppm": pa.array([r["bm25f_ppm"] for r in out], pa.int64()),
          "rnk": pa.array(range(1, len(out) + 1), pa.int64())}
     )
+
+
+def _ed_min(a: str, b: str, cap: int) -> int:
+    """Exact Levenshtein(a, b) when it is <= cap, else any value > cap
+    (banded DP, early exit) — callers only compare against budgets <= cap."""
+    if a == b:
+        return 0
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    if cap == 0:
+        return 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            lo = min(lo, v)
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def meili_ranked_topk(ds, terms: list[str], k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """The full Meilisearch default ranking-rule CASCADE as one
+    lexicographic retrieval operator — the reference's result ordering
+    is exactly this cascade (its index is created with ranking rules
+    words > typo > proximity > attribute > sort > exactness; Meilisearch
+    public docs "Relevancy"). Per doc, integer tier keys:
+
+    - ``words``   (DESC): distinct query terms matched within their typo
+      budget (0 under 5 chars / 1 from 5 / 2 from 9 — ``_typo_budget``).
+    - ``typos``   (ASC): sum over matched terms of the MINIMUM edit
+      distance achieved by any doc token (0 for exact hits).
+    - ``span``    (ASC): minimal token window covering every EXACTLY-
+      present query term once (``proximity_topk``'s closed form); 0 when
+      fewer than two distinct terms occur exactly.
+    - ``first_pos`` (ASC): 0-based position of the earliest exact
+      occurrence of any query term — the 'attribute'/position tier; docs
+      with no exact hit take their token length (rank last in-tier).
+    - ``exact_terms`` (DESC): distinct terms with an exact occurrence.
+
+    Docs with ``words == 0`` drop; ties break on doc_id ASC. Returns the
+    global top-``k`` as (doc_id, words, typos, span, first_pos,
+    exact_terms, rnk).
+
+    Scale shape: shuffle-free — the query set is tiny and closed, so
+    every tier key computes in-block (per-batch distinct-token memo for
+    the banded edit-distance DP, numpy position arrays for span); per-
+    batch top-k partials under the SAME lexicographic order, then one
+    O(batches·k) driver merge. No vocabulary broadcast, no exchange."""
+    tlist = list(dict.fromkeys(terms))
+    if not tlist:
+        raise ValueError("meili_ranked_topk: empty terms")
+    budgets = [_typo_budget(t) for t in tlist]
+    nt = len(tlist)
+
+    def sort_partial(ids, words, typos, span, fpos, exact, limit):
+        order = np.lexsort((ids, -exact, fpos, span, typos, -words))[:limit]
+        return tuple(x[order] for x in (ids, words, typos, span, fpos,
+                                        exact))
+
+    def score(batch: pa.Table) -> pa.Table:
+        memo: dict[str, list[int]] = {}
+
+        def dists(tok: str) -> list[int]:
+            v = memo.get(tok)
+            if v is None:
+                v = [_ed_min(tok, t, b) for t, b in zip(tlist, budgets)]
+                memo[tok] = v
+            return v
+
+        cols = {n: [] for n in ("id", "w", "ty", "sp", "fp", "ex")}
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = (t or "").split(" ")
+            best = [budgets[i] + 1 for i in range(nt)]
+            for tok in set(toks):
+                for i, d in enumerate(dists(tok)):
+                    if d < best[i]:
+                        best[i] = d
+            matched = [i for i in range(nt) if best[i] <= budgets[i]]
+            if not matched:
+                continue
+            typos = sum(best[i] for i in matched)
+            arr = np.array(toks)
+            pos = {i: np.flatnonzero(arr == tlist[i]) for i in range(nt)}
+            ex_terms = [i for i in range(nt) if len(pos[i])]
+            fpos = (min(int(p[0]) for i, p in pos.items() if len(p))
+                    if ex_terms else len(toks))
+            span = 0
+            if len(ex_terms) >= 2:
+                allpos = np.sort(np.concatenate([pos[i] for i in ex_terms]))
+                bsp = None
+                for p in allpos:
+                    mx = -1
+                    for i in ex_terms:
+                        a = pos[i]
+                        ix = int(np.searchsorted(a, p))
+                        if ix == len(a):
+                            mx = None
+                            break
+                        mx = max(mx, int(a[ix]))
+                    if mx is None:
+                        break
+                    w = mx - int(p) + 1
+                    if bsp is None or w < bsp:
+                        bsp = w
+                span = bsp
+            for n, v in zip(("id", "w", "ty", "sp", "fp", "ex"),
+                            (did, len(matched), typos, span, fpos,
+                             len(ex_terms))):
+                cols[n].append(v)
+        arrs = [np.array(cols[n], np.int64)
+                for n in ("id", "w", "ty", "sp", "fp", "ex")]
+        if len(arrs[0]) > k:
+            arrs = sort_partial(*arrs, k)
+        names = (id_col, "words", "typos", "span", "first_pos",
+                 "exact_terms")
+        return pa.table({n: pa.array(a, pa.int64())
+                         for n, a in zip(names, arrs)})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["words"], r["typos"], r["span"],
+                             r["first_pos"], -r["exact_terms"], r[id_col]))
+    out = rows[:k]
+    names = (id_col, "words", "typos", "span", "first_pos", "exact_terms")
+    tbl = {n: pa.array([r[n] for r in out], pa.int64()) for n in names}
+    tbl["rnk"] = pa.array(range(1, len(out) + 1), pa.int64())
+    return pa.table(tbl)

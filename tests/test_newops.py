@@ -3688,3 +3688,32 @@ def test_bm25f_title_weight_beats_body(ray_session):
         assert out["doc_id"].tolist() == [1, 2]
         assert out["bm25f_ppm"][0] > out["bm25f_ppm"][1]
         assert out["rnk"].tolist() == [1, 2]
+
+
+def test_meili_ranked_tier_cascade(ray_session):
+    """Crafted corpus where each ranking tier decides exactly one
+    adjacent pair: typo count beats span, span beats first_pos, words
+    dominates everything; partition-independent."""
+    from raycrawl.ops.index import meili_ranked_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            "join hash vector",        # words 3, typos 1, span 2, fp 0
+            "join x x hash vector",    # words 3, typos 1, span 4
+            "join hash vectr",         # words 3, typos 0 -> wins
+            "x join hash vector",      # words 3, typos 1, span 2, fp 1
+            "join x y",                # words 1, typos 0
+            "vector z",                # words 1, typos 1, no exact hit
+        ]),
+    })
+    for nparts in (1, 4):
+        out = meili_ranked_topk(rd.from_arrow(tbl).repartition(nparts),
+                                ["join", "vectr", "hash"], k=10).to_pandas()
+        assert out["doc_id"].tolist() == [3, 1, 4, 2, 5, 6]
+        assert out["words"].tolist() == [3, 3, 3, 3, 1, 1]
+        assert out["typos"].tolist() == [0, 1, 1, 1, 0, 1]
+        assert out["span"].tolist() == [3, 2, 2, 4, 0, 0]
+        assert out["first_pos"].tolist() == [0, 0, 1, 0, 0, 2]
+        assert out["exact_terms"].tolist() == [3, 2, 2, 2, 1, 0]
+        assert out["rnk"].tolist() == list(range(1, 7))
