@@ -2348,6 +2348,18 @@ def q_fuzzy_search(sf_dir: str):
 FUZZY_TERMS = ["joinn", "vectr", "hash"]
 
 
+def q_prefix_search(sf_dir: str):
+    """Search-as-you-type prefix retrieval (ops/index.prefix_topk —
+    Meilisearch matches only the FINAL query word as a prefix): 'join'
+    exact + 'vec' prefix; words tier then total hits; shuffle-free
+    scoring with O(batches·k) top-k merge."""
+    from raycrawl.ops.index import prefix_topk
+
+    return prefix_topk(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        ["join"], "vec", k=10)
+
+
 def q_meili_ranked(sf_dir: str):
     """The full Meilisearch default ranking-rule cascade
     (ops/index.meili_ranked_topk): words > typo > proximity >
@@ -2959,6 +2971,19 @@ def q_source_quality(sf_dir: str):
 
     return source_quality_filter(
         _read_ds(sf_dir, "documents", ["doc_id", "source", "n_chars"]))
+
+
+def q_host_concentration(sf_dir: str):
+    """Crawl-skew concentration report (ops/hostagg.host_concentration):
+    integer-exact Gini / Herfindahl / top-share over per-source doc
+    counts — the skew diagnostic that predicts host-keyed shuffle and
+    politeness-shard imbalance. Per-host counts reduce distributed; the
+    rank-weighted Gini sum folds from per-block partials of the sorted
+    host table (O(blocks) driver rows)."""
+    from raycrawl.ops.hostagg import host_concentration
+
+    return host_concentration(
+        _read_ds(sf_dir, "documents", ["doc_id", "source"]))
 
 
 def _anchor_edges(sf_dir: str):
@@ -3648,6 +3673,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "sitemap_coverage": q_sitemap_coverage,
         "search_snippets": q_search_snippets,
         "fuzzy_search": q_fuzzy_search,
+        "prefix_search": q_prefix_search,
         "meili_ranked": q_meili_ranked,
         "proximity_search": q_proximity_search,
         "length_batches": q_length_batches,
@@ -3672,6 +3698,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dedup_embed_exact": q_dedup_embed_exact,
         "media_payload_stats": q_media_payload_stats,
         "source_quality": q_source_quality,
+        "host_concentration": q_host_concentration,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
         "para_dedup": q_para_dedup,
@@ -5693,6 +5720,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # host_concentration: Gini via 1-based rank weights over counts
+        # sorted (n ASC, source ASC); HUGEINT clears the quadratics
+        "host_concentration": """
+            WITH c AS (
+                SELECT source, CAST(COUNT(*) AS HUGEINT) AS n
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT n, CAST(ROW_NUMBER() OVER (
+                    ORDER BY n ASC, source ASC) AS HUGEINT) AS i
+                FROM c
+            ),
+            t AS (
+                SELECT CAST(SUM(n) AS HUGEINT) AS tot,
+                       CAST(COUNT(*) AS HUGEINT) AS k,
+                       CAST(SUM(i * n) AS HUGEINT) AS win,
+                       CAST(SUM(n * n) AS HUGEINT) AS sq,
+                       CAST(MAX(n) AS HUGEINT) AS mx
+                FROM s
+            )
+            SELECT CAST(k AS BIGINT) AS n_hosts,
+                   CAST(tot AS BIGINT) AS total_docs,
+                   CAST(1000000 * mx // tot AS BIGINT) AS top_share_ppm,
+                   CAST(1000000 * sq // (tot * tot) AS BIGINT) AS hhi_ppm,
+                   CAST(1000000 * (2 * win - (k + 1) * tot)
+                        // (k * tot) AS BIGINT) AS gini_ppm
+            FROM t
+        """,
         # source_quality: mean(source) >= mean(corpus) cross-multiplied —
         # SUM() is HUGEINT in DuckDB, so every aggregate is cast back to
         # BIGINT before the comparison the Ray side does in int64
@@ -7295,6 +7350,34 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS rnk
         FROM m
         ORDER BY n_hits DESC, doc_id ASC
+        LIMIT 10
+    """
+    # prefix_search: exact term + starts_with prefix unit, words tier
+    # then total hits
+    sql["prefix_search"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN tok = 'join' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS e1,
+                   CAST(SUM(CASE WHEN starts_with(tok, 'vec')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS p1
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST((CASE WHEN e1 > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN p1 > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS words,
+               e1 + p1 AS n_hits,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY (CASE WHEN e1 > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN p1 > 0 THEN 1 ELSE 0 END) DESC,
+                            e1 + p1 DESC, doc_id ASC) AS BIGINT) AS rnk
+        FROM m WHERE e1 + p1 > 0
+        ORDER BY words DESC, n_hits DESC, doc_id ASC
         LIMIT 10
     """
     # meili_ranked: the five ranking-rule tier keys restated — per-doc

@@ -386,3 +386,72 @@ def corpus_rollup(docs_ds, *, source_col: str = "source",
             .groupby(["grain", "source", "lang"])
             .aggregate(Sum("docs", alias_name="docs"),
                        Sum("chars", alias_name="chars")))
+
+
+def host_concentration(docs_ds, *, source_col: str = "source"):
+    """Crawl-skew concentration report: how unevenly the corpus spreads
+    over hosts — the single number that predicts shuffle skew and
+    politeness stalls at 100 TB (a Gini near 1 means a handful of hosts
+    dominate every host-keyed exchange and rate-limit shard). One row:
+
+    - ``n_hosts``, ``total_docs``
+    - ``top_share_ppm``  = floor(1e6 · max_host_docs / total)
+    - ``hhi_ppm``        = floor(1e6 · Σ c_i² / total²)  (Herfindahl)
+    - ``gini_ppm``       = floor(1e6 · (2·Σ i·c_(i) − (k+1)·total)
+                                  / (k·total)), counts sorted ASC,
+      1-based rank i — the classic exact mean-difference form.
+
+    All integer-exact (Python bignums clear the quadratic products).
+
+    Scale shape: one groupby(source).Count() — fixed-width rows — then a
+    global sort of the PER-HOST table (O(hosts) rows, not docs) and
+    per-block rank partials: each sorted block contributes
+    (rows, Σc, Σ j·c_j local, Σc², min-key), the driver re-bases local
+    ranks with prefix row counts — O(blocks) driver rows, the host table
+    itself never concentrates on the driver."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    counts = docs_ds.groupby(source_col).aggregate(
+        Count(alias_name="n")).sort(["n", source_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["n"], np.int64)
+        j = np.arange(len(c), dtype=np.int64)
+        return pa.table({
+            "rows": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "w": pa.array([int((j * c).sum())], pa.int64()),
+            "sq": pa.array([int((c * c).sum())], pa.int64()),
+            "mx": pa.array([int(c.max())], pa.int64()),
+            "min_n": pa.array([int(c[0])], pa.int64()),
+            "min_src": pa.array([str(batch[source_col][0])], pa.string()),
+        })
+
+    parts = [r for r in counts.map_batches(
+        partial, batch_format="pyarrow").take_all() if r["rows"]]
+    # blocks of a sorted dataset are disjoint key ranges ((n, source) is
+    # unique per row) — re-establish block order by each block's min key
+    parts.sort(key=lambda r: (r["min_n"], r["min_src"]))
+    k = sum(r["rows"] for r in parts)
+    if k == 0:
+        raise ValueError("host_concentration: empty corpus")
+    total = sum(r["s"] for r in parts)
+    w = 0
+    off = 0
+    for r in parts:
+        w += r["w"] + off * r["s"]
+        off += r["rows"]
+    sum_i_c = w + total            # 1-based ranks: Σ(j+1)·c = W + Σc
+    sq = sum(r["sq"] for r in parts)
+    mx = max(r["mx"] for r in parts)
+    return pa.table({
+        "n_hosts": pa.array([k], pa.int64()),
+        "total_docs": pa.array([total], pa.int64()),
+        "top_share_ppm": pa.array([1_000_000 * mx // total], pa.int64()),
+        "hhi_ppm": pa.array([1_000_000 * sq // (total * total)],
+                            pa.int64()),
+        "gini_ppm": pa.array(
+            [1_000_000 * (2 * sum_i_c - (k + 1) * total) // (k * total)],
+            pa.int64()),
+    })

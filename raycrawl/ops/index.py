@@ -1146,3 +1146,67 @@ def meili_ranked_topk(ds, terms: list[str], k: int = 10,
     tbl = {n: pa.array([r[n] for r in out], pa.int64()) for n in names}
     tbl["rnk"] = pa.array(range(1, len(out) + 1), pa.int64())
     return pa.table(tbl)
+
+
+def prefix_topk(ds, exact_terms: list[str], prefix: str, k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Prefix retrieval — Meilisearch's search-as-you-type core: the LAST
+    query word is matched as a TOKEN PREFIX while the preceding words
+    match exactly (Meilisearch public docs "prefix search": only the
+    final word of a query is a prefix). A doc's tier keys:
+
+    - ``words`` (DESC): distinct query units matched — each exact term
+      counts when present, the prefix counts when any token starts with
+      it.
+    - ``n_hits`` (DESC): total matching occurrences (exact occurrences
+      plus prefix-hit tokens).
+
+    Docs with ``words == 0`` drop; ties break doc_id ASC. Returns the
+    top-``k`` as (doc_id, words, n_hits, rnk).
+
+    Scale shape: shuffle-free — the query is a handful of closed terms
+    plus one ``str.startswith``, all tested in-block; per-batch top-k
+    partials under the same order, O(batches·k) rows to one driver
+    merge."""
+    tlist = list(dict.fromkeys(exact_terms))
+    if not prefix:
+        raise ValueError("prefix_topk: empty prefix")
+    tset = frozenset(tlist)
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {"id": [], "w": [], "n": []}
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = (t or "").split(" ")
+            exact_hits = {q: 0 for q in tlist}
+            pref_hits = 0
+            for tok in toks:
+                if tok in tset:
+                    exact_hits[tok] += 1
+                if tok.startswith(prefix):
+                    pref_hits += 1
+            words = sum(1 for v in exact_hits.values() if v) + (
+                1 if pref_hits else 0)
+            if not words:
+                continue
+            out["id"].append(did)
+            out["w"].append(words)
+            out["n"].append(sum(exact_hits.values()) + pref_hits)
+        ids = np.array(out["id"], np.int64)
+        ws = np.array(out["w"], np.int64)
+        ns = np.array(out["n"], np.int64)
+        if len(ids) > k:
+            top = np.lexsort((ids, -ns, -ws))[:k]
+            ids, ws, ns = ids[top], ws[top], ns[top]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "words": pa.array(ws, pa.int64()),
+                         "n_hits": pa.array(ns, pa.int64())})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["words"], -r["n_hits"], r[id_col]))
+    out = rows[:k]
+    return pa.table(
+        {id_col: pa.array([r[id_col] for r in out], pa.int64()),
+         "words": pa.array([r["words"] for r in out], pa.int64()),
+         "n_hits": pa.array([r["n_hits"] for r in out], pa.int64()),
+         "rnk": pa.array(range(1, len(out) + 1), pa.int64())})

@@ -3717,3 +3717,44 @@ def test_meili_ranked_tier_cascade(ray_session):
         assert out["first_pos"].tolist() == [0, 0, 1, 0, 0, 2]
         assert out["exact_terms"].tolist() == [3, 2, 2, 2, 1, 0]
         assert out["rnk"].tolist() == list(range(1, 7))
+
+
+def test_prefix_search_last_word_prefix_semantics(ray_session):
+    """Meilisearch prefix rule: only the final query unit is a prefix —
+    'vec' hits 'vector'/'vecs' but exact term 'join' does NOT match
+    'joined'; words tier dominates raw hit counts."""
+    from raycrawl.ops.index import prefix_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "join vector x",          # both units -> words 2, hits 2
+            "vecs vector vec joined", # prefix only (joined != join) -> 1, 3
+            "join join join",         # exact only -> words 1, hits 3
+            "nothing here",
+        ]),
+    })
+    for nparts in (1, 3):
+        out = prefix_topk(rd.from_arrow(tbl).repartition(nparts),
+                          ["join"], "vec", k=10).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["words"].tolist() == [2, 1, 1]
+        assert out["n_hits"].tolist() == [2, 3, 3]
+
+
+def test_host_concentration_closed_form(ray_session):
+    """Hand-computed Gini/HHI on counts {a:1, b:1, c:2, d:4}: total 8,
+    sorted asc ranks 1..4, sum i*c = 1+2+6+16 = 25, Gini = (50-40)/32,
+    HHI = (1+1+4+16)/64, top share 4/8; partition-independent."""
+    from raycrawl.ops.hostagg import host_concentration
+
+    srcs = ["a"] + ["b"] + ["c"] * 2 + ["d"] * 4
+    tbl = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                    "source": pa.array(srcs, pa.string())})
+    for nparts in (1, 4):
+        out = host_concentration(
+            rd.from_arrow(tbl).repartition(nparts)).to_pandas()
+        assert out["n_hosts"][0] == 4 and out["total_docs"][0] == 8
+        assert out["top_share_ppm"][0] == 500_000
+        assert out["hhi_ppm"][0] == 1_000_000 * 22 // 64
+        assert out["gini_ppm"][0] == 1_000_000 * 10 // 32
