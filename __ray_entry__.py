@@ -1115,6 +1115,33 @@ def q_tpch_priority_semi(sf_dir: str):
                  ["o_orderkey", "o_orderdate", "o_orderpriority"]))
 
 
+def q_tpch_promo(sf_dir: str):
+    """TPC-H Q14 shape (ops/relational.promo_revenue): one month's
+    PROMO-part revenue share — lineitem revenue pre-aggregated per
+    partkey in-block, part joined as a partitioned hash join of its
+    (partkey, is_promo) projection, two-scalar fold. Integer cents +
+    ppm ratio."""
+    from raycrawl.ops.relational import promo_revenue
+
+    return promo_revenue(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_partkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]),
+        _read_ds(sf_dir, "part", ["p_partkey", "p_type"]))
+
+
+def q_tpch_custdist(sf_dir: str):
+    """TPC-H Q13 shape (ops/relational.customer_order_distribution):
+    customers-per-order-count histogram INCLUDING zero-order customers
+    via a partitioned LEFT OUTER keys-only join; order counts
+    pre-aggregate per custkey in-block before the exchange."""
+    from raycrawl.ops.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _read_ds(sf_dir, "customer", ["c_custkey"]),
+        _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
+
+
 def q_tpch_local_supplier_bloom(sf_dir: str):
     """Q5 with the Bloom semi-join pushdown (cust_bloom=True): a 128-KiB
     bitmap of the region's custkeys drops out-of-region orders in-block
@@ -3633,6 +3660,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_forecast": q_tpch_forecast,
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_priority_semi": q_tpch_priority_semi,
+        "tpch_promo": q_tpch_promo,
+        "tpch_custdist": q_tpch_custdist,
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
@@ -4707,6 +4736,52 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
                   BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        # tpch_promo: Q14 shape — one month's PROMO revenue share in
+        # exact cents; floor(x*100+0.5) matches the engine's _cents
+        "tpch_promo": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS HUGEINT) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-04-01'
+                  AND l_shipdate < TIMESTAMP '1996-05-01'
+            ),
+            j AS (
+                SELECT li.rev,
+                       CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                           AS is_promo
+                FROM li JOIN part p ON p.p_partkey = li.l_partkey
+            ),
+            t AS (
+                SELECT CAST(COALESCE(SUM(rev * is_promo), 0) AS HUGEINT)
+                           AS promo,
+                       CAST(COALESCE(SUM(rev), 0) AS HUGEINT) AS total
+                FROM j
+            )
+            SELECT CAST(promo AS BIGINT) AS promo_cents,
+                   CAST(total AS BIGINT) AS total_cents,
+                   CAST(1000000 * promo // total AS BIGINT)
+                       AS promo_ratio_ppm
+            FROM t
+        """,
+        # tpch_custdist: Q13 shape — zero-order customers kept by the
+        # left join (no o_comment column, so the spec's NOT LIKE filter
+        # is dropped on both sides)
+        "tpch_custdist": """
+            WITH oc AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey
+            ),
+            cc AS (
+                SELECT c.c_custkey, CAST(COALESCE(oc.n, 0) AS BIGINT)
+                           AS c_count
+                FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+            )
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM cc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         # tpch_large_orders: Q18 shape — HAVING on the per-order quantity
         # sum in cents, deterministic (totalprice desc, orderkey) top-50

@@ -830,3 +830,131 @@ def priority_semi_counts(lineitem_ds, orders_ds, flag: str = "R",
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def promo_revenue(lineitem_ds, part_ds, lo: str = "1996-04-01",
+                  hi: str = "1996-05-01", n_parts: int | None = None):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue earned by parts whose type starts with 'PROMO' — the
+    engine's first lineitem ⋈ part join. One row, integer-exact:
+    (promo_cents, total_cents, promo_ratio_ppm = floor(1e6·promo/total)).
+
+    Scale shape: the shipdate window filters at the read boundary, then
+    revenue pre-aggregates PER PARTKEY in-block (pandas groupby on the
+    batch) so the partkey exchange carries one row per distinct partkey
+    per batch, not per lineitem; part is fact-sized at high SF (SF·200k
+    rows) so it joins as a partitioned hash join — only its (partkey,
+    is_promo) projection, one int64 + one uint8 per row — and the final
+    promo/total fold is a two-scalar per-batch partial."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import resolve_parts
+
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
+
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        keep = (sd >= lo_us) & (sd < hi_us)
+        if not keep.any():
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * (1 - np.asarray(batch["l_discount"], np.float64)[keep]))
+        df = pd.DataFrame(
+            {"l_partkey": np.asarray(batch["l_partkey"], np.int64)[keep],
+             "rev": rev})
+        g = df.groupby("l_partkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table({"l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                         "rev": pa.array(g["rev"], pa.int64())})
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    part = part_ds.map_batches(
+        lambda b: pa.table({
+            "p_partkey": b["p_partkey"].cast(pa.int64()),
+            "is_promo": pa.array(
+                [1 if (t or "").startswith("PROMO") else 0
+                 for t in b["p_type"].to_pylist()], pa.int64())}),
+        batch_format="pyarrow")
+    joined = li.join(part, join_type="inner", num_partitions=n_parts,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        rev = np.asarray(batch["rev"], np.int64)
+        promo = np.asarray(batch["is_promo"], np.int64)
+        return pa.table({"promo": pa.array([int((rev * promo).sum())],
+                                           pa.int64()),
+                         "total": pa.array([int(rev.sum())], pa.int64())})
+
+    tot = (joined.map_batches(fold, batch_format="pyarrow")
+           .aggregate(Sum("promo", alias_name="p"),
+                      Sum("total", alias_name="t")))
+    p, t = int(tot["p"] or 0), int(tot["t"] or 0)
+    if t == 0:
+        raise ValueError("promo_revenue: no lineitems in the window")
+    return pa.table({"promo_cents": pa.array([p], pa.int64()),
+                     "total_cents": pa.array([t], pa.int64()),
+                     "promo_ratio_ppm": pa.array([1_000_000 * p // t],
+                                                 pa.int64())})
+
+
+def customer_order_distribution(customer_ds, orders_ds,
+                                n_parts: int | None = None):
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly c orders, INCLUDING the zero-order customers the
+    left join exists for. Returns (c_count, custdist) ordered custdist
+    DESC, c_count DESC. (The spec's o_comment NOT LIKE filter is
+    dropped — the synthetic orders table carries no comment column.)
+
+    Scale shape: order counts pre-aggregate per custkey in-block before
+    the custkey exchange; customer joins as keys-only (one int64 per
+    row) in a partitioned LEFT OUTER hash join — null fills to zero in
+    the next block pass — and the final distribution is a tiny
+    groupby(c_count) Count (≤ max-orders-per-customer rows)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from .grouping import resolve_parts
+
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": np.asarray(batch["o_custkey"], np.int64)})
+        g = df.groupby("k", as_index=False).size()
+        return pa.table({"o_custkey": pa.array(g["k"], pa.int64()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    from .grouping import drop_empty_blocks
+
+    ocnt = drop_empty_blocks(
+        orders_ds.map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("n", alias_name="n")),
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n", pa.int64())]))
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    j = cust.join(ocnt, join_type="left_outer", num_partitions=n_parts,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = [v if v is not None else 0 for v in batch["n"].to_pylist()] \
+            if "n" in batch.column_names else [0] * len(batch)
+        return pa.table({"c_count": pa.array(n, pa.int64())})
+
+    dist = (j.map_batches(fill, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Count(alias_name="custdist")))
+    out = dist.take_all()
+    out.sort(key=lambda r: (-r["custdist"], -r["c_count"]))
+    return pa.table({
+        "c_count": pa.array([r["c_count"] for r in out], pa.int64()),
+        "custdist": pa.array([r["custdist"] for r in out], pa.int64()),
+    })

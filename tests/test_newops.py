@@ -3758,3 +3758,46 @@ def test_host_concentration_closed_form(ray_session):
         assert out["top_share_ppm"][0] == 500_000
         assert out["hhi_ppm"][0] == 1_000_000 * 22 // 64
         assert out["gini_ppm"][0] == 1_000_000 * 10 // 32
+
+
+def test_promo_revenue_integer_share(ray_session):
+    """Two parts, one PROMO: revenue inside the window splits exactly;
+    out-of-window rows drop; partition-independent."""
+    from raycrawl.ops.relational import promo_revenue
+
+    li = pa.table({
+        "l_partkey": pa.array([1, 2, 1], pa.int64()),
+        "l_shipdate": pa.array(
+            ["1996-04-10", "1996-04-20", "1997-01-01"]).cast(
+                pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 300.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    })
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO BURNISHED", "STANDARD TIN"]),
+    })
+    for nparts in (1, 3):
+        out = promo_revenue(rd.from_arrow(li).repartition(nparts),
+                            rd.from_arrow(part)).to_pandas()
+        assert out["promo_cents"][0] == 10_000
+        assert out["total_cents"][0] == 40_000
+        assert out["promo_ratio_ppm"][0] == 250_000
+
+
+def test_customer_order_distribution_keeps_zero(ray_session):
+    """Customers with no orders land in the c_count=0 bucket (the whole
+    point of Q13's left join); ordering custdist desc, c_count desc."""
+    from raycrawl.ops.relational import customer_order_distribution
+
+    cust = pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+    })
+    out = customer_order_distribution(
+        rd.from_arrow(cust).repartition(2),
+        rd.from_arrow(orders).repartition(2)).to_pandas()
+    got = dict(zip(out["c_count"], out["custdist"]))
+    assert got == {0: 3, 1: 1, 2: 1}
+    assert out["c_count"].tolist() == [0, 2, 1]
