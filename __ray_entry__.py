@@ -1142,6 +1142,26 @@ def q_tpch_custdist(sf_dir: str):
         _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
 
 
+def q_tpch_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (ops/relational.volume_shipping): revenue flowing
+    between NATION_1 and NATION_2 per (supp_nation, cust_nation, ship
+    year), both directions — supplier and customer dimensions slimmed to
+    the pair in-block before their hash joins; cross-nation predicate
+    filters after the orderkey join."""
+    from raycrawl.ops.relational import volume_shipping
+
+    return volume_shipping(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"]),
+        _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                      columns=["n_nationkey", "n_name"]),
+        "NATION_1", "NATION_2")
+
+
 def q_tpch_local_supplier_bloom(sf_dir: str):
     """Q5 with the Bloom semi-join pushdown (cust_bloom=True): a 128-KiB
     bitmap of the region's custkeys drops out-of-region orders in-block
@@ -3661,6 +3681,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_large_orders": q_tpch_large_orders,
         "tpch_priority_semi": q_tpch_priority_semi,
         "tpch_promo": q_tpch_promo,
+        "tpch_volume_shipping": q_tpch_volume_shipping,
         "tpch_custdist": q_tpch_custdist,
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
@@ -4765,6 +4786,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000000 * promo // total AS BIGINT)
                        AS promo_ratio_ppm
             FROM t
+        """,
+        # tpch_volume_shipping: Q7 shape — both directions of the
+        # NATION_1/NATION_2 flow, ship-year grain, exact cents
+        "tpch_volume_shipping": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+                       AS l_year,
+                   CAST(SUM(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS HUGEINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY sn.n_name, cn.n_name, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         # tpch_custdist: Q13 shape — zero-order customers kept by the
         # left join (no o_comment column, so the spec's NOT LIKE filter

@@ -958,3 +958,141 @@ def customer_order_distribution(customer_ds, orders_ds,
         "c_count": pa.array([r["c_count"] for r in out], pa.int64()),
         "custdist": pa.array([r["custdist"] for r in out], pa.int64()),
     })
+
+
+def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                    nation_tbl: pa.Table, nation1: str, nation2: str,
+                    lo: str = "1995-01-01", hi: str = "1997-01-01",
+                    n_parts: int | None = None):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations per (supplier nation, customer nation, ship year) — both
+    directions, supplier on the lineitem side and customer through
+    orders. Returns (supp_nation, cust_nation, l_year, revenue_cents)
+    sorted by the three keys.
+
+    Scale shape — the Q5 discipline with BOTH dimension sides slimmed to
+    the two target nations in-block before any exchange:
+
+    - the two-nation nationkey→name map broadcasts via ``ray.put``;
+    - supplier/customer project to (key, nation name) and PRE-FILTER to
+      the pair, so each hash join only moves in-pair rows;
+    - lineitem filters the shipdate window and projects
+      (orderkey, suppkey, rev cents, year) in-block, then joins supplier
+      on suppkey; orders (keys only) joins customer on custkey;
+    - the orderkey join carries fixed-width rows; the cross-nation
+      predicate (supp ≠ cust, both in the pair) filters in-block AFTER
+      it; the final aggregate has ≤ 2 pair-directions × years groups."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    if n_parts is None:
+        n_parts = max(8, resolve_parts(None) // 4)
+    pair = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                     nation_tbl["n_name"].to_pylist())
+            if nm in (nation1, nation2)}
+    if len(pair) != 2:
+        raise ValueError(f"volume_shipping: nations {nation1}/{nation2} "
+                         "not found")
+    nref = ray.put(pair)
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        keep = (sd >= lo_us) & (sd < hi_us)
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * (1 - np.asarray(batch["l_discount"], np.float64)[keep]))
+        yr = sd[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], np.int64)[keep], pa.int64()),
+            "l_suppkey": pa.array(
+                np.asarray(batch["l_suppkey"], np.int64)[keep], pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+            "l_year": pa.array(yr, pa.int64())})
+
+    def sup_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        keep = np.isin(nk, np.fromiter(nn.keys(), np.int64, len(nn)))
+        return pa.table({
+            "s_suppkey": pa.array(
+                np.asarray(batch["s_suppkey"], np.int64)[keep], pa.int64()),
+            "supp_nation": pa.array([nn[k] for k in nk[keep].tolist()],
+                                    pa.string())})
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        keep = np.isin(nk, np.fromiter(nn.keys(), np.int64, len(nn)))
+        return pa.table({
+            "c_custkey": pa.array(
+                np.asarray(batch["c_custkey"], np.int64)[keep], pa.int64()),
+            "cust_nation": pa.array([nn[k] for k in nk[keep].tolist()],
+                                    pa.string())})
+
+    li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    sup = drop_empty_blocks(
+        supplier_ds.map_batches(sup_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("supp_nation", pa.string())]))
+    ls = li.join(sup, join_type="inner", num_partitions=n_parts,
+                 on=("l_suppkey",), right_on=("s_suppkey",))
+    ls = drop_empty_blocks(
+        ls.map_batches(
+            lambda b: b.select(["l_orderkey", "rev", "l_year",
+                                "supp_nation"]), batch_format="pyarrow"),
+        empty_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("rev", pa.int64()),
+                                ("l_year", pa.int64()),
+                                ("supp_nation", pa.string())]))
+
+    orders = orders_ds.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                            "o_custkey": b["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    cust = drop_empty_blocks(
+        customer_ds.map_batches(cust_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+    oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    oc = drop_empty_blocks(
+        oc.map_batches(
+            lambda b: b.select(["o_orderkey", "cust_nation"]),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("cust_nation", pa.string())]))
+
+    j = ls.join(oc, join_type="inner", num_partitions=n_parts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        sn = np.asarray(batch["supp_nation"])
+        cn = np.asarray(batch["cust_nation"])
+        keep = sn != cn
+        return pa.table({
+            "supp_nation": pa.array(sn[keep], pa.string()),
+            "cust_nation": pa.array(cn[keep], pa.string()),
+            "l_year": batch["l_year"].filter(pa.array(keep)),
+            "rev": batch["rev"].filter(pa.array(keep))})
+
+    agg = (j.map_batches(cross_only, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("rev", alias_name="revenue_cents")))
+    out = agg.take_all()
+    out.sort(key=lambda r: (r["supp_nation"], r["cust_nation"],
+                            r["l_year"]))
+    return pa.table({
+        "supp_nation": pa.array([r["supp_nation"] for r in out],
+                                pa.string()),
+        "cust_nation": pa.array([r["cust_nation"] for r in out],
+                                pa.string()),
+        "l_year": pa.array([r["l_year"] for r in out], pa.int64()),
+        "revenue_cents": pa.array([r["revenue_cents"] for r in out],
+                                  pa.int64()),
+    })

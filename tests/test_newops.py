@@ -3801,3 +3801,35 @@ def test_customer_order_distribution_keeps_zero(ray_session):
     got = dict(zip(out["c_count"], out["custdist"]))
     assert got == {0: 3, 1: 1, 2: 1}
     assert out["c_count"].tolist() == [0, 2, 1]
+
+
+def test_volume_shipping_directions_and_window(ray_session):
+    """One order per direction plus a same-nation order (dropped by the
+    cross predicate) and an out-of-window lineitem (dropped by the date
+    filter); year grain exact."""
+    from raycrawl.ops.relational import volume_shipping
+
+    nation = pa.table({"n_nationkey": pa.array([1, 2, 3], pa.int64()),
+                       "n_name": pa.array(["A", "B", "C"])})
+    supplier = pa.table({"s_suppkey": pa.array([10, 20, 30], pa.int64()),
+                         "s_nationkey": pa.array([1, 2, 1], pa.int64())})
+    customer = pa.table({"c_custkey": pa.array([100, 200], pa.int64()),
+                         "c_nationkey": pa.array([2, 1], pa.int64())})
+    orders = pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                       "o_custkey": pa.array([100, 200, 200], pa.int64())})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_suppkey": pa.array([10, 20, 30, 10], pa.int64()),
+        "l_shipdate": pa.array(["1995-06-01", "1996-06-01", "1995-07-01",
+                                "1999-01-01"]).cast(pa.timestamp("us")),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0]),
+    })
+    out = volume_shipping(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        rd.from_arrow(customer), rd.from_arrow(supplier),
+        nation, "A", "B").to_pandas()
+    # order 3 is supp A -> cust A (same nation, dropped); the 1999 row
+    # of order 1 is out of window
+    assert out.values.tolist() == [["A", "B", 1995, 10_000],
+                                   ["B", "A", 1996, 10_000]]
