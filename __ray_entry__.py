@@ -1144,12 +1144,25 @@ def q_tpch_custdist(sf_dir: str):
 
 def q_tpch_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape (ops/relational.volume_shipping): revenue flowing
-    between NATION_1 and NATION_2 per (supp_nation, cust_nation, ship
-    year), both directions — supplier and customer dimensions slimmed to
-    the pair in-block before their hash joins; cross-nation predicate
-    filters after the orderkey join."""
+    between the two nations with the most suppliers (count desc,
+    nationkey asc — deterministic and non-degenerate at every SF) per
+    (supp_nation, cust_nation, ship year), both directions — supplier
+    and customer dimensions slimmed to the pair in-block before their
+    hash joins; cross-nation predicate filters after the orderkey join.
+
+    The pair pick is a 25-group aggregate over one int32 supplier
+    column — O(nations) to the driver, never the fact table."""
     from raycrawl.ops.relational import volume_shipping
 
+    nation_tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"])
+    counts = (_read_ds(sf_dir, "supplier", ["s_nationkey"])
+              .groupby("s_nationkey").count().take_all())
+    counts.sort(key=lambda r: (-r["count()"], r["s_nationkey"]))
+    names = dict(zip(nation_tbl["n_nationkey"].to_pylist(),
+                     nation_tbl["n_name"].to_pylist()))
+    n1, n2 = (names[counts[0]["s_nationkey"]],
+              names[counts[1]["s_nationkey"]])
     return volume_shipping(
         _read_ds(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_shipdate",
@@ -1157,9 +1170,7 @@ def q_tpch_volume_shipping(sf_dir: str):
         _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
         _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
-        pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                      columns=["n_nationkey", "n_name"]),
-        "NATION_1", "NATION_2")
+        nation_tbl, n1, n2)
 
 
 def q_tpch_local_supplier_bloom(sf_dir: str):
@@ -4787,9 +4798,20 @@ def oracle_sql() -> dict[str, str]:
                        AS promo_ratio_ppm
             FROM t
         """,
-        # tpch_volume_shipping: Q7 shape — both directions of the
-        # NATION_1/NATION_2 flow, ship-year grain, exact cents
+        # tpch_volume_shipping: Q7 shape — both directions of the flow
+        # between the two nations with the most suppliers (count desc,
+        # nationkey asc: deterministic and non-degenerate at every SF),
+        # ship-year grain, exact cents
         "tpch_volume_shipping": """
+            WITH top2 AS (
+                SELECT s_nationkey FROM supplier
+                GROUP BY 1 ORDER BY COUNT(*) DESC, s_nationkey ASC
+                LIMIT 2
+            ),
+            pair AS (
+                SELECT n.n_nationkey, n.n_name FROM nation n
+                JOIN top2 t ON t.s_nationkey = n.n_nationkey
+            )
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
@@ -4799,14 +4821,13 @@ def oracle_sql() -> dict[str, str]:
                                  AS HUGEINT)) AS BIGINT) AS revenue_cents
             FROM lineitem l
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN pair sn ON sn.n_nationkey = s.s_nationkey
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
-            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN pair cn ON cn.n_nationkey = c.c_nationkey
             WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
-              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-                   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              AND sn.n_name <> cn.n_name
             GROUP BY sn.n_name, cn.n_name, l_year
             ORDER BY supp_nation, cust_nation, l_year
         """,

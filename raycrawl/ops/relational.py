@@ -1035,11 +1035,23 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
             "cust_nation": pa.array([nn[k] for k in nk[keep].tolist()],
                                     pa.string())})
 
+    out_schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+
     li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
     sup = drop_empty_blocks(
         supplier_ds.map_batches(sup_slim, batch_format="pyarrow"),
         empty_schema=pa.schema([("s_suppkey", pa.int64()),
                                 ("supp_nation", pa.string())]))
+    # Ray 2.49's hash join crashes (Acero "No match ... FieldRef") when one
+    # side is entirely empty: the shuffle ships no right-side block, so the
+    # aggregator finalizes a schemaless partition. The slim sides are tiny
+    # and already materialized by drop_empty_blocks, so counting is free —
+    # an empty dimension side means an empty inner-join result.
+    if sup.count() == 0:
+        return out_schema.empty_table()
     ls = li.join(sup, join_type="inner", num_partitions=n_parts,
                  on=("l_suppkey",), right_on=("s_suppkey",))
     ls = drop_empty_blocks(
@@ -1059,6 +1071,8 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         customer_ds.map_batches(cust_slim, batch_format="pyarrow"),
         empty_schema=pa.schema([("c_custkey", pa.int64()),
                                 ("cust_nation", pa.string())]))
+    if cust.count() == 0:
+        return out_schema.empty_table()
     oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
                      on=("o_custkey",), right_on=("c_custkey",))
     oc = drop_empty_blocks(

@@ -3833,3 +3833,15 @@ def test_volume_shipping_directions_and_window(ray_session):
     # of order 1 is out of window
     assert out.values.tolist() == [["A", "B", 1995, 10_000],
                                    ["B", "A", 1996, 10_000]]
+
+    # empty-dimension guard: a pair with zero suppliers must return a
+    # typed empty table, not crash Ray's hash join on a schemaless
+    # right-side partition (Acero "No match ... FieldRef" regression)
+    empty = volume_shipping(
+        rd.from_arrow(li), rd.from_arrow(orders),
+        rd.from_arrow(customer),
+        rd.from_arrow(supplier.filter(pa.array([False] * 3))),
+        nation, "A", "B")
+    assert len(empty) == 0
+    assert empty.column_names == ["supp_nation", "cust_nation",
+                                  "l_year", "revenue_cents"]
