@@ -2070,6 +2070,37 @@ def q_link_ppr(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_link_opic(sf_dir: str):
+    """Fixed-iteration integer OPIC (ops/pagerank.opic; Abiteboul et al.
+    WWW 2003): cash/history importance over the corpus link graph — the
+    crawl-time frontier-priority estimate that is meaningful after ANY
+    prefix of rounds, unlike PageRank which needs convergence. Same
+    binary-tree edge fixture and one-floor-per-share integer arithmetic
+    as link_pagerank; oracle = unrolled-CTE cash/history rounds."""
+    from raycrawl.ops.pagerank import opic
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2)])
+        m = dst < n
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = opic(e, nodes, n_iters=5)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "importance_ppm", "cash_ppm", "hist_ppm"]),
+        batch_format="pyarrow")
+
+
 def q_link_hits(sf_dir: str):
     """Fixed-iteration integer HITS hubs/authorities
     (ops/pagerank.hits) over the corpus link graph — authority = where
@@ -3724,6 +3755,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "postings": q_postings,
         "keyword_search": q_keyword_search,
         "link_pagerank": q_link_pagerank,
+        "link_opic": q_link_opic,
         "link_hits": q_link_hits,
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
@@ -3905,6 +3937,52 @@ def _pagerank_oracle_sql(n_iters: int = 5) -> str:
             r0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS r FROM nodes),
             {",".join(iters)}
             SELECT node AS doc_id, r AS rank_ppm FROM r{n_iters}
+    """
+
+
+def _opic_oracle_sql(n_iters: int = 5) -> str:
+    """Unrolled-CTE restatement of ops/pagerank.opic: per round, history
+    banks the node's own current cash (a self-row carry) and new cash is
+    the in-edge sum of floored shares ``C(u) // outdeg(u)`` — one floor
+    per share BEFORE the sum, dangling mass dropped, exactly the engine's
+    rule. Fixed round count, so no recursion."""
+    from raycrawl.ops.pagerank import INIT_PPM
+
+    iters = []
+    for k in range(n_iters):
+        iters.append(f"""
+            s{k + 1} AS MATERIALIZED (
+                SELECT pr.node AS node,
+                       CAST(coalesce(m.s, 0) AS BIGINT) AS c,
+                       pr.h + pr.c AS h
+                FROM s{k} pr
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.c // d.d) AS s
+                    FROM edges e
+                    JOIN s{k} p ON p.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst
+                ) m ON m.node = pr.node
+            )""")
+    return f"""
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            edges AS (
+                SELECT p.doc_id AS src, c.doc_id AS dst
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 1)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 2)
+            ),
+            deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+            s0 AS (SELECT node, CAST({INIT_PPM} AS BIGINT) AS c,
+                          CAST(0 AS BIGINT) AS h
+                   FROM nodes),
+            {",".join(iters)}
+            SELECT node AS doc_id, c + h AS importance_ppm,
+                   c AS cash_ppm, h AS hist_ppm
+            FROM s{n_iters}
     """
 
 
@@ -5464,6 +5542,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
+        "link_opic": _opic_oracle_sql(5),
         "link_ppr": _ppr_oracle_sql(5, 25),
         "link_hits": _hits_oracle_sql(4),
         "host_pagerank": _host_pagerank_oracle_sql(4),

@@ -340,6 +340,128 @@ def hits(edges_ds, nodes_ds, n_iters: int = 4,
     return rd.from_arrow_refs(out)
 
 
+@ray.remote
+def _opic_messages(width: int, state: pa.Table, cashhist: pa.Table):
+    """One OPIC round's message wave for one partition: per-dst partial
+    sums of floored cash shares ``C(u) // outdeg(u)``, routed by dst hash.
+    Dangling nodes (no out-edges) have no edge rows here, so their cash
+    is simply not redistributed — the same dropped-mass convention as
+    ``pagerank``, stated identically in the oracle."""
+    src, dst, deg = _np(state["src"]), _np(state["dst"]), _np(state["deg"])
+    if not len(src):
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    rn, rv = _np(cashhist["node"]), _np(cashhist["cash"])
+    c = rv[np.searchsorted(rn, src)]
+    share = c // deg                          # floor BEFORE the sum
+    uniq_dst, starts = np.unique(dst, return_index=True)
+    partial = np.add.reduceat(share, starts)
+    p = uniq_dst % width
+    return tuple(
+        pa.table({"node": uniq_dst[p == i], "c": partial[p == i]})
+        for i in range(width)
+    )
+
+
+@ray.remote
+def _opic_reduce(cashhist: pa.Table, *msg_slices):
+    """One OPIC round's reduce for one partition: bank this round's cash
+    into history, replace cash with the incoming share sums (0 for nodes
+    nobody points at)."""
+    rn = _np(cashhist["node"])
+    hist = _np(cashhist["hist"]) + _np(cashhist["cash"])
+    acc = np.zeros(len(rn), np.int64)
+    for t in msg_slices:
+        if t.num_rows:
+            node, c = _np(t["node"]), _np(t["c"])
+            idx = np.searchsorted(rn, node)
+            if len(rn) == 0 or idx.max() >= len(rn) or \
+                    not (rn[idx] == node).all():
+                bad = node[(idx >= len(rn)) |
+                           (rn[np.minimum(idx, len(rn) - 1)] != node)]
+                raise KeyError(f"edge dsts {bad[:5]} not in node set")
+            acc[idx] += c
+    return pa.table({"node": rn, "cash": acc, "hist": hist})
+
+
+@ray.remote
+def _opic_seed_cash(ranks: pa.Table) -> pa.Table:
+    """Round-0 OPIC state for one partition: every node starts with
+    INIT_PPM cash and zero history (``_init_partition`` already built the
+    node column; its rank column doubles as the uniform cash grant)."""
+    rn = _np(ranks["node"])
+    return pa.table({"node": rn,
+                     "cash": np.full(len(rn), INIT_PPM, np.int64),
+                     "hist": np.zeros(len(rn), np.int64)})
+
+
+def opic(edges_ds, nodes_ds, n_iters: int = 5,
+         src_col: str = "src", dst_col: str = "dst",
+         node_col: str = "node", n_parts: int | None = None):
+    """Fixed-iteration integer OPIC — On-line Page Importance Computation
+    (Abiteboul, Preda & Cobéna, WWW 2003): the crawl-time alternative to
+    PageRank that needs no convergence of a full link matrix. Each page
+    holds CASH; a round distributes every page's cash equally over its
+    out-links and banks the distributed amount into the page's HISTORY;
+    importance is history + residual cash. Crawlers use it because the
+    estimate is meaningful after any prefix of rounds — exactly the
+    frontier-priority situation (the reference hardcodes depth order,
+    crawler.py's ``(-depth, counter)`` heap; OPIC is what that generalises
+    to when the harvested link graph is available mid-crawl).
+
+    Integer-exact synchronous recurrence (bit-reproducible under any
+    partitioning — one floor per share, applied before the sum — so a
+    DuckDB oracle can gate the distributed run):
+
+        C_0(v) = INIT_PPM;  H_0(v) = 0
+        H_{k+1}(v) = H_k(v) + C_k(v)
+        C_{k+1}(v) = Σ_{u→v} C_k(u) // outdeg(u)
+
+    Dangling nodes bank their cash but redistribute nothing (dropped
+    mass, the ``pagerank`` convention). Execution is the ``pagerank``
+    task-hash-shuffle verbatim: edges hash-partitioned once by src and
+    pre-sorted by dst (per-dst ``reduceat`` partials cross the exchange,
+    never per-edge rows), (cash, hist) tables plasma-resident, two
+    O(width) task waves per round, no driver sync. Returns
+    ``(node, importance_ppm, cash_ppm, hist_ppm)`` with
+    importance = hist + cash after ``n_iters`` rounds."""
+    from raycrawl.ops.grouping import resolve_parts
+
+    width = resolve_parts(n_parts)
+    eblocks = edges_ds.to_arrow_refs()
+    nblocks = nodes_ds.to_arrow_refs()
+    esplit = [_edge_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in eblocks]
+    nsplit = [_node_split.options(num_returns=width).remote(
+        width, b, node_col) for b in nblocks]
+    parts = [
+        _init_partition.remote(*[s[p] for s in nsplit],
+                               *[s[p] for s in esplit])
+        for p in range(width)
+    ]
+    state_refs = [p[0] for p in parts]
+    ch_refs = [_opic_seed_cash.remote(p[1]) for p in parts]
+
+    for _ in range(n_iters):
+        msgs = [_opic_messages.options(num_returns=width).remote(
+            width, state_refs[p], ch_refs[p]) for p in range(width)]
+        ch_refs = [
+            _opic_reduce.remote(ch_refs[p], *[m[p] for m in msgs])
+            for p in range(width)
+        ]
+
+    out = rd.from_arrow_refs(ch_refs)
+
+    def _final(t: pa.Table) -> pa.Table:
+        cash, hist = _np(t["cash"]), _np(t["hist"])
+        return pa.table({"node": t["node"],
+                         "importance_ppm": cash + hist,
+                         "cash_ppm": cash, "hist_ppm": hist})
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

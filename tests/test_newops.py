@@ -3845,3 +3845,71 @@ def test_volume_shipping_directions_and_window(ray_session):
     assert len(empty) == 0
     assert empty.column_names == ["supp_nation", "cust_nation",
                                   "l_year", "revenue_cents"]
+
+
+def _opic_reference(edges, nodes, n_iters):
+    """Single-process integer OPIC oracle (same cash/history rule as the
+    op: one floor per share before the sum, dangling mass dropped)."""
+    from raycrawl.ops.pagerank import INIT_PPM
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    cash = {v: INIT_PPM for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(n_iters):
+        nxt = {v: 0 for v in nodes}
+        for s, d in edges:
+            nxt[d] += cash[s] // outdeg[s]
+        for v in nodes:
+            hist[v] += cash[v]
+        cash = nxt
+    return {v: (cash[v] + hist[v], cash[v], hist[v]) for v in nodes}
+
+
+def test_opic_matches_reference_and_partition_independent(ray_session):
+    from raycrawl.ops.pagerank import opic
+
+    rng = np.random.default_rng(11)
+    nodes = list(range(60))
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 60, size=(300, 2))
+                    if a != b})
+    want = _opic_reference(edges, nodes, n_iters=4)
+
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    for parts, nblocks in [(3, 1), (8, 5)]:
+        out = opic(rd.from_arrow(e_tbl).repartition(nblocks),
+                   rd.from_arrow(n_tbl).repartition(nblocks),
+                   n_iters=4, n_parts=parts).to_pandas()
+        got = {n: (i, c, h) for n, i, c, h in zip(
+            out["node"], out["importance_ppm"],
+            out["cash_ppm"], out["hist_ppm"])}
+        assert got == want, f"mismatch at n_parts={parts}"
+
+
+def test_opic_cash_conservation_and_dangling(ray_session):
+    """0 -> 1 -> (nothing): 1 banks everything it receives but
+    redistributes nothing (dangling mass dropped); an isolated node keeps
+    exactly its initial grant in history. Importance is monotone in
+    received cash, so the fed node outranks the isolated one."""
+    from raycrawl.ops.pagerank import INIT_PPM, opic
+
+    e_tbl = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+    n_tbl = pa.table({"node": pa.array([0, 1, 2], pa.int64())})
+    out = opic(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+               n_iters=3, n_parts=2).to_pandas()
+    got = {n: (i, c, h) for n, i, c, h in zip(
+        out["node"], out["importance_ppm"],
+        out["cash_ppm"], out["hist_ppm"])}
+    # node 0: banks INIT in round 1, then has no income ever again
+    assert got[0] == (INIT_PPM, 0, INIT_PPM)
+    # node 1: banks its own INIT plus the INIT shipped by 0 in round 1;
+    # later rounds add nothing (0 is drained)
+    assert got[1] == (2 * INIT_PPM, 0, 2 * INIT_PPM)
+    # isolated node 2: initial grant only
+    assert got[2] == (INIT_PPM, 0, INIT_PPM)
+    assert got[1][0] > got[2][0]
