@@ -2101,6 +2101,35 @@ def q_link_opic(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_link_kcore(sf_dir: str):
+    """Fixed-round k-core peel (ops/pagerank.kcore, k=3, 4 rounds) over
+    the corpus link graph densified with the doc-id chain (d — d+1) so a
+    nonempty core exists — the dense-subgraph / link-farm signal. The
+    peel is synchronous (degree over previous-round survivors), so the
+    unrolled-CTE oracle restates each round exactly."""
+    from raycrawl.ops.pagerank import kcore
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2), d + 1])
+        m = dst < n
+        return pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = kcore(e, nodes, k=3, n_rounds=4)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "in_core", "core_deg"]),
+        batch_format="pyarrow")
+
+
 def q_link_hits(sf_dir: str):
     """Fixed-iteration integer HITS hubs/authorities
     (ops/pagerank.hits) over the corpus link graph — authority = where
@@ -3756,6 +3785,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q_keyword_search,
         "link_pagerank": q_link_pagerank,
         "link_opic": q_link_opic,
+        "link_kcore": q_link_kcore,
         "link_hits": q_link_hits,
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
@@ -3983,6 +4013,54 @@ def _opic_oracle_sql(n_iters: int = 5) -> str:
             SELECT node AS doc_id, c + h AS importance_ppm,
                    c AS cash_ppm, h AS hist_ppm
             FROM s{n_iters}
+    """
+
+
+def _kcore_oracle_sql(k: int = 3, n_rounds: int = 4) -> str:
+    """Unrolled-CTE restatement of ops/pagerank.kcore: the directed
+    fixture edges (binary tree + doc-id chain) doubled into both
+    orientations, then per round ``a_r`` = nodes of ``a_{r-1}`` whose
+    degree over ``a_{r-1}`` neighbors is ≥ k, carrying that degree —
+    the exact synchronous peel the engine runs."""
+    iters = []
+    for r in range(1, n_rounds + 1):
+        prev = "a0" if r == 1 else f"a{r - 1}"
+        iters.append(f"""
+            a{r} AS MATERIALIZED (
+                SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM edges e
+                JOIN {prev} s ON s.node = e.src
+                JOIN {prev} t ON t.node = e.dst
+                GROUP BY e.src
+                HAVING count(*) >= {k}
+            )""")
+    return f"""
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            dedges AS (
+                SELECT p.doc_id AS src, c.doc_id AS dst
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 1)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 20 * (p.doc_id // 20 + 2)
+                UNION ALL
+                SELECT p.doc_id, c.doc_id
+                FROM documents p JOIN documents c
+                  ON c.doc_id = p.doc_id + 1
+            ),
+            edges AS (
+                SELECT src, dst FROM dedges
+                UNION ALL
+                SELECT dst, src FROM dedges
+            ),
+            a0 AS (SELECT node FROM nodes),
+            {",".join(iters)}
+            SELECT n.node AS doc_id,
+                   CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS in_core,
+                   CAST(coalesce(a.deg, 0) AS BIGINT) AS core_deg
+            FROM nodes n LEFT JOIN a{n_rounds} a ON a.node = n.node
     """
 
 
@@ -5543,6 +5621,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_pagerank": _pagerank_oracle_sql(5),
         "link_opic": _opic_oracle_sql(5),
+        "link_kcore": _kcore_oracle_sql(3, 4),
         "link_ppr": _ppr_oracle_sql(5, 25),
         "link_hits": _hits_oracle_sql(4),
         "host_pagerank": _host_pagerank_oracle_sql(4),

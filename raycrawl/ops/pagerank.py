@@ -462,6 +462,132 @@ def opic(edges_ds, nodes_ds, n_iters: int = 5,
     return out.map_batches(_final, batch_format="pyarrow")
 
 
+@ray.remote
+def _kcore_messages(width: int, state: pa.Table, alive: pa.Table):
+    """One peel round's message wave for one partition: per-dst counts of
+    edges whose src is still alive, routed by dst hash. The edge layout is
+    the ``pagerank`` one (partitioned by src, pre-sorted by dst) over the
+    UNDIRECTED doubling the caller built, so these counts reduce to the
+    full undirected degree at the dst side."""
+    src, dst = _np(state["src"]), _np(state["dst"])
+    if not len(src):
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    an, av = _np(alive["node"]), _np(alive["alive"])
+    live = av[np.searchsorted(an, src)].astype(bool)
+    dst = dst[live]
+    if not len(dst):
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    uniq_dst, cnt = np.unique(dst, return_counts=True)
+    p = uniq_dst % width
+    return tuple(
+        pa.table({"node": uniq_dst[p == i], "c": cnt[p == i]})
+        for i in range(width)
+    )
+
+
+@ray.remote
+def _kcore_reduce(alive: pa.Table, k: int, *msg_slices):
+    """One peel round's reduce: a node survives iff it was alive and its
+    alive-neighbor degree is ≥ k. Degree is recorded (0 for dead nodes)
+    so the final round's value is the within-core degree."""
+    rn = _np(alive["node"])
+    av = _np(alive["alive"]).astype(bool)
+    deg = np.zeros(len(rn), np.int64)
+    for t in msg_slices:
+        if t.num_rows:
+            node, c = _np(t["node"]), _np(t["c"])
+            idx = np.searchsorted(rn, node)
+            if len(rn) == 0 or idx.max() >= len(rn) or \
+                    not (rn[idx] == node).all():
+                bad = node[(idx >= len(rn)) |
+                           (rn[np.minimum(idx, len(rn) - 1)] != node)]
+                raise KeyError(f"edge dsts {bad[:5]} not in node set")
+            deg[idx] += c
+    nxt = av & (deg >= k)
+    return pa.table({"node": rn, "alive": nxt.astype(np.int64),
+                     "deg": np.where(nxt, deg, 0)})
+
+
+@ray.remote
+def _kcore_seed(ranks: pa.Table) -> pa.Table:
+    rn = _np(ranks["node"])
+    return pa.table({"node": rn,
+                     "alive": np.ones(len(rn), np.int64),
+                     "deg": np.zeros(len(rn), np.int64)})
+
+
+def kcore(edges_ds, nodes_ds, k: int = 3, n_rounds: int = 4,
+          src_col: str = "src", dst_col: str = "dst",
+          node_col: str = "node", n_parts: int | None = None):
+    """Fixed-round k-core peeling (Seidman 1983) over the UNDIRECTED crawl
+    link graph — the classic dense-subgraph signal: link farms and
+    navigational cores sit in high-k cores while organic page tails peel
+    away. Each round recomputes every surviving node's degree over
+    surviving neighbors (MULTIGRAPH degree: parallel input edges count,
+    the ``host_pagerank`` multiplicity convention) and drops nodes below
+    ``k``; the fixed round count
+    (instead of a data-dependent fixpoint test) keeps the computation a
+    static task DAG with no driver sync and makes the DuckDB oracle an
+    unrolled CTE per round — at R rounds the result is the exact R-step
+    peel, a superset of the true k-core that equals it once the peel
+    stabilizes.
+
+    Execution: the caller's directed edges are doubled in-block into both
+    orientations, then the ``pagerank`` task-hash-shuffle runs verbatim —
+    edges partitioned once by src (alive(src) is a local lookup), per-dst
+    count partials cross the exchange, the alive/degree table is
+    plasma-resident, two O(width) task waves per round. Returns
+    ``(node, in_core 0/1, core_deg)`` with core_deg, for surviving nodes,
+    the degree counted over the PREVIOUS round's survivors (the value the
+    final keep test ran on; 0 for peeled nodes) — the oracle states the
+    same rule."""
+    from raycrawl.ops.grouping import resolve_parts
+
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    width = resolve_parts(n_parts)
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        s = _np(t[src_col])
+        d = _np(t[dst_col])
+        return pa.table({src_col: np.concatenate([s, d]),
+                         dst_col: np.concatenate([d, s])})
+
+    und = edges_ds.map_batches(_undirect, batch_format="pyarrow")
+    eblocks = und.to_arrow_refs()
+    nblocks = nodes_ds.to_arrow_refs()
+    esplit = [_edge_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in eblocks]
+    nsplit = [_node_split.options(num_returns=width).remote(
+        width, b, node_col) for b in nblocks]
+    parts = [
+        _init_partition.remote(*[s[p] for s in nsplit],
+                               *[s[p] for s in esplit])
+        for p in range(width)
+    ]
+    state_refs = [p[0] for p in parts]
+    alive_refs = [_kcore_seed.remote(p[1]) for p in parts]
+
+    for _ in range(n_rounds):
+        msgs = [_kcore_messages.options(num_returns=width).remote(
+            width, state_refs[p], alive_refs[p]) for p in range(width)]
+        alive_refs = [
+            _kcore_reduce.remote(alive_refs[p], k, *[m[p] for m in msgs])
+            for p in range(width)
+        ]
+
+    out = rd.from_arrow_refs(alive_refs)
+    return out.map_batches(
+        lambda t: pa.table({"node": t["node"], "in_core": t["alive"],
+                            "core_deg": t["deg"]}),
+        batch_format="pyarrow",
+    )
+
+
 # ship by value so workers never import the package from disk
 import raycrawl as _raycrawl_pkg
 

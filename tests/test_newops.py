@@ -3913,3 +3913,72 @@ def test_opic_cash_conservation_and_dangling(ray_session):
     # isolated node 2: initial grant only
     assert got[2] == (INIT_PPM, 0, INIT_PPM)
     assert got[1][0] > got[2][0]
+
+
+def _kcore_reference(edges, nodes, k, n_rounds):
+    """Single-process synchronous k-core peel (undirected MULTIGRAPH —
+    every input row contributes one edge per orientation, parallel edges
+    count; degree over previous-round survivors; same rule as the op and
+    the oracle)."""
+    und = []
+    for a, b in edges:
+        und.append((a, b))
+        und.append((b, a))
+    alive = set(nodes)
+    deg_at_keep = {}
+    for _ in range(n_rounds):
+        deg = {v: 0 for v in alive}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] += 1
+        alive = {v for v in alive if deg[v] >= k}
+        deg_at_keep = {v: deg[v] for v in alive}
+    return {v: ((1, deg_at_keep[v]) if v in alive else (0, 0))
+            for v in nodes}
+
+
+def test_kcore_matches_reference_and_partition_independent(ray_session):
+    from raycrawl.ops.pagerank import kcore
+
+    rng = np.random.default_rng(13)
+    nodes = list(range(50))
+    # canonicalize a<b so the directed list is a simple undirected graph
+    edges = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.integers(0, 50, size=(220, 2))
+                    if a != b})
+    want = _kcore_reference(edges, nodes, k=3, n_rounds=3)
+    assert any(v[0] for v in want.values())      # nonempty core
+    assert not all(v[0] for v in want.values())  # something peeled
+
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    for parts, nblocks in [(3, 1), (8, 5)]:
+        out = kcore(rd.from_arrow(e_tbl).repartition(nblocks),
+                    rd.from_arrow(n_tbl).repartition(nblocks),
+                    k=3, n_rounds=3, n_parts=parts).to_pandas()
+        got = {n: (a, d) for n, a, d in zip(
+            out["node"], out["in_core"], out["core_deg"])}
+        assert got == want, f"mismatch at n_parts={parts}"
+
+
+def test_kcore_peels_tree_keeps_clique(ray_session):
+    """A 4-clique survives k=3 peeling; a path hanging off it peels away
+    round by round (a tree has no 2-core, let alone 3-core)."""
+    from raycrawl.ops.pagerank import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 4), (4, 5), (5, 6)]
+    edges = clique + path
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    n_tbl = pa.table({"node": pa.array(list(range(7)), pa.int64())})
+    out = kcore(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                k=3, n_rounds=4, n_parts=2).to_pandas()
+    got = {n: (a, d) for n, a, d in zip(
+        out["node"], out["in_core"], out["core_deg"])}
+    assert {n for n, (a, _) in got.items() if a} == {0, 1, 2, 3}
+    assert got[0] == (1, 3) and got[2] == (1, 3)
+    # node 3 keeps its clique degree once the path neighbor is peeled
+    assert got[3] == (1, 3)
+    assert got[6] == (0, 0)
