@@ -1173,6 +1173,59 @@ def q_tpch_volume_shipping(sf_dir: str):
         nation_tbl, n1, n2)
 
 
+def q_tpch_market_share(sf_dir: str):
+    """TPC-H Q8 shape (ops/relational.market_share): the top-supplier
+    nation's share of yearly revenue for the most common part type, sold
+    to customers of that nation's own region. All three picks (nation =
+    most suppliers, type = most parts, region = the nation's region) are
+    deterministic small aggregates, so the query is non-degenerate at
+    every SF and restates exactly in SQL. Share in exact ppm."""
+    from raycrawl.ops.relational import market_share
+
+    nation_tbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region_tbl = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                               columns=["r_regionkey", "r_name"])
+    counts = (_read_ds(sf_dir, "supplier", ["s_nationkey"])
+              .groupby("s_nationkey").count().take_all())
+    counts.sort(key=lambda r: (-r["count()"], r["s_nationkey"]))
+    target_key = counts[0]["s_nationkey"]
+    nk = nation_tbl["n_nationkey"].to_pylist()
+    target_nation = nation_tbl["n_name"].to_pylist()[nk.index(target_key)]
+    target_rk = nation_tbl["n_regionkey"].to_pylist()[nk.index(target_key)]
+    rk = region_tbl["r_regionkey"].to_pylist()
+    region = region_tbl["r_name"].to_pylist()[rk.index(target_rk)]
+    tcounts = (_read_ds(sf_dir, "part", ["p_type"])
+               .groupby("p_type").count().take_all())
+    tcounts.sort(key=lambda r: (-r["count()"], r["p_type"]))
+    part_type = tcounts[0]["p_type"]
+    return market_share(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read_ds(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _read_ds(sf_dir, "part", ["p_partkey", "p_type"]),
+        nation_tbl, region_tbl, target_nation, region, part_type)
+
+
+def q_tpch_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (ops/relational.top_supplier): the supplier(s)
+    with maximum revenue over the 1996-Q1 shipdate window — per-batch
+    suppkey pre-aggregation before the one small groupby, O(#suppliers)
+    max, winner-only name join; ties all returned sorted by suppkey."""
+    from raycrawl.ops.relational import top_supplier
+
+    return top_supplier(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_suppkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+
+
 def q_tpch_local_supplier_bloom(sf_dir: str):
     """Q5 with the Bloom semi-join pushdown (cust_bloom=True): a 128-KiB
     bitmap of the region's custkeys drops out-of-region orders in-block
@@ -3753,6 +3806,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_priority_semi": q_tpch_priority_semi,
         "tpch_promo": q_tpch_promo,
         "tpch_volume_shipping": q_tpch_volume_shipping,
+        "tpch_market_share": q_tpch_market_share,
+        "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_custdist": q_tpch_custdist,
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
@@ -4986,6 +5041,72 @@ def oracle_sql() -> dict[str, str]:
               AND sn.n_name <> cn.n_name
             GROUP BY sn.n_name, cn.n_name, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # tpch_market_share: Q8 shape — the top-supplier nation's share
+        # of yearly revenue for the most common part type sold to its own
+        # region's customers; all picks deterministic small aggregates,
+        # share in exact ppm (HUGEINT cross-multiply then floor)
+        "tpch_market_share": """
+            WITH tn AS (
+                SELECT s_nationkey AS k FROM supplier
+                GROUP BY 1 ORDER BY COUNT(*) DESC, s_nationkey ASC LIMIT 1
+            ),
+            tt AS (
+                SELECT p_type AS t FROM part
+                GROUP BY 1 ORDER BY COUNT(*) DESC, p_type ASC LIMIT 1
+            ),
+            treg AS (
+                SELECT n.n_regionkey AS rk
+                FROM nation n JOIN tn ON tn.k = n.n_nationkey
+            ),
+            vol AS (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT) AS rev,
+                       CASE WHEN s.s_nationkey = (SELECT k FROM tn)
+                            THEN 1 ELSE 0 END AS flag
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = (SELECT t FROM tt)
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                              AND cn.n_regionkey = (SELECT rk FROM treg)
+                WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(1000000 * SUM(CASE WHEN flag = 1
+                                           THEN CAST(rev AS HUGEINT)
+                                           ELSE 0 END)
+                        // SUM(CAST(rev AS HUGEINT)) AS BIGINT)
+                       AS mkt_share_ppm,
+                   CAST(SUM(CASE WHEN flag = 1 THEN rev ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   CAST(SUM(rev) AS BIGINT) AS total_cents
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        # tpch_top_supplier: Q15 shape — max-revenue supplier(s) over the
+        # 1996-Q1 shipdate window, ties all returned sorted by suppkey
+        "tpch_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(floor(l_extendedprice
+                                           * (1 - l_discount) * 100 + 0.5)
+                                     AS HUGEINT)) AS BIGINT)
+                           AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT r.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM r)
+            ORDER BY r.s_suppkey
         """,
         # tpch_custdist: Q13 shape — zero-order customers kept by the
         # left join (no o_comment column, so the spec's NOT LIKE filter

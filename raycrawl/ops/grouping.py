@@ -39,6 +39,27 @@ def resolve_parts(n_parts: int | None) -> int:
     return 32
 
 
+def multi_join_parts(n_parts: int | None = None) -> int:
+    """Per-join partition width for operators that STACK several hash
+    joins in one DAG (TPC-H Q5/Q7/Q8/Q10 shapes). Two measured facts pull
+    in opposite directions: (a) sequential aggregator pools are
+    actor-startup bound at one partition per CPU on a node (Q5: 5.7 s at
+    width 8 vs 12.0 s at 32 on 32 CPUs), so the scale default is CPUs/4
+    with floor 8; (b) Ray schedules one aggregator ACTOR per partition
+    per join, so a multi-join plan whose total actor count exceeds the
+    CPU count deadlocks the streaming executor on a small host (a
+    4-join plan at width 8 hangs at num_cpus=4). Hence the small-host
+    cap of CPUs/2 per join — a 4-CPU test session gets width 2, a
+    256-node/8 192-CPU cluster still gets 2 048-wide exchanges."""
+    if n_parts is not None:
+        return n_parts
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 32)
+    return max(2, min(cpus // 2, max(8, cpus // 4)))
+
+
 def _part_masks(batch: pa.Table, key_cols: list[str], n_parts: int):
     """Vectorized partition assignment: per-column ``pd.util.hash_array``
     (siphash with a fixed key — stable across worker processes), columns

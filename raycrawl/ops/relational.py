@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _cents(arr: np.ndarray) -> np.ndarray:
@@ -233,10 +234,10 @@ def revenue_by_nation_dist(lineitem_ds, orders_ds, customer_ds,
 
     from ray.data.aggregate import Sum
 
-    from .grouping import resolve_parts
+    from .grouping import multi_join_parts
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
     nname = {k: v for k, v in zip(nation_tbl["n_nationkey"].to_pylist(),
                                   nation_tbl["n_name"].to_pylist())}
     nref = ray.put(nname)
@@ -371,10 +372,11 @@ def local_supplier_volume(lineitem_ds, orders_ds, customer_ds, supplier_ds,
 
     from ray.data.aggregate import Sum
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
     rkey = {k: v for k, v in zip(region_tbl["r_name"].to_pylist(),
                                  region_tbl["r_regionkey"].to_pylist())}
     target = rkey[region]
@@ -505,13 +507,14 @@ def returned_item_report(lineitem_ds, orders_ds, customer_ds,
 
     from ray.data.aggregate import Sum
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
 
     if n_parts is None:
         # multi-join DAG: quarter the per-join width (floor 8) — the Q5
         # measurement (sequential aggregator pools are actor-startup
         # bound at one-per-CPU on a node; CPUs/4 stays cluster-wide)
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
     nname = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
                                       nation_tbl["n_name"].to_pylist())}
     nref = ray.put(nname)
@@ -668,10 +671,11 @@ def large_orders(lineitem_ds, orders_ds, customer_ds,
 
     from ray.data.aggregate import Sum
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
 
     def li_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -778,10 +782,11 @@ def priority_semi_counts(lineitem_ds, orders_ds, flag: str = "R",
 
     from ray.data.aggregate import Count
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
     lo_us = np.datetime64(lo, "us")
     hi_us = np.datetime64(hi, "us")
 
@@ -850,10 +855,10 @@ def promo_revenue(lineitem_ds, part_ds, lo: str = "1996-04-01",
 
     from ray.data.aggregate import Sum
 
-    from .grouping import resolve_parts
+    from .grouping import multi_join_parts
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
 
     lo_us = np.datetime64(lo, "us")
     hi_us = np.datetime64(hi, "us")
@@ -921,10 +926,10 @@ def customer_order_distribution(customer_ds, orders_ds,
 
     from ray.data.aggregate import Count, Sum
 
-    from .grouping import resolve_parts
+    from .grouping import multi_join_parts
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
 
     def o_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"k": np.asarray(batch["o_custkey"], np.int64)})
@@ -986,10 +991,11 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
 
     from ray.data.aggregate import Sum
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
 
     if n_parts is None:
-        n_parts = max(8, resolve_parts(None) // 4)
+        n_parts = multi_join_parts(None)
     pair = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
                                      nation_tbl["n_name"].to_pylist())
             if nm in (nation1, nation2)}
@@ -1109,4 +1115,228 @@ def volume_shipping(lineitem_ds, orders_ds, customer_ds, supplier_ds,
         "l_year": pa.array([r["l_year"] for r in out], pa.int64()),
         "revenue_cents": pa.array([r["revenue_cents"] for r in out],
                                   pa.int64()),
+    })
+
+
+def market_share(lineitem_ds, orders_ds, customer_ds, supplier_ds,
+                 part_ds, nation_tbl: pa.Table, region_tbl: pa.Table,
+                 target_nation: str, region: str, part_type: str,
+                 lo: str = "1995-01-01", hi: str = "1997-01-01",
+                 n_parts: int | None = None):
+    """TPC-H Q8 shape (national market share): for one part type sold to
+    customers of one region, the target nation's supplier share of yearly
+    revenue. Returns (o_year, mkt_share_ppm, nation_cents, total_cents).
+
+    Scale shape — the Q5 join discipline with every filter below its
+    shuffle:
+
+    - nation⋈region collapses driver-side: the region's nationkeys and
+      the target nation's key broadcast as scalars/tiny arrays.
+    - part pre-filters to the target type in-block → (partkey) only;
+      lineitem projects (orderkey, partkey, suppkey, rev cents) and joins
+      part on partkey FIRST (the most selective cut, ~1/#types of the
+      fact rows survive).
+    - supplier slims to (suppkey, is_target 0/1) — the share flag rides
+      the join instead of a nation-name string.
+    - orders date-filters in-block → (orderkey, custkey, o_year);
+      customer pre-filters to the region → (custkey). Partitioned hash
+      joins on custkey, then orderkey; only fixed-width int rows cross.
+    - final aggregate: per-(year, flag) Sum of cents — ≤ 2·years groups;
+      the ppm share is integer floor division on the driver's tiny
+      result.
+
+    Integer-exact throughout (cents + ppm), so a DuckDB oracle gates it
+    bit-for-bit."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
+
+    if n_parts is None:
+        n_parts = multi_join_parts(None)
+    rkey = dict(zip(region_tbl["r_name"].to_pylist(),
+                    region_tbl["r_regionkey"].to_pylist()))
+    if region not in rkey:
+        raise ValueError(f"market_share: unknown region {region!r}")
+    region_nkeys = np.array(
+        [nk for nk, rk in zip(nation_tbl["n_nationkey"].to_pylist(),
+                              nation_tbl["n_regionkey"].to_pylist())
+         if rk == rkey[region]], dtype=np.int64)
+    tkeys = [nk for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                  nation_tbl["n_name"].to_pylist())
+             if nm == target_nation]
+    if not tkeys:
+        raise ValueError(f"market_share: unknown nation {target_nation!r}")
+    target_key = int(tkeys[0])
+    rn_ref = ray.put(region_nkeys)
+
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    out_schema = pa.schema([("o_year", pa.int64()),
+                            ("mkt_share_ppm", pa.int64()),
+                            ("nation_cents", pa.int64()),
+                            ("total_cents", pa.int64())])
+
+    def part_slim(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["p_type"], part_type)
+        return pa.table({"l_partkey":
+                         batch["p_partkey"].filter(keep).cast(pa.int64())})
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        rev = _cents(np.asarray(batch["l_extendedprice"], np.float64)
+                     * (1 - np.asarray(batch["l_discount"], np.float64)))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64())})
+
+    def sup_slim(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        return pa.table({
+            "l_suppkey": batch["s_suppkey"].cast(pa.int64()),
+            "is_target": pa.array((nk == target_key).astype(np.int64))})
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        keep = (od >= lo_us) & (od < hi_us)
+        yr = od[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], np.int64)[keep]),
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], np.int64)[keep]),
+            "o_year": pa.array(yr)})
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        keep = np.isin(nk, ray.get(rn_ref))
+        return pa.table({"o_custkey": pa.array(
+            np.asarray(batch["c_custkey"], np.int64)[keep])})
+
+    part = drop_empty_blocks(
+        part_ds.map_batches(part_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("l_partkey", pa.int64())]))
+    if part.count() == 0:
+        return out_schema.empty_table()
+    li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    lp = li.join(part, join_type="inner", num_partitions=n_parts,
+                 on=("l_partkey",)).map_batches(
+        lambda b: b.select(["l_orderkey", "l_suppkey", "rev"]),
+        batch_format="pyarrow")
+    sup = supplier_ds.map_batches(sup_slim, batch_format="pyarrow")
+    lps = lp.join(sup, join_type="inner", num_partitions=n_parts,
+                  on=("l_suppkey",)).map_batches(
+        lambda b: b.select(["l_orderkey", "rev", "is_target"]),
+        batch_format="pyarrow")
+
+    cust = drop_empty_blocks(
+        customer_ds.map_batches(cust_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("o_custkey", pa.int64())]))
+    if cust.count() == 0:
+        return out_schema.empty_table()
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                     on=("o_custkey",)).map_batches(
+        lambda b: b.select(["l_orderkey", "o_year"]),
+        batch_format="pyarrow")
+
+    j = lps.join(oc, join_type="inner", num_partitions=n_parts,
+                 on=("l_orderkey",))
+
+    agg = (j.map_batches(
+        lambda b: b.select(["o_year", "is_target", "rev"]),
+        batch_format="pyarrow")
+        .groupby(["o_year", "is_target"])
+        .aggregate(Sum("rev", alias_name="cents")))
+    rows = agg.take_all()  # ≤ 2 rows per year
+    per_year: dict[int, list[int]] = {}
+    for r in rows:
+        ent = per_year.setdefault(int(r["o_year"]), [0, 0])
+        ent[1] += int(r["cents"])
+        if r["is_target"]:
+            ent[0] += int(r["cents"])
+    years = sorted(per_year)
+    return pa.table({
+        "o_year": pa.array(years, pa.int64()),
+        "mkt_share_ppm": pa.array(
+            [(per_year[y][0] * 1_000_000) // per_year[y][1]
+             for y in years], pa.int64()),
+        "nation_cents": pa.array([per_year[y][0] for y in years],
+                                 pa.int64()),
+        "total_cents": pa.array([per_year[y][1] for y in years],
+                                pa.int64()),
+    })
+
+
+def top_supplier(lineitem_ds, supplier_ds, lo: str = "1996-01-01",
+                 hi: str = "1996-04-01", n_parts: int | None = None):
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    total revenue over a one-quarter shipdate window; ties all returned,
+    sorted by suppkey. Returns (s_suppkey, s_name, total_revenue_cents).
+
+    Scale shape: lineitem date-filters and pre-aggregates (suppkey,
+    rev-cents) PER BATCH before the shuffle, so the groupby exchange
+    carries at most #suppliers × #blocks partial rows; the global max is
+    an O(#suppliers)→1 aggregate over that small table (never the fact
+    table); the winner set (usually 1 row) joins supplier names via a
+    partitioned hash join — supplier is fact-scaled at 100×SF, so no
+    broadcast. Integer cents throughout."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           resolve_parts)
+
+    if n_parts is None:
+        n_parts = multi_join_parts(None)
+    lo_us = np.datetime64(lo, "us")
+    hi_us = np.datetime64(hi, "us")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["l_shipdate"], "datetime64[us]")
+        keep = (sd >= lo_us) & (sd < hi_us)
+        rev = _cents(
+            np.asarray(batch["l_extendedprice"], np.float64)[keep]
+            * (1 - np.asarray(batch["l_discount"], np.float64)[keep]))
+        sk = np.asarray(batch["l_suppkey"], np.int64)[keep]
+        df = pd.DataFrame({"k": sk, "r": rev}).groupby(
+            "k", as_index=False).sum()
+        return pa.table({"s_suppkey": pa.array(df["k"], pa.int64()),
+                         "rev": pa.array(df["r"], pa.int64())})
+
+    per_supp = drop_empty_blocks(
+        lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("s_suppkey").aggregate(
+            Sum("rev", alias_name="total_revenue_cents")),
+        empty_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("total_revenue_cents", pa.int64())]))
+    if per_supp.count() == 0:
+        return pa.schema([("s_suppkey", pa.int64()),
+                          ("s_name", pa.string()),
+                          ("total_revenue_cents", pa.int64())]).empty_table()
+    best = per_supp.max("total_revenue_cents")
+    winners = per_supp.filter(
+        lambda r: r["total_revenue_cents"] == best)
+    names = supplier_ds.map_batches(
+        lambda b: pa.table({"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                            "s_name": b["s_name"]}),
+        batch_format="pyarrow")
+    out = drop_empty_blocks(
+        winners, empty_schema=pa.schema(
+            [("s_suppkey", pa.int64()),
+             ("total_revenue_cents", pa.int64())])).join(
+        names, join_type="inner", num_partitions=n_parts,
+        on=("s_suppkey",))
+    rows = out.take_all()  # winner set: ~1 row
+    rows.sort(key=lambda r: r["s_suppkey"])
+    return pa.table({
+        "s_suppkey": pa.array([r["s_suppkey"] for r in rows], pa.int64()),
+        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        "total_revenue_cents": pa.array(
+            [r["total_revenue_cents"] for r in rows], pa.int64()),
     })

@@ -3982,3 +3982,70 @@ def test_kcore_peels_tree_keeps_clique(ray_session):
     # node 3 keeps its clique degree once the path neighbor is peeled
     assert got[3] == (1, 3)
     assert got[6] == (0, 0)
+
+
+def test_market_share_flag_and_window(ray_session):
+    """Two suppliers (one in the target nation), one part type of two,
+    customers of two regions — only target-type lineitems of in-region
+    customers inside the window count; ppm share floors exactly."""
+    from raycrawl.ops.relational import market_share
+
+    nation = pa.table({"n_nationkey": pa.array([1, 2], pa.int64()),
+                       "n_name": pa.array(["A", "B"]),
+                       "n_regionkey": pa.array([10, 20], pa.int64())})
+    region = pa.table({"r_regionkey": pa.array([10, 20], pa.int64()),
+                       "r_name": pa.array(["R1", "R2"])})
+    supplier = pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                         "s_nationkey": pa.array([1, 2], pa.int64())})
+    part = pa.table({"p_partkey": pa.array([100, 200], pa.int64()),
+                     "p_type": pa.array(["T", "OTHER"])})
+    customer = pa.table({"c_custkey": pa.array([7, 8], pa.int64()),
+                         "c_nationkey": pa.array([1, 2], pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+        "o_orderdate": pa.array(["1995-03-01", "1999-01-01", "1995-05-01"]
+                                ).cast(pa.timestamp("us"))})
+    li = pa.table({
+        # o1: target-nation supplier sells T (counts, flag=1) AND
+        #     other supplier sells T (counts, flag=0) AND wrong part type
+        # o2: out of window; o3: out-of-region customer
+        "l_orderkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([100, 100, 200, 100, 100], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 1, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0, 999.0, 50.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])})
+    out = market_share(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        rd.from_arrow(customer), rd.from_arrow(supplier),
+        rd.from_arrow(part), nation, region,
+        "A", "R1", "T").to_pandas()
+    assert out.values.tolist() == [[1995, 250_000, 10_000, 40_000]]
+
+    # empty part-type slice -> typed empty result, no join crash
+    empty = market_share(
+        rd.from_arrow(li), rd.from_arrow(orders), rd.from_arrow(customer),
+        rd.from_arrow(supplier), rd.from_arrow(part), nation, region,
+        "A", "R1", "NOSUCHTYPE")
+    assert len(empty) == 0
+    assert empty.column_names == ["o_year", "mkt_share_ppm",
+                                  "nation_cents", "total_cents"]
+
+
+def test_top_supplier_ties_and_window(ray_session):
+    from raycrawl.ops.relational import top_supplier
+
+    supplier = pa.table({"s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                         "s_name": pa.array(["s1", "s2", "s3"])})
+    li = pa.table({
+        # suppliers 1 and 2 tie inside the window; 3 leads only because
+        # of an out-of-window row that must not count
+        "l_suppkey": pa.array([1, 2, 2, 3, 3], pa.int64()),
+        "l_shipdate": pa.array(["1996-01-15", "1996-02-01", "1996-03-31",
+                                "1996-02-10", "1996-06-01"]
+                               ).cast(pa.timestamp("us")),
+        "l_extendedprice": pa.array([200.0, 100.0, 100.0, 150.0, 500.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])})
+    out = top_supplier(rd.from_arrow(li).repartition(3),
+                       rd.from_arrow(supplier)).to_pandas()
+    assert out.values.tolist() == [[1, "s1", 20_000], [2, "s2", 20_000]]
