@@ -451,6 +451,22 @@ def q_embed_topk_int8(sf_dir: str):
     return int8_topk(ds, _query_vectors(sf_dir), k=10)
 
 
+def q_embed_topk_pq(sf_dir: str):
+    """Product-quantization ANN (ops/similarity.pq_topk): 64 float dims
+    compress to 4 byte codes (one per 16-dim subspace, 8-centroid
+    codebooks), queries scan codes via an int64 ADC lookup table — the
+    memory-compression scale path where the codes table stays hot and
+    full vectors stay cold. Integer throughout (×512 floor quantization,
+    integer Lloyd training, int64 LUT dots), so training + encoding +
+    retrieval replay EXACTLY in SQL; recall vs brute force is pinned in
+    tests."""
+    from raycrawl.ops.similarity import pq_topk
+
+    ds = _read_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(ds, _query_vectors(sf_dir), k=10,
+                   n_sub=4, n_codes=8, iters=1)
+
+
 def q_embed_topk_ivf(sf_dir: str):
     """IVF coarse-quantized top-k (the adaptive scale path next to LSH
     probing) driven end to end — distributed Lloyd (id-keyed init, so
@@ -3768,6 +3784,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "minhash_sig": q_minhash_sig,
         "simhash_sig": q_simhash_sig,
         "embed_topk": q_embed_topk,
+        "embed_topk_pq": q_embed_topk_pq,
         "embed_topk_int8": q_embed_topk_int8,
         "embed_topk_lsh": q_embed_topk_lsh,
         "embed_topk_ivf": q_embed_topk_ivf,
@@ -8583,6 +8600,84 @@ def oracle_sql() -> dict[str, str]:
             FROM dims dm JOIN c2 c ON dm.d = c.d
             GROUP BY dm.vec_id, c.cid
         )"""
+
+    # embed_topk_pq: the PQ pipeline (ops/similarity.pq_topk) replayed
+    # whole — ×512 floor quantization, per-subspace integer Lloyd (init =
+    # 8 smallest ids, 1 round, argmin ties to lowest code), byte-code
+    # encoding, ADC lookup-table retrieval. Subspace is DATA here
+    # (m = dim // 16), so nothing unrolls except the single Lloyd round.
+    sql["embed_topk_pq"] = """
+        WITH dims AS (
+            SELECT vec_id, CAST(u.i // 16 AS BIGINT) AS m,
+                   CAST(u.i % 16 AS BIGINT) AS d,
+                   CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)]
+                                   AS DOUBLE) * 512) AS BIGINT) AS v
+            FROM embeddings, unnest(range(len(embedding))) u(i)
+        ),
+        initids AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cid
+            FROM (SELECT DISTINCT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT 8)
+        ),
+        c0 AS (
+            SELECT i.cid, dm.m, dm.d, dm.v
+            FROM initids i JOIN dims dm USING (vec_id)
+        ),
+        d1 AS (
+            SELECT dm.vec_id, dm.m, c.cid,
+                   SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+            FROM dims dm JOIN c0 c ON c.m = dm.m AND c.d = dm.d
+            GROUP BY dm.vec_id, dm.m, c.cid
+        ),
+        a1 AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+                FROM d1) WHERE rn = 1
+        ),
+        c1s AS (
+            SELECT a.m, a.cid, dm.d,
+                   CAST(floor(CAST(SUM(dm.v) AS DOUBLE) / COUNT(*))
+                        AS BIGINT) AS v
+            FROM a1 a JOIN dims dm ON dm.vec_id = a.vec_id AND dm.m = a.m
+            GROUP BY a.m, a.cid, dm.d
+        ),
+        c1 AS (
+            SELECT c0.m, c0.cid, c0.d, coalesce(c1s.v, c0.v) AS v
+            FROM c0 LEFT JOIN c1s ON c1s.m = c0.m AND c1s.cid = c0.cid
+                                  AND c1s.d = c0.d
+        ),
+        denc AS (
+            SELECT dm.vec_id, dm.m, c.cid,
+                   SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+            FROM dims dm JOIN c1 c ON c.m = dm.m AND c.d = dm.d
+            GROUP BY dm.vec_id, dm.m, c.cid
+        ),
+        codes AS (
+            SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid, row_number() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+                FROM denc) WHERE rn = 1
+        ),
+        qdims AS (SELECT vec_id AS qi, m, d, v FROM dims WHERE vec_id < 5),
+        lut AS (
+            SELECT q.qi, c.m, c.cid, SUM(q.v * c.v) AS dot
+            FROM qdims q JOIN c1 c ON c.m = q.m AND c.d = q.d
+            GROUP BY q.qi, c.m, c.cid
+        ),
+        score AS (
+            SELECT l.qi, co.vec_id, SUM(l.dot) AS s
+            FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+            GROUP BY l.qi, co.vec_id
+        )
+        SELECT qi AS query_id, CAST(rn AS BIGINT) AS rank, vec_id FROM (
+            SELECT qi, vec_id, row_number() OVER (
+                PARTITION BY qi ORDER BY s DESC, vec_id) AS rn
+            FROM score) WHERE rn <= 10
+        ORDER BY query_id, rank
+    """
 
     sql["embed_clusters"] = f"""
         WITH {_km_int_rounds("embeddings")}

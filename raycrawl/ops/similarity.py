@@ -348,3 +348,144 @@ def cluster_assign(ds, n_centroids: int = 64, iters: int = 2,
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def pq_codebooks_int(ds, n_sub: int = 4, n_codes: int = 8, iters: int = 1,
+                     emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI 2011):
+    the embedding dimension is split into ``n_sub`` contiguous subspaces
+    and each gets its own ``n_codes``-centroid codebook, trained by the
+    INTEGER Lloyd discipline of ``intexact.kmeans_centroids_int`` — one
+    ×512 floor quantization up front, init = subvectors of the
+    ``n_codes`` smallest ids (pure row property ⇒ partition/order
+    independent), per-batch (subspace, cell, count, sum-vector) partials,
+    exact integer driver combine, centroid = ``sums // count``, argmin
+    ties to the lowest code. ALL subspaces train in the same per-batch
+    pass, so ``iters`` dataset scans total — not ``n_sub × iters``.
+
+    Returns int64 array of shape (n_sub, n_codes, sub_dim). Integer
+    throughout ⇒ the training replays exactly in SQL (unrolled CTE
+    rounds per subspace)."""
+    import ray
+
+    from .intexact import QUANT_SCALE
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        idx = np.argsort(ids)[: min(n_codes, len(ids))]
+        return batch.select([id_col, emb_col]).take(pa.array(idx))
+
+    rows = ds.map_batches(cand, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    init = rows[:n_codes]
+    Q0 = np.floor(np.array([r[emb_col] for r in init], dtype=np.float64)
+                  * QUANT_SCALE).astype(np.int64)
+    dim = Q0.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"pq: dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    # C[m, j] = centroid j of subspace m
+    C = np.stack([Q0[:, m * sd:(m + 1) * sd] for m in range(n_sub)])
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            q = np.floor(np.array(batch[emb_col].to_pylist(),
+                                  dtype=np.float64)
+                         * QUANT_SCALE).astype(np.int64)
+            subs, cells, counts_l, vecs = [], [], [], []
+            for m in range(n_sub):
+                qm = q[:, m * sd:(m + 1) * sd]
+                diff = qm[:, None, :] - cc[m][None, :, :]
+                a = np.argmin((diff * diff).sum(axis=2), axis=1)
+                sums = np.zeros_like(cc[m])
+                np.add.at(sums, a, qm)
+                cnt = np.bincount(a, minlength=n_codes)
+                nz = np.nonzero(cnt)[0]
+                subs.extend([m] * len(nz))
+                cells.extend(nz.tolist())
+                counts_l.extend(cnt[nz].tolist())
+                vecs.extend(sums[i].tolist() for i in nz)
+            return pa.table({"m": pa.array(subs, pa.int64()),
+                             "c": pa.array(cells, pa.int64()),
+                             "n": pa.array(counts_l, pa.int64()),
+                             "vec": pa.array(vecs, pa.list_(pa.int64()))})
+
+        sums = np.zeros_like(C)
+        counts = np.zeros((n_sub, n_codes), dtype=np.int64)
+        for r in ds.map_batches(assign_partial,
+                                batch_format="pyarrow").take_all():
+            sums[r["m"], r["c"]] += np.asarray(r["vec"], dtype=np.int64)
+            counts[r["m"], r["c"]] += r["n"]
+        keep = counts > 0
+        C[keep] = sums[keep] // counts[keep][:, None]
+    return C
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, n_sub: int = 4,
+            n_codes: int = 8, iters: int = 1, id_col: str = "vec_id",
+            emb_col: str = "embedding"):
+    """Product-quantization ANN with asymmetric distance computation:
+    every vector compresses to ``n_sub`` byte codes (64 float dims →
+    4 bytes here; the codes table is what a 100-TB embedding corpus
+    keeps hot while full vectors stay cold on Parquet), and a query
+    scores a vector as Σ_m LUT[m][code_m] where LUT = query-subvector ·
+    codebook dots — ``n_sub`` int64 table lookups + adds per candidate,
+    no per-dim work at scan time.
+
+    Everything is integer after the one ×512 floor quantization
+    (codebooks via ``pq_codebooks_int``, LUT dots int64, ties
+    score-desc-then-id), so the ENTIRE pipeline — training rounds,
+    encoding argmin, ADC scan — replays exactly in SQL; recall vs
+    ``brute_topk`` is pinned in tests. Scale shape mirrors
+    ``brute_topk``: codebooks + LUT broadcast once via ``ray.put``,
+    per-batch encode + top-k partials, O(batches·Q·k) rows to one
+    driver merge. Returns (query_id, rank, vec_id)."""
+    import ray
+
+    from .intexact import QUANT_SCALE
+
+    C = pq_codebooks_int(ds, n_sub, n_codes, iters, emb_col, id_col)
+    sd = C.shape[2]
+    qq = np.floor(np.asarray(queries, dtype=np.float64)
+                  * QUANT_SCALE).astype(np.int64)
+    # LUT[qi, m, j] = dot(query qi's subspace m, codebook C[m, j])
+    lut = np.einsum("qmd,mjd->qmj",
+                    qq.reshape(qq.shape[0], n_sub, sd), C)
+    cref = ray.put(C)
+    lref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        lt = ray.get(lref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        q = np.floor(np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+                     * QUANT_SCALE).astype(np.int64)
+        codes = np.empty((len(ids), n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            qm = q[:, m * sd:(m + 1) * sd]
+            diff = qm[:, None, :] - cc[m][None, :, :]
+            codes[:, m] = np.argmin((diff * diff).sum(axis=2), axis=1)
+        # ADC: sims[i, qi] = Σ_m lut[qi, m, codes[i, m]]
+        sims = np.zeros((len(ids), lt.shape[0]), dtype=np.int64)
+        for m in range(n_sub):
+            sims += lt[:, m, codes[:, m]].T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(lt.shape[0]):
+            col = sims[:, qi]
+            idx = _topk_batch_idx(col, ids, kk)
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k)

@@ -4049,3 +4049,52 @@ def test_top_supplier_ties_and_window(ray_session):
     out = top_supplier(rd.from_arrow(li).repartition(3),
                        rd.from_arrow(supplier)).to_pandas()
     assert out.values.tolist() == [[1, "s1", 20_000], [2, "s2", 20_000]]
+
+
+def test_pq_topk_recall_selfhit_and_partition_independence(ray_session):
+    """PQ ADC retrieval: finer codebooks raise recall vs brute force, a
+    query always retrieves its own vector at rank 1 (its codes score
+    maximal against its own LUT among identical codes, ties by id), and
+    results are identical under different partitionings (id-keyed init)."""
+    import pyarrow.parquet as pq_mod
+
+    from raycrawl.ops.similarity import brute_topk, pq_topk
+
+    t = pq_mod.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = np.array(t["embedding"].to_pylist()[:5], dtype=np.float64)
+
+    def recall(out, bf):
+        r = 0.0
+        for qi in range(5):
+            a = set(out[out.query_id == qi].vec_id)
+            b = set(bf[bf.query_id == qi].vec_id)
+            r += len(a & b) / 10
+        return r / 5
+
+    bf = brute_topk(rd.from_arrow(t), q, k=10).to_pandas()
+    coarse = pq_topk(rd.from_arrow(t).repartition(4), q, k=10,
+                     n_sub=4, n_codes=8, iters=1).to_pandas()
+    fine = pq_topk(rd.from_arrow(t).repartition(4), q, k=10,
+                   n_sub=16, n_codes=16, iters=2).to_pandas()
+    rc, rf = recall(coarse, bf), recall(fine, bf)
+    assert rc >= 0.2, rc
+    assert rf > rc, (rf, rc)
+    assert rf >= 0.5, rf
+    # self-retrieval at rank 1 under the coarse config
+    for qi in range(5):
+        top = coarse[(coarse.query_id == qi) & (coarse["rank"] == 1)]
+        assert top.vec_id.tolist() == [qi]
+    again = pq_topk(rd.from_arrow(t).repartition(9), q, k=10,
+                    n_sub=4, n_codes=8, iters=1).to_pandas()
+    assert coarse.equals(again)
+
+
+def test_pq_dim_divisibility_guard(ray_session):
+    from raycrawl.ops.similarity import pq_topk
+
+    t = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[0.1] * 6, [0.2] * 6],
+                                        pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(rd.from_arrow(t), np.zeros((1, 6)), k=1, n_sub=4)
