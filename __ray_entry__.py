@@ -2170,6 +2170,42 @@ def q_link_opic(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_link_bowtie(sf_dir: str):
+    """Bounded bowtie decomposition (ops/graph.bowtie_structure; Broder
+    2000) relative to pivot page 270 over the link fixture densified
+    with the doc-id chain and sparse back-edges (d → d-9 at d % 90 == 0,
+    which close cycles so CORE is non-trivial): every page classified
+    core/in/out/other by 6-hop bidirectional reachability. Oracle = two
+    depth-bounded recursive-CTE walks + the same classification CASE."""
+    from raycrawl.ops.graph import bowtie_structure
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], np.int64)
+        i = d // 20
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([d + 20 * (i + 1), d + 20 * (i + 2), d + 1])
+        m = dst < n
+        src, dst = src[m], dst[m]
+        back = d[(d % 90 == 0) & (d >= 9)]
+        return pa.table({
+            "src": pa.array(np.concatenate([src, back])),
+            "dst": pa.array(np.concatenate([dst, back - 9])),
+        })
+
+    docs = _read_ds(sf_dir, "documents", ["doc_id"])
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nodes = docs.map_batches(lambda t: t.rename_columns(["node"]),
+                             batch_format="pyarrow")
+    out = bowtie_structure(e, nodes, [270], max_hops=6)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "component", "fwd_dist", "bwd_dist"]),
+        batch_format="pyarrow")
+
+
 def q_link_kcore(sf_dir: str):
     """Fixed-round k-core peel (ops/pagerank.kcore, k=3, 4 rounds) over
     the corpus link graph densified with the doc-id chain (d — d+1) so a
@@ -3858,6 +3894,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": q_link_pagerank,
         "link_opic": q_link_opic,
         "link_kcore": q_link_kcore,
+        "link_bowtie": q_link_bowtie,
         "link_hits": q_link_hits,
         "pack_sequences": q_pack_sequences,
         "epoch_shuffle": q_epoch_shuffle,
@@ -5760,6 +5797,57 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(5),
         "link_opic": _opic_oracle_sql(5),
         "link_kcore": _kcore_oracle_sql(3, 4),
+        # link_bowtie: two depth-6 recursive min-hop walks (forward from
+        # the pivot over the edges, backward over the swapped edges) +
+        # the core/in/out/other classification CASE; -1 = out of horizon
+        "link_bowtie": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+                SELECT src, dst FROM (
+                    SELECT doc_id AS src,
+                           doc_id + 20 * (doc_id // 20 + 1) AS dst
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id, doc_id + 20 * (doc_id // 20 + 2)
+                    FROM d
+                    UNION ALL
+                    SELECT doc_id, doc_id + 1 FROM d
+                )
+                WHERE GREATEST(src, dst) < (SELECT n FROM nn)
+                UNION ALL
+                SELECT doc_id, doc_id - 9 FROM d
+                WHERE doc_id % 90 = 0 AND doc_id >= 9
+            ),
+            fw(node, dist) AS (
+                SELECT CAST(270 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, w.dist + 1
+                FROM fw w JOIN e ON e.src = w.node
+                WHERE w.dist < 6
+            ),
+            bw(node, dist) AS (
+                SELECT CAST(270 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.src, w.dist + 1
+                FROM bw w JOIN e ON e.dst = w.node
+                WHERE w.dist < 6
+            ),
+            f AS (SELECT node, MIN(dist) AS dist FROM fw GROUP BY node),
+            b AS (SELECT node, MIN(dist) AS dist FROM bw GROUP BY node)
+            SELECT d.doc_id,
+                   CASE WHEN f.dist IS NOT NULL AND b.dist IS NOT NULL
+                            THEN 'core'
+                        WHEN b.dist IS NOT NULL THEN 'in'
+                        WHEN f.dist IS NOT NULL THEN 'out'
+                        ELSE 'other' END AS component,
+                   CAST(coalesce(f.dist, -1) AS BIGINT) AS fwd_dist,
+                   CAST(coalesce(b.dist, -1) AS BIGINT) AS bwd_dist
+            FROM d
+            LEFT JOIN f ON f.node = d.doc_id
+            LEFT JOIN b ON b.node = d.doc_id
+        """,
         "link_ppr": _ppr_oracle_sql(5, 25),
         "link_hits": _hits_oracle_sql(4),
         "host_pagerank": _host_pagerank_oracle_sql(4),

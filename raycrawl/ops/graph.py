@@ -683,6 +683,93 @@ def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
     return dist
 
 
+def bowtie_structure(edges_ds, nodes_ds, pivot_seeds, *,
+                     max_hops: int = 6, node_col: str = "node",
+                     src_col: str = "src", dst_col: str = "dst",
+                     n_parts: int | None = None):
+    """Bounded bowtie decomposition of the crawl web graph (Broder et
+    al., WWW 2000): classify every page relative to a pivot set by
+    bidirectional reachability within ``max_hops`` —
+
+        CORE  reaches the pivot AND is reachable from it (the pivot's
+              strongly-connected neighborhood within the horizon),
+        IN    reaches the pivot only (pages funnelling rank/traffic in),
+        OUT   reachable from the pivot only (where its links lead),
+        OTHER neither within the horizon (tendrils + disconnected mass).
+
+    The horizon cap makes this the bounded variant of the classic
+    decomposition — exact for nodes within ``max_hops`` of the pivot in
+    either direction, conservative (OTHER) beyond it — which is what
+    keeps the computation O(max_hops) exchanges on a 10^10-node graph
+    instead of O(diameter), and what lets a recursive-CTE oracle with
+    the same depth bound restate it exactly.
+
+    Execution: two ``seed_distances`` runs (forward over the edges,
+    backward over the in-block-swapped edges — each a synchronous
+    frontier relaxation re-probing the once-materialized edge table with
+    partitioned hash joins of int64 pairs), then ONE left-join pass of
+    the node universe against the two small distance tables. Returns
+    ``(node, component, fwd_dist, bwd_dist)`` with -1 for
+    out-of-horizon distances."""
+    from .grouping import drop_empty_blocks, resolve_parts
+
+    width = resolve_parts(n_parts)
+    pivot_seeds = list(pivot_seeds)
+    if not pivot_seeds:
+        raise ValueError("bowtie_structure: empty pivot seed set")
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({src_col: b[dst_col].cast(pa.int64()),
+                         dst_col: b[src_col].cast(pa.int64())})
+
+    fwd = seed_distances(edges_ds, pivot_seeds, max_hops=max_hops,
+                         src_col=src_col, dst_col=dst_col,
+                         n_parts=n_parts)
+    bwd = seed_distances(
+        edges_ds.map_batches(swap, batch_format="pyarrow"), pivot_seeds,
+        max_hops=max_hops, src_col=src_col, dst_col=dst_col,
+        n_parts=n_parts)
+
+    nodes = nodes_ds.map_batches(
+        lambda b: pa.table({"node": b[node_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+    fwd = drop_empty_blocks(
+        fwd.map_batches(lambda b: pa.table(
+            {"node": b["node"], "fwd_dist": b["dist"]}),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("fwd_dist", pa.int64())]))
+    bwd = drop_empty_blocks(
+        bwd.map_batches(lambda b: pa.table(
+            {"node": b["node"], "bwd_dist": b["dist"]}),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("bwd_dist", pa.int64())]))
+    j = nodes.join(fwd, join_type="left_outer", num_partitions=width,
+                   on=("node",))
+    j = j.join(bwd, join_type="left_outer", num_partitions=width,
+               on=("node",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        f = (np.array([v if v is not None else -1
+                       for v in b["fwd_dist"].to_pylist()], np.int64)
+             if "fwd_dist" in b.column_names else np.full(n, -1, np.int64))
+        w = (np.array([v if v is not None else -1
+                       for v in b["bwd_dist"].to_pylist()], np.int64)
+             if "bwd_dist" in b.column_names else np.full(n, -1, np.int64))
+        comp = np.where(
+            (f >= 0) & (w >= 0), "core",
+            np.where(w >= 0, "in",
+                     np.where(f >= 0, "out", "other")))
+        return pa.table({"node": b["node"],
+                         "component": pa.array(comp.tolist(), pa.string()),
+                         "fwd_dist": pa.array(f, pa.int64()),
+                         "bwd_dist": pa.array(w, pa.int64())})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()

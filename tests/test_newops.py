@@ -4098,3 +4098,40 @@ def test_pq_dim_divisibility_guard(ray_session):
                                         pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(rd.from_arrow(t), np.zeros((1, 6)), k=1, n_sub=4)
+
+
+def test_bowtie_classification_and_horizon(ray_session):
+    """Hand-built bowtie: a 3-cycle core {10,11,12}, an IN chain
+    1->2->10, an OUT chain 12->20->21, a disconnected node 99, and an IN
+    node beyond the horizon when max_hops shrinks."""
+    from raycrawl.ops.graph import bowtie_structure
+
+    edges = [(10, 11), (11, 12), (12, 10),      # core cycle
+             (1, 2), (2, 10),                   # in-chain
+             (12, 20), (20, 21)]                # out-chain
+    e_tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                      "dst": pa.array([b for _, b in edges], pa.int64())})
+    nodes = [1, 2, 10, 11, 12, 20, 21, 99]
+    n_tbl = pa.table({"node": pa.array(nodes, pa.int64())})
+    out = bowtie_structure(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                           [10], max_hops=6, n_parts=2).to_pandas()
+    got = {r.node: (r.component, r.fwd_dist, r.bwd_dist)
+           for r in out.itertuples()}
+    assert got[10] == ("core", 0, 0)
+    assert got[11] == ("core", 1, 2)
+    assert got[12] == ("core", 2, 1)
+    assert got[1] == ("in", -1, 2)
+    assert got[2] == ("in", -1, 1)
+    assert got[20] == ("out", 3, -1)
+    assert got[21] == ("out", 4, -1)
+    assert got[99] == ("other", -1, -1)
+
+    # horizon cap: with max_hops=1 node 21 (fwd dist 4) drops to other
+    tight = bowtie_structure(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl),
+                             [10], max_hops=1, n_parts=2).to_pandas()
+    tgot = {r.node: r.component for r in tight.itertuples()}
+    assert tgot[21] == "other"
+    assert tgot[11] == "out"   # fwd 1, bwd 2 > horizon
+
+    with pytest.raises(ValueError, match="empty pivot"):
+        bowtie_structure(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl), [])
