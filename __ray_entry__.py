@@ -1228,6 +1228,24 @@ def q_tpch_market_share(sf_dir: str):
         nation_tbl, region_tbl, target_nation, region, part_type)
 
 
+def q_tpch_small_qty(sf_dir: str):
+    """TPC-H Q17 shape (ops/relational.small_quantity_revenue): revenue
+    from the most common brand's lineitems whose quantity is below 1/5
+    of that part's average — the correlated-subquery shape run as two
+    partitioned hash joins with the predicate as an in-block integer
+    cross-multiplication (5·n·qty < Σqty, no float division)."""
+    from raycrawl.ops.relational import small_quantity_revenue
+
+    bcounts = (_read_ds(sf_dir, "part", ["p_brand"])
+               .groupby("p_brand").count().take_all())
+    bcounts.sort(key=lambda r: (-r["count()"], r["p_brand"]))
+    return small_quantity_revenue(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"]),
+        _read_ds(sf_dir, "part", ["p_partkey", "p_brand"]),
+        bcounts[0]["p_brand"])
+
+
 def q_tpch_top_supplier(sf_dir: str):
     """TPC-H Q15 shape (ops/relational.top_supplier): the supplier(s)
     with maximum revenue over the 1996-Q1 shipdate window — per-batch
@@ -2638,6 +2656,20 @@ def q_balanced_shards(sf_dir: str):
         _read_ds(sf_dir, "documents", ["source", "text"]), n_shards=8)
 
 
+def q_ring_shards(sf_dir: str):
+    """Consistent-hash host→fetcher-shard affinity
+    (ops/export.consistent_ring_assign, 8 shards × 16 vnodes): the
+    fleet assignment whose minimal-remapping property (tested: a resize
+    moves only the new shard's arc) keeps per-host crawler state alive
+    across fleet resizes; sources reduce to distinct keys through
+    in-block partials, assignment is a shuffle-free searchsorted."""
+    from raycrawl.ops.export import consistent_ring_assign
+
+    return consistent_ring_assign(
+        _read_ds(sf_dir, "documents", ["source"]),
+        n_shards=8, vnodes=16)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional Poisson sample (ops/sampling.weighted_sample):
     keep prob min(1, 200·w/Σw) on n_chars, decided by the integer
@@ -3861,6 +3893,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_volume_shipping": q_tpch_volume_shipping,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
+        "tpch_small_qty": q_tpch_small_qty,
         "tpch_custdist": q_tpch_custdist,
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
@@ -3910,6 +3943,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "proximity_search": q_proximity_search,
         "length_batches": q_length_batches,
         "balanced_shards": q_balanced_shards,
+        "ring_shards": q_ring_shards,
         "weighted_sample": q_weighted_sample,
         "archive_roundtrip": q_archive_roundtrip,
         "gopher_gate": q_gopher_gate,
@@ -5141,6 +5175,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS nation_cents,
                    CAST(SUM(rev) AS BIGINT) AS total_cents
             FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        # tpch_small_qty: Q17 shape — the correlated avg-quantity
+        # subquery as the integer cross-multiply 5·n·qty < Σqty over the
+        # most common brand (deterministic pick)
+        "tpch_small_qty": """
+            WITH tb AS (
+                SELECT p_brand AS b FROM part
+                GROUP BY 1 ORDER BY COUNT(*) DESC, p_brand ASC LIMIT 1
+            ),
+            lp AS (
+                SELECT l.l_partkey,
+                       CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                           AS qc,
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS rev
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_brand = (SELECT b FROM tb)
+            ),
+            st AS (
+                SELECT l_partkey, COUNT(*) AS n,
+                       SUM(CAST(qc AS HUGEINT)) AS sq
+                FROM lp GROUP BY 1
+            )
+            SELECT (SELECT b FROM tb) AS p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS qualifying_rows,
+                   CAST(COALESCE(SUM(lp.rev), 0) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COALESCE(SUM(lp.rev), 0) // 7 AS BIGINT)
+                       AS avg_yearly_cents
+            FROM lp JOIN st ON st.l_partkey = lp.l_partkey
+            WHERE 5 * st.n * CAST(lp.qc AS HUGEINT) < st.sq
         """,
         # tpch_top_supplier: Q15 shape — max-revenue supplier(s) over the
         # 1996-Q1 shipdate window, ties all returned sorted by suppkey
@@ -8030,6 +8096,39 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     # balanced_shards: size-desc rank + snake (boustrophedon) formula
+    # ring_shards: the consistent-hash ring replayed whole — 8×16 md5
+    # vnode points, key = clockwise successor ((rpos < kp) sorts the
+    # >=-side first, wrap = smallest rpos overall), collision ties by
+    # (rpos, shard, vnode) exactly as the engine's sorted searchsorted
+    sql["ring_shards"] = """
+        WITH ring AS (
+            SELECT t.s, u.v,
+                   CAST(('0x' || substr(md5('shard:' || CAST(t.s AS VARCHAR)
+                         || ':' || CAST(u.v AS VARCHAR)), 1, 8)) AS BIGINT)
+                       AS rpos
+            FROM range(8) t(s), range(16) u(v)
+        ),
+        keys AS (
+            SELECT DISTINCT COALESCE(source, '') AS key FROM documents
+        ),
+        kpos AS (
+            SELECT key,
+                   CAST(('0x' || substr(md5('host:' || key), 1, 8))
+                        AS BIGINT) AS ring_pos
+            FROM keys
+        ),
+        succ AS (
+            SELECT k.key, k.ring_pos, r.s,
+                   row_number() OVER (
+                       PARTITION BY k.key
+                       ORDER BY (r.rpos < k.ring_pos), r.rpos, r.s, r.v)
+                       AS rn
+            FROM kpos k CROSS JOIN ring r
+        )
+        SELECT key, ring_pos, CAST(s AS BIGINT) AS shard
+        FROM succ WHERE rn = 1
+    """
+
     sql["balanced_shards"] = """
         WITH s AS (
             SELECT source,

@@ -382,6 +382,74 @@ def cdx_records(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
     return rd.from_arrow_refs(out)
 
 
+def ring_points(n_shards: int, vnodes: int) -> "tuple":
+    """The consistent-hash ring: ``vnodes`` md5 positions per shard
+    (h32 of ``shard:{s}:{v}`` — the repo-wide SQL-replayable hash),
+    sorted by (position, shard, vnode) so collisions break
+    deterministically. Returns (positions, shards) int64 arrays."""
+    import numpy as np
+
+    pts = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            pts.append((_h32(f"shard:{s}:{v}"), s, v))
+    pts.sort()
+    pos = np.array([p for p, _, _ in pts], dtype=np.int64)
+    shard = np.array([s for _, s, _ in pts], dtype=np.int64)
+    return pos, shard
+
+
+def consistent_ring_assign(ds, n_shards: int = 16, vnodes: int = 64,
+                           key_col: str = "source"):
+    """Consistent-hash host→fetcher-shard affinity (Karger et al. 1997):
+    each shard owns ``vnodes`` md5 points on a 32-bit ring and a host
+    belongs to the clockwise successor of its own md5 point — the fleet
+    assignment rule whose defining property is MINIMAL REMAPPING: adding
+    or removing a shard moves only the hosts falling on that shard's own
+    arc (≈ 1/(S+1) of them), so per-host crawler state (politeness
+    clocks, robots cache, connection pools) survives a resize, unlike
+    ``host % S`` which remaps almost everything. The snake planner
+    (``balanced_shards``) balances BYTES for output files; this one
+    pins HOSTS to workers across fleet resizes.
+
+    Scale shape: the ring (S·V ints) builds on the driver and broadcasts
+    via ``ray.put``; distinct keys reduce through in-block partials → one
+    small groupby; assignment is a shuffle-free vectorized
+    ``searchsorted`` per batch. Returns a Dataset
+    ``(key, ring_pos, shard)`` — one row per distinct key, kept
+    distributed (10^8 hosts stay in plasma, never on the driver)."""
+    import ray
+
+    if n_shards < 1 or vnodes < 1:
+        raise ValueError("consistent_ring_assign: n_shards and vnodes "
+                         "must be >= 1")
+    pos, shard = ring_points(n_shards, vnodes)
+    ring_ref = ray.put((pos, shard))
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        ks = sorted({k or "" for k in batch[key_col].to_pylist()})
+        return pa.table({"key": pa.array(ks, pa.string())})
+
+    keys = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("key").count()
+            .map_batches(lambda b: b.select(["key"]),
+                         batch_format="pyarrow"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rpos, rshard = ray.get(ring_ref)
+        ks = batch["key"].to_pylist()
+        kp = np.array([_h32(f"host:{k}") for k in ks], dtype=np.int64)
+        idx = np.searchsorted(rpos, kp, side="left")
+        idx[idx == len(rpos)] = 0  # wrap past the last point
+        return pa.table({"key": pa.array(ks, pa.string()),
+                         "ring_pos": pa.array(kp, pa.int64()),
+                         "shard": pa.array(rshard[idx], pa.int64())})
+
+    return keys.map_batches(assign, batch_format="pyarrow")
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

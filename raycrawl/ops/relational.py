@@ -1340,3 +1340,113 @@ def top_supplier(lineitem_ds, supplier_ds, lo: str = "1996-01-01",
         "total_revenue_cents": pa.array(
             [r["total_revenue_cents"] for r in rows], pa.int64()),
     })
+
+
+def small_quantity_revenue(lineitem_ds, part_ds, brand: str,
+                           n_parts: int | None = None):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems of one brand whose quantity is below 1/5 of that part's
+    average order quantity — the lost-revenue probe for a tighter
+    small-order policy. Returns one row
+    (p_brand, qualifying_rows, revenue_cents, avg_yearly_cents).
+
+    Scale shape: part pre-filters to the brand in-block → (partkey);
+    lineitem projects (partkey, qty cents, rev cents) and hash-joins the
+    brand's parts FIRST (≈1/#brands of fact rows survive); per-part
+    (count, Σqty) reduces through per-batch partials → a small groupby;
+    the stats then hash-join BACK on partkey (never broadcast — one
+    brand's part set is still fact-scaled at 100×SF) and the correlated
+    predicate runs in-block as the pure-integer cross-multiplication
+    ``5·n·qty_cents < Σqty_cents`` (exactly ``qty < avg/5``, no float
+    division). The final reduce is one global Sum."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from .grouping import drop_empty_blocks, multi_join_parts
+
+    if n_parts is None:
+        n_parts = multi_join_parts(None)
+
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("qualifying_rows", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("avg_yearly_cents", pa.int64())])
+
+    def part_slim(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["p_brand"], brand)
+        return pa.table({"l_partkey":
+                         batch["p_partkey"].filter(keep).cast(pa.int64())})
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        qc = _cents(np.asarray(batch["l_quantity"], np.float64))
+        rev = _cents(np.asarray(batch["l_extendedprice"], np.float64))
+        return pa.table({
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "qc": pa.array(qc, pa.int64()),
+            "rev": pa.array(rev, pa.int64())})
+
+    part = drop_empty_blocks(
+        part_ds.map_batches(part_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("l_partkey", pa.int64())]))
+    if part.count() == 0:
+        return pa.table({"p_brand": pa.array([brand], pa.string()),
+                         "qualifying_rows": pa.array([0], pa.int64()),
+                         "revenue_cents": pa.array([0], pa.int64()),
+                         "avg_yearly_cents": pa.array([0], pa.int64())},
+                        schema=out_schema)
+    li = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    lp = li.join(part, join_type="inner", num_partitions=n_parts,
+                 on=("l_partkey",)).materialize()
+
+    def st_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": np.asarray(batch["l_partkey"], np.int64),
+                           "q": np.asarray(batch["qc"], np.int64)})
+        g = df.groupby("k", as_index=False).agg(n=("q", "size"),
+                                                sq=("q", "sum"))
+        return pa.table({"l_partkey": pa.array(g["k"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "sq": pa.array(g["sq"], pa.int64())})
+
+    st = drop_empty_blocks(
+        lp.map_batches(st_partial, batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("n", alias_name="n"),
+                                        Sum("sq", alias_name="sq")),
+        empty_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("n", pa.int64()), ("sq", pa.int64())]))
+    if st.count() == 0:
+        return pa.table({"p_brand": pa.array([brand], pa.string()),
+                         "qualifying_rows": pa.array([0], pa.int64()),
+                         "revenue_cents": pa.array([0], pa.int64()),
+                         "avg_yearly_cents": pa.array([0], pa.int64())},
+                        schema=out_schema)
+    j = lp.join(st, join_type="inner", num_partitions=n_parts,
+                on=("l_partkey",))
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        qc = np.asarray(batch["qc"], np.int64)
+        n = np.asarray(batch["n"], np.int64)
+        sq = np.asarray(batch["sq"], np.int64)
+        # 5·n·qc < Σqc exactly ⇔ qc < avg/5; object dtype only if the
+        # product could overflow int64 — guard like the intexact family
+        if len(qc) and (5 * n.astype(np.float64) * qc.astype(np.float64)
+                        ).max() >= 2 ** 62:
+            raise ValueError("small_quantity_revenue: cross-multiply "
+                             "would overflow int64")
+        keep = 5 * n * qc < sq
+        return pa.table({
+            "rows": pa.array([int(keep.sum())], pa.int64()),
+            "rev": pa.array(
+                [int(np.asarray(batch["rev"], np.int64)[keep].sum())],
+                pa.int64())})
+
+    agg = j.map_batches(qualify, batch_format="pyarrow") \
+        .aggregate(Sum("rows", alias_name="rows"),
+                   Sum("rev", alias_name="rev"))
+    rows = int(agg["rows"] or 0)
+    rev = int(agg["rev"] or 0)
+    return pa.table({"p_brand": pa.array([brand], pa.string()),
+                     "qualifying_rows": pa.array([rows], pa.int64()),
+                     "revenue_cents": pa.array([rev], pa.int64()),
+                     "avg_yearly_cents": pa.array([rev // 7], pa.int64())},
+                    schema=out_schema)

@@ -4135,3 +4135,57 @@ def test_bowtie_classification_and_horizon(ray_session):
 
     with pytest.raises(ValueError, match="empty pivot"):
         bowtie_structure(rd.from_arrow(e_tbl), rd.from_arrow(n_tbl), [])
+
+
+def test_ring_assign_minimal_remap_and_balance(ray_session):
+    """Consistent-hash affinity: growing the fleet S -> S+1 remaps ONLY
+    keys that land on the new shard (old shards never trade keys among
+    themselves), the remapped fraction is near vnodes-share, and the
+    assignment is partition-independent."""
+    from raycrawl.ops.export import consistent_ring_assign
+
+    keys = [f"host{i}.example" for i in range(400)]
+    t = pa.table({"source": pa.array(keys, pa.string())})
+    a8 = consistent_ring_assign(rd.from_arrow(t).repartition(3),
+                                n_shards=8, vnodes=16).to_pandas()
+    a9 = consistent_ring_assign(rd.from_arrow(t).repartition(5),
+                                n_shards=9, vnodes=16).to_pandas()
+    m8 = dict(zip(a8.key, a8.shard))
+    m9 = dict(zip(a9.key, a9.shard))
+    moved = {k for k in m8 if m8[k] != m9[k]}
+    assert all(m9[k] == 8 for k in moved), "keys may only move to shard 8"
+    # expected share ≈ 1/9; allow generous slack for a 32-bit ring at
+    # 16 vnodes (variance of arc lengths)
+    assert 0.02 <= len(moved) / len(keys) <= 0.30, len(moved)
+    # every shard owns something at this key count
+    assert set(m8.values()) == set(range(8))
+
+    again = consistent_ring_assign(rd.from_arrow(t).repartition(7),
+                                   n_shards=8, vnodes=16).to_pandas()
+    assert a8.sort_values("key").reset_index(drop=True).equals(
+        again.sort_values("key").reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        consistent_ring_assign(rd.from_arrow(t), n_shards=0)
+
+
+def test_small_quantity_revenue_predicate(ray_session):
+    """Part 100: quantities 1, 10, 10 (avg 7 -> gate qc < 140) so only
+    the qty-1 row qualifies; part 200 (other brand) never enters; a
+    brand with no parts returns the zero row."""
+    from raycrawl.ops.relational import small_quantity_revenue
+
+    part = pa.table({"p_partkey": pa.array([100, 200], pa.int64()),
+                     "p_brand": pa.array(["B1", "B2"])})
+    li = pa.table({
+        "l_partkey": pa.array([100, 100, 100, 200], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 1.0]),
+        "l_extendedprice": pa.array([50.0, 70.0, 70.0, 999.0])})
+    out = small_quantity_revenue(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(part),
+        "B1").to_pandas()
+    assert out.values.tolist() == [["B1", 1, 5_000, 5_000 // 7]]
+
+    zero = small_quantity_revenue(
+        rd.from_arrow(li), rd.from_arrow(part), "NOBRAND").to_pandas()
+    assert zero.values.tolist() == [["NOBRAND", 0, 0, 0]]
