@@ -823,6 +823,61 @@ def q_events_funnel(sf_dir: str):
         "click", "purchase", within_s=86_400)
 
 
+def q_events_debounce(sf_dir: str):
+    """Duplicate-fire cleanup (ops/windows.debounce_events, 60 s window)
+    over the event log densified with planted retry echoes — every
+    %10==0 event echoes at +30 s (debounced away) and every %15==0 event
+    at +120 s (outside the window, kept), since the synthetic log's
+    natural inter-arrival per (user, type) never dips under a minute.
+    The keep rule is pure-LAG (gap to the previous event of the key,
+    kept or not), so the oracle is one window function."""
+    from raycrawl.ops.windows import debounce_events
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(
+            ["event_id", "user_id", "event_type", "ts"]).to_pandas()
+        e30 = df[df.event_id % 10 == 0].copy()
+        e30["event_id"] += 1_000_000
+        e30["ts"] += pd.Timedelta(seconds=30)
+        e120 = df[df.event_id % 15 == 0].copy()
+        e120["event_id"] += 2_000_000
+        e120["ts"] += pd.Timedelta(seconds=120)
+        return pa.Table.from_pandas(pd.concat([df, e30, e120]),
+                                    preserve_index=False)
+
+    ds = _read_ds(sf_dir, "events",
+                  ["event_id", "user_id", "event_type", "ts"])
+    return debounce_events(ds.map_batches(plant, batch_format="pyarrow"),
+                           window_s=60)
+
+
+def q_events_lateness(sf_dir: str):
+    """Watermark / late-event audit (ops/windows.event_lateness,
+    allowed lateness 1 h): the arrival stream (ordered by event_id) is
+    the at-rest log plus planted late replays — every %25==0 event
+    re-arrives at the end of the stream (event_id + 10^6) carrying its
+    ORIGINAL event time, so early replays trail the watermark by more
+    than the allowance (late=1) while replays of the newest events stay
+    on time. Oracle = one running-max window over arrival order."""
+    from raycrawl.ops.windows import event_lateness
+
+    def plant(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], np.int64)
+        keep = eid % 25 == 0
+        replay = pa.table({
+            "event_id": pa.array(eid[keep] + 1_000_000, pa.int64()),
+            "ts": batch["ts"].filter(pa.array(keep))})
+        return pa.concat_tables(
+            [pa.table({"event_id": pa.array(eid, pa.int64()),
+                       "ts": batch["ts"]}), replay])
+
+    ds = _read_ds(sf_dir, "events", ["event_id", "ts"])
+    return event_lateness(ds.map_batches(plant, batch_format="pyarrow"),
+                          allowed_s=3600)
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention triangle (ops/windows.cohort_retention): cohort =
     each user's first active day, cells = distinct users active again
@@ -4012,6 +4067,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": q_events_hourly_users,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_debounce": q_events_debounce,
+        "events_lateness": q_events_lateness,
         "minhash_refresh": q_minhash_refresh,
         "allpairs_cosine": q_allpairs_cosine,
         "cluster_split": q_cluster_split,
@@ -7503,6 +7560,56 @@ def oracle_sql() -> dict[str, str]:
         # events_retention: distinct user-days, per-user min day = cohort,
         # cell count = distinct users at (cohort, offset). Exact integer
         # day arithmetic both sides (Ray side uses epoch-day int64).
+        # events_debounce: the planted retry echoes (+30 s at %10==0,
+        # +120 s at %15==0) replayed in SQL, keep = first-of-key or
+        # LAG gap > 60 s over (ts, event_id) order
+        "events_debounce": """
+            WITH allv AS (
+                SELECT event_id, user_id, event_type, ts FROM events
+                UNION ALL
+                SELECT event_id + 1000000, user_id, event_type,
+                       ts + INTERVAL 30 SECOND
+                FROM events WHERE event_id % 10 = 0
+                UNION ALL
+                SELECT event_id + 2000000, user_id, event_type,
+                       ts + INTERVAL 120 SECOND
+                FROM events WHERE event_id % 15 = 0
+            ),
+            s AS (
+                SELECT event_id, user_id, event_type, ts,
+                       LAG(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM allv
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM s
+            WHERE pts IS NULL
+               OR epoch_us(ts) - epoch_us(pts) > CAST(60 AS BIGINT) * 1000000
+        """,
+        # events_lateness: planted late replays (%25==0 re-arrive at the
+        # end with their original event time); watermark = running max of
+        # ts over arrival (event_id) order EXCLUDING self, first event
+        # carries its own ts
+        "events_lateness": """
+            WITH allv AS (
+                SELECT event_id, ts FROM events
+                UNION ALL
+                SELECT event_id + 1000000, ts
+                FROM events WHERE event_id % 25 = 0
+            ),
+            s AS (
+                SELECT event_id, ts,
+                       COALESCE(MAX(ts) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), ts) AS watermark_ts
+                FROM allv
+            )
+            SELECT event_id, ts, watermark_ts,
+                   CAST(epoch_us(watermark_ts) - epoch_us(ts)
+                        > CAST(3600 AS BIGINT) * 1000000 AS BIGINT) AS late
+            FROM s
+        """,
         "events_retention": """
             WITH ud AS (
                 SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

@@ -333,3 +333,95 @@ def event_transitions(ds, gap_minutes: float = 30.0,
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def debounce_events(ds, window_s: int = 60, n_parts: int = 32):
+    """Event-stream debounce: drop an event when the SAME (user,
+    event_type) key fired within the preceding ``window_s`` seconds —
+    the standard duplicate-fire cleanup for at-least-once delivery
+    (double-clicks, retry storms). The rule is the pure-LAG form (gap
+    to the previous event of the key, kept or not), so it is exactly a
+    window function in SQL and a shifted-compare here — no sequential
+    kept-state, which is what keeps it one vectorized pass.
+
+    Per coarse user-hash partition (the ``sessionize`` discipline —
+    partitioned_apply, never per-key map_groups): sort by (user, type,
+    ts, event_id), shifted diff per key, keep where first-of-key or
+    gap > window. Ties at the exact same ts keep only the lowest
+    event_id (the others have gap 0). Returns the kept rows
+    (event_id, user_id, event_type, ts)."""
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "event_type": pd.Series([], dtype="object"),
+                 "ts": pd.Series([], dtype="datetime64[ns]")})
+        pdf = pdf.sort_values(["user_id", "event_type", "ts", "event_id"],
+                              kind="stable")
+        new_key = (pdf["user_id"].ne(pdf["user_id"].shift())
+                   | pdf["event_type"].ne(pdf["event_type"].shift()))
+        gap = pdf["ts"].diff() > pd.Timedelta(seconds=window_s)
+        keep = new_key | gap
+        out = pdf.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out.reset_index(drop=True)
+
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(ds, ["user_id"], per_partition, n_parts)
+
+
+def event_lateness(ds, allowed_s: int = 3600):
+    """Watermark / late-event accounting — the streaming-semantics audit
+    over an at-rest event log: replay the stream in ARRIVAL order
+    (event_id; ingestion sequence) and flag each event late when its
+    event time trails the high watermark (max event time seen so far,
+    excluding itself) by more than ``allowed_s`` — exactly the rows a
+    windowed streaming job with that allowed lateness would drop, and
+    therefore the calibration signal for choosing it.
+
+    Scale shape (the ``pack_offsets`` discipline): one global sort by
+    arrival id, per-block prefix maxes → O(blocks) scalars to the
+    driver → exclusive scan → per-block finalize with the running max
+    vectorized (``np.maximum.accumulate`` shifted by one). Returns
+    (event_id, ts, watermark_ts, late) with watermark NULL-free: the
+    first event carries its own ts and is never late."""
+    import numpy as np
+    import pyarrow as pa
+
+    srt = ds.sort("event_id").materialize()
+    blocks = srt.to_arrow_refs()
+    import ray
+
+    @ray.remote
+    def block_max(t: pa.Table):
+        ts = np.asarray(t["ts"], "datetime64[us]").astype(np.int64)
+        return int(ts.max()) if len(ts) else np.iinfo(np.int64).min
+
+    maxes = ray.get([block_max.remote(b) for b in blocks])
+    lo = np.iinfo(np.int64).min
+    prefix = []
+    run = lo
+    for m in maxes:
+        prefix.append(run)
+        run = max(run, m)
+
+    @ray.remote
+    def finalize(t: pa.Table, prev: int):
+        ts = np.asarray(t["ts"], "datetime64[us]").astype(np.int64)
+        run = np.maximum.accumulate(ts)
+        wm = np.concatenate([[prev], run[:-1]]) if len(ts) else run
+        wm = np.maximum(wm, np.where(wm == lo, ts, wm))  # first event
+        late = (wm - ts) > allowed_s * 1_000_000
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts": t["ts"],
+            "watermark_ts": pa.array(wm.view("datetime64[us]"),
+                                     pa.timestamp("us")),
+            "late": pa.array(late.astype(np.int64), pa.int64())})
+
+    out = [finalize.remote(b, p) for b, p in zip(blocks, prefix)]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(out)

@@ -4189,3 +4189,44 @@ def test_small_quantity_revenue_predicate(ray_session):
     zero = small_quantity_revenue(
         rd.from_arrow(li), rd.from_arrow(part), "NOBRAND").to_pandas()
     assert zero.values.tolist() == [["NOBRAND", 0, 0, 0]]
+
+
+def test_debounce_events_window_rule(ray_session):
+    """Same-key events at +30s are dropped, +61s kept, a different type
+    at +1s kept, exact-ts ties keep only the lowest event_id."""
+    from raycrawl.ops.windows import debounce_events
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+        "event_type": pa.array(["c", "c", "c", "v", "c", "c"]),
+        "ts": pa.array([base, base + 30_000_000, base + 91_000_000,
+                        base + 1_000_000, base, base], pa.timestamp("us"))})
+    out = debounce_events(rd.from_arrow(t).repartition(2),
+                          window_s=60).to_pandas()
+    # user 7 type c: ids 1 and 5 tie at ts=base -> keep 1; +30s dropped;
+    # +91s kept (gap 61s from the +30s event, kept or not -> LAG rule)
+    assert sorted(out.event_id.tolist()) == [1, 3, 4, 6]
+
+
+def test_event_lateness_watermark(ray_session):
+    """Arrival order is event_id: an event whose ts trails the running
+    max by more than the allowance is late; the first event is never
+    late; the watermark never regresses."""
+    from raycrawl.ops.windows import event_lateness
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hrs = lambda h: base + h * 3_600_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([hrs(0), hrs(5), hrs(5), hrs(1), hrs(4)],
+                       pa.timestamp("us"))})
+    out = (event_lateness(rd.from_arrow(t).repartition(3), allowed_s=3600)
+           .to_pandas().sort_values("event_id"))
+    # event 4 (ts=1h) trails the 5h watermark by 4h -> late; event 5
+    # (ts=4h) trails by EXACTLY the allowance -> on time (strict >)
+    assert out.late.tolist() == [0, 0, 0, 1, 0]
+    wm = out.watermark_ts.to_numpy()
+    assert (np.diff(wm) >= np.timedelta64(0)).all()
+    assert out[out.event_id == 4].watermark_ts.iloc[0] == hrs(5)
