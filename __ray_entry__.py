@@ -1907,6 +1907,30 @@ def q_crawl_documents_embedded(sf_dir: str):
     )
 
 
+def q_media_phash_dup(sf_dir: str):
+    """Perceptual-hash media dedup (ops/multimodal.media_ahash_pairs):
+    aHash over the deterministic fake decode, 4×8-bit chunk banding,
+    vectorized Hamming verify — the image-dedup pipeline with its whole
+    integer chain (sha256 decode → cross-multiplied mean bits → banding
+    → popcount) replayed in SQL. Planted duplicates: every %20==0
+    payload re-enters as media_id+10000, guaranteeing hamming-0 pairs
+    under the stand-in decoder (only identical payloads collide)."""
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import media_ahash_pairs, synthesize_media
+
+    media = synthesize_media(120)
+    ids = media["media_id"].to_pylist()
+    keep = [i % 20 == 0 for i in ids]
+    copies = media.filter(pa.array(keep))
+    copies = copies.set_column(
+        0, "media_id",
+        pa.array([i + 10000 for i in copies["media_id"].to_pylist()],
+                 pa.int64()))
+    ds = rd.from_arrow(pa.concat_tables([media, copies]))
+    return media_ahash_pairs(ds, max_hamming=3)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing driven end to end: binary payload column →
     actor-pool decode stage (deterministic fake decoder) → feature
@@ -3953,6 +3977,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
+        "media_phash_dup": q_media_phash_dup,
         "wiki_documents": q_wiki_documents,
         "wiki_search": q_wiki_search,
         "json_documents": q_json_documents,
@@ -8401,6 +8426,66 @@ def oracle_sql() -> dict[str, str]:
             for i in range(32)]
     _w_rows = ",\n                ".join(
         f"({i}, {w})" for i, w in enumerate(_w32))
+    # media_phash_dup: the aHash dedup chain replayed whole — payload
+    # synthesis (+%20==0 copies at media_id+10000), hex-space sha256
+    # decode, mean bits by integer cross-multiply 32·b > Σb, 4×8-bit
+    # chunk banding with the 1000-bucket cap, bit_count Hamming ≤ 3
+    sql["media_phash_dup"] = """
+        WITH m AS (
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   sha256('media-' || CAST(i AS VARCHAR)) AS h0,
+                   CAST(4 + i % 7 AS INT) AS reps
+            FROM unnest(range(120)) u(i)
+        ),
+        hx AS (
+            SELECT media_id, sha256(repeat(h0, reps)) AS h FROM m
+            UNION ALL
+            SELECT media_id + 10000, sha256(repeat(h0, reps)) FROM m
+            WHERE media_id % 20 = 0
+        ),
+        bytes AS (
+            SELECT media_id, i,
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+            FROM hx, unnest(range(32)) u(i)
+        ),
+        tot AS (SELECT media_id, SUM(b) AS t FROM bytes GROUP BY 1),
+        bits AS (
+            SELECT b.media_id, b.i,
+                   CASE WHEN 32 * b.b > t.t THEN 1 ELSE 0 END AS bit
+            FROM bytes b JOIN tot t USING (media_id)
+        ),
+        hsh AS (
+            SELECT media_id,
+                   CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(i AS INT)))
+                        AS BIGINT) AS h
+            FROM bits GROUP BY 1
+        ),
+        chunks AS (
+            SELECT media_id, c.c AS chunk,
+                   (h >> CAST(8 * c.c AS INT)) & 255 AS cval, h
+            FROM hsh, unnest(range(4)) c(c)
+        ),
+        bsz AS (
+            SELECT chunk, cval, count(*) AS n
+            FROM chunks GROUP BY chunk, cval
+        ),
+        pairs AS (
+            SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+                   CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+            FROM chunks x
+            JOIN chunks y ON x.chunk = y.chunk AND x.cval = y.cval
+                          AND x.media_id < y.media_id
+            JOIN bsz s ON s.chunk = x.chunk AND s.cval = x.cval
+            WHERE s.n <= 1000
+        )
+        SELECT a, b, MIN(hamming) AS hamming
+        FROM pairs WHERE hamming <= 3
+        GROUP BY a, b
+    """
+
     sql["media_features"] = f"""
         WITH m AS (
             SELECT CAST(i AS BIGINT) AS media_id,

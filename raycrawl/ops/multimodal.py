@@ -185,3 +185,86 @@ def frame_sample_plan(ds, fps: int = 25, max_frames: int = 8,
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def ahash32(payload: bytes) -> int:
+    """32-bit average-hash of a media payload through the deterministic
+    fake decode: bit_i set iff decode byte i exceeds the mean of the 32
+    distinct digest bytes, as the integer cross-multiply
+    ``32·b_i > Σb`` (no float mean). With a real decoder this is the
+    classic aHash over 64 downsampled pixels; under the sha256 stand-in
+    only identical payloads produce near hashes — which is exactly what
+    the plumbing needs to be testable."""
+    h = hashlib.sha256(payload.hex().encode()).digest()
+    b = np.frombuffer(h, dtype=np.uint8).astype(np.int64)
+    total = int(b.sum())
+    bits = (32 * b > total).astype(np.int64)
+    return int((bits << np.arange(32, dtype=np.int64)).sum())
+
+
+def media_ahash_pairs(ds, max_hamming: int = 3, max_bucket: int = 1000):
+    """Perceptual-hash near-duplicate pairs over a media payload column —
+    the image-dedup sibling of ``dedup.simhash_near_dup_pairs``: payloads
+    hash to 32-bit aHashes in an actor-friendly batch pass (decode once,
+    never ship pixels), then chunk banding finds every pair within
+    ``max_hamming``: 4 chunks of 8 bits, so distance ≤ 3 shares ≥ 1
+    exact chunk (pigeonhole). Chunk buckets above ``max_bucket`` are
+    dropped (hot-value guard, the LSH discipline). Returns
+    (a, b, hamming) with a < b, min-hamming per pair.
+
+    Everything from the sha256 decode to the popcount is
+    integer-exact, so the DuckDB oracle replays the WHOLE pipeline —
+    synthesis, decode, bit rule, banding, bucket cap, Hamming verify."""
+    import pandas as pd
+
+    from .grouping import partitioned_apply
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        hs = [ahash32(p) for p in batch["payload"].to_pylist()]
+        c_idx, c_val, c_id, c_h = [], [], [], []
+        for i, h in zip(ids, hs):
+            for c in range(4):
+                c_idx.append(c)
+                c_val.append((h >> (8 * c)) & 0xFF)
+                c_id.append(i)
+                c_h.append(h)
+        return pa.table({
+            "chunk": pa.array(c_idx, pa.int32()),
+            "cval": pa.array(c_val, pa.int32()),
+            "id": pa.array(c_id, pa.int64()),
+            "h": pa.array(c_h, pa.int64())})
+
+    def pairs_partition(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parts_a, parts_b, parts_d = [], [], []
+        for _, g in pdf.groupby(["chunk", "cval"], sort=True):
+            uniq = g.drop_duplicates("id").sort_values("id")
+            n = len(uniq)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = uniq["id"].to_numpy(np.int64)
+            h = uniq["h"].to_numpy(np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(n, 1)
+            x = h[iu] ^ h[ju]
+            d = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                              axis=1).sum(axis=1, dtype=np.int64)
+            keep = d <= max_hamming
+            if keep.any():
+                parts_a.append(ids[iu][keep])
+                parts_b.append(ids[ju][keep])
+                parts_d.append(d[keep])
+        if parts_a:
+            return pd.DataFrame({"a": np.concatenate(parts_a),
+                                 "b": np.concatenate(parts_b),
+                                 "hamming": np.concatenate(parts_d)})
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+
+    def min_partition(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf.groupby(["a", "b"], as_index=False).agg(
+            hamming=("hamming", "min"))
+
+    chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
+    pairs = partitioned_apply(chunks, ["chunk", "cval"], pairs_partition)
+    return partitioned_apply(pairs, ["a", "b"], min_partition)

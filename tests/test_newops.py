@@ -4230,3 +4230,32 @@ def test_event_lateness_watermark(ray_session):
     wm = out.watermark_ts.to_numpy()
     assert (np.diff(wm) >= np.timedelta64(0)).all()
     assert out[out.event_id == 4].watermark_ts.iloc[0] == hrs(5)
+
+
+def test_media_ahash_pairs_planted_and_bitrule(ray_session):
+    from raycrawl.ops.multimodal import (ahash32, media_ahash_pairs,
+                                         synthesize_media)
+
+    # bit rule: 32·b_i > Σb over the sha256(hex) digest bytes
+    import hashlib
+    payload = b"\x01\x02test-payload"
+    dig = np.frombuffer(
+        hashlib.sha256(payload.hex().encode()).digest(),
+        np.uint8).astype(np.int64)
+    want = int(((32 * dig > dig.sum()).astype(np.int64)
+                << np.arange(32)).sum())
+    assert ahash32(payload) == want
+    assert 0 <= want < 2 ** 32
+
+    media = synthesize_media(40)
+    copies = media.filter(
+        pa.array([i % 10 == 0 for i in media["media_id"].to_pylist()]))
+    copies = copies.set_column(
+        0, "media_id",
+        pa.array([i + 500 for i in copies["media_id"].to_pylist()],
+                 pa.int64()))
+    ds = rd.from_arrow(pa.concat_tables([media, copies])).repartition(3)
+    out = media_ahash_pairs(ds, max_hamming=0).to_pandas()
+    got = set(zip(out.a, out.b))
+    assert got == {(0, 500), (10, 510), (20, 520), (30, 530)}
+    assert (out.hamming == 0).all()
