@@ -525,6 +525,17 @@ def q_text_compression(sf_dir: str):
     )
 
 
+def q_heaps_curve(sf_dir: str):
+    """Vocabulary-growth curve (ops/textstats.heaps_curve): distinct
+    vocabulary after each corpus decile in doc-id order — the Heaps-law
+    sizing input for tokenizer vocab budgets and the sublinearity drift
+    check. One distinct-(token, min doc) pass, a token-keyed Min
+    groupby, 10-bin searchsorted histogram, driver cumsum."""
+    from raycrawl.ops.textstats import heaps_curve
+
+    return heaps_curve(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_token_distinct(sf_dir: str):
     """Exact distributed distinct-token count (1 row)."""
     from raycrawl.ops.textstats import distinct_token_count
@@ -3944,6 +3955,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "text_compression": q_text_compression,
         "token_distinct": q_token_distinct,
+        "heaps_curve": q_heaps_curve,
         "token_distinct_hll": q_token_distinct_hll,
         "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
@@ -4964,6 +4976,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w.w) > 0 AS BIGINT) AS clf_keep
             FROM toks t JOIN w USING (token)
             GROUP BY t.doc_id
+        """,
+        # heaps_curve: vocabulary after each decile of the dense doc-id
+        # order — first-occurrence doc per token, counted below each
+        # threshold t_k = N·k // 10
+        "heaps_curve": """
+            WITH n AS (SELECT COUNT(*) AS total FROM documents),
+            pts AS (
+                SELECT CAST(k AS BIGINT) AS point,
+                       CAST((SELECT total FROM n) * k // 10 AS BIGINT)
+                           AS n_docs
+                FROM unnest(range(1, 11)) u(k)
+            ),
+            firsts AS (
+                SELECT tok, MIN(doc_id) AS fd
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok
+            )
+            SELECT p.point, p.n_docs,
+                   CAST(COUNT(f.tok) AS BIGINT) AS vocab
+            FROM pts p LEFT JOIN firsts f ON f.fd < p.n_docs
+            GROUP BY p.point, p.n_docs
+            ORDER BY p.point
         """,
         "token_distinct": """
             SELECT COUNT(DISTINCT token) AS n_distinct FROM (

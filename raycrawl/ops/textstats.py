@@ -1074,3 +1074,72 @@ def quality_classifier(ds, max_vocab: int = 5_000_000,
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def heaps_curve(ds, n_points: int = 10, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Vocabulary-growth (Heaps' law) curve: distinct-vocabulary size
+    after the first k/n_points of the corpus in doc-id order, for
+    k = 1..n_points — the sizing input for tokenizer vocab budgets,
+    postings-dictionary memory, and the drift check that a crawl's new
+    epochs still grow vocabulary sublinearly (V ≈ K·nᵝ; a linear jump
+    flags boilerplate or spam mass).
+
+    Scale shape: ONE pass emits per-batch DISTINCT (token, min doc_id)
+    partials → token-keyed Min groupby (the shuffle moves each token
+    once per batch it appears in, never per occurrence — the
+    ``distinct_token_count`` discipline); each token then reduces to a
+    10-bin histogram by ``searchsorted`` over the threshold ladder, and
+    the driver cumulates ``n_points`` integers. Thresholds are
+    ``t_k = (N·k)//n_points`` over the dense 0..N-1 doc ids
+    (TESTDATA.md contract). Returns (point, n_docs, vocab)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    total = ds.count()
+    if total == 0:
+        return pa.table({"point": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "vocab": pa.array([], pa.int64())})
+    thresholds = np.array(
+        [(total * k) // n_points for k in range(1, n_points + 1)],
+        dtype=np.int64)
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], np.int64)
+        best: dict = {}
+        for d, t in zip(ids, batch[text_col].to_pylist()):
+            for tok in (t or "").split(" "):
+                if tok not in best or d < best[tok]:
+                    best[tok] = d
+        toks = sorted(best)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "first_doc": pa.array([best[t] for t in toks], pa.int64())})
+
+    firsts = (ds.map_batches(first_partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Min("first_doc",
+                                              alias_name="first_doc")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        fd = np.asarray(batch["first_doc"], np.int64)
+        # token counted at point k iff first_doc < t_k, i.e. from the
+        # first threshold strictly above first_doc onward
+        idx = np.searchsorted(thresholds, fd, side="right")
+        cnt = np.bincount(idx, minlength=len(thresholds) + 1)
+        return pa.table({
+            "point": pa.array(np.arange(len(thresholds)), pa.int64()),
+            "c": pa.array(cnt[: len(thresholds)], pa.int64())})
+
+    rows = (firsts.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("point").aggregate(Sum("c", alias_name="c"))
+            .take_all())
+    acc = np.zeros(len(thresholds), dtype=np.int64)
+    for r in rows:
+        acc[r["point"]] += r["c"]
+    vocab = np.cumsum(acc)
+    return pa.table({
+        "point": pa.array(np.arange(1, n_points + 1), pa.int64()),
+        "n_docs": pa.array(thresholds, pa.int64()),
+        "vocab": pa.array(vocab, pa.int64())})

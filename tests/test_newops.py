@@ -4259,3 +4259,26 @@ def test_media_ahash_pairs_planted_and_bitrule(ray_session):
     got = set(zip(out.a, out.b))
     assert got == {(0, 500), (10, 510), (20, 520), (30, 530)}
     assert (out.hamming == 0).all()
+
+
+def test_heaps_curve_monotone_and_exact(ray_session):
+    """Hand-built corpus: vocab counts below each decile threshold match
+    a brute-force recount, the curve is monotone, and partitioning does
+    not change it."""
+    from raycrawl.ops.textstats import heaps_curve
+
+    texts = ["a b", "a c", "d", "a", "e f", "f", "g", "a", "h", "i j"]
+    t = pa.table({"doc_id": pa.array(list(range(10)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def brute(k):
+        seen = set()
+        for d in range((10 * k) // 10):
+            seen.update(texts[d].split(" "))
+        return len(seen)
+
+    for parts in (1, 4):
+        out = heaps_curve(rd.from_arrow(t).repartition(parts)).to_pandas()
+        assert out.point.tolist() == list(range(1, 11))
+        assert out.vocab.tolist() == [brute(k) for k in range(1, 11)]
+        assert (np.diff(out.vocab) >= 0).all()
