@@ -2125,6 +2125,19 @@ def q_frontier_triage(sf_dir: str):
                                    per_host_cap=8)
 
 
+def q_search_facets(sf_dir: str):
+    """Meilisearch facet distribution (ops/queryside.facet_distribution;
+    ref check_indexing_status.py:61-67): per-(source, lang) counts over
+    the FULL matching set of the query 'order' — the sidebar counts /
+    index census, computed in one in-block pass with only (facet, value,
+    count) partials crossing the exchange."""
+    from raycrawl.ops.queryside import facet_distribution
+
+    return facet_distribution(
+        _read_ds(sf_dir, "documents", ["text", "source", "lang"]),
+        "order")
+
+
 def q_keyword_search(sf_dir: str):
     """Exact keyword retrieval over the postings: score = Σ_term
     (1e6·tf) // df (integer tf-over-df), top-10 by (score desc, doc_id
@@ -3956,6 +3969,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "text_compression": q_text_compression,
         "token_distinct": q_token_distinct,
         "heaps_curve": q_heaps_curve,
+        "search_facets": q_search_facets,
         "token_distinct_hll": q_token_distinct_hll,
         "embed_clusters": q_embed_clusters,
         "text_rarity": q_text_rarity,
@@ -4976,6 +4990,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w.w) > 0 AS BIGINT) AS clf_keep
             FROM toks t JOIN w USING (token)
             GROUP BY t.doc_id
+        """,
+        # search_facets: facet distribution over the full matching set of
+        # the conjunctive token query 'order'
+        "search_facets": """
+            WITH m AS (
+                SELECT source, lang FROM documents
+                WHERE list_contains(string_split(text, ' '), 'order')
+            ),
+            u AS (
+                SELECT 'source' AS facet, COALESCE(source, '') AS value
+                FROM m
+                UNION ALL
+                SELECT 'lang', COALESCE(lang, '') FROM m
+            )
+            SELECT facet, value, CAST(COUNT(*) AS BIGINT) AS count
+            FROM u GROUP BY facet, value ORDER BY facet, value
         """,
         # heaps_curve: vocabulary after each decile of the dense doc-id
         # order — first-occurrence doc per token, counted below each

@@ -320,6 +320,63 @@ class SafetyFilter:
         return batch.filter(pa.array(mask, pa.bool_()))
 
 
+def facet_distribution(docs_ds, query: str, facets=("source", "lang"),
+                       text_col: str = "text"):
+    """Meilisearch-style facet distribution: per-facet value counts over
+    the FULL matching set of a query (not just the returned page) — the
+    sidebar counts a search UI renders, and the rollup the reference's
+    indexing-status report reads (check_indexing_status.py:61-67,
+    ``index.search("", facets=['site'], limit=0)``). An empty query
+    matches everything, reproducing that per-site index census exactly.
+
+    Matching is the conjunctive whitespace-token rule the rest of the
+    query tier uses: a doc matches when every query token appears among
+    its tokens. Scale shape: the match test and per-facet Counter
+    partials run in ONE in-block pass (text never crosses a shuffle);
+    the exchange carries (facet, value, partial count) rows into a
+    small Sum groupby. Returns (facet, value, count) sorted."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    q_toks = [t for t in (query or "").split(" ") if t]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        if q_toks:
+            mask = []
+            for t in texts:
+                toks = set((t or "").split(" "))
+                mask.append(all(q in toks for q in q_toks))
+        else:
+            mask = [True] * len(texts)
+        fs, vs, cs = [], [], []
+        for f in facets:
+            vals = batch[f].to_pylist()
+            cnt: dict = {}
+            for m, v in zip(mask, vals):
+                if m:
+                    v = v if v is not None else ""
+                    cnt[v] = cnt.get(v, 0) + 1
+            for v in sorted(cnt):
+                fs.append(f)
+                vs.append(v)
+                cs.append(cnt[v])
+        return pa.table({"facet": pa.array(fs, pa.string()),
+                         "value": pa.array(vs, pa.string()),
+                         "c": pa.array(cs, pa.int64())})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["facet", "value"])
+           .aggregate(Sum("c", alias_name="count")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["facet"], r["value"]))
+    return pa.table({
+        "facet": pa.array([r["facet"] for r in rows], pa.string()),
+        "value": pa.array([r["value"] for r in rows], pa.string()),
+        "count": pa.array([r["count"] for r in rows], pa.int64())})
+
+
 # ship by value for Ray workers
 import raycrawl as _raycrawl_pkg
 

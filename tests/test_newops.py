@@ -4282,3 +4282,23 @@ def test_heaps_curve_monotone_and_exact(ray_session):
         assert out.point.tolist() == list(range(1, 11))
         assert out.vocab.tolist() == [brute(k) for k in range(1, 11)]
         assert (np.diff(out.vocab) >= 0).all()
+
+
+def test_facet_distribution_match_and_empty_query(ray_session):
+    from raycrawl.ops.queryside import facet_distribution
+
+    t = pa.table({
+        "text": pa.array(["alpha beta", "beta gamma", "alpha beta gamma",
+                          "delta", None]),
+        "source": pa.array(["s1", "s2", "s1", "s1", "s2"]),
+        "lang": pa.array(["en", "fr", "en", "en", None])})
+    # conjunctive: 'alpha beta' matches docs 0 and 2 (both s1/en)
+    out = facet_distribution(rd.from_arrow(t).repartition(2),
+                             "alpha beta").to_pandas()
+    assert out.values.tolist() == [["lang", "en", 2], ["source", "s1", 2]]
+    # empty query = index census (nulls fold to "")
+    census = facet_distribution(rd.from_arrow(t), "").to_pandas()
+    got = {(f, v): c for f, v, c in
+           zip(census.facet, census.value, census["count"])}
+    assert got[("source", "s1")] == 3 and got[("source", "s2")] == 2
+    assert got[("lang", "")] == 1
