@@ -395,17 +395,24 @@ def event_lateness(ds, allowed_s: int = 3600):
     import ray
 
     @ray.remote
-    def block_max(t: pa.Table):
+    def block_stats(t: pa.Table):
         ts = np.asarray(t["ts"], "datetime64[us]").astype(np.int64)
-        return int(ts.max()) if len(ts) else np.iinfo(np.int64).min
+        ids = np.asarray(t["event_id"], np.int64)
+        if not len(ts):
+            return (np.iinfo(np.int64).max, np.iinfo(np.int64).min)
+        return (int(ids.min()), int(ts.max()))
 
-    maxes = ray.get([block_max.remote(b) for b in blocks])
+    # to_arrow_refs does NOT guarantee plan order after a sort; the sort
+    # range-partitions ids into disjoint blocks, so each block's own min
+    # id recovers the true global order for the prefix scan
+    stats = ray.get([block_stats.remote(b) for b in blocks])
+    order = sorted(range(len(blocks)), key=lambda i: stats[i][0])
     lo = np.iinfo(np.int64).min
-    prefix = []
+    prefix = [lo] * len(blocks)
     run = lo
-    for m in maxes:
-        prefix.append(run)
-        run = max(run, m)
+    for i in order:
+        prefix[i] = run
+        run = max(run, stats[i][1])
 
     @ray.remote
     def finalize(t: pa.Table, prev: int):
