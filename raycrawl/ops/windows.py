@@ -418,8 +418,13 @@ def event_lateness(ds, allowed_s: int = 3600):
     def finalize(t: pa.Table, prev: int):
         ts = np.asarray(t["ts"], "datetime64[us]").astype(np.int64)
         run = np.maximum.accumulate(ts)
-        wm = np.concatenate([[prev], run[:-1]]) if len(ts) else run
-        wm = np.maximum(wm, np.where(wm == lo, ts, wm))  # first event
+        # watermark[i] = max(prev-block prefix, running max of ts[0..i-1]):
+        # the prefix must be maxed into EVERY row, not just row 0 — within
+        # -block accumulation alone loses it whenever prev exceeds the
+        # block's own running max (old-event replays in a late block)
+        shifted = np.concatenate([[lo], run[:-1]]) if len(ts) else run
+        wm = np.maximum(shifted, prev)
+        wm = np.where(wm == lo, ts, wm)  # first event: own ts, never late
         late = (wm - ts) > allowed_s * 1_000_000
         return pa.table({
             "event_id": t["event_id"].cast(pa.int64()),

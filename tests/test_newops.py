@@ -4232,6 +4232,29 @@ def test_event_lateness_watermark(ray_session):
     assert out[out.event_id == 4].watermark_ts.iloc[0] == hrs(5)
 
 
+def test_event_lateness_prefix_dominates_block(ray_session):
+    """Regression: a trailing block of old-ts replays whose OWN running
+    max never reaches the incoming prefix — every row of that block
+    (not just its first) must carry the cross-block watermark. Many
+    tiny partitions force the replay tail into its own blocks."""
+    from raycrawl.ops.windows import event_lateness
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hrs = lambda h: base + h * 3_600_000_000
+    # ids 0..49: fresh stream climbing to 49h; ids 100..139: replays of
+    # hours 0..39 arriving afterwards — ALL must be late vs the 49h
+    # watermark except replay of hour >= 48 (none here).
+    ids = list(range(50)) + list(range(100, 140))
+    ts = [hrs(h) for h in range(50)] + [hrs(h) for h in range(40)]
+    t = pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = (event_lateness(rd.from_arrow(t).repartition(12), allowed_s=3600)
+           .to_pandas().sort_values("event_id"))
+    replays = out[out.event_id >= 100]
+    assert replays.late.tolist() == [1] * 40
+    assert (replays.watermark_ts == hrs(49)).all()
+
+
 def test_media_ahash_pairs_planted_and_bitrule(ray_session):
     from raycrawl.ops.multimodal import (ahash32, media_ahash_pairs,
                                          synthesize_media)
