@@ -310,11 +310,6 @@ def balanced_shards(ds, n_shards: int = 16, key_col: str = "source",
 
 
 @_export_ray.remote
-def _cdx_rows(tbl: pa.Table) -> int:
-    return tbl.num_rows
-
-
-@_export_ray.remote
 def _cdx_finalize(tbl: pa.Table, offset: int) -> pa.Table:
     import numpy as np
 
@@ -366,9 +361,11 @@ def cdx_records(pages_ds, *, url_col: str = "url", ts_col: str = "warc_ts",
                 [len((t or "").encode()) for t in texts], pa.int64()),
         })
 
-    blocks = (pages_ds.map_batches(slim, batch_format="pyarrow")
-              .sort(["surt", "ts_us", "url"]).to_arrow_refs())
-    rows = ray.get([_cdx_rows.remote(b) for b in blocks])
+    from .grouping import sorted_block_refs
+
+    blocks, rows = sorted_block_refs(
+        pages_ds.map_batches(slim, batch_format="pyarrow")
+        .sort(["surt", "ts_us", "url"]), ["surt", "ts_us", "url"])
     offsets = np.concatenate(
         ([0], np.cumsum(rows, dtype=np.int64)[:-1]))
     out = [_cdx_finalize.remote(b, int(o))

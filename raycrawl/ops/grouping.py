@@ -166,6 +166,62 @@ def nonempty_refs(ds) -> tuple[list, list[int]]:
     return [r for r, _ in kept], [n for _, n in kept]
 
 
+def sorted_block_refs(sorted_ds, key_cols: list[str],
+                      descending: list[bool] | bool | None = None
+                      ) -> tuple[list, list[int]]:
+    """Block refs of an already-``sort()``-ed Dataset in TRUE sort order,
+    plus per-block row counts.
+
+    ``to_arrow_refs()`` does NOT guarantee plan order: the streaming
+    executor's default ``preserve_order=False`` lets blocks land in
+    completion order, which usually — but not always — matches the sort.
+    Every rank/offset/prefix finalize that zips block refs with a cumsum
+    must therefore recover the order itself. After a global sort the
+    blocks are disjoint key ranges, so each block's FIRST row is enough:
+    fetch it per block (O(blocks) tiny tuples to the driver, rows stay in
+    plasma) and order blocks under the sort comparator. Empty blocks sort
+    last (their offset contribution is zero rows either way).
+
+    ``key_cols``/``descending`` must restate the sort spec. The sort key
+    is assumed unique per row (every caller carries an id tiebreak), so
+    first-row keys strictly order the blocks.
+
+    Zero-row blocks are DROPPED: a wide sort pads its output with empty
+    zero-SCHEMA blocks (no columns at all), which would crash any
+    finalize that touches a column. Callers must handle an empty refs
+    list (all-empty input) with their own typed empty table."""
+    import functools
+
+    import ray
+
+    if descending is None:
+        desc = [False] * len(key_cols)
+    elif isinstance(descending, bool):
+        desc = [descending] * len(key_cols)
+    else:
+        desc = list(descending)
+
+    @ray.remote
+    def _first_and_count(t: pa.Table):
+        if t.num_rows == 0:
+            return None, 0
+        return tuple(t[c][0].as_py() for c in key_cols), t.num_rows
+
+    refs = sorted_ds.to_arrow_refs()
+    probes = ray.get([_first_and_count.remote(r) for r in refs])
+    kept = [i for i in range(len(refs)) if probes[i][1] > 0]
+
+    def cmp(i: int, j: int) -> int:
+        a, b = probes[i][0], probes[j][0]
+        for x, y, d in zip(a, b, desc):
+            if x != y:
+                return (1 if d else -1) if x < y else (-1 if d else 1)
+        return 0
+
+    kept.sort(key=functools.cmp_to_key(cmp))
+    return [refs[i] for i in kept], [probes[i][1] for i in kept]
+
+
 def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):
     """Strip zero-row blocks from a Dataset before a ``Dataset.join``.
 

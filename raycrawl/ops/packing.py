@@ -85,17 +85,22 @@ def pack_offsets(ds, seq_len: int = 512, id_col: str = "doc_id",
     slim = ds.map_batches(counts, batch_format="pyarrow")
     # counts() renamed id_col → "doc_id"; sort by the renamed column so a
     # non-default id_col (e.g. "vec_id") works too
-    blocks = slim.sort("doc_id").to_arrow_refs()
+    from .grouping import sorted_block_refs
+
+    blocks, _rows = sorted_block_refs(slim.sort("doc_id"), ["doc_id"])
+    if not blocks:  # all-empty input: typed empty (keep_cols unknowable)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "first_seq": pa.array([], pa.int64()),
+            "last_seq": pa.array([], pa.int64()),
+            "n_seqs": pa.array([], pa.int64())}))
     sums = ray.get([_block_sum.remote(b) for b in blocks])
     offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)[:-1]))
     out = [_finalize.remote(b, int(o), seq_len)
            for b, o in zip(blocks, offsets)]
     return rd.from_arrow_refs(out)
-
-
-@ray.remote
-def _block_rows(tbl: pa.Table) -> int:
-    return tbl.num_rows
 
 
 @ray.remote
@@ -132,9 +137,15 @@ def deterministic_shuffle(ds, *, seed: int = 0, id_col: str = "doc_id"):
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
                          "skey": pa.array(ks, pa.string())})
 
-    blocks = (ds.map_batches(key, batch_format="pyarrow")
-              .sort(["skey", "doc_id"]).to_arrow_refs())
-    rows = ray.get([_block_rows.remote(b) for b in blocks])
+    from .grouping import sorted_block_refs
+
+    blocks, rows = sorted_block_refs(
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort(["skey", "doc_id"]), ["skey", "doc_id"])
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
     offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
     return rd.from_arrow_refs(
         [_pos_finalize.remote(b, int(o)) for b, o in zip(blocks, offsets)])
@@ -180,9 +191,17 @@ def length_batches(ds, batch_size: int = 32, id_col: str = "doc_id",
         return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
                          "n_tokens": pa.array(toks, pa.int64())})
 
-    blocks = (ds.map_batches(counts, batch_format="pyarrow")
-              .sort(["n_tokens", "doc_id"]).to_arrow_refs())
-    rows = ray.get([_block_rows.remote(b) for b in blocks])
+    from .grouping import sorted_block_refs
+
+    blocks, rows = sorted_block_refs(
+        ds.map_batches(counts, batch_format="pyarrow")
+        .sort(["n_tokens", "doc_id"]), ["n_tokens", "doc_id"])
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "batch_id": pa.array([], pa.int64()),
+            "pos_in_batch": pa.array([], pa.int64())}))
     offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
     return rd.from_arrow_refs(
         [_lb_finalize.remote(b, int(o), batch_size)

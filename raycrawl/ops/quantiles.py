@@ -65,8 +65,12 @@ def group_quantiles(ds, key_col: str, val_col: str,
     ds = ds.select_columns([key_col, val_col]).map_batches(
         lambda b: b.filter(pc.is_valid(b[val_col])), batch_format="pyarrow"
     )
-    sorted_ds = ds.sort([key_col, val_col])
-    refs = sorted_ds.to_arrow_refs()
+    from .grouping import sorted_block_refs
+
+    # sort-order recovery: equal-first-key block ties are harmless here
+    # (a rank landing in a run of equal values picks that value either way)
+    refs, _counts = sorted_block_refs(
+        ds.sort([key_col, val_col]), [key_col, val_col])
 
     run_refs = [_block_runs.remote(r, key_col) for r in refs]
     runs = ray.get(run_refs)

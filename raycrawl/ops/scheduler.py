@@ -183,14 +183,11 @@ def allocate_budget(hosts_ds, budget: int, *, host_col: str = "host",
     leftover = budget - int(
         scored.aggregate(Sum("base", alias_name="b"))["b"] or 0)
 
-    blocks = (scored.sort(["rem", "host"], descending=[True, False])
-              .to_arrow_refs())
+    from .grouping import sorted_block_refs
 
-    @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    rows = ray.get([_rows.remote(b) for b in blocks])
+    blocks, rows = sorted_block_refs(
+        scored.sort(["rem", "host"], descending=[True, False]),
+        ["rem", "host"], [True, False])
     offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
 
     @ray.remote

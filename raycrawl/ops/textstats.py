@@ -719,15 +719,18 @@ def ccnet_buckets(ds):
                                  pa.int64()),
         })
 
-    blocks = (rarity.map_batches(score, batch_format="pyarrow")
-              .sort(["freq_ppm", "doc_id"], descending=[True, False])
-              .to_arrow_refs())
+    from .grouping import sorted_block_refs
 
-    @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    rows = ray.get([_rows.remote(b) for b in blocks])
+    blocks, rows = sorted_block_refs(
+        rarity.map_batches(score, batch_format="pyarrow")
+        .sort(["freq_ppm", "doc_id"], descending=[True, False]),
+        ["freq_ppm", "doc_id"], [True, False])
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "freq_ppm": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string())}))
     total = int(sum(rows))
     offsets = np.concatenate(([0], np.cumsum(rows, dtype=np.int64)[:-1]))
 
