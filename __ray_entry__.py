@@ -3344,6 +3344,34 @@ def q_host_concentration(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source"]))
 
 
+def q_page_tree(sf_dir: str):
+    """URL path-tree freshness rollup (ops/hostagg.page_tree — the
+    reference dashboard's Page Tree view made corpus-wide,
+    dashboard/pages/15_Page_Tree.py:140-147 path split, :122-127
+    freshness buckets). Urls planted from doc_id: depth = doc_id % 4
+    segments of /sec{d%7}/sub{d%13}/page{d}; age_days =
+    (doc_id·37) % 120 − 10 (negatives = the unknown-date bucket). The
+    engine PARSES the url back; the oracle restates the plant
+    arithmetic directly."""
+    from raycrawl.ops.hostagg import page_tree
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        urls = []
+        for d, s in zip(ids, srcs):
+            segs = [f"sec{d % 7}", f"sub{d % 13}", f"page{d}"][: d % 4]
+            urls.append(f"https://{s}.example.org/" + "/".join(segs))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "site": pa.array([s or "" for s in srcs], pa.string()),
+            "age_days": pa.array([(d * 37) % 120 - 10 for d in ids],
+                                 pa.int64())})
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "source"])
+    return page_tree(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def _anchor_edges(sf_dir: str):
     """Synthesize the anchored link graph: each doc links to the three
     targets ``(7·d + 11·s) % N`` for s∈{0,1,2}, with anchor text
@@ -4071,6 +4099,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "media_payload_stats": q_media_payload_stats,
         "source_quality": q_source_quality,
         "host_concentration": q_host_concentration,
+        "page_tree": q_page_tree,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
         "para_dedup": q_para_dedup,
@@ -6458,6 +6487,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # page_tree: the plant arithmetic restated — depth = doc_id % 4
+        # caps the /sec{d%7}/sub{d%13}/page{d} segment list, freshness
+        # buckets on (doc_id*37) % 120 - 10 days
+        "page_tree": """
+            WITH d AS (
+                SELECT source AS site,
+                       doc_id % 4 AS depth,
+                       (doc_id * 37) % 120 - 10 AS age,
+                       'sec' || CAST(doc_id % 7 AS VARCHAR) AS s1,
+                       'sub' || CAST(doc_id % 13 AS VARCHAR) AS s2
+                FROM documents
+            ),
+            r AS (
+                SELECT site,
+                       CASE WHEN depth >= 1 THEN s1 ELSE '' END AS l1,
+                       CASE WHEN depth >= 2 THEN s2 ELSE '' END AS l2,
+                       age
+                FROM d
+            )
+            SELECT site, l1, l2,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(SUM(CASE WHEN age >= 0 AND age < 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_today,
+                   CAST(SUM(CASE WHEN age >= 1 AND age < 7
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_week,
+                   CAST(SUM(CASE WHEN age >= 7 AND age < 30
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_month,
+                   CAST(SUM(CASE WHEN age >= 30 AND age < 90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_quarter,
+                   CAST(SUM(CASE WHEN age >= 90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_older,
+                   CAST(SUM(CASE WHEN age < 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fresh_unknown
+            FROM r GROUP BY site, l1, l2
+        """,
         # host_concentration: Gini via 1-based rank weights over counts
         # sorted (n ASC, source ASC); HUGEINT clears the quadratics
         "host_concentration": """

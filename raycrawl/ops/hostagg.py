@@ -455,3 +455,66 @@ def host_concentration(docs_ds, *, source_col: str = "source"):
             [1_000_000 * (2 * sum_i_c - (k + 1) * total) // (k * total)],
             pa.int64()),
     })
+
+
+def page_tree(docs_ds, *, url_col: str = "url", site_col: str = "site",
+              age_col: str = "age_days", max_depth: int = 2):
+    """URL path-tree rollup with freshness buckets — the distributed
+    form of the reference dashboard's Page Tree view
+    (dashboard/pages/15_Page_Tree.py:140-147: path segments =
+    non-empty ``split('/')`` parts of the URL path; :122-127: freshness
+    buckets on days since indexing at <1 / <7 / <30 / <90 / else).
+    One row per (site, level-1 .. level-``max_depth`` path prefix) with
+    page count and per-bucket counts — the TreeMap/Sunburst input, built
+    corpus-wide instead of over a 1000-page dashboard sample.
+
+    A page contributes to exactly ONE row: its own prefix (shallow
+    pages fill the missing levels with ''). Rolling subtrees up is the
+    consumer's prefix-sum; keeping leaves disjoint keeps the operator a
+    plain groupby.
+
+    Scale shape: path parsing + bucketing happen in-batch; each batch
+    pre-aggregates to (site, l1..lk) partial counts (pandas groupby —
+    the fixed-width combiner), so the ONE exchange is a Sum groupby
+    over distinct tree rows, never pages. ``age_days`` is an int column
+    (days since indexed, <0 or null → the dashboard's unknown bucket
+    999-style) — the caller stamps it, keeping the operator clock-free
+    (no wall-clock reads; resumable runs stay deterministic)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    lvl_cols = [f"l{i + 1}" for i in range(max_depth)]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        sites = batch[site_col].to_pylist()
+        ages = batch[age_col].to_pylist()
+        levels: list[list[str]] = [[] for _ in range(max_depth)]
+        for u in urls:
+            u = u or ""
+            tail = u.split("://", 1)[1] if "://" in u else u
+            path = tail.split("/", 1)[1] if "/" in tail else ""
+            parts = [p for p in path.split("/") if p]
+            for i in range(max_depth):
+                levels[i].append(parts[i] if i < len(parts) else "")
+        a = np.array([-1 if d is None else int(d) for d in ages],
+                     np.int64)
+        pdf = pd.DataFrame({"site": [s or "" for s in sites]})
+        for c, col in zip(lvl_cols, levels):
+            pdf[c] = col
+        pdf["n_pages"] = 1
+        pdf["fresh_today"] = ((a >= 0) & (a < 1)).astype("int64")
+        pdf["fresh_week"] = ((a >= 1) & (a < 7)).astype("int64")
+        pdf["fresh_month"] = ((a >= 7) & (a < 30)).astype("int64")
+        pdf["fresh_quarter"] = ((a >= 30) & (a < 90)).astype("int64")
+        pdf["fresh_older"] = (a >= 90).astype("int64")
+        pdf["fresh_unknown"] = (a < 0).astype("int64")
+        out = (pdf.groupby(["site"] + lvl_cols, as_index=False).sum())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum(c, alias_name=c)
+            for c in ["n_pages", "fresh_today", "fresh_week",
+                      "fresh_month", "fresh_quarter", "fresh_older",
+                      "fresh_unknown"]]
+    return (docs_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["site"] + lvl_cols).aggregate(*aggs))

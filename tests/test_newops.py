@@ -4325,3 +4325,35 @@ def test_facet_distribution_match_and_empty_query(ray_session):
            zip(census.facet, census.value, census["count"])}
     assert got[("source", "s1")] == 3 and got[("source", "s2")] == 2
     assert got[("lang", "")] == 1
+
+
+def test_page_tree_paths_buckets_and_nulls(ray_session):
+    """Path parsing (scheme/host stripped, empty segments dropped,
+    depth capped at max_depth), freshness bucket edges (0→today,
+    6→week, 29→month, 89→quarter, 90→older, null/negative→unknown),
+    and a disjoint-leaf contract: Σ n_pages == input rows."""
+    from raycrawl.ops.hostagg import page_tree
+
+    t = pa.table({
+        "url": pa.array([
+            "https://a.org/",                  # homepage: l1='', l2=''
+            "https://a.org/x",                 # depth 1
+            "https://a.org/x/y/z/deep",        # depth 4 → capped at 2
+            "http://b.org//x///y",             # empty segments dropped
+            None,                              # null url → homepage row
+        ], pa.string()),
+        "site": pa.array(["a", "a", "a", "b", None], pa.string()),
+        "age_days": pa.array([0, 6, 89, 90, None], pa.int64())})
+    out = (page_tree(rd.from_arrow(t).repartition(3))
+           .to_pandas().sort_values(["site", "l1", "l2"])
+           .reset_index(drop=True))
+    assert int(out.n_pages.sum()) == 5
+    a_home = out[(out.site == "a") & (out.l1 == "")].iloc[0]
+    assert a_home.n_pages == 1 and a_home.fresh_today == 1
+    ax = out[(out.site == "a") & (out.l1 == "x")]
+    assert sorted(ax.l2.tolist()) == ["", "y"]
+    assert int(ax.fresh_week.sum()) == 1 and int(ax.fresh_quarter.sum()) == 1
+    b = out[out.site == "b"].iloc[0]
+    assert (b.l1, b.l2) == ("x", "y") and b.fresh_older == 1
+    nul = out[out.site == ""].iloc[0]
+    assert nul.fresh_unknown == 1 and (nul.l1, nul.l2) == ("", "")
