@@ -3372,6 +3372,71 @@ def q_page_tree(sf_dir: str):
     return page_tree(ds.map_batches(plant, batch_format="pyarrow"))
 
 
+_AUDIT_RULES = [
+    # hosts h0..h3 carry rules, h4 none (default-allow path);
+    # /sec1/sub3 overrides /sec1 (longest match), the duplicate
+    # /sec3/sub5 prefix exercises the equal-length tie -> Allow
+    (h, a, p)
+    for i in range(4)
+    for h, a, p in [
+        (f"h{i}.org", 0, "/sec1"),
+        (f"h{i}.org", 1, "/sec1/sub3"),
+        (f"h{i}.org", 0, "/sec3/sub5"),
+        (f"h{i}.org", 1, "/sec3/sub5"),
+        (f"h{i}.org", 0, f"/sec{i}"),
+    ]
+]
+
+
+def q_robots_audit(sf_dir: str):
+    """Post-hoc robots compliance audit (ops/audit.robots_audit): every
+    planted visit (host h{d%5}.org, path /sec{d%7}/sub{d%13}/p{d})
+    re-checked against a broadcast rule table under RFC 9309
+    longest-match (ties -> Allow, no match -> allowed). The live gate
+    uses urllib's first-match order (raycrawl/robots.py, mirroring the
+    reference crawler.py robots check); the audit applies the
+    standard's semantics — the operator exists to surface the
+    difference."""
+    from raycrawl.ops.audit import robots_audit
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "visit_id": pa.array(ids, pa.int64()),
+            "host": pa.array([f"h{d % 5}.org" for d in ids], pa.string()),
+            "path": pa.array(
+                [f"/sec{d % 7}/sub{d % 13}/p{d}" for d in ids],
+                pa.string())})
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id"])
+    return robots_audit(ds.map_batches(plant, batch_format="pyarrow"),
+                        _AUDIT_RULES)
+
+
+def q_politeness_audit(sf_dir: str):
+    """Per-host crawl-delay compliance (ops/audit.politeness_audit):
+    planted fetch times ts_us = 777777·d + 1000·(d² mod 1000) on host
+    h{d%5}.org with promised delay (1+3·(d%5)) s — consecutive same-host
+    fetches land ~3.9 s apart, so slow-delay hosts accumulate
+    violations while h0 (1 s) stays clean. One host-keyed exchange,
+    vectorized sort+diff per partition."""
+    from raycrawl.ops.audit import politeness_audit
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "host": pa.array([f"h{d % 5}.org" for d in ids], pa.string()),
+            "ts_us": pa.array(
+                [777_777 * d + 1_000 * ((d * d) % 1_000) for d in ids],
+                pa.int64()),
+            "delay_us": pa.array(
+                [1_000_000 * (1 + 3 * (d % 5)) for d in ids],
+                pa.int64())})
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id"])
+    return politeness_audit(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def _anchor_edges(sf_dir: str):
     """Synthesize the anchored link graph: each doc links to the three
     targets ``(7·d + 11·s) % N`` for s∈{0,1,2}, with anchor text
@@ -4100,6 +4165,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "source_quality": q_source_quality,
         "host_concentration": q_host_concentration,
         "page_tree": q_page_tree,
+        "robots_audit": q_robots_audit,
+        "politeness_audit": q_politeness_audit,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
         "para_dedup": q_para_dedup,
@@ -6521,6 +6588,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN age < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS fresh_unknown
             FROM r GROUP BY site, l1, l2
+        """,
+        # robots_audit: RFC 9309 longest-match restated as an argmax —
+        # row_number over (prefix length DESC, allow DESC) per visit;
+        # unmatched visits default to allowed with rule_len 0
+        "robots_audit": """
+            WITH hosts AS (
+                SELECT 'h' || CAST(i AS VARCHAR) || '.org' AS host, i
+                FROM range(4) t(i)
+            ),
+            rules AS (
+                SELECT host, allow, prefix
+                FROM hosts, (VALUES (0, '/sec1'), (1, '/sec1/sub3'),
+                                    (0, '/sec3/sub5'), (1, '/sec3/sub5'))
+                     v(allow, prefix)
+                UNION ALL
+                SELECT host, 0, '/sec' || CAST(i AS VARCHAR) FROM hosts
+            ),
+            v AS (
+                SELECT doc_id AS visit_id,
+                       'h' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+                           AS host,
+                       '/sec' || CAST(doc_id % 7 AS VARCHAR)
+                           || '/sub' || CAST(doc_id % 13 AS VARCHAR)
+                           || '/p' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ),
+            m AS (
+                SELECT v.visit_id, r.allow,
+                       length(r.prefix) AS plen,
+                       row_number() OVER (
+                           PARTITION BY v.visit_id
+                           ORDER BY length(r.prefix) DESC,
+                                    r.allow DESC) AS rn
+                FROM v JOIN rules r
+                  ON r.host = v.host AND starts_with(v.path, r.prefix)
+            )
+            SELECT v.visit_id, v.host, v.path,
+                   CAST(COALESCE(m.allow, 1) AS BIGINT) AS allowed,
+                   CAST(COALESCE(m.plen, 0) AS BIGINT) AS rule_len
+            FROM v LEFT JOIN m
+              ON m.visit_id = v.visit_id AND m.rn = 1
+        """,
+        # politeness_audit: per-host lag gaps vs the promised delay
+        "politeness_audit": """
+            WITH v AS (
+                SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+                           AS host,
+                       777777 * doc_id
+                           + 1000 * ((doc_id * doc_id) % 1000) AS ts_us,
+                       1000000 * (1 + 3 * (doc_id % 5)) AS delay_us
+                FROM documents
+            ),
+            g AS (
+                SELECT host, delay_us,
+                       ts_us - lag(ts_us) OVER (
+                           PARTITION BY host ORDER BY ts_us) AS gap
+                FROM v
+            )
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_us,
+                   CAST(COALESCE(SUM(CASE WHEN gap < delay_us
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_violations,
+                   CAST(MIN(delay_us) AS BIGINT) AS delay_us
+            FROM g GROUP BY host
         """,
         # host_concentration: Gini via 1-based rank weights over counts
         # sorted (n ASC, source ASC); HUGEINT clears the quadratics

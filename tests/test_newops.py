@@ -4357,3 +4357,40 @@ def test_page_tree_paths_buckets_and_nulls(ray_session):
     assert (b.l1, b.l2) == ("x", "y") and b.fresh_older == 1
     nul = out[out.site == ""].iloc[0]
     assert nul.fresh_unknown == 1 and (nul.l1, nul.l2) == ("", "")
+
+
+def test_robots_audit_longest_match_tie_and_default(ray_session):
+    """RFC 9309 semantics: longest prefix wins, equal-length ties
+    resolve to Allow, unmatched paths (and rule-less hosts) default to
+    allowed with rule_len 0."""
+    from raycrawl.ops.audit import robots_audit
+
+    rules = [("a.org", 0, "/x"), ("a.org", 1, "/x/y"),
+             ("a.org", 0, "/t"), ("a.org", 1, "/t")]
+    t = pa.table({
+        "visit_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "host": pa.array(["a.org", "a.org", "a.org", "a.org", "b.org"],
+                         pa.string()),
+        "path": pa.array(["/x/z", "/x/y/z", "/t/q", "/free", "/x/z"],
+                         pa.string())})
+    out = (robots_audit(rd.from_arrow(t).repartition(2), rules)
+           .to_pandas().sort_values("visit_id").reset_index(drop=True))
+    # /x/z: only /x matches -> disallow, len 2
+    assert (out.allowed.tolist(), out.rule_len.tolist()) == (
+        [0, 1, 1, 1, 1], [2, 4, 2, 0, 0])
+
+
+def test_politeness_audit_gaps_and_single_fetch(ray_session):
+    from raycrawl.ops.audit import politeness_audit
+
+    t = pa.table({
+        "host": pa.array(["a", "a", "a", "b"], pa.string()),
+        # gaps: 500ms then 2s against a 1s promise -> 1 violation
+        "ts_us": pa.array([0, 500_000, 2_500_000, 10], pa.int64()),
+        "delay_us": pa.array([1_000_000] * 4, pa.int64())})
+    out = (politeness_audit(rd.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    a = out[out.host == "a"].iloc[0]
+    assert (a.n_fetches, a.min_gap_us, a.n_violations) == (3, 500_000, 1)
+    b = out[out.host == "b"].iloc[0]
+    assert (b.n_fetches, b.min_gap_us, b.n_violations) == (1, -1, 0)
