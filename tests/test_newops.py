@@ -4394,3 +4394,34 @@ def test_politeness_audit_gaps_and_single_fetch(ray_session):
     assert (a.n_fetches, a.min_gap_us, a.n_violations) == (3, 500_000, 1)
     b = out[out.host == "b"].iloc[0]
     assert (b.n_fetches, b.min_gap_us, b.n_violations) == (1, -1, 0)
+
+
+def test_partitioned_apply_grid_parity(ray_session):
+    """Grid (hyper-dimension) shuffle == flat shuffle: same hash
+    routing, so identical results. max_fan=2 with 7 blocks and
+    n_parts=5 forces the grid path with chunked round-2 merges AND a
+    ragged last super-bucket (P1=3, P2=2, partition 5 unused)."""
+    import pandas as pd
+
+    from raycrawl.ops.grouping import partitioned_apply
+
+    t = pa.table({
+        "k": pa.array([f"k{i % 11}" for i in range(200)], pa.string()),
+        "v": pa.array(list(range(200)), pa.int64())})
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="string"),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = pdf.groupby("k", as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+        return out.astype({"s": "int64", "n": "int64"})
+
+    ds = rd.from_arrow(t).repartition(7)
+    flat = (partitioned_apply(ds, ["k"], agg, n_parts=5, max_fan=128)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    grid = (partitioned_apply(ds, ["k"], agg, n_parts=5, max_fan=2)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(flat, grid)
+    assert flat.s.sum() == sum(range(200)) and flat.n.sum() == 200
