@@ -95,7 +95,12 @@ class CrawlConfig:
     now: float = 2_000_000_000.0       # virtual clock origin
     n_seen_shards: int | None = None   # None → cluster-proportional (CPU/4)
     n_polite_shards: int | None = None  # None → cluster-proportional (CPU/8)
-    seen_mode: str = "exact"           # "exact" | "cuckoo"
+    seen_mode: str = "exact"           # "exact" | "cuckoo" | "cuckoo_window"
+    seen_window_epochs: int = 4        # cuckoo_window only: epochs a URL
+                                       # stays seen before it expires and
+                                       # becomes re-admittable (recrawl TTL
+                                       # at membership granularity; memory
+                                       # bounded by window, not crawl age)
     max_epochs: int | None = None      # stop after k epochs (kill/resume tests)
     max_duration_s: float | None = None  # wall-clock crawl budget: stop before
                                          # the next wave once exceeded, keep the
@@ -427,7 +432,8 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _run_strict(self) -> CrawlResult:
         cfg = self.cfg
-        seen = SeenState(cfg.seen_mode)
+        seen = SeenState(cfg.seen_mode,
+                         window_epochs=cfg.seen_window_epochs)
         politeness = HostPoliteness(self.robots_bodies, self.site_delays,
                                     robots_fetcher=self._robots_fetcher())
         if self.prior_cache_entries:
@@ -577,7 +583,8 @@ class CrawlEngine:
             manifest0 = self._peek_manifest(resume_from)
             n_seen = manifest0["n_seen_shards"]
             n_pol = manifest0.get("n_polite_shards", n_pol)
-        seen = ShardedSeen(n_seen, cfg.seen_mode)
+        seen = ShardedSeen(n_seen, cfg.seen_mode,
+                           window_epochs=cfg.seen_window_epochs)
         politeness = ShardedPoliteness(n_pol, self.robots_bodies,
                                        self.site_delays,
                                        robots_fetcher=self._robots_fetcher())
@@ -897,6 +904,8 @@ class CrawlEngine:
                       f"admit={_t_admit:.2f} fblocks={len(frontier_refs)}",
                       flush=True)
             epoch += 1
+            if cfg.seen_mode == "cuckoo_window":
+                seen.rotate_window()
             if cfg.checkpoint_dir:
                 self._checkpoint(cfg.checkpoint_dir, epoch,
                                  rd.from_arrow_refs(frontier_refs)

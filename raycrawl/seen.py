@@ -94,13 +94,76 @@ class CuckooFilter:
         return probe1 in self.stash or probe2 in self.stash
 
 
+class SlidingCuckooFilter:
+    """Window-segmented approximate membership: ``window`` cuckoo
+    segments, inserts land in the newest, lookups probe all live
+    segments, and ``rotate()`` (called once per crawl epoch) starts a
+    fresh segment and drops the oldest — so a URL inserted ``window``
+    rotations ago silently expires and gets re-admitted, which is
+    exactly the recrawl-after-TTL semantics a continuous crawl wants
+    from its seen set (the membership-tier analogue of the cache TTL;
+    sliding-window AMQ filters per the SIGMOD'23 learned-cuckoo line of
+    work, the segmented-rotation scheme being the classic baseline).
+
+    Memory is BOUNDED by design: ≤ ``window`` fixed-capacity segments
+    regardless of crawl lifetime — the property a years-running frontier
+    at 10¹⁰ URLs needs, where a grow-only filter eventually evicts into
+    an unbounded stash. No false negatives within the window (cuckoo
+    property, per segment); expiry is all-or-nothing per segment, i.e.
+    TTL granularity is one rotation."""
+
+    def __init__(self, capacity: int = 1 << 16, window: int = 4,
+                 seed: int = 0x5EED):
+        if window < 1:
+            raise ValueError("SlidingCuckooFilter: window must be >= 1")
+        self.capacity = capacity
+        self.window = window
+        self.seed = seed
+        self.segments: list[CuckooFilter] = [CuckooFilter(capacity, seed)]
+
+    def add(self, key: bytes) -> None:
+        self.segments[-1].add(key)
+
+    def contains(self, key: bytes) -> bool:
+        return any(s.contains(key) for s in self.segments)
+
+    def rotate(self) -> None:
+        self.segments.append(CuckooFilter(self.capacity, self.seed))
+        if len(self.segments) > self.window:
+            del self.segments[0]
+
+    @property
+    def count(self) -> int:
+        return sum(s.count for s in self.segments)
+
+    def state(self) -> tuple:
+        return (self.capacity, self.window, self.seed,
+                [(s.n_buckets, s.table, s.stash, s.count)
+                 for s in self.segments])
+
+    @classmethod
+    def from_state(cls, st: tuple) -> "SlidingCuckooFilter":
+        capacity, window, seed, segs = st
+        f = cls(capacity, window, seed)
+        f.segments = []
+        for nb, table, stash, count in segs:
+            ck = CuckooFilter(nb * 4, seed)
+            ck.table = table
+            ck.stash = stash
+            ck.count = count
+            f.segments.append(ck)
+        return f
+
+
 class SeenState:
     """Per-shard crawl membership + incremental cache. Keys are SHA-1
     digests (bytes); all per-site sets are keyed by site name."""
 
-    def __init__(self, mode: str = "exact", cuckoo_capacity: int = 1 << 18):
-        assert mode in ("exact", "cuckoo")
+    def __init__(self, mode: str = "exact", cuckoo_capacity: int = 1 << 18,
+                 window_epochs: int = 4):
+        assert mode in ("exact", "cuckoo", "cuckoo_window")
         self.mode = mode
+        self.window_epochs = window_epochs
         self.cuckoo_capacity = cuckoo_capacity
         self.visited: dict[str, set[bytes]] = {}
         self.visited_ck: dict[str, CuckooFilter] = {}
@@ -111,21 +174,35 @@ class SeenState:
         self.active: dict[str, int] = {}          # per-site active-frontier counters
         self.popped: dict[str, int] = {}          # cumulative frontier dequeues
 
+    def _new_filter(self):
+        if self.mode == "cuckoo_window":
+            return SlidingCuckooFilter(self.cuckoo_capacity,
+                                       self.window_epochs)
+        return CuckooFilter(self.cuckoo_capacity)
+
     # -- membership -------------------------------------------------------
     def _visited_contains(self, site: str, key: bytes) -> bool:
-        if self.mode == "cuckoo":
+        if self.mode in ("cuckoo", "cuckoo_window"):
             ck = self.visited_ck.get(site)
             return ck.contains(key) if ck else False
         return key in self.visited.get(site, ())
 
     def mark_visited(self, site: str, keys: list[bytes]) -> None:
-        if self.mode == "cuckoo":
-            ck = self.visited_ck.setdefault(site, CuckooFilter(self.cuckoo_capacity))
+        if self.mode in ("cuckoo", "cuckoo_window"):
+            ck = self.visited_ck.setdefault(site, self._new_filter())
             for k in keys:
                 if not ck.contains(k):
                     ck.add(k)
         else:
             self.visited.setdefault(site, set()).update(keys)
+
+    def rotate_window(self) -> None:
+        """Advance the sliding seen window one epoch (no-op for
+        grow-only modes): the oldest segment's URLs expire and become
+        re-admittable — recrawl-after-TTL at membership granularity."""
+        if self.mode == "cuckoo_window":
+            for ck in self.visited_ck.values():
+                ck.rotate()
 
     def on_popped(self, site: str, keys: list[bytes]) -> None:
         """Every popped frontier entry leaves the queued set
@@ -283,10 +360,12 @@ class SeenState:
                 "hashes": self.hashes,
                 "cache": self.cache,
                 "visited_ck": {
-                    s: (ck.n_buckets, ck.table, ck.stash, ck.count)
+                    s: (ck.state() if isinstance(ck, SlidingCuckooFilter)
+                        else (ck.n_buckets, ck.table, ck.stash, ck.count))
                     for s, ck in self.visited_ck.items()
                 },
                 "cuckoo_capacity": self.cuckoo_capacity,
+                "window_epochs": self.window_epochs,
                 "active": self.active,
                 "popped": self.popped,
             }
@@ -300,15 +379,20 @@ class SeenState:
         self.hashes = d["hashes"]
         self.cache = d["cache"]
         self.cuckoo_capacity = d["cuckoo_capacity"]
+        self.window_epochs = d.get("window_epochs", 4)
         self.active = d.get("active", {})
         self.popped = d.get("popped", {})
         self.visited_ck = {}
-        for s, (nb, table, stash, count) in d["visited_ck"].items():
-            ck = CuckooFilter(nb * 4)
-            ck.table = table
-            ck.stash = stash
-            ck.count = count
-            self.visited_ck[s] = ck
+        for s, st in d["visited_ck"].items():
+            if self.mode == "cuckoo_window":
+                self.visited_ck[s] = SlidingCuckooFilter.from_state(st)
+            else:
+                nb, table, stash, count = st
+                ck = CuckooFilter(nb * 4)
+                ck.table = table
+                ck.stash = stash
+                ck.count = count
+                self.visited_ck[s] = ck
 
 
 def make_seen_shard_cls():
@@ -339,13 +423,19 @@ class ShardedSeen:
     concurrently (submit all, then gather)."""
 
     def __init__(self, n_shards: int = 4, mode: str = "exact",
-                 cuckoo_capacity: int = 1 << 18):
+                 cuckoo_capacity: int = 1 << 18, window_epochs: int = 4):
         import ray
 
         cls = make_seen_shard_cls()
         self.n = n_shards
-        self.shards = [cls.remote(mode, cuckoo_capacity) for _ in range(n_shards)]
+        self.shards = [cls.remote(mode, cuckoo_capacity, window_epochs)
+                       for _ in range(n_shards)]
         self._ray = ray
+
+    def rotate_window(self) -> None:
+        """Advance every shard's sliding seen window (cuckoo_window
+        mode; no-op otherwise) — one broadcast RPC per epoch."""
+        self._ray.get([s.rotate_window.remote() for s in self.shards])
 
     def _route(self, keys: list[bytes]):
         by_shard: dict[int, list[int]] = {}

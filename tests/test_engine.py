@@ -520,3 +520,19 @@ def test_checkpoint_retention_prunes_and_resumes(ray_session, tmp_path):
     seen_first = {v["url"] for v in r1.visits.to_pylist()}
     seen_second = {v["url"] for v in r2.visits.to_pylist()}
     assert not (seen_first & seen_second)
+
+
+def test_wave_cuckoo_window_mode_equals_exact(ray_session):
+    """A window at least as long as the crawl behaves exactly like the
+    grow-only filter — the sliding machinery must not perturb a
+    within-run crawl (rotation per epoch, but nothing expires)."""
+    s = scenario("tree")
+    r_exact = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                          cfg=CrawlConfig(mode="wave", seen_mode="exact")).run()
+    r_w = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                      cfg=CrawlConfig(mode="wave", seen_mode="cuckoo_window",
+                                      seen_window_epochs=64)).run()
+    assert sorted(d["url"] for d in r_exact.docs.to_pylist()) == sorted(
+        d["url"] for d in r_w.docs.to_pylist()
+    )
+    assert r_exact.visits.num_rows == r_w.visits.num_rows

@@ -63,3 +63,57 @@ def test_snapshot_restore_roundtrip():
     assert s2.queued["a"] == s.queued["a"]
     assert s2.get_cache([_k(1)])[0][0] == "x"
     assert all(s2._visited_contains("a", _k(i)) for i in range(50))
+
+
+def test_sliding_cuckoo_window_expiry_and_bound():
+    """Keys expire exactly `window` rotations after insertion, never
+    sooner (no false negatives within the window); live segments are
+    capped at `window` regardless of rotations."""
+    from raycrawl.seen import SlidingCuckooFilter
+
+    f = SlidingCuckooFilter(capacity=1 << 12, window=3)
+    epochs: dict[int, list[bytes]] = {}
+    for e in range(8):
+        epochs[e] = [_k(1000 * e + i) for i in range(200)]
+        for k in epochs[e]:
+            f.add(k)
+        # everything inserted within the last `window` epochs is present
+        for live in range(max(0, e - 2), e + 1):
+            assert all(f.contains(k) for k in epochs[live]), (e, live)
+        # epoch e-3 and older have fully expired (modulo cuckoo false
+        # positives — with 16-bit fingerprints allow a small fraction)
+        for dead in range(0, max(0, e - 2)):
+            hits = sum(f.contains(k) for k in epochs[dead])
+            assert hits <= 4, (e, dead, hits)
+        f.rotate()
+        assert len(f.segments) <= 3
+
+
+def test_sliding_cuckoo_state_roundtrip():
+    from raycrawl.seen import SlidingCuckooFilter
+
+    f = SlidingCuckooFilter(capacity=1 << 10, window=2)
+    f.add(_k(1)); f.rotate(); f.add(_k(2))
+    g = SlidingCuckooFilter.from_state(f.state())
+    assert g.contains(_k(1)) and g.contains(_k(2))
+    g.rotate()           # expires the segment holding k1
+    assert not g.contains(_k(1)) and g.contains(_k(2))
+    assert f.contains(_k(1))   # original untouched
+
+
+def test_seen_state_cuckoo_window_mode_and_snapshot():
+    """cuckoo_window mode: re-admission after the window slides past a
+    visit, and snapshot/restore preserves segment boundaries."""
+    s = SeenState(mode="cuckoo_window", window_epochs=2)
+    s.mark_visited("a", [_k(1)])
+    assert s.admit("a", [_k(1)]) == [False]
+    s.rotate_window()    # window=2: k1's segment still live
+    assert s._visited_contains("a", _k(1))
+    blob = s.snapshot()
+    t = SeenState()
+    t.restore(blob)
+    assert t.mode == "cuckoo_window"
+    assert t._visited_contains("a", _k(1))
+    t.rotate_window()    # second rotation: k1's segment expires
+    assert t._visited_contains("a", _k(1)) is False
+    assert s._visited_contains("a", _k(1))  # original untouched
