@@ -428,6 +428,29 @@ def q_embed_topk(sf_dir: str):
     return brute_topk(ds, _query_vectors(sf_dir), k=10)
 
 
+def q_bitext_mine(sf_dir: str):
+    """Margin-based bitext mining (ops/similarity.bitext_mine, Artetxe
+    & Schwenk ratio margin + mutual-NN) between the even-label and
+    odd-label embedding slices: accepted pairs are mutual cosine
+    nearest neighbours whose similarity beats the mean of both 8-NN
+    neighbourhoods (margin >= 1)."""
+    from raycrawl.ops.similarity import bitext_mine
+
+    def side(parity: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lab = pc.cast(batch["label"], pa.int64())
+            keep = pc.equal(pc.bit_wise_and(lab, 1), parity)
+            return batch.filter(keep).select(["vec_id", "embedding"])
+
+        return _read_ds(sf_dir, "embeddings",
+                        ["vec_id", "embedding", "label"]).map_batches(
+            pick, batch_format="pyarrow")
+
+    return bitext_mine(side(0), side(1), k=8, margin_min=1.0)
+
+
 def q_embed_topk_lsh(sf_dir: str):
     """LSH-bucketed variant driven end to end (keys, probe mask, partial
     top-k, merge) at FULL probe (probe_hamming == n_planes), where its
@@ -4166,6 +4189,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_concentration": q_host_concentration,
         "page_tree": q_page_tree,
         "robots_audit": q_robots_audit,
+        "bitext_mine": q_bitext_mine,
         "politeness_audit": q_politeness_audit,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
@@ -6588,6 +6612,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN age < 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS fresh_unknown
             FROM r GROUP BY site, l1, l2
+        """,
+        # bitext_mine: mutual top-1 by (cosine DESC, id ASC) + the ratio
+        # margin vs both 8-NN neighbourhood means; DOUBLE[] casts force
+        # float64 cosine so both engines agree to ~1e-15
+        "bitext_mine": """
+            WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE label % 2 = 0),
+            b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE label % 2 = 1),
+            sims AS (
+                SELECT a.vec_id AS aid, b.vec_id AS bid,
+                       list_cosine_similarity(a.e, b.e) AS c
+                FROM a CROSS JOIN b
+            ),
+            ra AS (SELECT aid, bid, c, row_number() OVER (
+                       PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+                   FROM sims),
+            rb AS (SELECT aid, bid, c, row_number() OVER (
+                       PARTITION BY bid ORDER BY c DESC, aid ASC) AS rn
+                   FROM sims),
+            sa AS (SELECT aid, AVG(c) AS av FROM ra
+                   WHERE rn <= 8 GROUP BY aid),
+            sb AS (SELECT bid, AVG(c) AS av FROM rb
+                   WHERE rn <= 8 GROUP BY bid),
+            ta AS (SELECT aid, bid, c FROM ra WHERE rn = 1),
+            tb AS (SELECT aid, bid FROM rb WHERE rn = 1)
+            SELECT t.aid AS a_id, t.bid AS b_id, t.c AS cos,
+                   t.c / ((sa.av + sb.av) / 2) AS margin
+            FROM ta t
+            JOIN tb ON tb.aid = t.aid AND tb.bid = t.bid
+            JOIN sa ON sa.aid = t.aid
+            JOIN sb ON sb.bid = t.bid
+            WHERE t.c / ((sa.av + sb.av) / 2) >= 1.0
         """,
         # robots_audit: RFC 9309 longest-match restated as an argmax —
         # row_number over (prefix length DESC, allow DESC) per visit;

@@ -489,3 +489,105 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, n_sub: int = 4,
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
     return _merge_topk(partials, k)
+
+
+def _topk_with_scores(ds, queries: np.ndarray, k: int,
+                      id_col: str, emb_col: str) -> dict[int, list]:
+    """Per-query top-k WITH cosine scores: per-batch partials (the
+    ``brute_topk`` shape), heap-merged on the driver. Returns
+    {query_index: [(score, vec_id) desc, ties id asc]}."""
+    import heapq
+
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        sims = emb @ q.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            idx = _topk_batch_idx(col, ids, kk)
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())})
+
+    best: dict[int, list] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        heapq.heappush(best.setdefault(r["query_id"], []),
+                       (r["score"], -r["vec_id"]))
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    return {qi: [(s, -negid) for s, negid in
+                 sorted(h, key=lambda x: (-x[0], -x[1]))]
+            for qi, h in best.items()}
+
+
+def bitext_mine(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                max_anchors: int = 200_000) -> pa.Table:
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019,
+    "ratio" margin): a candidate pair (a, b) survives iff b is a's
+    cosine nearest neighbour AND a is b's (mutual-NN), and the pair's
+    cosine exceeds the mean of both anchors' k-NN neighbourhoods by the
+    ``margin_min`` ratio:
+
+        margin(a,b) = cos(a,b) / ((avg_k cos(a,·B) + avg_k cos(·A,b)) / 2)
+
+    — the standard mined-bitext filter for cross-lingual pretraining
+    corpora (LASER/CCMatrix-style), here over two embedding-table
+    slices. Returns (a_id, b_id, cos, margin) for accepted pairs.
+
+    Scale shape: each pass streams ONE side as corpus batches while the
+    other side rides along as the broadcast query matrix (guarded by
+    ``max_anchors``) — the declared oracle kernel, same contract as
+    ``brute_topk``. At mining scale both sides are corpora; the scale
+    path replaces the broadcast with the IVF machinery (``ivf_topk``'s
+    centroid bucketing applied to both sides, margin computed per
+    bucket) and is intentionally NOT fused into this exact kernel."""
+    rows_a = ds_a.take(max_anchors + 1)
+    if len(rows_a) > max_anchors:
+        raise ValueError(f"bitext_mine: side A exceeds max_anchors="
+                         f"{max_anchors}; use the IVF-bucketed path")
+    rows_b = ds_b.take(max_anchors + 1)
+    if len(rows_b) > max_anchors:
+        raise ValueError(f"bitext_mine: side B exceeds max_anchors="
+                         f"{max_anchors}; use the IVF-bucketed path")
+    a_ids = np.array([r[id_col] for r in rows_a], np.int64)
+    b_ids = np.array([r[id_col] for r in rows_b], np.int64)
+    a_mat = np.array([r[emb_col] for r in rows_a], np.float64)
+    b_mat = np.array([r[emb_col] for r in rows_b], np.float64)
+
+    top_ab = _topk_with_scores(ds_b, a_mat, k, id_col, emb_col)
+    top_ba = _topk_with_scores(ds_a, b_mat, k, id_col, emb_col)
+
+    b_top1 = {int(b_ids[qi]): lst[0][1] for qi, lst in top_ba.items()
+              if lst}
+    b_avg = {int(b_ids[qi]): sum(s for s, _ in lst) / len(lst)
+             for qi, lst in top_ba.items() if lst}
+    out = []
+    for qi, lst in sorted(top_ab.items()):
+        if not lst:
+            continue
+        a = int(a_ids[qi])
+        c, b = lst[0]
+        if b_top1.get(b) != a:
+            continue
+        avg_a = sum(s for s, _ in lst) / len(lst)
+        denom = (avg_a + b_avg[b]) / 2.0
+        margin = c / denom
+        if margin >= margin_min:
+            out.append({"a_id": a, "b_id": int(b),
+                        "cos": float(c), "margin": float(margin)})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()),
+         ("cos", pa.float64()), ("margin", pa.float64())]))

@@ -4425,3 +4425,41 @@ def test_partitioned_apply_grid_parity(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(flat, grid)
     assert flat.s.sum() == sum(range(200)) and flat.n.sum() == 200
+
+
+def test_bitext_mine_planted_pairs_and_margin_reject(ray_session):
+    """Planted near-identical cross-slice pairs are mined as mutual-NN
+    with high margin; a vector whose whole neighbourhood is equally
+    close (margin ~1) is rejected by margin_min > 1."""
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(6, dim))
+    # A side: 6 anchors; B side: ids 100.. — b_i ~= a_i (planted pairs)
+    a_mat = base
+    b_mat = base + rng.normal(scale=0.01, size=(6, dim))
+    # a clump of near-duplicates around one direction: members of the
+    # clump have many equally-close neighbours -> margin ~ 1
+    clump = np.tile(rng.normal(size=(1, dim)), (10, 1)) \
+        + rng.normal(scale=1e-4, size=(10, dim))
+    A = np.vstack([a_mat, clump[:5]])
+    B = np.vstack([b_mat, clump[5:]])
+    from raycrawl.ops.similarity import bitext_mine
+
+    def tab(ids, mat):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32()))})
+
+    out = bitext_mine(
+        rd.from_arrow(tab(list(range(11)), A)).repartition(3),
+        rd.from_arrow(tab(list(range(100, 111)), B)).repartition(2),
+        k=3, margin_min=1.05).to_pandas()
+    got = dict(zip(out.a_id, out.b_id))
+    for i in range(6):
+        assert got.get(i) == 100 + i, (i, got)
+    # clump members (a_ids 6..10) may pair up as mutual-NN but their
+    # margin is ~1 (the whole 3-NN neighbourhood is equally close on
+    # both sides) -> rejected
+    assert not (set(out.a_id) & {6, 7, 8, 9, 10})
+    assert (out.margin >= 1.05).all()
