@@ -280,6 +280,94 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
                              n_parts=width)
 
 
+@ray.remote
+def _rr_init(width: int, part: int, *slices: pa.Table):
+    """One redirect partition: rows (src, cur) with src % width == part,
+    src-sorted for searchsorted lookups."""
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "cur": pa.array([], pa.int64())})
+    src = np.concatenate([_np(t["src"]) for t in live])
+    cur = np.concatenate([_np(t["dst"]) for t in live])
+    order = np.argsort(src, kind="stable")
+    return pa.table({"src": pa.array(src[order], pa.int64()),
+                     "cur": pa.array(cur[order], pa.int64())})
+
+
+@ray.remote
+def _rr_queries(width: int, part_tbl: pa.Table):
+    """Emit (node=cur, origin=src) lookup requests, routed by cur hash."""
+    src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
+    p = cur % width
+    return tuple(pa.table({"node": pa.array(cur[p == i], pa.int64()),
+                           "origin": pa.array(src[p == i], pa.int64())})
+                 for i in range(width))
+
+
+@ray.remote
+def _rr_answer(width: int, part_tbl: pa.Table, *queries: pa.Table):
+    """Answer lookups against this partition's CURRENT map (pointer
+    jumping composes the map with itself — reach doubles per round):
+    for found nodes emit (origin, next), routed by origin hash."""
+    src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
+    outs_o, outs_n = [], []
+    for q in queries:
+        if not q.num_rows:
+            continue
+        qn, qo = _np(q["node"]), _np(q["origin"])
+        if not len(src):
+            continue
+        pos = np.searchsorted(src, qn)
+        pos_c = np.minimum(pos, len(src) - 1)
+        found = src[pos_c] == qn
+        outs_o.append(qo[found])
+        outs_n.append(cur[pos_c][found])
+    if not outs_o:
+        empty = pa.table({"origin": pa.array([], pa.int64()),
+                          "next": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    o = np.concatenate(outs_o)
+    nx = np.concatenate(outs_n)
+    p = o % width
+    return tuple(pa.table({"origin": pa.array(o[p == i], pa.int64()),
+                           "next": pa.array(nx[p == i], pa.int64())})
+                 for i in range(width))
+
+
+@ray.remote
+def _rr_apply(part_tbl: pa.Table, *answers: pa.Table):
+    """Apply (origin, next) updates: cur[origin] = next. Origins with no
+    answer (their cur has no outgoing redirect) keep cur — resolved."""
+    src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"]).copy()
+    for a in answers:
+        if not a.num_rows or not len(src):
+            continue
+        ao, an = _np(a["origin"]), _np(a["next"])
+        pos = np.searchsorted(src, ao)  # every origin is one of our srcs
+        cur[pos] = an
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "cur": pa.array(cur, pa.int64())})
+
+
+@ray.remote
+def _rr_finish(part_tbl: pa.Table, *answers: pa.Table):
+    """Final pass: a landing node that still HAS an outgoing redirect
+    (it answered the probe) marks the chain unresolved (cycle or
+    over-long chain)."""
+    src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
+    resolved = np.ones(len(src), np.int64)
+    for a in answers:
+        if not a.num_rows or not len(src):
+            continue
+        ao = _np(a["origin"])
+        pos = np.searchsorted(src, ao)
+        resolved[pos] = 0
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "final": pa.array(cur, pa.int64()),
+                     "resolved": pa.array(resolved, pa.int64())})
+
+
 def resolve_redirects(redirects_ds, rounds: int = 6,
                       src_col: str = "src", dst_col: str = "dst",
                       n_parts: int | None = None):
@@ -298,69 +386,72 @@ def resolve_redirects(redirects_ds, rounds: int = 6,
     deterministic ``f^(2^rounds)`` landing node — exactly restatable in
     SQL as a depth-limited recursive walk, so the op is oracle-gateable.
 
-    Each round is ONE partitioned hash join of fixed-width int64 rows
-    (the map joined against itself); no driver materialization. Returns
-    ``(src, final, resolved)``, one row per input src."""
+    Execution (the `connected_components`/`seed_distances` static-
+    partition shape): the map hash-partitions by src ONCE into plasma,
+    src-sorted; each round is three width-wide waves of int64 kernels —
+    emit (cur, origin) lookups routed by cur hash, answer them against
+    the CURRENT map (searchsorted), apply (origin, next) updates — so
+    the doubling composition never pays a Dataset join (the previous
+    per-round ``Dataset.join`` implementation spent ~3 s/round of
+    executor+aggregator fixed cost at 32 CPUs). Rows crossing the wire
+    per round = one fixed-width query+answer per chain still moving.
+    Returns ``(src, final, resolved)``, one row per input src."""
     import ray.data as rd
 
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import resolve_parts
 
     width = resolve_parts(n_parts)
-    empty = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
     def norm(b: pa.Table) -> pa.Table:
         return pa.table({"src": b[src_col].cast(pa.int64()),
                          "dst": b[dst_col].cast(pa.int64())})
 
-    try:
-        P = drop_empty_blocks(
-            redirects_ds.map_batches(norm, batch_format="pyarrow"))
-    except ValueError:
+    blocks = redirects_ds.map_batches(
+        norm, batch_format="pyarrow").to_arrow_refs()
+    if not blocks:
         return rd.from_arrow(pa.schema(
             [("src", pa.int64()), ("final", pa.int64()),
              ("resolved", pa.int64())]).empty_table())
-
-    def as_right(b: pa.Table) -> pa.Table:
-        return pa.table({"dst": b["src"], "dst_next": b["dst"]})
+    split = [_bfs_split.options(num_returns=width).remote(
+        width, b, "src", "dst") for b in blocks]
+    if width == 1:
+        split = [[s] for s in split]
+    parts = [_rr_init.remote(width, p, *[s[p] for s in split])
+             for p in range(width)]
 
     for _ in range(rounds):
-        right = P.map_batches(as_right, batch_format="pyarrow")
-        j = P.join(right, join_type="left_outer", num_partitions=width,
-                   on=("dst",))
+        q = [_rr_queries.options(num_returns=width).remote(width, parts[p])
+             for p in range(width)]
+        if width == 1:
+            q = [[x] for x in q]
+        a = [_rr_answer.options(num_returns=width).remote(
+            width, parts[p], *[q[i][p] for i in range(width)])
+            for p in range(width)]
+        if width == 1:
+            a = [[x] for x in a]
+        parts = [_rr_apply.remote(parts[p], *[a[i][p] for i in range(width)])
+                 for p in range(width)]
 
-        def jump(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    # resolved probe: same lookup shape, answers mark unresolved chains
+    q = [_rr_queries.options(num_returns=width).remote(width, parts[p])
+         for p in range(width)]
+    if width == 1:
+        q = [[x] for x in q]
+    a = [_rr_answer.options(num_returns=width).remote(
+        width, parts[p], *[q[i][p] for i in range(width)])
+        for p in range(width)]
+    if width == 1:
+        a = [[x] for x in a]
+    outs = [_rr_finish.remote(parts[p], *[a[i][p] for i in range(width)])
+            for p in range(width)]
 
-            return pa.table({
-                "src": b["src"],
-                "dst": pc.coalesce(b["dst_next"], b["dst"]),
-            })
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
 
-        P = drop_empty_blocks(j.map_batches(jump, batch_format="pyarrow"),
-                              empty_schema=empty)
-
-    # resolved ⇔ the landing node has no outgoing redirect
-    def out_markers(b: pa.Table) -> pa.Table:
-        u = pc.unique(b["src"])
-        return pa.table({"dst": u,
-                         "_has_out": pa.array([1] * len(u), pa.int64())})
-
-    srcs = P.map_batches(out_markers, batch_format="pyarrow")
-    j = P.join(srcs, join_type="left_outer", num_partitions=width,
-               on=("dst",))
-
-    def finish(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({
-            "src": b["src"],
-            "final": b["dst"],
-            "resolved": pc.if_else(pc.is_null(b["_has_out"]),
-                                   pa.scalar(1, pa.int64()),
-                                   pa.scalar(0, pa.int64())),
-        })
-
-    return j.map_batches(finish, batch_format="pyarrow")
+    counts = ray.get([_rows.remote(o) for o in outs])
+    keep = [o for o, c in zip(outs, counts) if c > 0]
+    return rd.from_arrow_refs(keep if keep else outs[:1])
 
 
 def graph_structure_report(edges_ds, *, src_col: str = "src",
@@ -596,6 +687,83 @@ def triangle_counts(edges_ds, *, src_col: str = "src",
         "node").aggregate(Count(alias_name="triangles"))
 
 
+@ray.remote
+def _bfs_split(width: int, tbl: pa.Table, src_col: str, dst_col: str):
+    """Route one edge block's rows to src-hash partitions."""
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        return tuple(empty for _ in range(width))
+    src = _np(tbl[src_col])
+    dst = _np(tbl[dst_col])
+    p = src % width
+    return tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
+                 for i in range(width))
+
+
+@ray.remote(num_returns=2)
+def _bfs_init(width: int, part: int, seeds: np.ndarray, *slices: pa.Table):
+    """Concat one partition's edge slices, sort by src (searchsorted
+    probes), seed the distance table with this partition's seeds."""
+    src = np.concatenate([_np(t["src"]) for t in slices]) \
+        if slices else np.empty(0, np.int64)
+    dst = np.concatenate([_np(t["dst"]) for t in slices]) \
+        if slices else np.empty(0, np.int64)
+    order = np.argsort(src, kind="stable")
+    mine = seeds[seeds % width == part]
+    return (pa.table({"src": src[order], "dst": dst[order]}),
+            pa.table({"node": pa.array(mine, pa.int64()),
+                      "dist": pa.array(np.zeros(len(mine), np.int64),
+                                       pa.int64())}))
+
+
+@ray.remote
+def _bfs_expand(width: int, r: int, edges: pa.Table, dist: pa.Table):
+    """Frontier (dist == r) x this partition's src-sorted edges ->
+    candidate dst nodes, routed by dst hash. Duplicate edges collapse in
+    the per-partition unique — no global edge dedup pass needed."""
+    dn, dv = _np(dist["node"]), _np(dist["dist"])
+    f = dn[dv == r]
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    if not len(f) or not edges.num_rows:
+        return tuple(empty for _ in range(width))
+    es, ed = _np(edges["src"]), _np(edges["dst"])
+    lo = np.searchsorted(es, f, side="left")
+    hi = np.searchsorted(es, f, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if not total:
+        return tuple(empty for _ in range(width))
+    # gather all out-edge indices of the frontier in one shot
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    idx = np.arange(total, dtype=np.int64) + np.repeat(lo - starts, counts)
+    cand = np.unique(ed[idx])
+    p = cand % width
+    return tuple(pa.table({"node": pa.array(cand[p == i], pa.int64())})
+                 for i in range(width))
+
+
+@ray.remote(num_returns=2)
+def _bfs_absorb(r: int, dist: pa.Table, *cand_slices: pa.Table):
+    """Fold round-r candidates into the distance table: nodes not yet
+    reached get dist r+1 (first touch == minimum hop count). Returns the
+    new table (plasma) and the newly-reached count (driver scalar)."""
+    dn, dv = _np(dist["node"]), _np(dist["dist"])
+    cs = [c for t in cand_slices if t.num_rows
+          for c in (_np(t["node"]),)]
+    if not cs:
+        return dist, 0
+    cand = np.unique(np.concatenate(cs))
+    new = cand[~np.isin(cand, dn)]
+    if not len(new):
+        return dist, 0
+    return (pa.table({
+        "node": pa.array(np.concatenate([dn, new]), pa.int64()),
+        "dist": pa.array(np.concatenate(
+            [dv, np.full(len(new), r + 1, np.int64)]), pa.int64())}),
+        int(len(new)))
+
+
 def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
                    src_col: str = "src", dst_col: str = "dst",
                    n_parts: int | None = None):
@@ -606,81 +774,61 @@ def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
     frontier candidates the same way `personalized_pagerank` weights them
     (distance is the hop-metric sibling of PPR's decay mass).
 
-    Algorithm: synchronous frontier relaxation, one round per hop. Round
-    r joins the current frontier (nodes at distance exactly r — by
-    induction their minimum) against the directed edge table and folds
-    the (dst, r+1) candidates into the distance table with a min-groupby;
-    a node's distance only ever decreases, and a node first reached at
-    round r is final. ``max_hops`` bounds the rounds — unreachable-
-    within-horizon nodes are absent from the output (the caller's prune
-    signal), which is what keeps the loop O(max_hops) exchanges instead
-    of O(diameter).
+    Algorithm: synchronous frontier relaxation, one round per hop, over
+    STATIC plasma-resident partitions (the `connected_components`
+    execution shape): edges hash-partition by src ONCE, src-sorted so
+    each round probes a frontier slice with two ``searchsorted`` calls;
+    distance state lives in node-hash partitions co-keyed with the
+    candidate routing. A node's first touch is its minimum hop by BFS
+    induction, so absorb only ever appends. Each round is 2·width tiny
+    tasks of int64 kernels — no per-round Dataset plan, join or groupby
+    (the previous Dataset-loop implementation paid ~1.5 s/round of
+    executor fixed cost; at max_hops=6 x two directions that dominated
+    the bowtie decomposition).
 
-    Scale shape: the edge table dedups once, materializes once, and is
-    re-probed per round via a partitioned hash join (fixed-width int64
-    rows; at 256 nodes the join re-shuffles the frontier, not the edge
-    corpus — the plasma-resident CC-style static partitioning in
-    `connected_components` is the upgrade path if max_hops grows).
-    Frontier and distance tables are one int64 pair per reached node.
+    Scale shape: rows crossing the wire per round = newly-reachable
+    frontier candidates only; the edge corpus never moves after the one
+    split pass. ``max_hops`` bounds the rounds — unreachable-within-
+    horizon nodes are absent from the output (the caller's prune
+    signal).
 
     Returns (node, dist) for every node within max_hops of a seed
     (seeds at 0)."""
-    from ray.data.aggregate import Count, Min
-
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import resolve_parts
 
     width = resolve_parts(n_parts)
-    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-
-    def norm(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b[src_col].cast(pa.int64()),
-                         "dst": b[dst_col].cast(pa.int64())})
-
-    edges = drop_empty_blocks(
-        (edges_ds.map_batches(norm, batch_format="pyarrow")
-         .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-         .map_batches(lambda b: b.select(["src", "dst"]),
-                      batch_format="pyarrow")),
-        empty_schema=edge_schema).materialize()
-
     seed_arr = np.unique(np.asarray(list(seeds), np.int64))
-    dist = rd.from_arrow(pa.table({
-        "node": pa.array(seed_arr, pa.int64()),
-        "dist": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64())}))
+    if not len(seed_arr):
+        raise ValueError("seed_distances: empty seed set")
+
+    blocks = edges_ds.to_arrow_refs()
+    split = [_bfs_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in blocks]
+    if width == 1:
+        split = [[s] for s in split]
+    parts = [_bfs_init.remote(width, p, seed_arr, *[s[p] for s in split])
+             for p in range(width)]
+    edge_refs = [p[0] for p in parts]
+    dist_refs = [p[1] for p in parts]
 
     for r in range(max_hops):
-        def at_r(b: pa.Table, _r=r) -> pa.Table:
-            d = _np(b["dist"]).astype(np.int64)
-            keep = d == _r
-            return pa.table({
-                "src": pa.array(_np(b["node"]).astype(np.int64)[keep],
-                                pa.int64())})
-
-        frontier = drop_empty_blocks(
-            dist.map_batches(at_r, batch_format="pyarrow"),
-            empty_schema=pa.schema([("src", pa.int64())]))
-        if frontier.count() == 0:
+        cand = [_bfs_expand.options(num_returns=width).remote(
+            width, r, edge_refs[p], dist_refs[p]) for p in range(width)]
+        if width == 1:
+            cand = [[c] for c in cand]
+        outs = [_bfs_absorb.remote(r, dist_refs[p], *[c[p] for c in cand])
+                for p in range(width)]
+        dist_refs = [o[0] for o in outs]
+        if sum(ray.get([o[1] for o in outs])) == 0:
             break
-        msgs = frontier.join(edges, join_type="inner",
-                             num_partitions=width, on=("src",))
 
-        def relax(b: pa.Table, _r=r) -> pa.Table:
-            d = _np(b["dst"]).astype(np.int64)
-            return pa.table({
-                "node": pa.array(d, pa.int64()),
-                "dist": pa.array(np.full(len(d), _r + 1, np.int64),
-                                 pa.int64())})
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
 
-        cand = drop_empty_blocks(
-            msgs.map_batches(relax, batch_format="pyarrow"),
-            empty_schema=dist_schema)
-        dist = drop_empty_blocks(
-            dist.union(cand).groupby("node").aggregate(
-                Min("dist", alias_name="dist")),
-            empty_schema=dist_schema).materialize()
-
-    return dist
+    counts = ray.get([_rows.remote(d) for d in dist_refs])
+    keep = [d for d, c in zip(dist_refs, counts) if c > 0]
+    return rd.from_arrow_refs(keep if keep else dist_refs[:1])
 
 
 def bowtie_structure(edges_ds, nodes_ds, pivot_seeds, *,
@@ -711,9 +859,11 @@ def bowtie_structure(edges_ds, nodes_ds, pivot_seeds, *,
     the node universe against the two small distance tables. Returns
     ``(node, component, fwd_dist, bwd_dist)`` with -1 for
     out-of-horizon distances."""
-    from .grouping import drop_empty_blocks, resolve_parts
+    from .grouping import drop_empty_blocks, multi_join_parts
 
-    width = resolve_parts(n_parts)
+    # two STACKED left joins -> the multi-join width rule (sequential
+    # aggregator pools are actor-startup bound at full width)
+    width = multi_join_parts(n_parts)
     pivot_seeds = list(pivot_seeds)
     if not pivot_seeds:
         raise ValueError("bowtie_structure: empty pivot seed set")
