@@ -451,6 +451,31 @@ def q_bitext_mine(sf_dir: str):
     return bitext_mine(side(0), side(1), k=8, margin_min=1.0)
 
 
+def q_bitext_mine_ivf(sf_dir: str):
+    """IVF-bucketed bitext mining (ops/similarity.bitext_mine_ivf)
+    driven end to end — centroid training on the slice union, cell
+    routing, per-cell top-k partials, anchor merge, mutual-NN + margin —
+    at FULL probe, where it provably equals the exact kernel, so the
+    brute margin SQL gates the whole scale path. Pruned-probe recall is
+    pinned in tests."""
+    from raycrawl.ops.similarity import bitext_mine_ivf
+
+    def side(parity: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lab = pc.cast(batch["label"], pa.int64())
+            keep = pc.equal(pc.bit_wise_and(lab, 1), parity)
+            return batch.filter(keep).select(["vec_id", "embedding"])
+
+        return _read_ds(sf_dir, "embeddings",
+                        ["vec_id", "embedding", "label"]).map_batches(
+            pick, batch_format="pyarrow")
+
+    return bitext_mine_ivf(side(0), side(1), k=8, margin_min=1.0,
+                           n_centroids=16)
+
+
 def q_embed_topk_lsh(sf_dir: str):
     """LSH-bucketed variant driven end to end (keys, probe mask, partial
     top-k, merge) at FULL probe (probe_hamming == n_planes), where its
@@ -4190,6 +4215,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "page_tree": q_page_tree,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
+        "bitext_mine_ivf": q_bitext_mine_ivf,
         "politeness_audit": q_politeness_audit,
         "anchor_stats": q_anchor_stats,
         "recrawl_diff": q_recrawl_diff,
@@ -8841,6 +8867,12 @@ def oracle_sql() -> dict[str, str]:
     # per-batch partials, merge) exactly. Pruned-probe behavior is pinned
     # by recall + partition-independence pytest.
     sql["embed_topk_lsh"] = sql["embed_topk"]
+    # bitext_mine_ivf runs at full probe (nprobe == n_centroids): every
+    # cell is a candidate cell, so the bucketed path provably equals the
+    # exact kernel and the brute margin SQL gates it end to end
+    # (centroid training, cell routing, per-cell partials, anchor merge,
+    # mutual-NN + margin). Pruned-probe recall is pinned in pytest.
+    sql["bitext_mine_ivf"] = sql["bitext_mine"]
     # embed_topk_int8: the whole quantized retrieval replayed exactly —
     # per-vector max-abs scale, elementwise floor(x*127/scale + 0.5)
     # (identical IEEE double ops both sides; no order-sensitive float

@@ -532,6 +532,161 @@ def _topk_with_scores(ds, queries: np.ndarray, k: int,
             for qi, h in best.items()}
 
 
+def _bucketed_topk_with_scores(ds_corpus, anchors_ids, anchors_mat,
+                                C: np.ndarray, nprobe: int, k: int,
+                                id_col: str, emb_col: str,
+                                n_parts: int | None = None
+                                ) -> dict[int, list]:
+    """IVF candidate generation for one mining direction: corpus rows
+    route ONCE to their nearest-centroid cell; each anchor is replicated
+    to its ``nprobe`` nearest cells; per cell a numpy matmul yields
+    per-anchor top-k partials over that cell's corpus rows; a driver
+    heap merges each anchor's ≤ nprobe·k partial rows. At
+    nprobe == len(C) the candidate set is the whole corpus and the
+    result equals the exact kernel. Returns the `_topk_with_scores`
+    shape: {anchor ARRAY INDEX: [(score, id) desc]}."""
+    import heapq
+
+    import pandas as pd
+
+    import ray
+
+    from .grouping import partitioned_apply
+
+    cn = _normalize(np.asarray(C, np.float64))
+    an = _normalize(np.asarray(anchors_mat, np.float64))
+    nprobe = min(nprobe, cn.shape[0])
+    # anchors -> nprobe nearest cells, replicated as tagged rows
+    probe_cells = np.argsort(-(an @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    a_rows = pa.table({
+        "cell": pa.array(probe_cells.ravel(), pa.int64()),
+        "role": pa.array(np.zeros(an.shape[0] * nprobe, np.int64)),
+        "rid": pa.array(np.repeat(np.arange(an.shape[0], dtype=np.int64),
+                                  nprobe), pa.int64()),
+        "emb": pa.array([an[i].tolist()
+                         for i in np.repeat(np.arange(an.shape[0]), nprobe)],
+                        pa.list_(pa.float64()))})
+    cref = ray.put(cn)
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        ids = np.asarray(batch[id_col], np.int64)
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        cell = np.argmax(emb @ cc.T, axis=1)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "role": pa.array(np.ones(len(ids), np.int64)),
+            "rid": pa.array(ids, pa.int64()),
+            "emb": pa.array([e.tolist() for e in emb],
+                            pa.list_(pa.float64()))})
+
+    import ray.data as rd
+
+    tagged = ds_corpus.map_batches(
+        corpus_rows, batch_format="pyarrow").union(rd.from_arrow(a_rows))
+
+    def per_cells(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, g in pdf.groupby("cell", sort=False):
+            qa = g[g.role == 0]
+            cb = g[g.role == 1]
+            if qa.empty or cb.empty:
+                continue
+            qm = np.array(qa.emb.tolist(), np.float64)
+            cm = np.array(cb.emb.tolist(), np.float64)
+            bids = cb.rid.to_numpy(np.int64)
+            sims = cm @ qm.T
+            kk = min(k, len(bids))
+            for j, aidx in enumerate(qa.rid.to_numpy(np.int64)):
+                col = sims[:, j]
+                idx = _topk_batch_idx(col, bids, kk)
+                out_a.extend([aidx] * kk)
+                out_b.extend(bids[idx].tolist())
+                out_s.extend(col[idx].tolist())
+        return pd.DataFrame({
+            "aidx": pd.Series(out_a, dtype="int64"),
+            "bid": pd.Series(out_b, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64")})
+
+    part = partitioned_apply(tagged, ["cell"], per_cells, n_parts or 16)
+    best: dict[int, list] = {}
+    for r in part.take_all():
+        if "aidx" not in r:
+            continue
+        # a corpus row lives in exactly ONE cell, so a given (anchor, b)
+        # pair surfaces from exactly one partition — no dedup needed
+        h = best.setdefault(int(r["aidx"]), [])
+        heapq.heappush(h, (r["score"], -int(r["bid"])))
+        if len(h) > k:
+            heapq.heappop(h)
+    return {qi: [(sc, -negid) for sc, negid in
+                 sorted(h, key=lambda x: (-x[0], -x[1]))]
+            for qi, h in best.items()}
+
+
+def bitext_mine_ivf(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
+                    n_centroids: int = 16, nprobe: int | None = None,
+                    iters: int = 2, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    max_anchors: int = 200_000) -> pa.Table:
+    """The IVF-bucketed scale path of ``bitext_mine``: k-means cells
+    trained on the UNION of both slices (id-keyed deterministic init),
+    the corpus side of each direction routed once to its nearest cell,
+    anchors replicated to their ``nprobe`` nearest cells, per-cell
+    numpy top-k partials merged per anchor — then the identical
+    mutual-NN + ratio-margin acceptance. At ``nprobe=None`` (full
+    probe) candidates cover every cell, so the output PROVABLY equals
+    the exact kernel and the brute SQL oracle gates this whole path;
+    pruned-probe recall is pinned in tests."""
+    rows_a = ds_a.take(max_anchors + 1)
+    rows_b = ds_b.take(max_anchors + 1)
+    if len(rows_a) > max_anchors or len(rows_b) > max_anchors:
+        raise ValueError("bitext_mine_ivf: anchor side exceeds "
+                         f"max_anchors={max_anchors}")
+    a_ids = np.array([r[id_col] for r in rows_a], np.int64)
+    b_ids = np.array([r[id_col] for r in rows_b], np.int64)
+    a_mat = np.array([r[emb_col] for r in rows_a], np.float64)
+    b_mat = np.array([r[emb_col] for r in rows_b], np.float64)
+
+    C = kmeans_centroids(ds_a.union(ds_b), n_centroids, iters, emb_col,
+                         id_col=id_col)
+    if nprobe is None:
+        nprobe = C.shape[0]
+
+    top_ab = _bucketed_topk_with_scores(ds_b, a_ids, a_mat, C, nprobe, k,
+                                        id_col, emb_col)
+    top_ba = _bucketed_topk_with_scores(ds_a, b_ids, b_mat, C, nprobe, k,
+                                        id_col, emb_col)
+    return _margin_pairs(a_ids, b_ids, top_ab, top_ba, k, margin_min)
+
+
+def _margin_pairs(a_ids: np.ndarray, b_ids: np.ndarray,
+                  top_ab: dict[int, list], top_ba: dict[int, list],
+                  k: int, margin_min: float) -> pa.Table:
+    """Mutual-NN + ratio-margin acceptance from two direction merges."""
+    b_top1 = {int(b_ids[qi]): lst[0][1] for qi, lst in top_ba.items()
+              if lst}
+    b_avg = {int(b_ids[qi]): sum(s for s, _ in lst) / len(lst)
+             for qi, lst in top_ba.items() if lst}
+    out = []
+    for qi, lst in sorted(top_ab.items()):
+        if not lst:
+            continue
+        a = int(a_ids[qi])
+        c, b = lst[0]
+        if b_top1.get(b) != a:
+            continue
+        avg_a = sum(s for s, _ in lst) / len(lst)
+        denom = (avg_a + b_avg[b]) / 2.0
+        margin = c / denom
+        if margin >= margin_min:
+            out.append({"a_id": a, "b_id": int(b),
+                        "cos": float(c), "margin": float(margin)})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()),
+         ("cos", pa.float64()), ("margin", pa.float64())]))
+
+
 def bitext_mine(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
                 id_col: str = "vec_id", emb_col: str = "embedding",
                 max_anchors: int = 200_000) -> pa.Table:
@@ -569,25 +724,4 @@ def bitext_mine(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
 
     top_ab = _topk_with_scores(ds_b, a_mat, k, id_col, emb_col)
     top_ba = _topk_with_scores(ds_a, b_mat, k, id_col, emb_col)
-
-    b_top1 = {int(b_ids[qi]): lst[0][1] for qi, lst in top_ba.items()
-              if lst}
-    b_avg = {int(b_ids[qi]): sum(s for s, _ in lst) / len(lst)
-             for qi, lst in top_ba.items() if lst}
-    out = []
-    for qi, lst in sorted(top_ab.items()):
-        if not lst:
-            continue
-        a = int(a_ids[qi])
-        c, b = lst[0]
-        if b_top1.get(b) != a:
-            continue
-        avg_a = sum(s for s, _ in lst) / len(lst)
-        denom = (avg_a + b_avg[b]) / 2.0
-        margin = c / denom
-        if margin >= margin_min:
-            out.append({"a_id": a, "b_id": int(b),
-                        "cos": float(c), "margin": float(margin)})
-    return pa.Table.from_pylist(out, schema=pa.schema(
-        [("a_id", pa.int64()), ("b_id", pa.int64()),
-         ("cos", pa.float64()), ("margin", pa.float64())]))
+    return _margin_pairs(a_ids, b_ids, top_ab, top_ba, k, margin_min)

@@ -4463,3 +4463,44 @@ def test_bitext_mine_planted_pairs_and_margin_reject(ray_session):
     # both sides) -> rejected
     assert not (set(out.a_id) & {6, 7, 8, 9, 10})
     assert (out.margin >= 1.05).all()
+
+
+def test_bitext_mine_ivf_full_probe_parity_and_pruned_recall(ray_session):
+    """Full probe == exact kernel (the oracle-gating claim), and pruned
+    probe keeps high recall when the data actually clusters (anchors and
+    their translations share a cluster direction)."""
+    import pandas as pd
+
+    from raycrawl.ops.similarity import bitext_mine, bitext_mine_ivf
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 24, 6, 10
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    A, B = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=0.3, size=(per, dim))
+        A.append(pts)
+        B.append(pts + rng.normal(scale=0.05, size=(per, dim)))
+    A, B = np.vstack(A), np.vstack(B)
+
+    def tab(ids, mat):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32()))})
+
+    n = n_clusters * per
+    dsa = rd.from_arrow(tab(list(range(n)), A)).repartition(4)
+    dsb = rd.from_arrow(tab(list(range(100, 100 + n)), B)).repartition(3)
+    exact = bitext_mine(dsa, dsb, k=4, margin_min=1.0).to_pandas() \
+        .sort_values("a_id").reset_index(drop=True)
+    full = bitext_mine_ivf(dsa, dsb, k=4, margin_min=1.0,
+                           n_centroids=8).to_pandas() \
+        .sort_values("a_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, full)
+    pruned = bitext_mine_ivf(dsa, dsb, k=4, margin_min=1.0,
+                             n_centroids=8, nprobe=3).to_pandas()
+    ep = set(zip(exact.a_id, exact.b_id))
+    pp = set(zip(pruned.a_id, pruned.b_id))
+    assert ep, "exact kernel mined no pairs — test data degenerate"
+    assert len(ep & pp) / len(ep) >= 0.9, (len(ep & pp), len(ep))
