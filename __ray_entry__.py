@@ -3392,6 +3392,25 @@ def q_host_concentration(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source"]))
 
 
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer-fertility report (ops/textstats.
+    lang_fertility): docs/tokens/chars per language with integer-exact
+    ×1e6 ratio columns — the multilingual mix-balancing diagnostic."""
+    from raycrawl.ops.textstats import lang_fertility
+
+    return lang_fertility(
+        _read_ds(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency slope over the top-1000 unigrams
+    (ops/textstats.zipf_fit): ln-ln least squares, the boilerplate/
+    vocabulary-collapse drift diagnostic companion to heaps_curve."""
+    from raycrawl.ops.textstats import zipf_fit
+
+    return zipf_fit(_read_ds(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_page_tree(sf_dir: str):
     """URL path-tree freshness rollup (ops/hostagg.page_tree — the
     reference dashboard's Page Tree view made corpus-wide,
@@ -4213,6 +4232,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "source_quality": q_source_quality,
         "host_concentration": q_host_concentration,
         "page_tree": q_page_tree,
+        "lang_fertility": q_lang_fertility,
+        "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
         "bitext_mine_ivf": q_bitext_mine_ivf,
@@ -6604,6 +6625,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # lang_fertility: whitespace string_split convention (empty text
+        # counts 1 token), integer-floored ppm ratios
+        "lang_fertility": """
+            WITH s AS (
+                SELECT COALESCE(lang, '') AS lang,
+                       len(string_split(COALESCE(text, ''), ' ')) AS nt,
+                       length(COALESCE(text, '')) AS nc
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   CAST(1000000 * SUM(nc) // GREATEST(SUM(nt), 1)
+                        AS BIGINT) AS chars_per_token_ppm,
+                   CAST(1000000 * SUM(nt) // GREATEST(COUNT(*), 1)
+                        AS BIGINT) AS tokens_per_doc_ppm
+            FROM s GROUP BY lang
+        """,
+        # zipf_fit: regr_slope/intercept of ln(freq) on ln(rank) over
+        # the top-1000 tokens (count desc, token asc)
+        "zipf_fit": """
+            WITH toks AS (
+                SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                    AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks GROUP BY token
+            ),
+            top AS (
+                SELECT c, row_number() OVER (
+                    ORDER BY c DESC, token ASC) AS rnk
+                FROM cnt QUALIFY rnk <= 1000
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+                   regr_slope(ln(c), ln(rnk)) AS slope,
+                   regr_intercept(ln(c), ln(rnk)) AS intercept
+            FROM top
+        """,
         # page_tree: the plant arithmetic restated — depth = doc_id % 4
         # caps the /sec{d%7}/sub{d%13}/page{d} segment list, freshness
         # buckets on (doc_id*37) % 120 - 10 days

@@ -1146,3 +1146,98 @@ def heaps_curve(ds, n_points: int = 10, id_col: str = "doc_id",
         "point": pa.array(np.arange(1, n_points + 1), pa.int64()),
         "n_docs": pa.array(thresholds, pa.int64()),
         "vocab": pa.array(vocab, pa.int64())})
+
+
+def lang_fertility(docs_ds, *, text_col: str = "text",
+                   lang_col: str = "lang"):
+    """Per-language tokenizer-fertility report — the corpus-balancing
+    diagnostic a multilingual training mix needs (languages whose
+    whitespace tokens carry more characters consume proportionally more
+    subword budget; the mix designer weights by tokens, not docs). One
+    row per language: (lang, n_docs, n_tokens, n_chars,
+    chars_per_token_ppm, tokens_per_doc_ppm), all integer-exact
+    (×1e6-floored ratios).
+
+    Scale shape: token/char counts reduce to per-(lang) partials inside
+    each batch; the ONE exchange is a #languages-row Sum groupby."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs = [lg or "" for lg in batch[lang_col].to_pylist()]
+        texts = batch[text_col].to_pylist()
+        toks = np.array([len((t or "").split(" ")) for t in texts],
+                        np.int64)
+        chars = np.array([len(t or "") for t in texts], np.int64)
+        pdf = pd.DataFrame({"lang": langs, "n_docs": 1,
+                            "n_tokens": toks, "n_chars": chars})
+        out = pdf.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (docs_ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_chars", alias_name="n_chars")))
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch["n_docs"], np.int64)
+        nt = np.asarray(batch["n_tokens"], np.int64)
+        nc = np.asarray(batch["n_chars"], np.int64)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "chars_per_token_ppm": pa.array(
+                1_000_000 * nc // np.maximum(nt, 1), pa.int64()),
+            "tokens_per_doc_ppm": pa.array(
+                1_000_000 * nt // np.maximum(nd, 1), pa.int64())})
+
+    return agg.map_batches(ratios, batch_format="pyarrow")
+
+
+def zipf_fit(docs_ds, *, text_col: str = "text", top_n: int = 1000):
+    """Zipf rank-frequency fit over the corpus unigram distribution:
+    least-squares slope of ln(freq) on ln(rank) across the ``top_n``
+    most frequent tokens (rank ties broken token-asc). Natural text
+    sits near slope −1 (Zipf's law); a corpus drifting flat signals
+    boilerplate flooding, one drifting steep signals vocabulary
+    collapse — the sibling diagnostic to ``heaps_curve``'s vocabulary
+    growth. Returns ONE row: (n_tokens_fit, slope, intercept), floats
+    (the driver compare rounds at 1e-6; both engines sum ~1e3 ln terms
+    in float64, agreeing to ~1e-12).
+
+    Scale shape: token counts reduce per-batch (pandas groupby
+    combiner), ONE Sum groupby over distinct tokens, a fixed-width
+    (count, token) sort + ``limit(top_n)``, and an O(top_n) driver
+    closed form."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for w in (t or "").split(" "):
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table({
+            "token": pa.array(list(toks.keys()), pa.string()),
+            "c": pa.array(list(toks.values()), pa.int64())})
+
+    top = (docs_ds.map_batches(counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("c", alias_name="c"))
+           .sort(["c", "token"], descending=[True, False])
+           .limit(top_n).take_all())
+    if not top:
+        raise ValueError("zipf_fit: empty corpus")
+    freqs = np.array([r["c"] for r in top], np.float64)
+    ranks = np.arange(1, len(freqs) + 1, dtype=np.float64)
+    x, y = np.log(ranks), np.log(freqs)
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    return pa.table({
+        "n_tokens_fit": pa.array([len(freqs)], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([float(ym - slope * xm)], pa.float64())})
