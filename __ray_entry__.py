@@ -3392,6 +3392,31 @@ def q_host_concentration(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source"]))
 
 
+def q_inline_ngram_dedup(sf_dir: str):
+    """Within-doc repeated-4-gram removal (ops/dedup.inline_ngram_dedup,
+    the Gopher repetition transform made surgical). Every doc_id%3==0
+    document gets its first 10 tokens appended again, planting exact
+    refrains the operator must collapse while other docs pass through
+    (natural corpus text rarely repeats a 4-gram verbatim)."""
+    from raycrawl.ops.dedup import inline_ngram_dedup
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if d % 3 == 0:
+                t = t + " " + " ".join(t.split(" ")[:10])
+            out.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    return inline_ngram_dedup(
+        ds.map_batches(plant, batch_format="pyarrow"), n=4)
+
+
 def q_lang_fertility(sf_dir: str):
     """Per-language tokenizer-fertility report (ops/textstats.
     lang_fertility): docs/tokens/chars per language with integer-exact
@@ -4233,6 +4258,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "host_concentration": q_host_concentration,
         "page_tree": q_page_tree,
         "lang_fertility": q_lang_fertility,
+        "inline_ngram_dedup": q_inline_ngram_dedup,
         "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
@@ -6625,6 +6651,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # inline_ngram_dedup: token positions via range-unnest, the
+        # 4-gram ending at each position via a windowed string_agg
+        # (ROWS 3 PRECEDING), keep = first end-position of the gram in
+        # the doc, text rebuilt by ordered string_agg over kept tokens
+        "inline_ngram_dedup": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           COALESCE(text, '') || ' ' || array_to_string(
+                               string_split(COALESCE(text, ''), ' ')[1:10],
+                               ' ')
+                       ELSE COALESCE(text, '') END AS t
+                FROM documents
+            ),
+            d AS (SELECT doc_id, string_split(t, ' ') AS l FROM planted),
+            tok AS (
+                SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+                       l[CAST(i + 1 AS INT)] AS w, len(l) AS nt
+                FROM d, unnest(range(len(l))) u(i)
+            ),
+            g AS (
+                SELECT doc_id, pos, w, nt,
+                       CASE WHEN pos >= 4 THEN string_agg(w, ' ') OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       END AS gram
+                FROM tok
+            ),
+            k AS (
+                SELECT doc_id, pos, w, nt,
+                       CASE WHEN gram IS NULL THEN 1
+                            WHEN pos = min(pos) OVER (
+                                PARTITION BY doc_id, gram) THEN 1
+                            ELSE 0 END AS keep
+                FROM g
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN keep = 1 THEN w END,
+                                       ' ' ORDER BY pos), '')
+                       AS clean_text,
+                   CAST(MAX(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+            FROM k GROUP BY doc_id
+        """,
         # lang_fertility: whitespace string_split convention (empty text
         # counts 1 token), integer-floored ppm ratios
         "lang_fertility": """

@@ -1447,6 +1447,57 @@ def simhash_chunks_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(chunk_batch, batch_format="pyarrow")
 
 
+def inline_ngram_dedup(docs_ds, n: int = 4, *, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Within-document repeated-n-gram removal — the Gopher/MassiveText
+    repetition transform (Rae et al. 2021 drop docs by repetition RATIO;
+    this is the surgical variant that keeps the doc and removes the
+    repeats): a token is DROPPED when the n-gram of whitespace tokens
+    ENDING at it has already occurred earlier in the same document
+    (earlier end position; overlapping occurrences count). The first
+    occurrence of every n-gram survives, so boilerplate refrains,
+    chorus lines and template stubs collapse to one copy while prose
+    passes through untouched. Documents shorter than ``n`` tokens are
+    unchanged.
+
+    Exactly SQL-restatable: gram end-positions unnest per doc, a kept
+    flag = NOT duplicated-per-(doc, gram) (min end position wins), text
+    rebuilt by ordered string_agg. Engine side is the same rule run
+    per batch with a pandas duplicated() over (doc, gram end) rows —
+    stateless per document, so the operator is a pure ``map_batches``
+    (no exchange at all). Returns (doc_id, clean_text, n_tokens,
+    n_dropped)."""
+    import pandas as pd
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_txt, out_n, out_d = [], [], []
+        for t in texts:
+            toks = (t or "").split(" ")
+            if len(toks) < n:
+                out_txt.append(t or "")
+                out_n.append(len(toks))
+                out_d.append(0)
+                continue
+            grams = pd.Series([" ".join(toks[i - n + 1: i + 1])
+                               for i in range(n - 1, len(toks))])
+            dup = grams.duplicated(keep="first").to_numpy()
+            keep = np.ones(len(toks), dtype=bool)
+            keep[n - 1:] = ~dup
+            kept = [w for w, k in zip(toks, keep) if k]
+            out_txt.append(" ".join(kept))
+            out_n.append(len(toks))
+            out_d.append(int(dup.sum()))
+        return pa.table({
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "n_dropped": pa.array(out_d, pa.int64())})
+
+    return docs_ds.map_batches(clean, batch_format="pyarrow")
+
+
 # ship this module's code with closures/actor classes so Ray workers never
 # need to import the package (driver cwd / PYTHONPATH independent)
 import raycrawl as _raycrawl_pkg

@@ -4504,3 +4504,33 @@ def test_bitext_mine_ivf_full_probe_parity_and_pruned_recall(ray_session):
     pp = set(zip(pruned.a_id, pruned.b_id))
     assert ep, "exact kernel mined no pairs — test data degenerate"
     assert len(ep & pp) / len(ep) >= 0.9, (len(ep & pp), len(ep))
+
+
+def test_inline_ngram_dedup_refrain_collapse_and_short_doc(ray_session):
+    """A repeated refrain collapses to its first occurrence (overlap
+    counts), short docs (<n tokens) pass through untouched — including
+    their exact spacing — and prose without 4-gram repeats is a no-op."""
+    from raycrawl.ops.dedup import inline_ngram_dedup
+
+    refrain = "la la la la tra li tra la"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            refrain + " " + refrain,      # verse + identical refrain
+            "a  b",                       # 3 tokens after split -> no-op
+            "one two three four five",    # no repeats
+        ], pa.string())})
+    out = (inline_ngram_dedup(rd.from_arrow(t).repartition(2), n=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # "la la la la ..." already repeats "la la la la" internally? no:
+    # the gram at pos 4 is the first; within one refrain grams are
+    # distinct except none — the doubled refrain drops its entire
+    # second half plus any internal overlap repeats
+    r1 = out.iloc[0]
+    assert r1.clean_text.startswith("la la la la tra li tra la")
+    # 16 original tokens; the 6 whose ending 4-gram repeats are dropped
+    assert r1.n_dropped == 6 and r1.n_tokens == 16
+    assert len(r1.clean_text.split(" ")) == 10
+    assert out.iloc[1].clean_text == "a  b" and out.iloc[1].n_dropped == 0
+    assert out.iloc[2].clean_text == "one two three four five"
+    assert out.iloc[2].n_dropped == 0
