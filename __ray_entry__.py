@@ -3392,6 +3392,18 @@ def q_host_concentration(sf_dir: str):
         _read_ds(sf_dir, "documents", ["doc_id", "source"]))
 
 
+def q_capacity_plan(sf_dir: str):
+    """100-TB capacity plan from this corpus's sample statistics
+    (ops/capacity.capacity_plan): per-stage shuffle-volume estimates
+    and memory-true partition widths, all integer arithmetic over two
+    sampled scalars (doc count, text bytes)."""
+    from raycrawl.ops.capacity import capacity_plan
+
+    return capacity_plan(
+        _read_ds(sf_dir, "documents", ["doc_id", "text"]),
+        target_bytes=100 << 40)
+
+
 def q_inline_ngram_dedup(sf_dir: str):
     """Within-doc repeated-4-gram removal (ops/dedup.inline_ngram_dedup,
     the Gopher repetition transform made surgical). Every doc_id%3==0
@@ -4259,6 +4271,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "page_tree": q_page_tree,
         "lang_fertility": q_lang_fertility,
         "inline_ngram_dedup": q_inline_ngram_dedup,
+        "capacity_plan": q_capacity_plan,
         "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
@@ -6651,6 +6664,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id
         """,
         "text_langid": _langid_oracle_sql(),
+        # capacity_plan: the integer sizing model restated — sample
+        # scalars (COUNT, byte SUM via strlen), target-scale doc count
+        # by floor division, per-stage byte formulas, ceil via -(-a//b)
+        "capacity_plan": """
+            WITH s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+                       CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT)
+                           AS bytes
+                FROM documents
+            ),
+            d AS (
+                SELECT docs, bytes,
+                       109951162777600 * docs // bytes AS dd,
+                       CAST(8192 AS BIGINT) AS cpus,
+                       CAST(1073741824 AS BIGINT) AS budget,
+                       CAST(5000000 AS BIGINT) AS vocab
+                FROM s
+            ),
+            base AS (
+                SELECT 'exact_dedup' AS stage, dd AS est_rows,
+                       32 * dd AS est_bytes, budget, cpus FROM d
+                UNION ALL SELECT 'minhash_lsh', dd, 512 * dd,
+                       budget, cpus FROM d
+                UNION ALL SELECT 'simhash', dd, 40 * dd,
+                       budget, cpus FROM d
+                UNION ALL SELECT 'embed_pass', dd, 256 * dd,
+                       budget, cpus FROM d
+                UNION ALL SELECT 'token_stats', vocab, 24 * vocab,
+                       budget, cpus FROM d
+                UNION ALL SELECT 'doc_shuffle', dd, 109951162777600,
+                       budget, cpus FROM d
+            ),
+            fin AS (
+                -- ceil(a/b) as (a+b-1)//b: DuckDB // truncates toward
+                -- zero, so Python's -(-a//b) floor trick doesn't port
+                SELECT stage, est_rows, est_bytes,
+                       GREATEST((est_bytes + budget - 1) // budget,
+                                cpus) AS parts
+                FROM base
+            )
+            SELECT stage, CAST(est_rows AS BIGINT) AS est_rows,
+                   CAST(est_bytes AS BIGINT) AS est_bytes,
+                   CAST(parts AS BIGINT) AS recommended_parts,
+                   CAST(CASE WHEN parts > 4096 THEN 2 ELSE 1 END
+                        AS BIGINT) AS grid_rounds
+            FROM fin
+            UNION ALL
+            SELECT 'sample', docs, bytes, CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM d
+        """,
         # inline_ngram_dedup: token positions via range-unnest, the
         # 4-gram ending at each position via a windowed string_agg
         # (ROWS 3 PRECEDING), keep = first end-position of the gram in

@@ -4534,3 +4534,33 @@ def test_inline_ngram_dedup_refrain_collapse_and_short_doc(ray_session):
     assert out.iloc[1].clean_text == "a  b" and out.iloc[1].n_dropped == 0
     assert out.iloc[2].clean_text == "one two three four five"
     assert out.iloc[2].n_dropped == 0
+
+
+def test_capacity_plan_scaling_and_grid_flag(ray_session):
+    """Stage bytes scale linearly with the target; partition widths are
+    memory-true (ceil over the per-CPU budget, floored at cluster
+    width); flat exchanges (<=4096 parts) report grid_rounds 1."""
+    from raycrawl.ops.capacity import capacity_plan
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "text": pa.array(["x" * 1000] * 100, pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+    out = capacity_plan(ds, target_bytes=1_000_000_000,
+                        cluster_cpus=8,
+                        mem_per_cpu_bytes=1 << 30).to_pandas()
+    plan = out.set_index("stage")
+    # 1e9 target / 1000 B/doc = 1e6 docs
+    assert plan.loc["exact_dedup"].est_rows == 1_000_000
+    assert plan.loc["exact_dedup"].est_bytes == 32_000_000
+    # 32 MB over a 256 MB budget -> 1 part, floored at 8 CPUs
+    assert plan.loc["exact_dedup"].recommended_parts == 8
+    assert plan.loc["exact_dedup"].grid_rounds == 1
+    assert plan.loc["doc_shuffle"].est_bytes == 1_000_000_000
+    assert plan.loc["sample"].est_rows == 100
+    assert plan.loc["sample"].est_bytes == 100_000
+    # a 100-TB doc_shuffle at the default budget needs a grid exchange
+    wide = capacity_plan(ds, target_bytes=100 << 40).to_pandas() \
+        .set_index("stage")
+    assert wide.loc["doc_shuffle"].grid_rounds == 2
+    assert wide.loc["doc_shuffle"].recommended_parts > 4096
