@@ -57,6 +57,19 @@ def _min_per_node(node: np.ndarray, val: np.ndarray):
     return uniq, np.minimum.reduceat(sv, idx)
 
 
+def _aslists(refs, width: int):
+    """Driver-side mate of ``_fan``: with width == 1 each split call
+    returned ONE bare ref — wrap so callers can index ``s[p]``."""
+    return [[r] for r in refs] if width == 1 else refs
+
+
+def _fan(parts: tuple):
+    """num_returns=1 quirk guard: Ray treats a 1-tuple return under
+    ``num_returns=1`` as ONE object (the tuple itself), so width-1
+    splits must return the bare table."""
+    return parts[0] if len(parts) == 1 else parts
+
+
 @ray.remote
 def _edge_split(width: int, tbl: pa.Table, a_col: str, b_col: str):
     """Symmetrize one pair block and fan it out by src-node hash."""
@@ -64,10 +77,10 @@ def _edge_split(width: int, tbl: pa.Table, a_col: str, b_col: str):
     node = np.concatenate([a, b])
     nbr = np.concatenate([b, a])
     p = node % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": node[p == i], "nbr": nbr[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote(num_returns=2)
@@ -94,10 +107,10 @@ def _dyn_edges(width: int, labels: pa.Table):
     m = lbl != node
     src, dst = lbl[m], node[m]
     p = src % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": src[p == i], "nbr": dst[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote
@@ -117,14 +130,14 @@ def _messages(width: int, edges: pa.Table, labels: pa.Table, *dyn_slices):
     if not len(src):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "label": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     idx = np.searchsorted(ln, src)  # ln sorted (built via np.unique)
     lab = lv[idx]
     p = dst % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": dst[p == i], "label": lab[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote(num_returns=2)
@@ -161,6 +174,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     blocks = pairs_ds.to_arrow_refs()
     split = [_edge_split.options(num_returns=width).remote(
         width, b, a_col, b_col) for b in blocks]
+    split = _aslists(split, width)
     parts = [_init_partition.remote(*[s[p] for s in split])
              for p in range(width)]
     edge_refs = [p[0] for p in parts]
@@ -169,11 +183,13 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     for _ in range(max_rounds):
         dyn = [_dyn_edges.options(num_returns=width).remote(width, lr)
                for lr in label_refs]
+        dyn = _aslists(dyn, width)
         msgs = [
             _messages.options(num_returns=width).remote(
                 width, edge_refs[p], label_refs[p], *[d[p] for d in dyn])
             for p in range(width)
         ]
+        msgs = _aslists(msgs, width)
         outs = [
             _reduce.remote(label_refs[p], *[m[p] for m in msgs])
             for p in range(width)
@@ -300,9 +316,9 @@ def _rr_queries(width: int, part_tbl: pa.Table):
     """Emit (node=cur, origin=src) lookup requests, routed by cur hash."""
     src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
     p = cur % width
-    return tuple(pa.table({"node": pa.array(cur[p == i], pa.int64()),
-                           "origin": pa.array(src[p == i], pa.int64())})
-                 for i in range(width))
+    return _fan(tuple(pa.table({"node": pa.array(cur[p == i], pa.int64()),
+                                "origin": pa.array(src[p == i], pa.int64())})
+                      for i in range(width)))
 
 
 @ray.remote
@@ -326,13 +342,13 @@ def _rr_answer(width: int, part_tbl: pa.Table, *queries: pa.Table):
     if not outs_o:
         empty = pa.table({"origin": pa.array([], pa.int64()),
                           "next": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     o = np.concatenate(outs_o)
     nx = np.concatenate(outs_n)
     p = o % width
-    return tuple(pa.table({"origin": pa.array(o[p == i], pa.int64()),
-                           "next": pa.array(nx[p == i], pa.int64())})
-                 for i in range(width))
+    return _fan(tuple(pa.table({"origin": pa.array(o[p == i], pa.int64()),
+                                "next": pa.array(nx[p == i], pa.int64())})
+                      for i in range(width)))
 
 
 @ray.remote
@@ -693,12 +709,12 @@ def _bfs_split(width: int, tbl: pa.Table, src_col: str, dst_col: str):
     if tbl.num_rows == 0 or tbl.num_columns == 0:
         empty = pa.table({"src": pa.array([], pa.int64()),
                           "dst": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     src = _np(tbl[src_col])
     dst = _np(tbl[dst_col])
     p = src % width
-    return tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
-                 for i in range(width))
+    return _fan(tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
+                      for i in range(width)))
 
 
 @ray.remote(num_returns=2)
@@ -726,21 +742,21 @@ def _bfs_expand(width: int, r: int, edges: pa.Table, dist: pa.Table):
     f = dn[dv == r]
     empty = pa.table({"node": pa.array([], pa.int64())})
     if not len(f) or not edges.num_rows:
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     es, ed = _np(edges["src"]), _np(edges["dst"])
     lo = np.searchsorted(es, f, side="left")
     hi = np.searchsorted(es, f, side="right")
     counts = hi - lo
     total = int(counts.sum())
     if not total:
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     # gather all out-edge indices of the frontier in one shot
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     idx = np.arange(total, dtype=np.int64) + np.repeat(lo - starts, counts)
     cand = np.unique(ed[idx])
     p = cand % width
-    return tuple(pa.table({"node": pa.array(cand[p == i], pa.int64())})
-                 for i in range(width))
+    return _fan(tuple(pa.table({"node": pa.array(cand[p == i], pa.int64())})
+                      for i in range(width)))
 
 
 @ray.remote(num_returns=2)

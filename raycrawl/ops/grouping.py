@@ -89,6 +89,13 @@ def _part_split(tbl: pa.Table, key_cols: list[str], n_parts: int):
                  for p in range(n_parts))
 
 
+def _fan(parts: tuple):
+    """num_returns=1 quirk guard: Ray treats a 1-tuple return under
+    ``num_returns=1`` as ONE object (the tuple itself), so a
+    single-output split must return the bare table."""
+    return parts[0] if len(parts) == 1 else parts
+
+
 @_ray.remote
 def _grid_split2(key_cols: list[str], n_parts: int, p2_width: int,
                  *slices: pa.Table):
@@ -101,11 +108,11 @@ def _grid_split2(key_cols: list[str], n_parts: int, p2_width: int,
     live = [s for s in slices if s.num_rows]
     if not live:
         ref = next((s for s in slices if s.num_columns), slices[0])
-        return tuple(ref.slice(0, 0) for _ in range(p2_width))
+        return _fan(tuple(ref.slice(0, 0) for _ in range(p2_width)))
     tbl = pa.concat_tables(live, promote_options="permissive")
     parts = _part_masks(tbl, key_cols, n_parts) % np.int32(p2_width)
-    return tuple(tbl.take(np.nonzero(parts == p)[0])
-                 for p in range(p2_width))
+    return _fan(tuple(tbl.take(np.nonzero(parts == p)[0])
+                      for p in range(p2_width)))
 
 
 @_ray.remote
@@ -118,10 +125,10 @@ def _grid_split1(tbl: pa.Table, key_cols: list[str], n_parts: int,
 
     p1_width = -(-n_parts // p2_width)
     if tbl.num_rows == 0 or tbl.num_columns == 0:
-        return tuple(tbl.slice(0, 0) for _ in range(p1_width))
+        return _fan(tuple(tbl.slice(0, 0) for _ in range(p1_width)))
     parts = _part_masks(tbl, key_cols, n_parts) // np.int32(p2_width)
-    return tuple(tbl.take(np.nonzero(parts == p)[0])
-                 for p in range(p1_width))
+    return _fan(tuple(tbl.take(np.nonzero(parts == p)[0])
+                      for p in range(p1_width)))
 
 
 @_ray.remote(num_returns=2)
@@ -255,9 +262,15 @@ def sorted_block_refs(sorted_ds, key_cols: list[str],
     plasma) and order blocks under the sort comparator. Empty blocks sort
     last (their offset contribution is zero rows either way).
 
-    ``key_cols``/``descending`` must restate the sort spec. The sort key
-    is assumed unique per row (every caller carries an id tiebreak), so
-    first-row keys strictly order the blocks.
+    ``key_cols``/``descending`` must restate the sort spec. Blocks are
+    ordered by their FIRST-row key; equal first keys (a run of duplicate
+    sort keys spanning a block boundary — possible when the key is not
+    unique per row) tie-break on the LAST-row key: among tied blocks the
+    one that ENDS earlier in sort order must come first, and when first
+    AND last both tie the blocks lie entirely inside one duplicate run,
+    so their mutual order cannot affect any rank/offset computation.
+    NULL keys compare as largest (Arrow's default at-end placement,
+    which Ray's sort inherits).
 
     Zero-row blocks are DROPPED: a wide sort pads its output with empty
     zero-SCHEMA blocks (no columns at all), which would crash any
@@ -275,24 +288,34 @@ def sorted_block_refs(sorted_ds, key_cols: list[str],
         desc = list(descending)
 
     @ray.remote
-    def _first_and_count(t: pa.Table):
+    def _ends_and_count(t: pa.Table):
         if t.num_rows == 0:
-            return None, 0
-        return tuple(t[c][0].as_py() for c in key_cols), t.num_rows
+            return None, None, 0
+        return (tuple(t[c][0].as_py() for c in key_cols),
+                tuple(t[c][t.num_rows - 1].as_py() for c in key_cols),
+                t.num_rows)
 
     refs = sorted_ds.to_arrow_refs()
-    probes = ray.get([_first_and_count.remote(r) for r in refs])
-    kept = [i for i in range(len(refs)) if probes[i][1] > 0]
+    probes = ray.get([_ends_and_count.remote(r) for r in refs])
+    kept = [i for i in range(len(refs)) if probes[i][2] > 0]
 
-    def cmp(i: int, j: int) -> int:
-        a, b = probes[i][0], probes[j][0]
+    def key_cmp(a: tuple, b: tuple) -> int:
         for x, y, d in zip(a, b, desc):
-            if x != y:
-                return (1 if d else -1) if x < y else (-1 if d else 1)
+            if x == y:
+                continue
+            if x is None:    # nulls at end regardless of direction
+                return 1
+            if y is None:
+                return -1
+            return (1 if d else -1) if x < y else (-1 if d else 1)
         return 0
 
+    def cmp(i: int, j: int) -> int:
+        r = key_cmp(probes[i][0], probes[j][0])
+        return r if r else key_cmp(probes[i][1], probes[j][1])
+
     kept.sort(key=functools.cmp_to_key(cmp))
-    return [refs[i] for i in kept], [probes[i][1] for i in kept]
+    return [refs[i] for i in kept], [probes[i][2] for i in kept]
 
 
 def drop_empty_blocks(ds, empty_schema: pa.Schema | None = None):

@@ -52,22 +52,34 @@ def _np(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.int64)
 
 
+def _aslists(refs, width: int):
+    """Driver-side mate of ``_fan``: with width == 1 each split call
+    returned ONE bare ref — wrap so callers can index ``s[p]``."""
+    return [[r] for r in refs] if width == 1 else refs
+
+
+def _fan(parts: tuple):
+    """num_returns=1 quirk guard: Ray treats a 1-tuple return under
+    ``num_returns=1`` as ONE object, so width-1 splits return bare."""
+    return parts[0] if len(parts) == 1 else parts
+
+
 @ray.remote
 def _edge_split(width: int, tbl: pa.Table, src_col: str, dst_col: str):
     """Fan one edge block out by src-node hash."""
     src, dst = _np(tbl[src_col]), _np(tbl[dst_col])
     p = src % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"src": src[p == i], "dst": dst[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote
 def _node_split(width: int, tbl: pa.Table, node_col: str):
     node = np.unique(_np(tbl[node_col]))
     p = node % width
-    return tuple(pa.array(node[p == i]) for i in range(width))
+    return _fan(tuple(pa.array(node[p == i]) for i in range(width)))
 
 
 @ray.remote(num_returns=2)
@@ -114,7 +126,7 @@ def _messages(width: int, state: pa.Table, ranks: pa.Table):
     if not len(src):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     rn, rv = _np(ranks["node"]), _np(ranks["rank"])
     r = rv[np.searchsorted(rn, src)]          # srcs ⊆ partition's nodes
     contrib = (r * DAMP_PCT) // (100 * deg)   # floor BEFORE the sum
@@ -122,10 +134,10 @@ def _messages(width: int, state: pa.Table, ranks: pa.Table):
     uniq_dst, starts = np.unique(dst, return_index=True)
     partial = np.add.reduceat(contrib, starts)
     p = uniq_dst % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": uniq_dst[p == i], "c": partial[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote
@@ -160,8 +172,10 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 5,
     nblocks = nodes_ds.to_arrow_refs()
     esplit = [_edge_split.options(num_returns=width).remote(
         width, b, src_col, dst_col) for b in eblocks]
+    esplit = _aslists(esplit, width)
     nsplit = [_node_split.options(num_returns=width).remote(
         width, b, node_col) for b in nblocks]
+    nsplit = _aslists(nsplit, width)
     parts = [
         _init_partition.remote(*[s[p] for s in nsplit],
                                *[s[p] for s in esplit])
@@ -173,6 +187,7 @@ def pagerank(edges_ds, nodes_ds, n_iters: int = 5,
     for _ in range(n_iters):
         msgs = [_messages.options(num_returns=width).remote(
             width, state_refs[p], rank_refs[p]) for p in range(width)]
+        msgs = _aslists(msgs, width)
         rank_refs = [
             _reduce.remote(rank_refs[p], *[m[p] for m in msgs])
             for p in range(width)
@@ -223,14 +238,14 @@ def _hits_messages(width: int, state: pa.Table, scores: pa.Table):
     if not len(own):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     sn, sv = _np(scores["node"]), _np(scores["score"])
     s = sv[np.searchsorted(sn, own)]
     uniq, starts = np.unique(msg, return_index=True)
     partial = np.add.reduceat(s, starts)
     p = uniq % width
-    return tuple(pa.table({"node": uniq[p == i], "c": partial[p == i]})
-                 for i in range(width))
+    return _fan(tuple(pa.table({"node": uniq[p == i], "c": partial[p == i]})
+                 for i in range(width)))
 
 
 @ray.remote
@@ -291,18 +306,21 @@ def hits(edges_ds, nodes_ds, n_iters: int = 4,
     # by-src split routes on src (h lives with src); by-dst on dst
     esplit_src = [_edge_split.options(num_returns=width).remote(
         width, b, src_col, dst_col) for b in eblocks]
+    esplit_src = _aslists(esplit_src, width)
 
     @ray.remote
     def _edge_split_dst(width: int, tbl: pa.Table):
         src, dst = _np(tbl[src_col]), _np(tbl[dst_col])
         p = dst % width
-        return tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
-                     for i in range(width))
+        return _fan(tuple(pa.table({"src": src[p == i], "dst": dst[p == i]})
+                     for i in range(width)))
 
     esplit_dst = [_edge_split_dst.options(num_returns=width).remote(
         width, b) for b in eblocks]
+    esplit_dst = _aslists(esplit_dst, width)
     nsplit = [_node_split.options(num_returns=width).remote(
         width, b, node_col) for b in nblocks]
+    nsplit = _aslists(nsplit, width)
 
     hub_parts = [_hits_init.remote(width, True,
                                    *[s[p] for s in nsplit],
@@ -320,6 +338,7 @@ def hits(edges_ds, nodes_ds, n_iters: int = 4,
     def _half_round(state_refs, score_refs):
         msgs = [_hits_messages.options(num_returns=width).remote(
             width, state_refs[p], score_refs[p]) for p in range(width)]
+        msgs = _aslists(msgs, width)
         raw = [_hits_reduce.remote(score_refs[p], *[m[p] for m in msgs])
                for p in range(width)]
         gmax = max(ray.get([_hits_max.remote(r) for r in raw]))
@@ -351,17 +370,17 @@ def _opic_messages(width: int, state: pa.Table, cashhist: pa.Table):
     if not len(src):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     rn, rv = _np(cashhist["node"]), _np(cashhist["cash"])
     c = rv[np.searchsorted(rn, src)]
     share = c // deg                          # floor BEFORE the sum
     uniq_dst, starts = np.unique(dst, return_index=True)
     partial = np.add.reduceat(share, starts)
     p = uniq_dst % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": uniq_dst[p == i], "c": partial[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote
@@ -433,8 +452,10 @@ def opic(edges_ds, nodes_ds, n_iters: int = 5,
     nblocks = nodes_ds.to_arrow_refs()
     esplit = [_edge_split.options(num_returns=width).remote(
         width, b, src_col, dst_col) for b in eblocks]
+    esplit = _aslists(esplit, width)
     nsplit = [_node_split.options(num_returns=width).remote(
         width, b, node_col) for b in nblocks]
+    nsplit = _aslists(nsplit, width)
     parts = [
         _init_partition.remote(*[s[p] for s in nsplit],
                                *[s[p] for s in esplit])
@@ -446,6 +467,7 @@ def opic(edges_ds, nodes_ds, n_iters: int = 5,
     for _ in range(n_iters):
         msgs = [_opic_messages.options(num_returns=width).remote(
             width, state_refs[p], ch_refs[p]) for p in range(width)]
+        msgs = _aslists(msgs, width)
         ch_refs = [
             _opic_reduce.remote(ch_refs[p], *[m[p] for m in msgs])
             for p in range(width)
@@ -473,20 +495,20 @@ def _kcore_messages(width: int, state: pa.Table, alive: pa.Table):
     if not len(src):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     an, av = _np(alive["node"]), _np(alive["alive"])
     live = av[np.searchsorted(an, src)].astype(bool)
     dst = dst[live]
     if not len(dst):
         empty = pa.table({"node": pa.array([], pa.int64()),
                           "c": pa.array([], pa.int64())})
-        return tuple(empty for _ in range(width))
+        return _fan(tuple(empty for _ in range(width)))
     uniq_dst, cnt = np.unique(dst, return_counts=True)
     p = uniq_dst % width
-    return tuple(
+    return _fan(tuple(
         pa.table({"node": uniq_dst[p == i], "c": cnt[p == i]})
         for i in range(width)
-    )
+    ))
 
 
 @ray.remote
@@ -562,8 +584,10 @@ def kcore(edges_ds, nodes_ds, k: int = 3, n_rounds: int = 4,
     nblocks = nodes_ds.to_arrow_refs()
     esplit = [_edge_split.options(num_returns=width).remote(
         width, b, src_col, dst_col) for b in eblocks]
+    esplit = _aslists(esplit, width)
     nsplit = [_node_split.options(num_returns=width).remote(
         width, b, node_col) for b in nblocks]
+    nsplit = _aslists(nsplit, width)
     parts = [
         _init_partition.remote(*[s[p] for s in nsplit],
                                *[s[p] for s in esplit])
@@ -575,6 +599,7 @@ def kcore(edges_ds, nodes_ds, k: int = 3, n_rounds: int = 4,
     for _ in range(n_rounds):
         msgs = [_kcore_messages.options(num_returns=width).remote(
             width, state_refs[p], alive_refs[p]) for p in range(width)]
+        msgs = _aslists(msgs, width)
         alive_refs = [
             _kcore_reduce.remote(alive_refs[p], k, *[m[p] for m in msgs])
             for p in range(width)
@@ -655,8 +680,10 @@ def personalized_pagerank(edges_ds, nodes_ds, seeds, n_iters: int = 5,
     nblocks = nodes_ds.to_arrow_refs()
     esplit = [_edge_split.options(num_returns=width).remote(
         width, b, src_col, dst_col) for b in eblocks]
+    esplit = _aslists(esplit, width)
     nsplit = [_node_split.options(num_returns=width).remote(
         width, b, node_col) for b in nblocks]
+    nsplit = _aslists(nsplit, width)
     parts = [
         _init_partition.remote(*[s[p] for s in nsplit],
                                *[s[p] for s in esplit])
@@ -668,6 +695,7 @@ def personalized_pagerank(edges_ds, nodes_ds, seeds, n_iters: int = 5,
     for _ in range(n_iters):
         msgs = [_messages.options(num_returns=width).remote(
             width, state_refs[p], rank_refs[p]) for p in range(width)]
+        msgs = _aslists(msgs, width)
         rank_refs = [
             _ppr_reduce.remote(rank_refs[p], seed_arr, *[m[p] for m in msgs])
             for p in range(width)

@@ -62,8 +62,15 @@ def group_quantiles(ds, key_col: str, val_col: str,
     Rank convention: the ``ceil(p * n)``-th smallest element (1-based) —
     matches DuckDB/Postgres ``quantile_disc`` / ``percentile_disc``.
     """
+    # null VALUES are skipped (quantiles over present values only) and
+    # null KEYS are dropped wholesale: Ray's sort map stage raises
+    # comparing None against the key type, so a null-key group cannot
+    # be range-partitioned at all — callers wanting it must coalesce
+    # the key upstream
     ds = ds.select_columns([key_col, val_col]).map_batches(
-        lambda b: b.filter(pc.is_valid(b[val_col])), batch_format="pyarrow"
+        lambda b: b.filter(pc.and_(pc.is_valid(b[val_col]),
+                                   pc.is_valid(b[key_col]))),
+        batch_format="pyarrow"
     )
     from .grouping import sorted_block_refs
 

@@ -1230,8 +1230,10 @@ def zipf_fit(docs_ds, *, text_col: str = "text", top_n: int = 1000):
            .groupby("token").aggregate(Sum("c", alias_name="c"))
            .sort(["c", "token"], descending=[True, False])
            .limit(top_n).take_all())
-    if not top:
-        raise ValueError("zipf_fit: empty corpus")
+    if len(top) < 2:
+        raise ValueError(
+            "zipf_fit: need at least 2 distinct tokens to fit a slope "
+            f"(corpus has {len(top)})")
     freqs = np.array([r["c"] for r in top], np.float64)
     ranks = np.arange(1, len(freqs) + 1, dtype=np.float64)
     x, y = np.log(ranks), np.log(freqs)

@@ -742,7 +742,9 @@ class CrawlEngine:
             planner = _make_planner(seen, politeness, exclude_patterns, remaining,
                                     window, cfg.host_grant_cap,
                                     blocked_sites=blocked_def,
-                                    retire_sites=exhausted)
+                                    retire_sites=exhausted,
+                                    window_seen=(cfg.seen_mode
+                                                 == "cuckoo_window"))
             import time as _time
 
             # FUSED wave pass: plan + fetch + extract + decide run inside ONE
@@ -1332,7 +1334,7 @@ def _admit_candidates_pdf(seen, cand, blocked_sites):
 
 def _make_planner(seen, politeness, exclude_patterns, remaining, window,
                   grant_cap, blocked_sites=frozenset(),
-                  retire_sites=frozenset()):
+                  retire_sites=frozenset(), window_seen: bool = False):
     """Wave planning over a coarse host partition (map_groups over
     crc32(host) % P, pandas): for every (site, host) group the priority walk
     applies the reference's pop-time skip ladder under politeness + site
@@ -1384,6 +1386,7 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window,
         walked = []
         take_req = []
         popped_pairs: list[tuple[str, bytes]] = []   # re-admittable discards only
+        visited_pairs: list[tuple[str, bytes]] = []  # window mode: fetched marks
         inplace_deltas: dict[str, int] = {}          # fetched/extension: key stays
         # the max_pages budget is PER SITE: share it across this partition's
         # (site, host) groups so a multi-host site cannot overshoot within
@@ -1416,16 +1419,35 @@ def _make_planner(seen, politeness, exclude_patterns, remaining, window,
                     # reference re-admits them if re-linked (crawler.py:1162)
                     popped_pairs.append((site, url_key(u)))
                 elif a in ("fetch", "skip_extension"):
-                    # key STAYS in queued (doubles as the visited mark —
-                    # admission checks queued ∪ visited); only the active
-                    # counter moves. No per-key traffic for the hot path.
-                    inplace_deltas[site] = inplace_deltas.get(site, 0) + 1
+                    if window_seen:
+                        # sliding-window mode: the fetched mark must live
+                        # in the ROTATING tier, not the exact queued set —
+                        # otherwise expiry never re-admits and queued
+                        # grows with crawl age instead of frontier size.
+                        # Pays one key of pop+mark traffic per fetch;
+                        # that is the price of TTL semantics.
+                        k = url_key(u)
+                        popped_pairs.append((site, k))
+                        visited_pairs.append((site, k))
+                        # active decrement rides on_popped_many's removal
+                        # count — no inplace delta (would double-count)
+                    else:
+                        # key STAYS in queued (doubles as the visited mark
+                        # — admission checks queued ∪ visited); only the
+                        # active counter moves. No per-key traffic.
+                        inplace_deltas[site] = (
+                            inplace_deltas.get(site, 0) + 1)
             site_used[site] = site_used.get(site, 0) + n_sel
             walked.append((site, host, sdf, actions, n_sel))
             take_req.append((host, n_sel, window_start))
         grants = politeness.take_many(take_req) if take_req else []
         if popped_pairs:
             seen.on_popped_many(popped_pairs)
+        if visited_pairs:
+            # mark BEFORE any admission of this wave's outlinks runs
+            # (admission is a later sequential step), so the pop->mark
+            # handoff cannot lose the membership
+            seen.mark_visited_many(visited_pairs)
         if inplace_deltas:
             seen.note_popped_inplace(inplace_deltas)
         for (site, host, sdf, actions, n_sel), grant_ts in zip(walked, grants):

@@ -289,8 +289,8 @@ class SeenState:
 
     def mark_visited_many(self, pairs: list[tuple[str, bytes]]) -> None:
         for site, k in pairs:
-            if self.mode == "cuckoo":
-                ck = self.visited_ck.setdefault(site, CuckooFilter(self.cuckoo_capacity))
+            if self.mode in ("cuckoo", "cuckoo_window"):
+                ck = self.visited_ck.setdefault(site, self._new_filter())
                 if not ck.contains(k):
                     ck.add(k)
             else:

@@ -4564,3 +4564,77 @@ def test_capacity_plan_scaling_and_grid_flag(ray_session):
         .set_index("stage")
     assert wide.loc["doc_shuffle"].grid_rounds == 2
     assert wide.loc["doc_shuffle"].recommended_parts > 4096
+
+
+def test_grid_shuffle_single_superbucket_and_width_one(ray_session):
+    """Regression (num_returns=1 quirk): p1_width == 1 — n_parts <=
+    max_fan with more blocks than max_fan — and n_parts=1 both must
+    work; Ray returns a 1-tuple as ONE object, so width-1 splits return
+    the bare table."""
+    import pandas as pd
+
+    from raycrawl.ops.grouping import partitioned_apply
+
+    t = pa.table({
+        "k": pa.array([f"k{i % 5}" for i in range(60)], pa.string()),
+        "v": pa.array(list(range(60)), pa.int64())})
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"k": pd.Series([], dtype="string"),
+                                 "s": pd.Series([], dtype="int64")})
+        return (pdf.groupby("k", as_index=False)
+                .agg(s=("v", "sum")).astype({"s": "int64"}))
+
+    ds = rd.from_arrow(t).repartition(5)
+    want = (partitioned_apply(ds, ["k"], agg, n_parts=4, max_fan=128)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    # grid path with p1_width = 1 (n_parts=2 <= max_fan=2 < 5 blocks)
+    got1 = (partitioned_apply(ds, ["k"], agg, n_parts=2, max_fan=2)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(want, got1)
+    got2 = (partitioned_apply(ds, ["k"], agg, n_parts=1)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(want, got2)
+
+
+def test_graph_ops_width_one(ray_session):
+    """Regression: seed_distances / resolve_redirects / triangle-family
+    callers with n_parts=1 (width-1 task fan-outs)."""
+    from raycrawl.ops.graph import resolve_redirects, seed_distances
+
+    edges = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3], pa.int64())})
+    d = (seed_distances(rd.from_arrow(edges).repartition(2), [0],
+                        max_hops=4, n_parts=1)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert d.node.tolist() == [0, 1, 2, 3]
+    assert d.dist.tolist() == [0, 1, 2, 3]
+    r = (resolve_redirects(rd.from_arrow(edges).repartition(2),
+                           rounds=3, n_parts=1)
+         .to_pandas().sort_values("src").reset_index(drop=True))
+    assert r.final.tolist() == [3, 3, 3]
+    assert r.resolved.tolist() == [1, 1, 1]
+
+
+def test_group_quantiles_duplicate_heavy_and_null_keys(ray_session):
+    """Duplicate-heavy values (runs spanning block boundaries exercise
+    the last-key tie-break in sorted_block_refs) and NULL group keys
+    (dropped wholesale — Ray's sort cannot range-partition a null key;
+    previously an opaque TypeError deep in the sort map stage)."""
+    import pandas as pd
+
+    from raycrawl.ops.quantiles import group_quantiles
+
+    vals = [5] * 40 + [9] * 10 + [1] * 10
+    t = pa.table({
+        "k": pa.array((["a"] * 60) + [None] * 12, pa.string()),
+        "v": pa.array(vals + list(range(12)), pa.int64())})
+    out = group_quantiles(rd.from_arrow(t).repartition(16), "k", "v",
+                          {"p50": 0.5, "p90": 0.9})
+    df = out.to_pandas()
+    a = df[df.k == "a"].iloc[0]
+    # sorted: 1x10, 5x40, 9x10 -> rank 30 = 5, rank 54 = 9
+    assert (a.p50, a.p90) == (5, 9)
+    assert df.k.notna().all() and len(df) == 1  # null-key group dropped

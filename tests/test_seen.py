@@ -117,3 +117,22 @@ def test_seen_state_cuckoo_window_mode_and_snapshot():
     t.rotate_window()    # second rotation: k1's segment expires
     assert t._visited_contains("a", _k(1)) is False
     assert s._visited_contains("a", _k(1))  # original untouched
+
+
+def test_sharded_window_readmission_after_expiry(ray_session):
+    """The full pop->mark->rotate cycle over ShardedSeen in
+    cuckoo_window mode: a fetched URL (admitted, popped, marked) is
+    blocked while any live segment holds it and becomes re-admittable
+    once the window slides past — the continuous-crawl TTL contract."""
+    from raycrawl.seen import ShardedSeen
+
+    s = ShardedSeen(2, "cuckoo_window", window_epochs=2)
+    k = _k(42)
+    assert s.admit_many([("a", k)]) == [True]
+    s.on_popped_many([("a", k)])          # leaves queued (fetch pop)
+    s.mark_visited_many([("a", k)])       # rotating visited mark
+    assert s.admit_many([("a", k)]) == [False]
+    s.rotate_window()                     # segment still live (window 2)
+    assert s.contains_many([("a", k)]) == [True]
+    s.rotate_window()                     # now expired
+    assert s.admit_many([("a", k)]) == [True]
