@@ -543,6 +543,257 @@ def graph_structure_report(edges_ds, *, src_col: str = "src",
             .union(deg_hist("dst", "indeg")))
 
 
+def _pairh(a: np.ndarray, b: np.ndarray, width: int) -> np.ndarray:
+    """Deterministic (a,b) pair-hash partition id, shared by the wedge
+    and closing-edge routings (they must co-locate)."""
+    h = (a.astype(np.uint64) * np.uint64(0x9E3779B1)
+         + b.astype(np.uint64) * np.uint64(0x85EBCA77))
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+@ray.remote
+def _tri_split(width: int, tbl: pa.Table, src_col: str, dst_col: str):
+    """Canonicalize one block to unordered (a<b) pairs (self-loops
+    dropped) and route by pair hash."""
+    if tbl.num_rows == 0 or tbl.num_columns == 0:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        return _fan(tuple(empty for _ in range(width)))
+    s = _np(tbl[src_col])
+    d = _np(tbl[dst_col])
+    keep = s != d
+    s, d = s[keep], d[keep]
+    a = np.minimum(s, d)
+    b = np.maximum(s, d)
+    p = _pairh(a, b, width)
+    return _fan(tuple(pa.table({"a": a[p == i], "b": b[p == i]})
+                      for i in range(width)))
+
+
+@ray.remote
+def _tri_dedup(width: int, *slices: pa.Table):
+    """Per pair-partition: unique (a,b) edges (sorted), plus degree
+    PARTIALS (node, cnt) routed by node hash. Returns the edge table
+    then ``width`` partial slices."""
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        e = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        d = pa.table({"node": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+        return tuple([e] + [d] * width)
+    a = np.concatenate([_np(t["a"]) for t in live])
+    b = np.concatenate([_np(t["b"]) for t in live])
+    ab = np.stack([a, b], axis=1)
+    ab = np.unique(ab, axis=0)          # sorted by (a, b)
+    a, b = ab[:, 0], ab[:, 1]
+    nodes = np.concatenate([a, b])
+    uniq, cnt = np.unique(nodes, return_counts=True)
+    q = uniq % width
+    return tuple(
+        [pa.table({"a": pa.array(a, pa.int64()),
+                   "b": pa.array(b, pa.int64())})]
+        + [pa.table({"node": pa.array(uniq[q == i], pa.int64()),
+                     "cnt": pa.array(cnt[q == i], pa.int64())})
+           for i in range(width)])
+
+
+@ray.remote
+def _tri_degrees(*partials: pa.Table):
+    """Per node-partition: fold degree partials -> sorted (node, deg)."""
+    live = [t for t in partials if t.num_rows]
+    if not live:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})
+    n = np.concatenate([_np(t["node"]) for t in live])
+    c = np.concatenate([_np(t["cnt"]) for t in live])
+    order = np.argsort(n, kind="stable")
+    n, c = n[order], c[order]
+    uniq, idx = np.unique(n, return_index=True)
+    deg = np.add.reduceat(c, idx)
+    return pa.table({"node": pa.array(uniq, pa.int64()),
+                     "deg": pa.array(deg, pa.int64())})
+
+
+@ray.remote
+def _tri_degq(width: int, edges: pa.Table):
+    """Emit each edge partition's distinct endpoint set, routed by node
+    hash — the degree-lookup request."""
+    if not edges.num_rows:
+        e = pa.table({"node": pa.array([], pa.int64())})
+        return _fan(tuple(e for _ in range(width)))
+    nodes = np.unique(np.concatenate([_np(edges["a"]), _np(edges["b"])]))
+    q = nodes % width
+    return _fan(tuple(pa.table({"node": pa.array(nodes[q == i],
+                                                 pa.int64())})
+                      for i in range(width)))
+
+
+@ray.remote
+def _tri_dega(width: int, degs: pa.Table, *queries: pa.Table):
+    """Answer degree lookups: for requester p return its requested
+    (node, deg) rows."""
+    dn, dv = _np(degs["node"]), _np(degs["deg"])
+    outs = []
+    for qt in queries:
+        qn = _np(qt["node"])
+        if not len(qn) or not len(dn):
+            outs.append(pa.table({"node": pa.array([], pa.int64()),
+                                  "deg": pa.array([], pa.int64())}))
+            continue
+        pos = np.searchsorted(dn, qn)   # every endpoint HAS a degree row
+        outs.append(pa.table({"node": pa.array(qn, pa.int64()),
+                              "deg": pa.array(dv[pos], pa.int64())}))
+    return _fan(tuple(outs))
+
+
+@ray.remote
+def _tri_orient(width: int, edges: pa.Table, *answers: pa.Table):
+    """Orient each edge from its lower-(deg, id) endpoint, then route
+    TWO ways: by apex hash (wedge side, carrying (u, v, dv)) and by
+    pair hash (closing side, carrying (u, v)). Returns width wedge
+    slices then width closing slices."""
+    we = pa.table({"u": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64()),
+                   "dv": pa.array([], pa.int64())})
+    ce = pa.table({"x": pa.array([], pa.int64()),
+                   "y": pa.array([], pa.int64())})
+    if not edges.num_rows:
+        return tuple([we] * width + [ce] * width)
+    live = [t for t in answers if t.num_rows]
+    dn = np.concatenate([_np(t["node"]) for t in live])
+    dv = np.concatenate([_np(t["deg"]) for t in live])
+    order = np.argsort(dn, kind="stable")
+    dn, dv = dn[order], dv[order]
+    a, b = _np(edges["a"]), _np(edges["b"])
+    da = dv[np.searchsorted(dn, a)]
+    db = dv[np.searchsorted(dn, b)]
+    a_first = (da < db) | ((da == db) & (a < b))
+    u = np.where(a_first, a, b)
+    v = np.where(a_first, b, a)
+    duv = np.where(a_first, db, da)
+    pw = u % width
+    pc = _pairh(u, v, width)
+    return tuple(
+        [pa.table({"u": pa.array(u[pw == i], pa.int64()),
+                   "v": pa.array(v[pw == i], pa.int64()),
+                   "dv": pa.array(duv[pw == i], pa.int64())})
+         for i in range(width)]
+        + [pa.table({"x": pa.array(u[pc == i], pa.int64()),
+                     "y": pa.array(v[pc == i], pa.int64())})
+           for i in range(width)])
+
+
+@ray.remote
+def _tri_wedges(width: int, max_wedges: int, *slices: pa.Table):
+    """Per apex-partition: emit every out-neighborhood pair (x, y) —
+    rank-ordered so (x, y) matches the closing edge's orientation —
+    routed by pair hash. The ``max_wedges`` raise-guard keeps a skewed
+    orientation (near-clique) loud instead of silently exploding."""
+    empty = pa.table({"x": pa.array([], pa.int64()),
+                      "y": pa.array([], pa.int64()),
+                      "apex": pa.array([], pa.int64())})
+    live = [t for t in slices if t.num_rows]
+    if not live:
+        return _fan(tuple(empty for _ in range(width)))
+    u = np.concatenate([_np(t["u"]) for t in live])
+    v = np.concatenate([_np(t["v"]) for t in live])
+    dvv = np.concatenate([_np(t["dv"]) for t in live])
+    order = np.lexsort((v, dvv, u))     # by apex, then (deg, id) rank
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    ends = np.r_[starts[1:], len(u)]
+    ks = ends - starts
+    total = int((ks * (ks - 1) // 2).sum())
+    if total > max_wedges:
+        raise ValueError(
+            f"wedge partition would emit {total} > max_wedges="
+            f"{max_wedges} candidate pairs; the orientation is skewed "
+            "(near-clique) — raise max_wedges or densify n_parts")
+    if not total:
+        return _fan(tuple(empty for _ in range(width)))
+    xs = np.empty(total, np.int64)
+    ys = np.empty(total, np.int64)
+    ap = np.empty(total, np.int64)
+    pos = 0
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2:
+            continue
+        i, j = np.triu_indices(k, 1)
+        m = len(i)
+        xs[pos:pos + m] = v[s + i]
+        ys[pos:pos + m] = v[s + j]
+        ap[pos:pos + m] = u[s]
+        pos += m
+    p = _pairh(xs, ys, width)
+    return _fan(tuple(pa.table({"x": pa.array(xs[p == i], pa.int64()),
+                                "y": pa.array(ys[p == i], pa.int64()),
+                                "apex": pa.array(ap[p == i], pa.int64())})
+                      for i in range(width)))
+
+
+@ray.remote
+def _tri_close(width: int, n_close: int, *tables: pa.Table):
+    """Per pair-partition: triangles = wedges whose (x, y) exists in the
+    oriented closing-edge set (packed int128-free: sorted lexicographic
+    (x, y) membership via searchsorted on both columns). Emits corner
+    partials (node, cnt) routed by node hash."""
+    close = tables[:n_close]
+    wedges = tables[n_close:]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    cl = [t for t in close if t.num_rows]
+    wl = [t for t in wedges if t.num_rows]
+    if not cl or not wl:
+        return _fan(tuple(empty for _ in range(width)))
+    cx = np.concatenate([_np(t["x"]) for t in cl])
+    cy = np.concatenate([_np(t["y"]) for t in cl])
+    # pack (x, y) into one sortable uint key pair via lexsort + searchsorted
+    corder = np.lexsort((cy, cx))
+    cx, cy = cx[corder], cy[corder]
+    wx = np.concatenate([_np(t["x"]) for t in wl])
+    wy = np.concatenate([_np(t["y"]) for t in wl])
+    wa = np.concatenate([_np(t["apex"]) for t in wl])
+    lo = np.searchsorted(cx, wx, side="left")
+    hi = np.searchsorted(cx, wx, side="right")
+    # within each x-run of the closing set, test y membership
+    hit = np.zeros(len(wx), dtype=bool)
+    nz = np.flatnonzero(hi > lo)
+    if len(nz):
+        pos = lo[nz] + np.array(
+            [np.searchsorted(cy[l:h], y)
+             for l, h, y in zip(lo[nz], hi[nz], wy[nz])])
+        inb = pos < hi[nz]
+        ok = np.zeros(len(nz), dtype=bool)
+        ok[inb] = cy[pos[inb]] == wy[nz][inb]
+        hit[nz] = ok
+    if not hit.any():
+        return _fan(tuple(empty for _ in range(width)))
+    corners = np.concatenate([wx[hit], wy[hit], wa[hit]])
+    uniq, cnt = np.unique(corners, return_counts=True)
+    q = uniq % width
+    return _fan(tuple(pa.table({"node": pa.array(uniq[q == i], pa.int64()),
+                                "cnt": pa.array(cnt[q == i], pa.int64())})
+                      for i in range(width)))
+
+
+@ray.remote
+def _tri_count(*partials: pa.Table):
+    live = [t for t in partials if t.num_rows]
+    if not live:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "triangles": pa.array([], pa.int64())})
+    n = np.concatenate([_np(t["node"]) for t in live])
+    c = np.concatenate([_np(t["cnt"]) for t in live])
+    order = np.argsort(n, kind="stable")
+    n, c = n[order], c[order]
+    uniq, idx = np.unique(n, return_index=True)
+    return pa.table({"node": pa.array(uniq, pa.int64()),
+                     "triangles": pa.array(np.add.reduceat(c, idx),
+                                           pa.int64())})
+
+
 def triangle_counts(edges_ds, *, src_col: str = "src",
                     dst_col: str = "dst", n_parts: int | None = None,
                     max_wedges: int = 50_000_000):
@@ -560,147 +811,72 @@ def triangle_counts(edges_ds, *, src_col: str = "src",
     O(sqrt(E)) size, so wedge generation is O(E^1.5) worst-case instead
     of O(E·d_max) (the standard MapReduce triangle bound). A wedge
     (apex u → x, u → y) closes into a triangle iff the oriented edge
-    (x, y) exists — one partitioned hash join on the (x, y) pair,
-    emitting each triangle exactly once.
+    (x, y) exists.
 
-    Scale shape: dedup and both degree attachments are fixed-width
-    int64 exchanges (the two degree joins move one (edge, deg) row per
-    edge); wedge generation is a ``partitioned_apply`` keyed on the apex
-    (complete out-neighborhoods per partition by construction) with a
-    raise-guard at ``max_wedges`` per partition — a wedge explosion
-    means orientation skew (a near-clique), and silently sampling would
-    break exactness. The close join and the 3-corner count fold are
-    fixed-width. Nothing materializes driver-side.
+    Execution (the `connected_components`/`seed_distances` static-
+    partition shape — this op's DAG of Dataset exchanges previously
+    paid ~2 s of executor+aggregator floor per stage, ~14 s total at
+    sf0.01): pair-hash dedup partitions, node-hash degree fold,
+    degree query/answer waves, orientation with dual routing (apex hash
+    for wedge generation, pair hash for the closing set), per-partition
+    wedge emission under the ``max_wedges`` raise-guard, and a
+    searchsorted closing-membership test — every wave fixed-width int64
+    kernels over plasma tables; the driver sees only refs. Wedge/close
+    co-location rides ONE shared pair-hash, so the closing test needs no
+    further exchange.
 
     Returns (node, triangles) — one row per node in ≥1 triangle."""
-    import pandas as pd
-    from ray.data.aggregate import Count
+    import ray.data as rd
 
-    from .grouping import drop_empty_blocks, partitioned_apply, resolve_parts
+    from .grouping import resolve_parts
 
     width = resolve_parts(n_parts)
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    blocks = edges_ds.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64())}))
+    split = [_tri_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in blocks]
+    split = _aslists(split, width)
+    ded = [_tri_dedup.options(num_returns=width + 1).remote(
+        width, *[s[p] for s in split]) for p in range(width)]
+    edge_refs = [d[0] for d in ded]
+    deg_parts = [d[1:] for d in ded]
+    degs = [_tri_degrees.remote(*[dp[q] for dp in deg_parts])
+            for q in range(width)]
+    degq = [_tri_degq.options(num_returns=width).remote(width, edge_refs[p])
+            for p in range(width)]
+    degq = _aslists(degq, width)
+    dega = [_tri_dega.options(num_returns=width).remote(
+        width, degs[q], *[degq[p][q] for p in range(width)])
+        for q in range(width)]
+    dega = _aslists(dega, width)
+    orient = [_tri_orient.options(num_returns=2 * width).remote(
+        width, edge_refs[p], *[dega[q][p] for q in range(width)])
+        for p in range(width)]
+    wedge_in = [[o[i] for i in range(width)] for o in orient]
+    close_in = [[o[width + i] for i in range(width)] for o in orient]
+    wedges = [_tri_wedges.options(num_returns=width).remote(
+        width, max_wedges, *[wi[p] for wi in wedge_in])
+        for p in range(width)]
+    wedges = _aslists(wedges, width)
+    corner = [_tri_close.options(num_returns=width).remote(
+        width, width,
+        *[ci[p] for ci in close_in],
+        *[wedges[q][p] for q in range(width)])
+        for p in range(width)]
+    corner = _aslists(corner, width)
+    outs = [_tri_count.remote(*[corner[p][q] for p in range(width)])
+            for q in range(width)]
 
-    def canon(batch: pa.Table) -> pa.Table:
-        s = _np(batch[src_col]).astype(np.int64)
-        d = _np(batch[dst_col]).astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
-                         "b": pa.array(np.maximum(s, d), pa.int64())})
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
 
-    edges = drop_empty_blocks(
-        (edges_ds.map_batches(canon, batch_format="pyarrow")
-         .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
-         .map_batches(lambda b: b.select(["a", "b"]),
-                      batch_format="pyarrow")),
-        empty_schema=pair_schema)
-
-    def both_ends(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.array(
-            np.concatenate([_np(b["a"]), _np(b["b"])]), pa.int64())})
-
-    deg = drop_empty_blocks(
-        edges.map_batches(both_ends, batch_format="pyarrow")
-        .groupby("node").aggregate(Count(alias_name="deg")),
-        empty_schema=pa.schema([("node", pa.int64()),
-                                ("deg", pa.int64())]))
-
-    da = deg.map_batches(
-        lambda b: pa.table({"a": b["node"], "deg_a": b["deg"]}),
-        batch_format="pyarrow")
-    db = deg.map_batches(
-        lambda b: pa.table({"b": b["node"], "deg_b": b["deg"]}),
-        batch_format="pyarrow")
-    ed = drop_empty_blocks(
-        edges.join(da, join_type="inner", num_partitions=width,
-                   on=("a",)),
-        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                                ("deg_a", pa.int64())]))
-    ed = drop_empty_blocks(
-        ed.join(db, join_type="inner", num_partitions=width, on=("b",)),
-        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                                ("deg_a", pa.int64()),
-                                ("deg_b", pa.int64())]))
-
-    oriented_schema = pa.schema([
-        ("u", pa.int64()), ("v", pa.int64()),
-        ("dv", pa.int64())])
-
-    def orient(b: pa.Table) -> pa.Table:
-        a = _np(b["a"]).astype(np.int64)
-        bb = _np(b["b"]).astype(np.int64)
-        la = _np(b["deg_a"]).astype(np.int64)
-        lb = _np(b["deg_b"]).astype(np.int64)
-        # lower (deg, id) endpoint becomes the apex side
-        a_first = (la < lb) | ((la == lb) & (a < bb))
-        u = np.where(a_first, a, bb)
-        v = np.where(a_first, bb, a)
-        dv = np.where(a_first, lb, la)
-        return pa.table({"u": pa.array(u, pa.int64()),
-                         "v": pa.array(v, pa.int64()),
-                         "dv": pa.array(dv, pa.int64())})
-
-    oriented = drop_empty_blocks(
-        ed.map_batches(orient, batch_format="pyarrow"),
-        empty_schema=oriented_schema)
-
-    wedge_cols = ["x", "y", "apex"]
-
-    def wedges(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in wedge_cols})
-        # sort by apex then by the (deg, id) rank of the out-neighbor so
-        # emitted pairs are rank-oriented (x before y), matching the
-        # orientation of the edge table they probe
-        pdf = pdf.sort_values(["u", "dv", "v"], kind="stable")
-        u = pdf["u"].to_numpy(np.int64)
-        v = pdf["v"].to_numpy(np.int64)
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        ends = np.r_[starts[1:], len(u)]
-        ks = ends - starts
-        total = int((ks * (ks - 1) // 2).sum())
-        if total > max_wedges:
-            raise ValueError(
-                f"wedge partition would emit {total} > max_wedges="
-                f"{max_wedges} candidate pairs; the orientation is "
-                f"skewed (near-clique) — raise max_wedges or densify "
-                f"n_parts")
-        xs = np.empty(total, np.int64)
-        ys = np.empty(total, np.int64)
-        ap = np.empty(total, np.int64)
-        pos = 0
-        for s, e in zip(starts, ends):
-            k = e - s
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            m = len(i)
-            xs[pos:pos + m] = v[s + i]
-            ys[pos:pos + m] = v[s + j]
-            ap[pos:pos + m] = u[s]
-            pos += m
-        return pd.DataFrame({"x": xs, "y": ys, "apex": ap})
-
-    wedge_ds = drop_empty_blocks(
-        partitioned_apply(oriented, ["u"], wedges, n_parts=width),
-        empty_schema=pa.schema([(c, pa.int64()) for c in wedge_cols]))
-
-    closing = oriented.map_batches(
-        lambda b: pa.table({"x": b["u"], "y": b["v"]}),
-        batch_format="pyarrow")
-    tri = wedge_ds.join(closing, join_type="inner", num_partitions=width,
-                        on=("x", "y"))
-
-    def corners(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.array(np.concatenate(
-            [_np(b["x"]), _np(b["y"]), _np(b["apex"])]), pa.int64())})
-
-    return drop_empty_blocks(
-        tri.map_batches(corners, batch_format="pyarrow"),
-        empty_schema=pa.schema([("node", pa.int64())])).groupby(
-        "node").aggregate(Count(alias_name="triangles"))
+    counts = ray.get([_rows.remote(o) for o in outs])
+    keep = [o for o, c in zip(outs, counts) if c > 0]
+    return rd.from_arrow_refs(keep if keep else outs[:1])
 
 
 @ray.remote
