@@ -238,9 +238,14 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     document text never crosses any exchange."""
     import pandas as pd
 
-    from .grouping import drop_empty_blocks, partitioned_apply, resolve_parts
+    from .grouping import (drop_empty_blocks, multi_join_parts,
+                           partitioned_apply, resolve_parts)
 
     width = resolve_parts(n_parts)
+    # the one hash join: sequential aggregator pools are actor-startup
+    # bound at full width (the multi-join rule) — the election exchange
+    # keeps the wide task shuffle
+    join_width = multi_join_parts(n_parts)
 
     def nchars(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -265,8 +270,8 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
     if labels.count() == 0:
         j = slim
     else:
-        j = slim.join(labels, join_type="left_outer", num_partitions=width,
-                      on=(id_col,))
+        j = slim.join(labels, join_type="left_outer",
+                      num_partitions=join_width, on=(id_col,))
 
     def assign(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col], np.int64)
