@@ -1990,6 +1990,22 @@ def q_media_phash_dup(sf_dir: str):
     return media_ahash_pairs(ds, max_hamming=3)
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal resize tier driven end to end (ops/multimodal.
+    MediaResizeStage): binary payloads → actor-pool fake decode → 16×8
+    intensity grid → 4×2 integer floor-mean pool → 4×4 thumbnail, one
+    narrow row per output pixel. The oracle replays payload synthesis,
+    the hex-space sha256 decode (byte j = digest[j mod 32]) and the
+    block floor-mean exactly."""
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import MediaResizeStage, synthesize_media
+
+    ds = rd.from_arrow(synthesize_media(120))
+    return ds.map_batches(MediaResizeStage, batch_size=32, concurrency=2,
+                          num_cpus=1, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing driven end to end: binary payload column →
     actor-pool decode stage (deterministic fake decoder) → feature
@@ -4200,6 +4216,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_local_supplier_bloom": q_tpch_local_supplier_bloom,
         "tpch_revenue_nation_dist": q_tpch_revenue_nation_dist,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "media_phash_dup": q_media_phash_dup,
         "wiki_documents": q_wiki_documents,
         "wiki_search": q_wiki_search,
@@ -8972,6 +8989,34 @@ def oracle_sql() -> dict[str, str]:
     # synthesis (+%20==0 copies at media_id+10000), hex-space sha256
     # decode, mean bits by integer cross-multiply 32·b > Σb, 4×8-bit
     # chunk banding with the 1000-bucket cap, bit_count Hamming ≤ 3
+    # media_resize: decode byte j = digest[j % 32] (hex-space sha256 of
+    # the tiled payload), 16x8 grid pooled 4x2 by integer floor-mean
+    sql["media_resize"] = """
+        WITH m AS (
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   sha256(repeat(sha256('media-' || CAST(i AS VARCHAR)),
+                                 CAST(4 + i % 7 AS INT))) AS h
+            FROM unnest(range(120)) u(i)
+        ),
+        bytes AS (
+            SELECT media_id, kind, CAST(j AS BIGINT) AS j,
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * (j % 32) + 1 AS INT), 1))
+                        - 1) * 16
+                 + (strpos('0123456789abcdef',
+                           substr(h, CAST(2 * (j % 32) + 2 AS INT), 1))
+                        - 1) AS b
+            FROM m, unnest(range(128)) u(j)
+        )
+        SELECT media_id, kind,
+               CAST((j // 8) // 4 AS BIGINT) AS py,
+               CAST((j % 8) // 2 AS BIGINT) AS px,
+               CAST(SUM(b) // 8 AS BIGINT) AS v
+        FROM bytes
+        GROUP BY media_id, kind, (j // 8) // 4, (j % 8) // 2
+    """
     sql["media_phash_dup"] = """
         WITH m AS (
             SELECT CAST(i AS BIGINT) AS media_id,

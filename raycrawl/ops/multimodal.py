@@ -118,6 +118,46 @@ class MediaFeatureStage:
         )
 
 
+class MediaResizeStage:
+    """Actor-pool ``map_batches`` resize/thumbnail stage — the third
+    member of the decode tier (decode → features / RESIZE / frame
+    sample). Treats the 128 decode bytes as a 16×8 intensity grid and
+    average-pools 4×2 blocks to a 4×4 thumbnail (integer floor mean, so
+    the SQL oracle replays it exactly). Emits ONE ROW PER OUTPUT PIXEL
+    (media_id, kind, py, px, v) — the narrow long-format a downstream
+    exchange can shuffle without carrying binary payloads. In
+    production the fake decoder swaps for PIL/ffmpeg and the pool for a
+    real resampler; the Ray-side plumbing (actor pool, small batches
+    for wide binary rows, payload dropped before any shuffle) is the
+    tested, real part."""
+
+    def __init__(self, use_fake: bool = True):
+        self.decode = _decode_fake if use_fake else _decode_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, pys, pxs, vs = [], [], [], [], []
+        for mid, payload, kind in zip(batch["media_id"].to_pylist(),
+                                      batch["payload"].to_pylist(),
+                                      batch["kind"].to_pylist()):
+            raw = np.round(self.decode(payload, kind) * 255.0)
+            grid = raw.astype(np.int64).reshape(16, 8)
+            # 4x2 block floor-mean: (16,8) -> (4,4)
+            pooled = (grid.reshape(4, 4, 4, 2).sum(axis=(1, 3)) // 8)
+            for r in range(4):
+                for c in range(4):
+                    ids.append(int(mid))
+                    kinds.append(kind)
+                    pys.append(r)
+                    pxs.append(c)
+                    vs.append(int(pooled[r, c]))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "py": pa.array(pys, pa.int64()),
+            "px": pa.array(pxs, pa.int64()),
+            "v": pa.array(vs, pa.int64())})
+
+
 def frame_sample_plan(ds, fps: int = 25, max_frames: int = 8,
                       seg_ms: int = 960):
     """Deterministic decode WORK PLAN over the typed metadata columns —

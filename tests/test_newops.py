@@ -4638,3 +4638,30 @@ def test_group_quantiles_duplicate_heavy_and_null_keys(ray_session):
     # sorted: 1x10, 5x40, 9x10 -> rank 30 = 5, rank 54 = 9
     assert (a.p50, a.p90) == (5, 9)
     assert df.k.notna().all() and len(df) == 1  # null-key group dropped
+
+
+def test_media_resize_pool_math_and_shape(ray_session):
+    """4x2 floor-mean pooling over the 16x8 fake-decode grid: verify
+    one pixel by hand and the 16-rows-per-media long format."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raycrawl.ops.multimodal import MediaResizeStage, synthesize_media
+
+    media = synthesize_media(6)
+    out = (rd.from_arrow(media)
+           .map_batches(MediaResizeStage, batch_size=4, concurrency=1,
+                        num_cpus=1, batch_format="pyarrow")
+           .to_pandas())
+    assert len(out) == 6 * 16
+    assert set(zip(out.py, out.px)) == {(r, c) for r in range(4)
+                                        for c in range(4)}
+    # hand-check media 0, pixel (0, 0): bytes at grid rows 0..3, cols
+    # 0..1 -> indices {8r+c} -> digest[(8r+c) % 32]
+    payload = hashlib.sha256(b"media-0").digest() * 4
+    dig = hashlib.sha256(payload.hex().encode()).digest()
+    cells = [dig[(8 * r + c) % 32] for r in range(4) for c in range(2)]
+    want = sum(cells) // 8
+    got = out[(out.media_id == 0) & (out.py == 0) & (out.px == 0)].v.iloc[0]
+    assert got == want
