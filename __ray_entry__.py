@@ -6692,8 +6692,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             d AS (
+                -- HUGEINT: 100 TB x doc-count overflows INT64 past
+                -- ~84k sample docs; the engine side is Python bignum
                 SELECT docs, bytes,
-                       109951162777600 * docs // bytes AS dd,
+                       CAST(CAST(109951162777600 AS HUGEINT) * docs
+                            // bytes AS BIGINT) AS dd,
                        CAST(8192 AS BIGINT) AS cpus,
                        CAST(1073741824 AS BIGINT) AS budget,
                        CAST(5000000 AS BIGINT) AS vocab

@@ -57,17 +57,7 @@ def _min_per_node(node: np.ndarray, val: np.ndarray):
     return uniq, np.minimum.reduceat(sv, idx)
 
 
-def _aslists(refs, width: int):
-    """Driver-side mate of ``_fan``: with width == 1 each split call
-    returned ONE bare ref — wrap so callers can index ``s[p]``."""
-    return [[r] for r in refs] if width == 1 else refs
-
-
-def _fan(parts: tuple):
-    """num_returns=1 quirk guard: Ray treats a 1-tuple return under
-    ``num_returns=1`` as ONE object (the tuple itself), so width-1
-    splits must return the bare table."""
-    return parts[0] if len(parts) == 1 else parts
+from raycrawl.ops.grouping import _aslists, _fan, keep_nonempty_ref_tables
 
 
 @ray.remote
@@ -304,22 +294,39 @@ def cluster_representatives(docs_ds, pairs_ds, *, id_col: str = "doc_id",
 @ray.remote
 def _rr_init(width: int, part: int, *slices: pa.Table):
     """One redirect partition: rows (src, cur) with src % width == part,
-    src-sorted for searchsorted lookups."""
+    src-sorted for searchsorted lookups. The map is FUNCTIONALIZED
+    here: duplicate src rows (the same redirect logged twice, or a
+    conflicting pair) collapse to ONE row per src with the MIN dst —
+    the lookup kernels index by first-match searchsorted, so duplicate
+    srcs would otherwise leave stale siblings behind. ``active``
+    tracks whether the row's chain is still moving (a row settles the
+    first round its landing node answers no lookup)."""
     live = [t for t in slices if t.num_rows]
     if not live:
         return pa.table({"src": pa.array([], pa.int64()),
-                         "cur": pa.array([], pa.int64())})
+                         "cur": pa.array([], pa.int64()),
+                         "active": pa.array([], pa.int64())})
     src = np.concatenate([_np(t["src"]) for t in live])
     cur = np.concatenate([_np(t["dst"]) for t in live])
-    order = np.argsort(src, kind="stable")
-    return pa.table({"src": pa.array(src[order], pa.int64()),
-                     "cur": pa.array(cur[order], pa.int64())})
+    order = np.lexsort((cur, src))
+    src, cur = src[order], cur[order]
+    first = np.r_[True, src[1:] != src[:-1]]   # min dst per src
+    src, cur = src[first], cur[first]
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "cur": pa.array(cur, pa.int64()),
+                     "active": pa.array(np.ones(len(src), np.int64),
+                                        pa.int64())})
 
 
 @ray.remote
 def _rr_queries(width: int, part_tbl: pa.Table):
-    """Emit (node=cur, origin=src) lookup requests, routed by cur hash."""
+    """Emit (node=cur, origin=src) lookup requests for rows whose chain
+    is still MOVING, routed by cur hash — settled rows (landing node
+    already known to have no outgoing edge) cost nothing in later
+    rounds, realizing the per-round traffic bound."""
     src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
+    act = _np(part_tbl["active"]) == 1
+    src, cur = src[act], cur[act]
     p = cur % width
     return _fan(tuple(pa.table({"node": pa.array(cur[p == i], pa.int64()),
                                 "origin": pa.array(src[p == i], pa.int64())})
@@ -358,24 +365,31 @@ def _rr_answer(width: int, part_tbl: pa.Table, *queries: pa.Table):
 
 @ray.remote
 def _rr_apply(part_tbl: pa.Table, *answers: pa.Table):
-    """Apply (origin, next) updates: cur[origin] = next. Origins with no
-    answer (their cur has no outgoing redirect) keep cur — resolved."""
+    """Apply (origin, next) updates: cur[origin] = next. An ACTIVE row
+    with no answer this round settles (its landing node has no outgoing
+    redirect — the chain is resolved) and stops emitting lookups."""
     src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"]).copy()
+    act = _np(part_tbl["active"]).copy()
+    answered = np.zeros(len(src), dtype=bool)
     for a in answers:
         if not a.num_rows or not len(src):
             continue
         ao, an = _np(a["origin"]), _np(a["next"])
-        pos = np.searchsorted(src, ao)  # every origin is one of our srcs
+        pos = np.searchsorted(src, ao)  # srcs unique post-init
         cur[pos] = an
+        answered[pos] = True
+    act[(act == 1) & ~answered] = 0
     return pa.table({"src": pa.array(src, pa.int64()),
-                     "cur": pa.array(cur, pa.int64())})
+                     "cur": pa.array(cur, pa.int64()),
+                     "active": pa.array(act, pa.int64())})
 
 
 @ray.remote
 def _rr_finish(part_tbl: pa.Table, *answers: pa.Table):
-    """Final pass: a landing node that still HAS an outgoing redirect
-    (it answered the probe) marks the chain unresolved (cycle or
-    over-long chain)."""
+    """Final pass: rows that settled mid-run are resolved by
+    construction; a still-active row whose landing node answers the
+    probe (it HAS an outgoing redirect) is a cycle or over-long chain —
+    unresolved."""
     src, cur = _np(part_tbl["src"]), _np(part_tbl["cur"])
     resolved = np.ones(len(src), np.int64)
     for a in answers:
@@ -466,13 +480,7 @@ def resolve_redirects(redirects_ds, rounds: int = 6,
     outs = [_rr_finish.remote(parts[p], *[a[i][p] for i in range(width)])
             for p in range(width)]
 
-    @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([_rows.remote(o) for o in outs])
-    keep = [o for o, c in zip(outs, counts) if c > 0]
-    return rd.from_arrow_refs(keep if keep else outs[:1])
+    return rd.from_arrow_refs(keep_nonempty_ref_tables(outs))
 
 
 def graph_structure_report(edges_ds, *, src_col: str = "src",
@@ -754,25 +762,21 @@ def _tri_close(width: int, n_close: int, *tables: pa.Table):
         return _fan(tuple(empty for _ in range(width)))
     cx = np.concatenate([_np(t["x"]) for t in cl])
     cy = np.concatenate([_np(t["y"]) for t in cl])
-    # pack (x, y) into one sortable uint key pair via lexsort + searchsorted
-    corder = np.lexsort((cy, cx))
-    cx, cy = cx[corder], cy[corder]
     wx = np.concatenate([_np(t["x"]) for t in wl])
     wy = np.concatenate([_np(t["y"]) for t in wl])
     wa = np.concatenate([_np(t["apex"]) for t in wl])
-    lo = np.searchsorted(cx, wx, side="left")
-    hi = np.searchsorted(cx, wx, side="right")
-    # within each x-run of the closing set, test y membership
-    hit = np.zeros(len(wx), dtype=bool)
-    nz = np.flatnonzero(hi > lo)
-    if len(nz):
-        pos = lo[nz] + np.array(
-            [np.searchsorted(cy[l:h], y)
-             for l, h, y in zip(lo[nz], hi[nz], wy[nz])])
-        inb = pos < hi[nz]
-        ok = np.zeros(len(nz), dtype=bool)
-        ok[inb] = cy[pos[inb]] == wy[nz][inb]
-        hit[nz] = ok
+    # one fully-vectorized membership test: rank both endpoints over the
+    # partition's node universe, pack (rank_x, rank_y) into one int64 key
+    # (ranks < n, n**2 fits — n is bounded by this partition's rows),
+    # and probe the sorted closing keys with a single searchsorted
+    nodes = np.unique(np.concatenate([cx, cy, wx, wy]))
+    n = np.int64(len(nodes))
+    ckey = np.searchsorted(nodes, cx) * n + np.searchsorted(nodes, cy)
+    ckey.sort()
+    wkey = np.searchsorted(nodes, wx) * n + np.searchsorted(nodes, wy)
+    pos = np.searchsorted(ckey, wkey)
+    pos_c = np.minimum(pos, len(ckey) - 1)
+    hit = ckey[pos_c] == wkey
     if not hit.any():
         return _fan(tuple(empty for _ in range(width)))
     corners = np.concatenate([wx[hit], wy[hit], wa[hit]])
@@ -875,13 +879,7 @@ def triangle_counts(edges_ds, *, src_col: str = "src",
     outs = [_tri_count.remote(*[corner[p][q] for p in range(width)])
             for q in range(width)]
 
-    @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([_rows.remote(o) for o in outs])
-    keep = [o for o, c in zip(outs, counts) if c > 0]
-    return rd.from_arrow_refs(keep if keep else outs[:1])
+    return rd.from_arrow_refs(keep_nonempty_ref_tables(outs))
 
 
 @ray.remote
@@ -996,7 +994,11 @@ def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
     width = resolve_parts(n_parts)
     seed_arr = np.unique(np.asarray(list(seeds), np.int64))
     if not len(seed_arr):
-        raise ValueError("seed_distances: empty seed set")
+        # empty-in/empty-out: dynamically-computed seed sets may
+        # legitimately come back empty
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
 
     blocks = edges_ds.to_arrow_refs()
     split = [_bfs_split.options(num_returns=width).remote(
@@ -1019,13 +1021,7 @@ def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
         if sum(ray.get([o[1] for o in outs])) == 0:
             break
 
-    @ray.remote
-    def _rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = ray.get([_rows.remote(d) for d in dist_refs])
-    keep = [d for d, c in zip(dist_refs, counts) if c > 0]
-    return rd.from_arrow_refs(keep if keep else dist_refs[:1])
+    return rd.from_arrow_refs(keep_nonempty_ref_tables(dist_refs))
 
 
 def bowtie_structure(edges_ds, nodes_ds, pivot_seeds, *,

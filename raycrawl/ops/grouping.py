@@ -92,8 +92,32 @@ def _part_split(tbl: pa.Table, key_cols: list[str], n_parts: int):
 def _fan(parts: tuple):
     """num_returns=1 quirk guard: Ray treats a 1-tuple return under
     ``num_returns=1`` as ONE object (the tuple itself), so a
-    single-output split must return the bare table."""
+    single-output split must return the bare table. Shared by every
+    width-parameterized split task in the repo (grid shuffle, graph
+    and pagerank task rounds)."""
     return parts[0] if len(parts) == 1 else parts
+
+
+def _aslists(refs, width: int):
+    """Driver-side mate of ``_fan``: with width == 1 each split call
+    returned ONE bare ref — wrap so callers can index ``s[p]``."""
+    return [[r] for r in refs] if width == 1 else refs
+
+
+def keep_nonempty_ref_tables(refs):
+    """Refs-level sibling of ``nonempty_refs``: probe row counts with a
+    tiny remote, keep non-empty table refs (first ref survives as the
+    schema carrier when everything is empty) — the shared epilogue of
+    the static-partition task-round operators."""
+    import ray
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c > 0]
+    return keep if keep else list(refs[:1])
 
 
 @_ray.remote

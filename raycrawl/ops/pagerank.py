@@ -52,16 +52,7 @@ def _np(col) -> np.ndarray:
     return np.asarray(arr, dtype=np.int64)
 
 
-def _aslists(refs, width: int):
-    """Driver-side mate of ``_fan``: with width == 1 each split call
-    returned ONE bare ref — wrap so callers can index ``s[p]``."""
-    return [[r] for r in refs] if width == 1 else refs
-
-
-def _fan(parts: tuple):
-    """num_returns=1 quirk guard: Ray treats a 1-tuple return under
-    ``num_returns=1`` as ONE object, so width-1 splits return bare."""
-    return parts[0] if len(parts) == 1 else parts
+from raycrawl.ops.grouping import _aslists, _fan
 
 
 @ray.remote

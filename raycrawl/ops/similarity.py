@@ -532,7 +532,7 @@ def _topk_with_scores(ds, queries: np.ndarray, k: int,
             for qi, h in best.items()}
 
 
-def _bucketed_topk_with_scores(ds_corpus, anchors_ids, anchors_mat,
+def _bucketed_topk_with_scores(ds_corpus, anchors_mat,
                                 C: np.ndarray, nprobe: int, k: int,
                                 id_col: str, emb_col: str,
                                 n_parts: int | None = None
@@ -638,6 +638,11 @@ def bitext_mine_ivf(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
     probe) candidates cover every cell, so the output PROVABLY equals
     the exact kernel and the brute SQL oracle gates this whole path;
     pruned-probe recall is pinned in tests."""
+    # materialize ONCE: centroid training (init pass + per-iteration
+    # passes over the union) and the two direction passes would
+    # otherwise re-execute each side's upstream read+filter 5+ times
+    ds_a = ds_a.materialize()
+    ds_b = ds_b.materialize()
     rows_a = ds_a.take(max_anchors + 1)
     rows_b = ds_b.take(max_anchors + 1)
     if len(rows_a) > max_anchors or len(rows_b) > max_anchors:
@@ -653,9 +658,9 @@ def bitext_mine_ivf(ds_a, ds_b, k: int = 8, margin_min: float = 1.0,
     if nprobe is None:
         nprobe = C.shape[0]
 
-    top_ab = _bucketed_topk_with_scores(ds_b, a_ids, a_mat, C, nprobe, k,
+    top_ab = _bucketed_topk_with_scores(ds_b, a_mat, C, nprobe, k,
                                         id_col, emb_col)
-    top_ba = _bucketed_topk_with_scores(ds_a, b_ids, b_mat, C, nprobe, k,
+    top_ba = _bucketed_topk_with_scores(ds_a, b_mat, C, nprobe, k,
                                         id_col, emb_col)
     return _margin_pairs(a_ids, b_ids, top_ab, top_ba, k, margin_min)
 

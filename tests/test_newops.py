@@ -4616,6 +4616,14 @@ def test_graph_ops_width_one(ray_session):
          .to_pandas().sort_values("src").reset_index(drop=True))
     assert r.final.tolist() == [3, 3, 3]
     assert r.resolved.tolist() == [1, 1, 1]
+    from raycrawl.ops.graph import triangle_counts
+
+    tri_edges = pa.table({"src": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+                          "dst": pa.array([1, 2, 3, 2, 3, 3], pa.int64())})
+    tri = (triangle_counts(rd.from_arrow(tri_edges).repartition(2),
+                           n_parts=1)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert tri.triangles.tolist() == [3, 3, 3, 3]   # K4
 
 
 def test_group_quantiles_duplicate_heavy_and_null_keys(ray_session):
@@ -4665,3 +4673,23 @@ def test_media_resize_pool_math_and_shape(ray_session):
     want = sum(cells) // 8
     got = out[(out.media_id == 0) & (out.py == 0) & (out.px == 0)].v.iloc[0]
     assert got == want
+
+
+def test_resolve_redirects_duplicate_rows_and_empty_seeds(ray_session):
+    """Regression: duplicate src rows in the redirect log must not
+    leave stale siblings (the map functionalizes to min-dst per src);
+    seed_distances with an empty seed set returns empty, not raises."""
+    from raycrawl.ops.graph import resolve_redirects, seed_distances
+
+    edges = pa.table({
+        "src": pa.array([0, 0, 1, 1, 2], pa.int64()),
+        "dst": pa.array([1, 1, 2, 2, 3], pa.int64())})
+    r = (resolve_redirects(rd.from_arrow(edges).repartition(2), rounds=3)
+         .to_pandas().sort_values("src").reset_index(drop=True))
+    assert r.src.tolist() == [0, 1, 2]          # one row per src
+    assert r.final.tolist() == [3, 3, 3]
+    assert r.resolved.tolist() == [1, 1, 1]
+    d = seed_distances(rd.from_arrow(pa.table({
+        "src": pa.array([0], pa.int64()),
+        "dst": pa.array([1], pa.int64())})), [], max_hops=2)
+    assert d.count() == 0
