@@ -447,36 +447,26 @@ def resolve_redirects(redirects_ds, rounds: int = 6,
         return rd.from_arrow(pa.schema(
             [("src", pa.int64()), ("final", pa.int64()),
              ("resolved", pa.int64())]).empty_table())
-    split = [_bfs_split.options(num_returns=width).remote(
-        width, b, "src", "dst") for b in blocks]
-    if width == 1:
-        split = [[s] for s in split]
+    split = _aslists([_bfs_split.options(num_returns=width).remote(
+        width, b, "src", "dst") for b in blocks], width)
     parts = [_rr_init.remote(width, p, *[s[p] for s in split])
              for p in range(width)]
 
     for _ in range(rounds):
-        q = [_rr_queries.options(num_returns=width).remote(width, parts[p])
-             for p in range(width)]
-        if width == 1:
-            q = [[x] for x in q]
-        a = [_rr_answer.options(num_returns=width).remote(
+        q = _aslists([_rr_queries.options(num_returns=width).remote(
+            width, parts[p]) for p in range(width)], width)
+        a = _aslists([_rr_answer.options(num_returns=width).remote(
             width, parts[p], *[q[i][p] for i in range(width)])
-            for p in range(width)]
-        if width == 1:
-            a = [[x] for x in a]
+            for p in range(width)], width)
         parts = [_rr_apply.remote(parts[p], *[a[i][p] for i in range(width)])
                  for p in range(width)]
 
     # resolved probe: same lookup shape, answers mark unresolved chains
-    q = [_rr_queries.options(num_returns=width).remote(width, parts[p])
-         for p in range(width)]
-    if width == 1:
-        q = [[x] for x in q]
-    a = [_rr_answer.options(num_returns=width).remote(
+    q = _aslists([_rr_queries.options(num_returns=width).remote(
+        width, parts[p]) for p in range(width)], width)
+    a = _aslists([_rr_answer.options(num_returns=width).remote(
         width, parts[p], *[q[i][p] for i in range(width)])
-        for p in range(width)]
-    if width == 1:
-        a = [[x] for x in a]
+        for p in range(width)], width)
     outs = [_rr_finish.remote(parts[p], *[a[i][p] for i in range(width)])
             for p in range(width)]
 
@@ -1001,20 +991,17 @@ def seed_distances(edges_ds, seeds, *, max_hops: int = 8,
             "dist": pa.array([], pa.int64())}))
 
     blocks = edges_ds.to_arrow_refs()
-    split = [_bfs_split.options(num_returns=width).remote(
-        width, b, src_col, dst_col) for b in blocks]
-    if width == 1:
-        split = [[s] for s in split]
+    split = _aslists([_bfs_split.options(num_returns=width).remote(
+        width, b, src_col, dst_col) for b in blocks], width)
     parts = [_bfs_init.remote(width, p, seed_arr, *[s[p] for s in split])
              for p in range(width)]
     edge_refs = [p[0] for p in parts]
     dist_refs = [p[1] for p in parts]
 
     for r in range(max_hops):
-        cand = [_bfs_expand.options(num_returns=width).remote(
-            width, r, edge_refs[p], dist_refs[p]) for p in range(width)]
-        if width == 1:
-            cand = [[c] for c in cand]
+        cand = _aslists([_bfs_expand.options(num_returns=width).remote(
+            width, r, edge_refs[p], dist_refs[p])
+            for p in range(width)], width)
         outs = [_bfs_absorb.remote(r, dist_refs[p], *[c[p] for c in cand])
                 for p in range(width)]
         dist_refs = [o[0] for o in outs]
