@@ -937,6 +937,30 @@ def q_events_lateness(sf_dir: str):
                           allowed_s=3600)
 
 
+def q_events_spikes(sf_dir: str):
+    """Hourly rate-spike screen (ops/windows.rate_spike_report): planted
+    bursts — every 7th click/error event re-emitted at the fixed hour
+    2024-01-10 12:00 — must trip is_spike for those two types while the
+    other three stay at their natural peak/mean ratios."""
+    from raycrawl.ops.windows import rate_spike_report
+
+    burst_ts = np.datetime64("2024-01-10T12:00:00", "us")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch["event_id"], np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        keep = (eid % 7 == 0) & ((et == "click") | (et == "error"))
+        extra = pa.table({
+            "event_type": pa.array(et[keep].tolist(), pa.string()),
+            "ts": pa.array([burst_ts] * int(keep.sum()),
+                           pa.timestamp("us"))})
+        return pa.concat_tables([batch.select(["event_type", "ts"]),
+                                 extra])
+
+    ds = _read_ds(sf_dir, "events", ["event_id", "event_type", "ts"])
+    return rate_spike_report(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention triangle (ops/windows.cohort_retention): cohort =
     each user's first active day, cells = distinct users active again
@@ -4289,6 +4313,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": q_lang_fertility,
         "inline_ngram_dedup": q_inline_ngram_dedup,
         "capacity_plan": q_capacity_plan,
+        "events_spikes": q_events_spikes,
         "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
@@ -6778,6 +6803,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nt) AS BIGINT) AS n_tokens,
                    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
             FROM k GROUP BY doc_id
+        """,
+        # events_spikes: planted burst restated; peak tie -> earliest
+        # hour; HUGEINT clears the ppm product at scale
+        "events_spikes": """
+            WITH ev AS (
+                SELECT event_type, ts FROM events
+                UNION ALL
+                SELECT event_type, TIMESTAMP '2024-01-10 12:00:00'
+                FROM events
+                WHERE event_id % 7 = 0
+                  AND event_type IN ('click', 'error')
+            ),
+            h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM ev GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_hours,
+                       CAST(SUM(c) AS BIGINT) AS total,
+                       CAST(MAX(c) AS BIGINT) AS mx
+                FROM h GROUP BY 1
+            ),
+            pk AS (
+                SELECT h.event_type, MIN(h.hour_ts) AS peak
+                FROM h JOIN agg a
+                  ON a.event_type = h.event_type AND h.c = a.mx
+                GROUP BY 1
+            )
+            SELECT a.event_type, a.n_hours, a.total,
+                   a.mx AS max_hour_count,
+                   CAST(pk.peak AS VARCHAR) AS peak_hour,
+                   CAST(CAST(1000000 AS HUGEINT) * a.mx * a.n_hours
+                        // a.total AS BIGINT) AS spike_ppm,
+                   CAST(CASE WHEN CAST(1000000 AS HUGEINT) * a.mx
+                                  * a.n_hours // a.total >= 3000000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+            FROM agg a JOIN pk ON pk.event_type = a.event_type
         """,
         # lang_fertility: whitespace string_split convention (empty text
         # counts 1 token), integer-floored ppm ratios

@@ -437,3 +437,63 @@ def event_lateness(ds, allowed_s: int = 3600):
     import ray.data as rd
 
     return rd.from_arrow_refs(out)
+
+
+def rate_spike_report(ds, *, spike_ppm_min: int = 3_000_000):
+    """Per-event-type hourly rate-spike report — the traffic-anomaly
+    screen an event pipeline runs before trusting volume-derived
+    signals (a bot burst or replayed batch shows up as one hour towering
+    over the type's average). Integer-exact: per type, hourly counts
+    reduce from per-batch partials; the report is (event_type, n_hours,
+    total, max_hour_count, peak_hour string, spike_ppm =
+    floor(1e6·max·n_hours/total), is_spike = spike_ppm >=
+    ``spike_ppm_min`` — i.e. the peak hour exceeds `threshold ×` the
+    type's mean hour). Ties on max break by earliest hour.
+
+    Scale shape: ONE Sum groupby over (type, hour) partial counts
+    (fixed-width rows, pre-combined in-batch), then a per-type fold of
+    the SMALL hourly table (types × hours rows) via a second
+    partial/Sum pass — events never cross an exchange."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour_ts"] = df["ts"].dt.floor("1h")
+        g = (df.groupby(["event_type", "hour_ts"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hourly = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "hour_ts"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="string"),
+                "n_hours": pd.Series([], dtype="int64"),
+                "total": pd.Series([], dtype="int64"),
+                "max_hour_count": pd.Series([], dtype="int64"),
+                "peak_hour": pd.Series([], dtype="string"),
+                "spike_ppm": pd.Series([], dtype="int64"),
+                "is_spike": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values(["event_type", "hour_ts"], kind="stable")
+        rows = []
+        for et, g in pdf.groupby("event_type", sort=False):
+            c = g["c"].to_numpy()
+            total = int(c.sum())
+            mx = int(c.max())
+            peak = g["hour_ts"].iloc[int(c.argmax())]  # earliest max
+            ppm = 1_000_000 * mx * len(c) // total
+            rows.append({
+                "event_type": et, "n_hours": int(len(c)),
+                "total": total, "max_hour_count": mx,
+                "peak_hour": str(peak), "spike_ppm": int(ppm),
+                "is_spike": int(ppm >= spike_ppm_min)})
+        return pd.DataFrame(rows)
+
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(hourly, ["event_type"], fold, 8)

@@ -4693,3 +4693,25 @@ def test_resolve_redirects_duplicate_rows_and_empty_seeds(ray_session):
         "src": pa.array([0], pa.int64()),
         "dst": pa.array([1], pa.int64())})), [], max_hops=2)
     assert d.count() == 0
+
+
+def test_rate_spike_report_burst_and_tie(ray_session):
+    from raycrawl.ops.windows import rate_spike_report
+
+    base = np.datetime64("2024-01-01T00:30:00", "us")
+    hr = lambda h: base + h * 3_600_000_000
+    # type A: 1/hour for 10 hours plus 9 extra in hour 3 -> spike 10x/1.9
+    # type B: flat 2/hour for 5 hours -> ratio 1.0, no spike
+    ts = [hr(h) for h in range(10)] + [hr(3)] * 9 \
+        + [hr(h // 2) for h in range(10)]
+    et = ["A"] * 19 + ["B"] * 10
+    t = pa.table({"event_type": pa.array(et, pa.string()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = (rate_spike_report(rd.from_arrow(t).repartition(3))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    a, b = out.iloc[0], out.iloc[1]
+    assert (a.n_hours, a.total, a.max_hour_count) == (10, 19, 10)
+    assert a.spike_ppm == 1_000_000 * 10 * 10 // 19 and a.is_spike == 1
+    assert "03:30" not in a.peak_hour and a.peak_hour.endswith("03:00:00")
+    assert (b.max_hour_count, b.is_spike) == (2, 0)
+    assert b.peak_hour.endswith("00:00:00")  # tie -> earliest hour
