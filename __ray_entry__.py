@@ -937,6 +937,37 @@ def q_events_lateness(sf_dir: str):
                           allowed_s=3600)
 
 
+def q_sitemap_staleness(sf_dir: str):
+    """Sitemap-lastmod vs last-crawl staleness diff
+    (ops/urlstats.sitemap_staleness). Planted: every doc is a sitemap
+    entry (lastmod '2024-01-DD', DD = d%28+1, omitted when d%6==0);
+    only d%4 != 0 entries were ever crawled (crawled_at day =
+    (3d)%28+1). ISO strings compare lexicographically on both sides."""
+    from raycrawl.ops.urlstats import sitemap_staleness
+
+    def sm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "url": pa.array([f"https://s{d % 5}.org/p{d}" for d in ids],
+                            pa.string()),
+            "lastmod": pa.array(
+                ["" if d % 6 == 0 else f"2024-01-{(d % 28) + 1:02d}"
+                 for d in ids], pa.string())})
+
+    def cr(batch: pa.Table) -> pa.Table:
+        ids = [d for d in batch["doc_id"].to_pylist() if d % 4 != 0]
+        return pa.table({
+            "url": pa.array([f"https://s{d % 5}.org/p{d}" for d in ids],
+                            pa.string()),
+            "crawled_at": pa.array(
+                [f"2024-01-{((3 * d) % 28) + 1:02d}" for d in ids],
+                pa.string())})
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id"])
+    return sitemap_staleness(ds.map_batches(sm, batch_format="pyarrow"),
+                             ds.map_batches(cr, batch_format="pyarrow"))
+
+
 def q_events_spikes(sf_dir: str):
     """Hourly rate-spike screen (ops/windows.rate_spike_report): planted
     bursts — every 7th click/error event re-emitted at the fixed hour
@@ -4314,6 +4345,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "inline_ngram_dedup": q_inline_ngram_dedup,
         "capacity_plan": q_capacity_plan,
         "events_spikes": q_events_spikes,
+        "sitemap_staleness": q_sitemap_staleness,
         "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
@@ -6803,6 +6835,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nt) AS BIGINT) AS n_tokens,
                    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
             FROM k GROUP BY doc_id
+        """,
+        # sitemap_staleness: the planted sitemap/crawl tables restated,
+        # staleness = lexicographic ISO compare, omitted lastmod ->
+        # stale_unknown, un-crawled -> never_crawled
+        "sitemap_staleness": """
+            WITH sm AS (
+                SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.org/p' || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 6 = 0 THEN ''
+                            ELSE '2024-01-' || lpad(CAST(doc_id % 28 + 1
+                                 AS VARCHAR), 2, '0') END AS lastmod
+                FROM documents
+            ),
+            cr AS (
+                SELECT 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.org/p' || CAST(doc_id AS VARCHAR) AS url,
+                       '2024-01-' || lpad(CAST((3 * doc_id) % 28 + 1
+                            AS VARCHAR), 2, '0') AS crawled_at
+                FROM documents WHERE doc_id % 4 <> 0
+            )
+            SELECT sm.url, sm.lastmod,
+                   COALESCE(cr.crawled_at, '') AS crawled_at,
+                   CASE WHEN cr.url IS NULL THEN 'never_crawled'
+                        WHEN sm.lastmod = '' THEN 'stale_unknown'
+                        WHEN sm.lastmod > cr.crawled_at THEN 'stale'
+                        ELSE 'fresh' END AS status
+            FROM sm LEFT JOIN cr ON cr.url = sm.url
         """,
         # events_spikes: planted burst restated; peak tie -> earliest
         # hour; HUGEINT clears the ppm product at scale

@@ -235,3 +235,66 @@ def soft404_batch(batch: pa.Table, *, id_col: str = "doc_id",
 import raycrawl as _raycrawl_pkg
 
 _raycrawl_pkg.register_by_value()
+
+
+def sitemap_staleness(sitemap_ds, crawl_ds, *, url_col: str = "url",
+                      lastmod_col: str = "lastmod",
+                      crawled_col: str = "crawled_at",
+                      n_parts: int | None = None):
+    """Push-based recrawl invalidation: which crawled pages does the
+    site ITSELF declare stale? A sitemap ``lastmod`` newer than the
+    page's last crawl is the strongest refresh signal there is — it
+    needs no content fetch and beats any modeled interval
+    (``recrawl.priority``'s change-rate estimates are the pull-based
+    sibling; this is the reference's ``changed_since`` sitemap filter
+    (sources/sitemap.py) turned into an at-rest corpus diff).
+
+    ISO-8601 date strings compare lexicographically, so staleness is a
+    pure string compare — no timestamp parsing, same trick the
+    sitemap source's ``changed_since`` filter uses. An omitted
+    (empty/NULL) lastmod is UNKNOWN: the entry reports
+    ``stale_unknown`` (the conservative refetcher treats it like an
+    etag-less server and refetches on its own schedule). Sitemap
+    entries never crawled report ``never_crawled``.
+
+    Scale shape: both sides project to (url, one date string) in-block
+    before the ONE url-keyed hash join; output one row per sitemap
+    entry: (url, lastmod, crawled_at, status ∈ {fresh, stale,
+    stale_unknown, never_crawled})."""
+    import pyarrow.compute as pc
+
+    from .grouping import resolve_parts
+
+    n_parts = resolve_parts(n_parts)
+
+    def slim_sm(batch: pa.Table) -> pa.Table:
+        lm = batch[lastmod_col].cast(pa.string())
+        return pa.table({"url": batch[url_col].cast(pa.string()),
+                         "lastmod": lm})
+
+    def slim_cr(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch[url_col].cast(pa.string()),
+                         "crawled_at": batch[crawled_col].cast(pa.string())})
+
+    j = (sitemap_ds.map_batches(slim_sm, batch_format="pyarrow")
+         .join(crawl_ds.map_batches(slim_cr, batch_format="pyarrow"),
+               join_type="left_outer", num_partitions=n_parts,
+               on=("url",)))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        lm = batch["lastmod"]
+        ca = batch["crawled_at"]
+        never = pc.is_null(ca)
+        no_lm = pc.or_(pc.is_null(lm), pc.equal(lm, ""))
+        stale = pc.greater(lm, ca)          # ISO strings: lexicographic
+        status = pc.if_else(
+            never, "never_crawled",
+            pc.if_else(no_lm, "stale_unknown",
+                       pc.if_else(stale, "stale", "fresh")))
+        return pa.table({
+            "url": batch["url"],
+            "lastmod": pc.if_else(pc.is_null(lm), "", lm),
+            "crawled_at": pc.if_else(pc.is_null(ca), "", ca),
+            "status": status})
+
+    return j.map_batches(classify, batch_format="pyarrow")

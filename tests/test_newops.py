@@ -4715,3 +4715,24 @@ def test_rate_spike_report_burst_and_tie(ray_session):
     assert "03:30" not in a.peak_hour and a.peak_hour.endswith("03:00:00")
     assert (b.max_hour_count, b.is_spike) == (2, 0)
     assert b.peak_hour.endswith("00:00:00")  # tie -> earliest hour
+
+
+def test_sitemap_staleness_states(ray_session):
+    from raycrawl.ops.urlstats import sitemap_staleness
+
+    sm = pa.table({
+        "url": pa.array(["u1", "u2", "u3", "u4"], pa.string()),
+        "lastmod": pa.array(["2024-02-01", "2024-01-01", "",
+                             "2024-03-01"], pa.string())})
+    cr = pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "crawled_at": pa.array(["2024-01-15", "2024-01-15",
+                                "2024-01-15"], pa.string())})
+    out = (sitemap_staleness(rd.from_arrow(sm).repartition(2),
+                             rd.from_arrow(cr).repartition(2))
+           .to_pandas().set_index("url"))
+    assert out.loc["u1"].status == "stale"          # lastmod newer
+    assert out.loc["u2"].status == "fresh"
+    assert out.loc["u3"].status == "stale_unknown"  # omitted lastmod
+    assert out.loc["u4"].status == "never_crawled"
+    assert out.loc["u4"].crawled_at == ""
