@@ -937,6 +937,38 @@ def q_events_lateness(sf_dir: str):
                           allowed_s=3600)
 
 
+def q_domain_shift(sf_dir: str):
+    """Cross-corpus bigram novelty (ops/textstats.bigram_coverage with
+    train_ds — the CCNet train-on-reference/score-on-crawl shape): the
+    LM trains on the EVEN-doc_id half (original text) and scores every
+    doc; odd docs are planted out-of-domain by suffixing every token
+    with '~' (novel vocabulary -> every bigram unknown), so their
+    known_ppm collapses to 0 while even docs stay high."""
+    from raycrawl.ops.textstats import bigram_coverage
+
+    def score_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [" ".join(w + "~" for w in (t or "").split(" "))
+               if d % 2 == 1 else (t or "")
+               for d, t in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    def train_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.bit_wise_and(
+            pc.cast(batch["doc_id"], pa.int64()), 1), 0)
+        return batch.filter(keep)
+
+    ds = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_coverage(
+        ds.map_batches(score_side, batch_format="pyarrow"),
+        min_count=2,
+        train_ds=ds.map_batches(train_side, batch_format="pyarrow"))
+
+
 def q_sitemap_staleness(sf_dir: str):
     """Sitemap-lastmod vs last-crawl staleness diff
     (ops/urlstats.sitemap_staleness). Planted: every doc is a sitemap
@@ -4346,6 +4378,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "capacity_plan": q_capacity_plan,
         "events_spikes": q_events_spikes,
         "sitemap_staleness": q_sitemap_staleness,
+        "domain_shift": q_domain_shift,
         "zipf_fit": q_zipf_fit,
         "robots_audit": q_robots_audit,
         "bitext_mine": q_bitext_mine,
@@ -6835,6 +6868,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nt) AS BIGINT) AS n_tokens,
                    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
             FROM k GROUP BY doc_id
+        """,
+        # domain_shift: hot bigrams from the EVEN half (original text),
+        # scoring over all docs with odd docs token-suffixed '~'
+        "domain_shift": """
+            WITH sc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 1
+                            THEN replace(COALESCE(text, ''), ' ', '~ ')
+                                 || '~'
+                            ELSE COALESCE(text, '') END AS text
+                FROM documents
+            ),
+            tr AS (
+                SELECT string_split(COALESCE(text, ''), ' ') AS toks
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            tr_bi AS (
+                SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                      FROM tr)
+            ),
+            hot AS (SELECT bigram FROM tr_bi
+                    GROUP BY bigram HAVING COUNT(*) >= 2),
+            sd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM sc),
+            sc_bi AS (
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks))) AS i
+                      FROM sd)
+            ),
+            per AS (
+                SELECT b.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(CASE WHEN h.bigram IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+                FROM sc_bi b LEFT JOIN hot h USING (bigram)
+                GROUP BY b.doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(per.n_bigrams, 0) AS n_bigrams,
+                   coalesce(per.n_known, 0) AS n_known,
+                   CASE WHEN coalesce(per.n_bigrams, 0) > 0
+                        THEN (per.n_known * 1000000) // per.n_bigrams
+                        ELSE 0 END AS known_ppm
+            FROM documents doc LEFT JOIN per USING (doc_id)
         """,
         # sitemap_staleness: the planted sitemap/crawl tables restated,
         # staleness = lexicographic ISO compare, omitted lastmod ->

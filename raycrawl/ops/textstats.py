@@ -625,7 +625,8 @@ def unigram_rarity(ds, max_vocab: int = 5_000_000):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
+def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000,
+                    train_ds=None):
     """KenLM-lite bigram-coverage quality proxy: score each document by
     the fraction of its word bigrams that the corpus LM "knows" (total
     corpus occurrences ≥ ``min_count``). CCNet buckets documents by KenLM
@@ -645,7 +646,13 @@ def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
        PartitionedLookup join) and the doc pass is shuffle-free.
 
     Returns (doc_id, n_bigrams, n_known, known_ppm) — all int64;
-    known_ppm = n_known·10⁶ // n_bigrams (0 for docs with no bigram)."""
+    known_ppm = n_known·10⁶ // n_bigrams (0 for docs with no bigram).
+
+    With ``train_ds`` the bigram table trains on a DIFFERENT corpus and
+    ``ds`` is only scored — the cross-corpus form is the domain-shift /
+    novelty screen (CCNet trains its LM on Wikipedia and scores Common
+    Crawl; same shape): text that the reference corpus has never
+    phrased scores low."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -659,7 +666,8 @@ def bigram_coverage(ds, min_count: int = 2, max_vocab: int = 5_000_000):
         return pa.table({"bigram": pa.array(grams, pa.string()),
                          "n": pa.array([c[g] for g in grams], pa.int64())})
 
-    hot_ds = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+    src = train_ds if train_ds is not None else ds
+    hot_ds = (src.map_batches(bigram_partial, batch_format="pyarrow")
               .groupby("bigram").aggregate(Sum("n", alias_name="n"))
               .filter(lambda r: r["n"] >= min_count))
     rows = hot_ds.take(max_vocab + 1)

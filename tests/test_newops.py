@@ -4736,3 +4736,22 @@ def test_sitemap_staleness_states(ray_session):
     assert out.loc["u3"].status == "stale_unknown"  # omitted lastmod
     assert out.loc["u4"].status == "never_crawled"
     assert out.loc["u4"].crawled_at == ""
+
+
+def test_bigram_coverage_cross_corpus(ray_session):
+    """train_ds variant: score text whose bigrams the train corpus has
+    never phrased -> known_ppm 0; in-domain text stays known."""
+    from raycrawl.ops.textstats import bigram_coverage
+
+    train = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["a b c a b c", "a b c a b"], pa.string())})
+    score = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c", "x y z"], pa.string())})
+    out = (bigram_coverage(rd.from_arrow(score).repartition(2),
+                           min_count=2,
+                           train_ds=rd.from_arrow(train))
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[1].known_ppm == 1_000_000   # both bigrams trained
+    assert out.loc[2].known_ppm == 0           # out-of-domain
