@@ -249,13 +249,20 @@ def sitemap_staleness(sitemap_ds, crawl_ds, *, url_col: str = "url",
     sibling; this is the reference's ``changed_since`` sitemap filter
     (sources/sitemap.py) turned into an at-rest corpus diff).
 
-    ISO-8601 date strings compare lexicographically, so staleness is a
-    pure string compare — no timestamp parsing, same trick the
-    sitemap source's ``changed_since`` filter uses. An omitted
-    (empty/NULL) lastmod is UNKNOWN: the entry reports
+    Date contract: both columns must carry NORMALIZED ISO-8601 strings
+    of the SAME granularity in the SAME (or no) timezone — then
+    lexicographic compare is exact, with no timestamp parsing (the same
+    contract the sitemap source's ``changed_since`` filter documents).
+    Mixed granularities or raw W3C offset forms ("+09:00") must be
+    normalized UPSTREAM (the sitemap source emits what the site wrote);
+    comparing unnormalized strings mis-classifies across offsets. An
+    omitted (empty/NULL) lastmod is UNKNOWN: the entry reports
     ``stale_unknown`` (the conservative refetcher treats it like an
     etag-less server and refetches on its own schedule). Sitemap
-    entries never crawled report ``never_crawled``.
+    entries never crawled report ``never_crawled``. The crawl side is
+    reduced to its LATEST crawl per url before the join, so repeat
+    fetches (recrawl, window re-admission) cannot duplicate report
+    rows.
 
     Scale shape: both sides project to (url, one date string) in-block
     before the ONE url-keyed hash join; output one row per sitemap
@@ -276,9 +283,20 @@ def sitemap_staleness(sitemap_ds, crawl_ds, *, url_col: str = "url",
         return pa.table({"url": batch[url_col].cast(pa.string()),
                          "crawled_at": batch[crawled_col].cast(pa.string())})
 
+    from ray.data.aggregate import Max
+
+    from .grouping import drop_empty_blocks
+
+    # hash aggregates pad with zero-schema empty blocks that Acero's
+    # join rejects — strip them (the repo-wide drop_empty_blocks rule)
+    latest = drop_empty_blocks(
+        crawl_ds.map_batches(slim_cr, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Max("crawled_at", alias_name="crawled_at")),
+        empty_schema=pa.schema([("url", pa.string()),
+                                ("crawled_at", pa.string())]))
     j = (sitemap_ds.map_batches(slim_sm, batch_format="pyarrow")
-         .join(crawl_ds.map_batches(slim_cr, batch_format="pyarrow"),
-               join_type="left_outer", num_partitions=n_parts,
+         .join(latest, join_type="left_outer", num_partitions=n_parts,
                on=("url",)))
 
     def classify(batch: pa.Table) -> pa.Table:

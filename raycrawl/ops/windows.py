@@ -460,6 +460,10 @@ def rate_spike_report(ds, *, spike_ppm_min: int = 3_000_000):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        # rows with a null type or timestamp are EXCLUDED explicitly —
+        # they cannot be bucketed; malformed-event accounting belongs
+        # to a separate quality check, not the anomaly screen
+        df = df[df["event_type"].notna() & df["ts"].notna()]
         df["hour_ts"] = df["ts"].dt.floor("1h")
         g = (df.groupby(["event_type", "hour_ts"], as_index=False)
              .size().rename(columns={"size": "c"}))

@@ -4724,14 +4724,16 @@ def test_sitemap_staleness_states(ray_session):
         "url": pa.array(["u1", "u2", "u3", "u4"], pa.string()),
         "lastmod": pa.array(["2024-02-01", "2024-01-01", "",
                              "2024-03-01"], pa.string())})
+    # u1 crawled TWICE (recrawl) — the report must use the latest
     cr = pa.table({
-        "url": pa.array(["u1", "u2", "u3"], pa.string()),
-        "crawled_at": pa.array(["2024-01-15", "2024-01-15",
+        "url": pa.array(["u1", "u1", "u2", "u3"], pa.string()),
+        "crawled_at": pa.array(["2024-01-15", "2024-01-10", "2024-01-15",
                                 "2024-01-15"], pa.string())})
     out = (sitemap_staleness(rd.from_arrow(sm).repartition(2),
                              rd.from_arrow(cr).repartition(2))
            .to_pandas().set_index("url"))
-    assert out.loc["u1"].status == "stale"          # lastmod newer
+    assert len(out) == 4                            # one row per entry
+    assert out.loc["u1"].status == "stale"          # vs LATEST crawl
     assert out.loc["u2"].status == "fresh"
     assert out.loc["u3"].status == "stale_unknown"  # omitted lastmod
     assert out.loc["u4"].status == "never_crawled"
