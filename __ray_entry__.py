@@ -1359,6 +1359,27 @@ def q_tpch_custdist(sf_dir: str):
         _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
 
 
+def q_tpch_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (ops/relational.product_profit): profit per
+    (supplier nation, order year) for 'widget' parts, with the
+    documented 0.6·retailprice supply-cost stand-in (no partsupp in
+    this schema). Part pre-filters before the first join; three stacked
+    hash joins at the multi-join width; integer cents end to end."""
+    from raycrawl.ops.relational import product_profit
+
+    nation_tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"])
+    return product_profit(
+        _read_ds(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+                  "l_extendedprice", "l_discount"]),
+        _read_ds(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        _read_ds(sf_dir, "part", ["p_partkey", "p_name",
+                                  "p_retailprice"]),
+        _read_ds(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        nation_tbl, name_like="widget")
+
+
 def q_tpch_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape (ops/relational.volume_shipping): revenue flowing
     between the two nations with the most suppliers (count desc,
@@ -4296,6 +4317,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_priority_semi": q_tpch_priority_semi,
         "tpch_promo": q_tpch_promo,
         "tpch_volume_shipping": q_tpch_volume_shipping,
+        "tpch_product_profit": q_tpch_product_profit,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_small_qty": q_tpch_small_qty,
@@ -6868,6 +6890,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nt) AS BIGINT) AS n_tokens,
                    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
             FROM k GROUP BY doc_id
+        """,
+        # tpch_product_profit: Q9 shape with the 0.6-retailprice cost
+        # stand-in; the same _cents rounding both sides
+        "tpch_product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(
+                       CAST(floor(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100 + 0.5)
+                            AS BIGINT)
+                       - CAST(floor(p.p_retailprice * 60 + 0.5)
+                              AS BIGINT)
+                         * CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_name LIKE '%widget%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
         """,
         # domain_shift: hot bigrams from the EVEN half (original text),
         # scoring over all docs with odd docs token-suffixed '~'

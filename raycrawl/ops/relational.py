@@ -1450,3 +1450,112 @@ def small_quantity_revenue(lineitem_ds, part_ds, brand: str,
                      "revenue_cents": pa.array([rev], pa.int64()),
                      "avg_yearly_cents": pa.array([rev // 7], pa.int64())},
                     schema=out_schema)
+
+
+def product_profit(lineitem_ds, orders_ds, part_ds, supplier_ds,
+                   nation_tbl: pa.Table, name_like: str = "widget",
+                   n_parts: int | None = None):
+    """TPC-H Q9 shape (product-type profit): profit per (supplier
+    nation, order year) over parts whose name contains ``name_like``.
+    The schema here has no partsupp, so supply cost is the documented
+    stand-in ``0.6 × p_retailprice`` (unit_cost_cents =
+    floor(60·retail + 0.5)); profit = Σ rev_cents − unit_cost_cents·qty
+    — integer-exact end to end, so the oracle replays it.
+
+    Scale shape (the Q5/Q7 discipline): lineitem projects
+    (orderkey, suppkey, partkey, rev, qty) in-block; part PRE-FILTERS
+    to the name match and carries only (partkey, unit_cost) into the
+    first hash join, so non-matching lineitems drop at the earliest
+    exchange; supplier slims to (suppkey, nation name) with the 25-row
+    nation map broadcast via ``ray.put``; orders carries (orderkey,
+    year). Three stacked joins at the multi-join width; the final
+    aggregate has ≤ nations × years groups. Returns
+    (nation, o_year, profit_cents)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, multi_join_parts
+
+    if n_parts is None:
+        n_parts = multi_join_parts(None)
+    nmap = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                     nation_tbl["n_name"].to_pylist())}
+    nref = ray.put(nmap)
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        rev = _cents(np.asarray(batch["l_extendedprice"], np.float64)
+                     * (1 - np.asarray(batch["l_discount"], np.float64)))
+        qty = np.floor(np.asarray(batch["l_quantity"], np.float64)
+                       + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": batch["l_suppkey"].cast(pa.int64()),
+            "l_partkey": batch["l_partkey"].cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+            "qty": pa.array(qty, pa.int64())})
+
+    def part_slim(batch: pa.Table) -> pa.Table:
+        names = batch["p_name"].to_pylist()
+        keep = np.array([name_like in (nm or "") for nm in names])
+        cost = np.floor(
+            np.asarray(batch["p_retailprice"], np.float64) * 60.0
+            + 0.5).astype(np.int64)
+        return pa.table({
+            "p_partkey": pa.array(
+                np.asarray(batch["p_partkey"], np.int64)[keep], pa.int64()),
+            "unit_cost": pa.array(cost[keep], pa.int64())})
+
+    def sup_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["s_nationkey"], np.int64)
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"].cast(pa.int64()),
+            "nation": pa.array([nn[k] for k in nk.tolist()], pa.string())})
+
+    def ord_slim(batch: pa.Table) -> pa.Table:
+        od = np.asarray(batch["o_orderdate"], "datetime64[us]")
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_year": pa.array(
+                od.astype("datetime64[Y]").astype(np.int64) + 1970,
+                pa.int64())})
+
+    part = drop_empty_blocks(
+        part_ds.map_batches(part_slim, batch_format="pyarrow"),
+        empty_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("unit_cost", pa.int64())]))
+    out_schema = pa.schema([("nation", pa.string()),
+                            ("o_year", pa.int64()),
+                            ("profit_cents", pa.int64())])
+    if part.count() == 0:
+        return out_schema.empty_table()
+    j = (lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+         .join(part, join_type="inner", num_partitions=n_parts,
+               on=("l_partkey",), right_on=("p_partkey",)))
+    j = j.join(supplier_ds.map_batches(sup_slim, batch_format="pyarrow"),
+               join_type="inner", num_partitions=n_parts,
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    j = j.join(orders_ds.map_batches(ord_slim, batch_format="pyarrow"),
+               join_type="inner", num_partitions=n_parts,
+               on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        profit = (np.asarray(batch["rev"], np.int64)
+                  - np.asarray(batch["unit_cost"], np.int64)
+                  * np.asarray(batch["qty"], np.int64))
+        df = pd.DataFrame({
+            "nation": batch["nation"].to_pylist(),
+            "o_year": np.asarray(batch["o_year"], np.int64),
+            "p": profit})
+        g = df.groupby(["nation", "o_year"], as_index=False).agg(
+            p=("p", "sum"))
+        return pa.table({"nation": pa.array(g["nation"], pa.string()),
+                         "o_year": pa.array(g["o_year"].astype("int64")),
+                         "p": pa.array(g["p"].astype("int64"))})
+
+    return (j.map_batches(partials, batch_format="pyarrow")
+            .groupby(["nation", "o_year"])
+            .aggregate(Sum("p", alias_name="profit_cents")))
