@@ -1359,6 +1359,33 @@ def q_tpch_custdist(sf_dir: str):
         _read_ds(sf_dir, "orders", ["o_orderkey", "o_custkey"]))
 
 
+def q_tpch_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (ops/relational.global_sales_opportunity):
+    never-ordered customers of nations {0,5,10,15,20} whose balance
+    beats the subset's positive mean — the mean predicate integer-exact
+    (bal_cents·n_pos > sum_pos_cents), the no-orders test a left_outer
+    null-marker anti join over distinct order custkeys. The synthetic
+    corpus orders nearly every customer, so the anti join runs against
+    a RECENT-window stand-in (orders with o_orderkey % 3 == 0) to keep
+    the never-ordered set non-vacuous — the Q22 selectivity at TPC-H's
+    own customer/orders ratio."""
+    from raycrawl.ops.relational import global_sales_opportunity
+
+    def window(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"], np.int64)
+        return batch.filter(pa.array(ok % 3 == 0)).select(["o_custkey"])
+
+    nation_tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"])
+    return global_sales_opportunity(
+        _read_ds(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _read_ds(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey"]).map_batches(
+            window, batch_format="pyarrow"),
+        nation_tbl)
+
+
 def q_tpch_product_profit(sf_dir: str):
     """TPC-H Q9 shape (ops/relational.product_profit): profit per
     (supplier nation, order year) for 'widget' parts, with the
@@ -4318,6 +4345,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "tpch_promo": q_tpch_promo,
         "tpch_volume_shipping": q_tpch_volume_shipping,
         "tpch_product_profit": q_tpch_product_profit,
+        "tpch_sales_opportunity": q_tpch_sales_opportunity,
         "tpch_market_share": q_tpch_market_share,
         "tpch_top_supplier": q_tpch_top_supplier,
         "tpch_small_qty": q_tpch_small_qty,
@@ -6890,6 +6918,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(nt) AS BIGINT) AS n_tokens,
                    CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
             FROM k GROUP BY doc_id
+        """,
+        # tpch_sales_opportunity: Q22 shape — the positive-mean
+        # predicate restated integer-exactly (cents·n > sum), anti join
+        # via NOT EXISTS
+        "tpch_sales_opportunity": """
+            WITH sub AS (
+                SELECT c_custkey, n.n_name AS nation,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS bal_cents
+                FROM customer c
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+                WHERE c.c_nationkey IN (0, 5, 10, 15, 20)
+            ),
+            pos AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(bal_cents) AS BIGINT) AS s
+                FROM sub WHERE bal_cents > 0
+            )
+            SELECT sub.nation,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(sub.bal_cents) AS BIGINT)
+                       AS totacctbal_cents
+            FROM sub, pos
+            WHERE sub.bal_cents * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = sub.c_custkey
+                                AND o.o_orderkey % 3 = 0)
+            GROUP BY sub.nation
         """,
         # tpch_product_profit: Q9 shape with the 0.6-retailprice cost
         # stand-in; the same _cents rounding both sides

@@ -1559,3 +1559,113 @@ def product_profit(lineitem_ds, orders_ds, part_ds, supplier_ds,
     return (j.map_batches(partials, batch_format="pyarrow")
             .groupby(["nation", "o_year"])
             .aggregate(Sum("p", alias_name="profit_cents")))
+
+
+def global_sales_opportunity(customer_ds, orders_ds, nation_tbl: pa.Table,
+                             nationkeys: tuple = (0, 5, 10, 15, 20),
+                             n_parts: int | None = None):
+    """TPC-H Q22 shape (global sales opportunity): customers of a
+    nation subset with an account balance above the subset's positive
+    mean who have NEVER ordered — count and total balance per nation.
+    The mean predicate is INTEGER-EXACT: ``bal > mean(pos)`` restated
+    as ``bal_cents · n_pos > sum_pos_cents`` (no float average crosses
+    the comparison), so the oracle gates it bit-for-bit.
+
+    Scale shape: pass 1 reduces the subset's positive balances to two
+    scalars (per-batch partials → one Sum aggregate); pass 2 filters
+    candidates in-block with the broadcast scalars; the NO-ORDERS
+    anti join runs as a left_outer hash join against the DISTINCT
+    order custkeys (in-batch unique partials → groupby) with a
+    null-marker filter — the ``sitemap_coverage`` trick, fixed-width
+    rows only. Returns (nation, numcust, totacctbal_cents)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from .grouping import drop_empty_blocks, multi_join_parts
+
+    if n_parts is None:
+        n_parts = multi_join_parts(None)
+    keys = set(int(k) for k in nationkeys)
+    nmap = {nk: nm for nk, nm in zip(nation_tbl["n_nationkey"].to_pylist(),
+                                     nation_tbl["n_name"].to_pylist())
+            if nk in keys}
+    nref = ray.put(nmap)
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nn = ray.get(nref)
+        nk = np.asarray(batch["c_nationkey"], np.int64)
+        keep = np.isin(nk, np.fromiter(nn.keys(), np.int64, len(nn)))
+        cents = _cents(np.asarray(batch["c_acctbal"], np.float64)[keep])
+        return pa.table({
+            "c_custkey": pa.array(
+                np.asarray(batch["c_custkey"], np.int64)[keep], pa.int64()),
+            "nation": pa.array([nn[k] for k in nk[keep].tolist()],
+                               pa.string()),
+            "bal_cents": pa.array(cents, pa.int64())})
+
+    cust = customer_ds.map_batches(
+        cust_slim, batch_format="pyarrow").materialize()
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["bal_cents"], np.int64)
+        pos = c[c > 0]
+        return pa.table({"n": pa.array([len(pos)], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64())})
+
+    agg = (cust.map_batches(pos_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+    n_pos, sum_pos = int(agg["n"] or 0), int(agg["s"] or 0)
+    out_schema = pa.schema([("nation", pa.string()),
+                            ("numcust", pa.int64()),
+                            ("totacctbal_cents", pa.int64())])
+    if n_pos == 0:
+        return out_schema.empty_table()
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["bal_cents"], np.int64)
+        keep = c * n_pos > sum_pos        # bal > mean(pos), integer-exact
+        return batch.filter(pa.array(keep))
+
+    cand = drop_empty_blocks(
+        cust.map_batches(candidates, batch_format="pyarrow"),
+        empty_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("nation", pa.string()),
+                                ("bal_cents", pa.int64())]))
+    if cand.count() == 0:
+        return out_schema.empty_table()
+
+    def okeys(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch["o_custkey"], np.int64))
+        return pa.table({"o_custkey": pa.array(u, pa.int64()),
+                         "has_order": pa.array(np.ones(len(u), np.int64),
+                                               pa.int64())})
+
+    ordered = drop_empty_blocks(
+        orders_ds.map_batches(okeys, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("has_order",
+                                            alias_name="has_order")),
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("has_order", pa.int64())]))
+    j = cand.join(ordered, join_type="left_outer", num_partitions=n_parts,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        no_order = pc.is_null(batch["has_order"])
+        t = batch.filter(no_order)
+        df = pd.DataFrame({"nation": t["nation"].to_pylist(),
+                           "c": 1,
+                           "b": np.asarray(t["bal_cents"], np.int64)})
+        g = df.groupby("nation", as_index=False).agg(c=("c", "sum"),
+                                                     b=("b", "sum"))
+        return pa.table({"nation": pa.array(g["nation"], pa.string()),
+                         "c": pa.array(g["c"].astype("int64")),
+                         "b": pa.array(g["b"].astype("int64"))})
+
+    return (j.map_batches(fold, batch_format="pyarrow")
+            .groupby("nation")
+            .aggregate(Sum("c", alias_name="numcust"),
+                       Sum("b", alias_name="totacctbal_cents")))
