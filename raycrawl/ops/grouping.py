@@ -104,16 +104,19 @@ def _aslists(refs, width: int):
     return [[r] for r in refs] if width == 1 else refs
 
 
+@_ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
 def keep_nonempty_ref_tables(refs):
     """Refs-level sibling of ``nonempty_refs``: probe row counts with a
     tiny remote, keep non-empty table refs (first ref survives as the
     schema carrier when everything is empty) — the shared epilogue of
-    the static-partition task-round operators."""
+    the static-partition task-round operators. ``_nrows`` is a
+    module-level remote so it is exported to workers once, not re-defined
+    (and re-pickled) on every call."""
     import ray
-
-    @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
 
     counts = ray.get([_nrows.remote(r) for r in refs])
     keep = [r for r, c in zip(refs, counts) if c > 0]

@@ -522,6 +522,38 @@ def c4_line_filter_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def gram_compressibility_batch(batch: pa.Table) -> pa.Table:
+    """Distinct-4-gram compressibility proxy — the ORACLE-EXPRESSIBLE
+    primary of the compression-quality family (r5; replaces zlib as the
+    gated metric): repetitive boilerplate has few distinct character
+    4-grams relative to its length, prose has many — the same signal
+    corpus filters read off a deflate ratio, restated as pure counting so
+    DuckDB can replay it exactly (lateral ``range`` → substr 4-grams →
+    count / count-distinct). Emits per doc: character count, total
+    4-grams (= max(n_chars-3, 0)), distinct 4-grams, and
+    distinct_ppm = floor(1e6 · distinct / total) (0 when no grams).
+    The zlib deflate ratio stays available as ``compression_stats_batch``
+    (rows-only: DEFLATE has no SQL restatement)."""
+    texts = batch["text"].to_pylist()
+    n_chars, total, distinct, ppm = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        tg = max(n - 3, 0)
+        dg = len({t[i:i + 4] for i in range(tg)}) if tg else 0
+        n_chars.append(n)
+        total.append(tg)
+        distinct.append(dg)
+        ppm.append(dg * 1_000_000 // tg if tg else 0)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "total_grams": pa.array(total, pa.int64()),
+        "distinct_grams": pa.array(distinct, pa.int64()),
+        "distinct_ppm": pa.array(ppm, pa.int64()),
+    })
+
+
 def compression_stats_batch(batch: pa.Table) -> pa.Table:
     """Compression-ratio quality proxy (entropy stand-in used by several
     published corpus filters: highly repetitive boilerplate compresses far

@@ -432,6 +432,15 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _run_strict(self) -> CrawlResult:
         cfg = self.cfg
+        if cfg.seen_mode == "cuckoo_window":
+            # strict mode is single-epoch (exact reference visit order) and
+            # never rotates the window, so TTL semantics would silently
+            # degrade to grow-only cuckoo — reject instead (ADVICE r4)
+            raise ValueError(
+                "seen_mode='cuckoo_window' requires wave mode: strict mode "
+                "is single-epoch and never advances the sliding window — "
+                "use seen_mode='cuckoo' (identical membership within one "
+                "epoch) or mode='wave'")
         seen = SeenState(cfg.seen_mode,
                          window_epochs=cfg.seen_window_epochs)
         politeness = HostPoliteness(self.robots_bodies, self.site_delays,
@@ -1056,8 +1065,12 @@ def _to_cand_tbl(t: pa.Table, seen, wave: int) -> pa.Table:
     read-only seen probe drops already-queued/visited links HERE (most
     outlinks point back at crawled pages) so the next plan shuffle never
     carries them; safe because the seen set only grows — the authoritative
-    test-and-set still runs at plan-time admission."""
-    if t.num_rows:
+    test-and-set still runs at plan-time admission. In ``cuckoo_window``
+    mode that premise fails (an entry can EXPIRE at the upcoming epoch
+    rotation, so a link dropped at explode time in epoch N might be
+    admissible at plan time in epoch N+1), so the pre-filter is skipped
+    and plan-time admission alone decides (ADVICE r4)."""
+    if t.num_rows and getattr(seen, "mode", "exact") != "cuckoo_window":
         known = seen.contains_many(
             [(s, url_key(u))
              for s, u in zip(t["site"].to_pylist(), t["url"].to_pylist())]

@@ -43,7 +43,11 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.stash: set[bytes] = set()
         self.count = 0
-        self._rng = np.random.default_rng(seed)  # deterministic eviction choices
+        # seed kept for state-tuple compat; eviction choices are derived
+        # from the fingerprint + kick index (no RNG), so `add` is a pure
+        # function of (table state, key) and a checkpoint-restored filter
+        # continues BIT-IDENTICALLY to an uninterrupted run
+        self.seed = seed
 
     @staticmethod
     def _fp_and_index(key: bytes) -> tuple[int, int]:
@@ -67,11 +71,13 @@ class CuckooFilter:
                     row[s] = fp
                     self.count += 1
                     return
-        # evict loop
+        # evict loop — slot choice mixes the in-flight fingerprint with the
+        # kick index (stateless; replaces the former RNG so restores are
+        # bit-identical, ADVICE r4)
         i = i1 if (self.count & 1) == 0 else i2
         cur = fp
-        for _ in range(self.MAX_KICKS):
-            s = int(self._rng.integers(0, 4))
+        for kick in range(self.MAX_KICKS):
+            s = ((cur * 0x5BD1E995) >> 11 ^ kick) & 3
             cur, self.table[i][s] = int(self.table[i][s]), cur
             i = self._alt_index(i, cur)
             row = self.table[i]
@@ -428,6 +434,7 @@ class ShardedSeen:
 
         cls = make_seen_shard_cls()
         self.n = n_shards
+        self.mode = mode  # read by _to_cand_tbl's pre-filter gate
         self.shards = [cls.remote(mode, cuckoo_capacity, window_epochs)
                        for _ in range(n_shards)]
         self._ray = ray

@@ -72,7 +72,7 @@ def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
     a = _canon(_to_pandas(q(SF_DIR)))
     assert len(a) >= 0
     if name in ("crawl_order", "text_langid", "text_fingerprint",
-                "text_compression", "token_distinct_hll"):
+                "text_zlib", "token_distinct_hll"):
         b = _canon(_to_pandas(q(SF_DIR)))
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
