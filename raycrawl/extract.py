@@ -221,10 +221,20 @@ def extract_main_content(dom: Node, site_selector: str | None,
                 best = elem
                 best_len = cur
     if best is None or best_len < 250:
-        # tier 4: largest text element under <body>
+        # tier 4: largest text element under <body>. The reference's lxml
+        # parser SYNTHESIZES html/body around bare tag soup
+        # (crawler.py:1025 tolerance); html.parser does not — so when
+        # <body> is absent fall back to the document root with the same
+        # selection discipline, keeping body-less pages extractable (r5
+        # malformed-HTML hardening).
         body = dom.find("body")
         if body is None:
-            return ""
+            body = dom
+            # lxml parks <title> in the synthesized <head>, outside body
+            # text — drop it so the fallback matches (script/style/iframe
+            # are handled by the boilerplate decompose below)
+            for t in dom.find_all("title"):
+                t.decompose()
         max_len = 0
         target = body
         for elem in body.iter_descendants():

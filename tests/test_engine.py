@@ -536,3 +536,73 @@ def test_wave_cuckoo_window_mode_equals_exact(ray_session):
         d["url"] for d in r_w.docs.to_pylist()
     )
     assert r_exact.visits.num_rows == r_w.visits.num_rows
+
+
+# ---------------------------------------------------------------------------
+# fault-injection resume (r5, VERDICT r4 #4): mid-wave actor death
+# ---------------------------------------------------------------------------
+
+def _kill_pool_on_nth_planner(monkeypatch, pool: str, nth: int):
+    """Arrange for every actor of the seen/politeness shard pool to be
+    ray.kill'ed the ``nth`` time the driver builds a wave planner — i.e.
+    at the START of wave ``nth-1``, after the previous epoch's manifest
+    committed but before any of this wave's tasks run. The wave's plan
+    tasks then hit dead actors mid-flight (RayActorError inside the
+    task), which is exactly the mid-wave crash a real cluster produces
+    when a node dies."""
+    import ray as _ray
+
+    import raycrawl.pipeline as pl
+
+    orig = pl._make_planner
+    calls = {"n": 0}
+
+    def dying(seen, politeness, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == nth:
+            target = seen if pool == "seen" else politeness
+            for sh in target.shards:
+                _ray.kill(sh)
+        return orig(seen, politeness, *a, **kw)
+
+    monkeypatch.setattr(pl, "_make_planner", dying)
+    return calls
+
+
+@pytest.mark.parametrize("pool", ["seen", "politeness"])
+def test_mid_wave_shard_death_then_resume(ray_session, tmp_path, monkeypatch,
+                                          pool):
+    """Kill the whole seen (or politeness) actor pool at the start of
+    wave 2 — after the epoch-2 manifest committed. The run must FAIL (no
+    silent wrong answers), the partial sink must hold only complete
+    epochs, and a fresh engine resuming from the last manifest must end
+    with exactly the uninterrupted run's document set (no lost urls, no
+    double-index) and identical counters."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = scenario("tree")
+    r_full = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                         cfg=CrawlConfig(mode="wave")).run()
+    full_urls = sorted(d["url"] for d in r_full.docs.to_pylist())
+    ck = str(tmp_path / f"ck_{pool}")
+    out = str(tmp_path / f"out_{pool}")
+    _kill_pool_on_nth_planner(monkeypatch, pool, 3)
+    e1 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", checkpoint_dir=ck),
+                     out_dir=out)
+    with pytest.raises(Exception):
+        e1.run()
+    monkeypatch.undo()
+    e2 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", checkpoint_dir=ck),
+                     out_dir=out)
+    r2 = e2.run(resume_from=ck)
+    files = glob.glob(os.path.join(out, "epoch=*", "documents", "*.parquet"))
+    urls = [u for f in files
+            for u in pq.read_table(f, columns=["url"])["url"].to_pylist()]
+    assert sorted(urls) == full_urls          # nothing lost...
+    assert len(urls) == len(set(urls))        # ...nothing indexed twice
+    assert r2.counters == r_full.counters
