@@ -262,6 +262,10 @@ def run_bench() -> dict:
               lambda: em.q_tpch_local_supplier(sf_dir).count())
         timed("cdx_index", lambda: em.q_cdx_index(sf_dir).count())
         timed("link_hits", lambda: em.q_link_hits(sf_dir).count())
+        # r5 addition: the composed incremental-maintenance DAG (diff ->
+        # compact -> signature refresh -> postings merge + summary joins)
+        timed("recrawl_pipeline",
+              lambda: em.q_recrawl_pipeline(sf_dir).count())
 
     crawl_s = timings["crawl_full"]
     visited = (r.visits.num_rows if r.visits.num_rows else

@@ -495,6 +495,11 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                 s1, s2 = sh(x, px), sh(y, py)
                 if len(s1) > len(s2):
                     s1, s2 = s2, s1
+                # size-ratio prefilter (r5): J = |∩|/|∪| ≤ min/max, so a
+                # pair whose size ratio is already below the threshold
+                # can skip the intersection outright — provably lossless
+                if len(s1) < threshold * len(s2):
+                    continue
                 idx = np.searchsorted(s2, s1)
                 idx[idx == len(s2)] = len(s2) - 1
                 inter = int((s2[idx] == s1).sum())

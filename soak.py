@@ -41,6 +41,38 @@ import sys
 import time
 
 
+class ShmSampler:
+    """True peak-plasma sampler: Ray's object store memory-maps into
+    /dev/shm, so tmpfs used-bytes (statvfs, sampled every 0.5 s on a
+    daemon thread) tracks actual plasma allocation — the raylet only
+    logs its 'Object store current usage' line when idle, which misses
+    the peak entirely. Reports peak bytes ABOVE the pre-run baseline."""
+
+    def __init__(self, interval: float = 0.5):
+        import threading
+
+        self.interval = interval
+        self.baseline = self._used()
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    @staticmethod
+    def _used() -> int:
+        st = os.statvfs("/dev/shm")
+        return (st.f_blocks - st.f_bfree) * st.f_frsize
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self.peak = max(self.peak, self._used() - self.baseline)
+
+    def stop(self) -> int:
+        self._stop.set()
+        self._t.join(timeout=2)
+        return max(self.peak, 0)
+
+
 def _telemetry(session_dir: str) -> dict:
     logs = os.path.join(session_dir, "logs")
     peak_gb = 0.0
@@ -97,6 +129,7 @@ def _init_ray():
 
 def phase_crawl() -> dict:
     ray, session_dir, num_cpus = _init_ray()
+    shm = ShmSampler()
     import shutil
     import tempfile
 
@@ -127,17 +160,20 @@ def phase_crawl() -> dict:
         epochs = r.epochs
     finally:
         shutil.rmtree(sink, ignore_errors=True)
+    peak_plasma = shm.stop()
     ray.shutdown()
     time.sleep(2)  # let the raylet flush its final log lines
     return {"wall_s": wall, "pages": visited,
             "pages_per_sec": round(visited / wall, 1),
             "frontier_dequeued": dequeued, "epochs": epochs,
             "replicas": replicas, "num_cpus": num_cpus,
+            "peak_plasma_bytes": peak_plasma,
             **_telemetry(session_dir)}
 
 
 def phase_dedup() -> dict:
     ray, session_dir, num_cpus = _init_ray()
+    shm = ShmSampler()
     import pyarrow as pa
 
     import ray.data as rd
@@ -205,10 +241,12 @@ def phase_dedup() -> dict:
     stages["verify"] = round(time.time() - t0, 2)
 
     wall = round(sum(stages.values()), 2)
+    peak_plasma = shm.stop()
     ray.shutdown()
     time.sleep(2)
     return {"wall_s": wall, "stages": stages, "replicas": R,
             "docs": n_docs, "corpus_bytes": corpus_bytes,
+            "peak_plasma_bytes": peak_plasma,
             "candidate_pairs": n_cands, "est_surviving_pairs": n_est,
             "verified_pairs": n_pairs, "num_cpus": num_cpus,
             "capacity_plan": {
@@ -226,15 +264,18 @@ def phase_dedup() -> dict:
 
 def phase_curation() -> dict:
     ray, session_dir, num_cpus = _init_ray()
+    shm = ShmSampler()
     import __ray_entry__ as em
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t0 = time.time()
     n = em.queries()["curation_pipeline"](sf_dir).count()
     wall = round(time.time() - t0, 1)
+    peak_plasma = shm.stop()
     ray.shutdown()
     time.sleep(2)
     return {"wall_s": wall, "rows": n, "num_cpus": num_cpus,
+            "peak_plasma_bytes": peak_plasma,
             **_telemetry(session_dir)}
 
 
