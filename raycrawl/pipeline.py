@@ -607,6 +607,24 @@ class CrawlEngine:
         if resume_from:
             frontier_tbl, epoch0, counters = self._restore(resume_from, seen, politeness)
             frontier = rd.from_arrow(frontier_tbl) if frontier_tbl.num_rows else None
+            # EXACTLY-ONCE SINK on resume: split tasks write sink chunks
+            # DURING a wave, so a crash mid-wave leaves partial
+            # epoch=<e>/ chunk files for every epoch >= the last
+            # committed manifest (epoch0 = first epoch NOT completed).
+            # The resumed run re-executes those epochs into the same
+            # dirs — drop the partial output first or every re-crawled
+            # url is double-indexed (r5 fault-injection hardening).
+            if self.out_dir and os.path.isdir(self.out_dir):
+                import shutil as _shutil
+                for name in os.listdir(self.out_dir):
+                    if name.startswith("epoch="):
+                        try:
+                            if int(name.split("=", 1)[1]) >= epoch0:
+                                _shutil.rmtree(
+                                    os.path.join(self.out_dir, name),
+                                    ignore_errors=True)
+                        except ValueError:
+                            pass
         else:
             if self.prior_cache_entries:
                 seen.set_cache(self.prior_cache_entries)

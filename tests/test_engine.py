@@ -606,3 +606,48 @@ def test_mid_wave_shard_death_then_resume(ray_session, tmp_path, monkeypatch,
     assert sorted(urls) == full_urls          # nothing lost...
     assert len(urls) == len(set(urls))        # ...nothing indexed twice
     assert r2.counters == r_full.counters
+
+
+def test_partial_epoch_sink_cleaned_on_resume(ray_session, tmp_path,
+                                              monkeypatch):
+    """A crash DURING a wave's split round leaves partial sink chunk
+    files for the epoch the manifest never committed; the resumed run
+    re-executes that epoch into the same ``epoch=<e>/`` dir. Resume must
+    drop the uncommitted epoch's partial output first — otherwise every
+    re-crawled url is double-indexed (exactly-once sink)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = scenario("tree")
+    r_full = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                         cfg=CrawlConfig(mode="wave")).run()
+    full_urls = sorted(d["url"] for d in r_full.docs.to_pylist())
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # crash mid-wave-2 via the shard-death injector (manifest: epoch 2)
+    _kill_pool_on_nth_planner(monkeypatch, "seen", 3)
+    with pytest.raises(Exception):
+        CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                    cfg=CrawlConfig(mode="wave", checkpoint_dir=ck),
+                    out_dir=out).run()
+    monkeypatch.undo()
+    # simulate the half-written wave the kill prevented: copy an earlier
+    # epoch's chunk files into the epoch-2 sink dir (same schema, urls
+    # that WILL be re-crawled by the resumed run)
+    src = sorted(glob.glob(os.path.join(out, "epoch=00000", "documents",
+                                        "*.parquet")))
+    part = os.path.join(out, "epoch=00002", "documents")
+    os.makedirs(part, exist_ok=True)
+    stale = pq.read_table(src[0])
+    pq.write_table(stale, os.path.join(part, "chunk-99999.parquet"))
+    r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", checkpoint_dir=ck),
+                     out_dir=out).run(resume_from=ck)
+    files = glob.glob(os.path.join(out, "epoch=*", "documents", "*.parquet"))
+    urls = [u for f in files
+            for u in pq.read_table(f, columns=["url"])["url"].to_pylist()]
+    assert len(urls) == len(set(urls))        # the stale chunk is gone
+    assert sorted(urls) == full_urls
+    assert r2.counters == r_full.counters
