@@ -54,16 +54,29 @@ def calibrate_extract_rate(n: int) -> float:
     8-vs-32 scaling of any extraction-shaped pipeline is hardware-capped at
     ~0.55. ``scaling_efficiency_vs_hardware`` divides the engine's measured
     speedup by this calibrated ceiling — it isolates the engine's own
-    distributed overhead from host capacity (see BASELINE.md)."""
+    distributed overhead from host capacity (see BASELINE.md).
+
+    Workers are SPAWNED, not forked (r5): the post-run calibration runs
+    while the Ray session is still up, and forking a process that holds
+    live Ray core-worker threads can deadlock the child in the inherited
+    lock state — observed once as a 25-min hang of all 32 calibration
+    workers. Spawn starts clean interpreters (``_cal_work`` imports
+    everything itself). A join timeout + terminate guards the residual
+    risk so a wedged worker can never hang the whole bench."""
     import multiprocessing as mp
 
-    q = mp.Queue()
-    ps = [mp.Process(target=_cal_work, args=(q,)) for _ in range(n)]
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_cal_work, args=(q,)) for _ in range(n)]
     t0 = time.time()
     for p in ps:
         p.start()
     for p in ps:
-        p.join()
+        p.join(timeout=300)
+    for p in ps:
+        if p.is_alive():
+            p.terminate()
+            p.join(timeout=10)
     wall = time.time() - t0
     total_pages = 2000 * n
     return round(total_pages / wall, 1)
