@@ -3924,7 +3924,11 @@ def q_recrawl_pipeline(sf_dir: str):
     e2 = docs.map_batches(epoch2, batch_format="pyarrow")
 
     # stage 1: diff — reused three times below, pin once (fixed-width)
-    diff = epoch_diff(docs, e2).materialize()
+    # multi-join width for EVERY join in this DAG (epoch_diff /
+    # compact_epochs default to one-partition-per-CPU, which is
+    # aggregator-actor-startup bound when joins stack — measured 5.6+6.6 s
+    # of the pipeline's 22 s at width 32 vs width 8 on 32 CPUs)
+    diff = epoch_diff(docs, e2, n_parts=width).materialize()
 
     # stage 2: latest-wins compaction of the two epoch snapshots
     def snap(epoch: int):
@@ -3938,7 +3942,7 @@ def q_recrawl_pipeline(sf_dir: str):
 
     store = docs.map_batches(snap(1), batch_format="pyarrow").union(
         e2.map_batches(snap(2), batch_format="pyarrow"))
-    compacted = compact_epochs(store).materialize()
+    compacted = compact_epochs(store, n_parts=width).materialize()
 
     # stage 3: live corpus = compacted rows the diff says still exist
     live_j = drop_empty_blocks(compacted).join(
