@@ -136,3 +136,31 @@ def test_sharded_window_readmission_after_expiry(ray_session):
     assert s.contains_many([("a", k)]) == [True]
     s.rotate_window()                     # now expired
     assert s.admit_many([("a", k)]) == [True]
+
+
+def test_cuckoo_restore_is_bit_identical_mid_stream():
+    """r5 (ADVICE r4): eviction slot choice is derived from the in-flight
+    fingerprint + kick index (no RNG), so `add` is a pure function of
+    (table state, key) — a filter snapshotted mid-stream and restored
+    must continue BIT-identically to the uninterrupted run, including
+    layout and stash, even under heavy eviction pressure (tiny capacity
+    forces the kick loop constantly)."""
+    import numpy as np
+
+    def key(i):
+        return hashlib.sha1(f"url-{i}".encode()).digest()
+
+    a = CuckooFilter(capacity=256)
+    for i in range(400):          # way past capacity: stash + kicks active
+        a.add(key(i))
+    # snapshot mid-stream the way SeenState.snapshot/restore does
+    nb, table, stash, count = a.n_buckets, a.table.copy(), set(a.stash), a.count
+    b = CuckooFilter(nb * 4)
+    b.table, b.stash, b.count = table, stash, count
+    for i in range(400, 800):     # continue BOTH from the same state
+        a.add(key(i))
+        b.add(key(i))
+    assert np.array_equal(a.table, b.table)   # bit-identical layout
+    assert a.stash == b.stash
+    assert a.count == b.count
+    assert all(a.contains(key(i)) for i in range(800))  # no false negatives
