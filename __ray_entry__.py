@@ -3921,7 +3921,9 @@ def q_recrawl_pipeline(sf_dir: str):
         return pa.table({"doc_id": pa.array(oi, pa.int64()),
                          "text": pa.array(ot, pa.string())})
 
-    e2 = docs.map_batches(epoch2, batch_format="pyarrow")
+    # e2 feeds BOTH the diff and the compaction union — pin it once or
+    # the per-doc Python plant (and the parquet read) execute twice
+    e2 = docs.map_batches(epoch2, batch_format="pyarrow").materialize()
 
     # stage 1: diff — reused three times below, pin once (fixed-width)
     # multi-join width for EVERY join in this DAG (epoch_diff /

@@ -73,11 +73,25 @@ def calibrate_extract_rate(n: int) -> float:
         p.start()
     for p in ps:
         p.join(timeout=300)
+    n_killed = 0
     for p in ps:
         if p.is_alive():
             p.terminate()
             p.join(timeout=10)
+            n_killed += 1
     wall = time.time() - t0
+    if n_killed:
+        # a terminated worker extracted ~nothing and the wall absorbed
+        # the full join timeout — the legacy total/wall formula would
+        # publish an invisibly-wrong rate. Fall back to the sum of the
+        # COMPLETED workers' self-reported rates (each put one float).
+        rates = []
+        while not q.empty():
+            rates.append(q.get_nowait())
+        print(f"calibrate_extract_rate: {n_killed}/{n} workers terminated "
+              f"at timeout; using sum of completed-worker rates",
+              file=sys.stderr)
+        return round(sum(rates), 1)
     total_pages = 2000 * n
     return round(total_pages / wall, 1)
 

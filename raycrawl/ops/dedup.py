@@ -497,8 +497,16 @@ def verify_jaccard_join(pairs_ds, docs_ds, shingle_k: int = 5,
                     s1, s2 = s2, s1
                 # size-ratio prefilter (r5): J = |∩|/|∪| ≤ min/max, so a
                 # pair whose size ratio is already below the threshold
-                # can skip the intersection outright — provably lossless
-                if len(s1) < threshold * len(s2):
+                # can skip the intersection outright. DIVISION form, not
+                # `len(s1) < threshold*len(s2)`: the final keep test is
+                # `inter/union >= threshold` in float, and for the
+                # boundary subset case (inter=|s1|, union=|s2|) the
+                # prefilter must evaluate the exact same correctly-
+                # rounded quotient — the product form's rounding dropped
+                # J == threshold pairs (e.g. τ=0.55, 55/100). Lossless:
+                # rounding is monotone, so J_real ≤ ratio_real implies
+                # fl(J) ≤ fl(ratio) < threshold for every skipped pair.
+                if len(s1) / len(s2) < threshold:
                     continue
                 idx = np.searchsorted(s2, s1)
                 idx[idx == len(s2)] = len(s2) - 1

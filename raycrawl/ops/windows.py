@@ -16,6 +16,22 @@ import pyarrow as pa
 _TS_UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
 
 
+def _floor_div(x, d: int):
+    """Arrow int64 FLOOR division (toward −∞) for positive ``d``.
+    ``pc.divide`` truncates toward zero, which puts pre-1970
+    (negative-epoch) timestamps in the wrong bucket — crawl-derived
+    event streams do contain garbage pre-epoch stamps (bad
+    Last-Modified headers), and the DuckDB oracle's bucket arithmetic
+    floors. q = trunc(x/d); where a nonzero remainder exists and x<0,
+    subtract 1."""
+    import pyarrow.compute as pc
+
+    q = pc.divide(x, d)
+    r = pc.subtract(x, pc.multiply(q, d))
+    adj = pc.and_(pc.not_equal(r, 0), pc.less(x, 0))
+    return pc.if_else(adj, pc.subtract(q, 1), q)
+
+
 def tumbling_agg(ds, window: str = "1h"):
     """Per (event_type, hour) tumbling aggregate: count + value sum.
     Pre-aggregates inside map_batches (one partial row per key per batch)
@@ -33,7 +49,7 @@ def tumbling_agg(ds, window: str = "1h"):
         ts = batch["ts"]
         win = win_ns * _TS_UNIT_PER_S[ts.type.unit] // 1_000_000_000
         ti = ts.cast(pa.int64())
-        bucket = pc.multiply(pc.divide(ti, win), win).cast(ts.type)
+        bucket = pc.multiply(_floor_div(ti, win), win).cast(ts.type)
         t = pa.table({"event_type": batch["event_type"],
                       "bucket_ts": bucket,
                       "value": batch["value"]})
@@ -69,11 +85,11 @@ def hopping_agg(ds, window_s: int = 3600, hop_s: int = 1800):
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"]
         per = _TS_UNIT_PER_S[ts.type.unit]
-        es = pc.divide(ts.cast(pa.int64()), per)
+        es = _floor_div(ts.cast(pa.int64()), per)
         cents = pc.floor(
             pc.add(pc.multiply(batch["value"].cast(pa.float64()), 100.0), 0.5)
         ).cast(pa.int64())
-        base = pc.multiply(pc.divide(es, hop_s), hop_s)
+        base = pc.multiply(_floor_div(es, hop_s), hop_s)
         parts = [
             pa.table({"event_type": batch["event_type"],
                       "win_start": pc.subtract(base, i * hop_s),

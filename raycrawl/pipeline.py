@@ -617,14 +617,29 @@ class CrawlEngine:
             if self.out_dir and os.path.isdir(self.out_dir):
                 import shutil as _shutil
                 for name in os.listdir(self.out_dir):
-                    if name.startswith("epoch="):
-                        try:
-                            if int(name.split("=", 1)[1]) >= epoch0:
-                                _shutil.rmtree(
-                                    os.path.join(self.out_dir, name),
-                                    ignore_errors=True)
-                        except ValueError:
-                            pass
+                    if not name.startswith("epoch="):
+                        continue
+                    d = os.path.join(self.out_dir, name)
+                    # checkpoint epoch dirs use the SAME epoch=NNNNN
+                    # naming — if out_dir and checkpoint_dir are the
+                    # same path, deleting by name alone would destroy
+                    # the checkpoint just restored. Only remove dirs
+                    # with the SINK layout and no manifest. (Sharing
+                    # out_dir with checkpoint_dir therefore degrades
+                    # exactly-once cleanup: a manifest-bearing dir's
+                    # partial sink chunks are preserved — keep the two
+                    # directories separate in production.)
+                    if os.path.exists(os.path.join(d, "manifest.json")):
+                        continue
+                    if not any(os.path.isdir(os.path.join(d, sub))
+                               for sub in ("documents", "refreshes",
+                                           "visits")):
+                        continue
+                    try:
+                        if int(name.split("=", 1)[1]) >= epoch0:
+                            _shutil.rmtree(d, ignore_errors=True)
+                    except ValueError:
+                        pass
         else:
             if self.prior_cache_entries:
                 seen.set_cache(self.prior_cache_entries)

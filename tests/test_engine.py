@@ -651,3 +651,27 @@ def test_partial_epoch_sink_cleaned_on_resume(ray_session, tmp_path,
     assert len(urls) == len(set(urls))        # the stale chunk is gone
     assert sorted(urls) == full_urls
     assert r2.counters == r_full.counters
+
+
+def test_resume_shared_out_and_checkpoint_dir_preserves_checkpoint(
+        ray_session, tmp_path, monkeypatch):
+    """r5 review fix: checkpoint epoch dirs use the same ``epoch=NNNNN``
+    naming as the sink — when a user points out_dir and checkpoint_dir
+    at the SAME directory, the resume-time sink cleanup must not delete
+    the manifest/seen/frontier snapshots it just restored (it removes
+    only manifest-less dirs with the sink layout)."""
+    s = scenario("tree")
+    r_full = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                         cfg=CrawlConfig(mode="wave")).run()
+    shared = str(tmp_path / "shared")
+    _kill_pool_on_nth_planner(monkeypatch, "seen", 3)
+    with pytest.raises(Exception):
+        CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                    cfg=CrawlConfig(mode="wave", checkpoint_dir=shared),
+                    out_dir=shared).run()
+    monkeypatch.undo()
+    r2 = CrawlEngine(s["pages"], s["seeds"], s["robots"],
+                     cfg=CrawlConfig(mode="wave", checkpoint_dir=shared),
+                     out_dir=shared).run(resume_from=shared)
+    # resume succeeded from the surviving checkpoint, full coverage
+    assert r2.counters == r_full.counters

