@@ -7959,6 +7959,15 @@ def oracle_sql() -> dict[str, str]:
         # provably identical to the quadratic kernel when no shingle
         # bucket exceeds max_df (true at oracle scale), so one oracle
         # gates both
+        # dedup_containment_lsh: the scaled path's df-cap is REPLAYED in
+        # the oracle (r5; the minhash `s.n <= 1000` bucket-guard
+        # discipline): candidates must share >=1 shingle whose document
+        # frequency is within [2, max_df] — a pair whose every common
+        # shingle is hot is invisible to the inverted index BY DESIGN
+        # (first diverges from the uncapped exact kernel at sf0.1, where
+        # stopword-grams exceed df 1000). Verification ppm then counts
+        # the FULL intersection, hot shingles included, exactly like the
+        # engine's re-verify stage.
         "dedup_containment_lsh": """
             WITH n AS (SELECT COUNT(*) AS n FROM documents),
             corpus AS (
@@ -7974,12 +7983,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
                    FROM pos),
+            df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+            cand AS (
+                SELECT DISTINCT s1.doc_id AS src, s2.doc_id AS dst
+                FROM sh s1
+                JOIN df ON df.sh = s1.sh AND df.df BETWEEN 2 AND 1000
+                JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id <> s2.doc_id
+            ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
-                SELECT s1.doc_id AS src, s2.doc_id AS dst, COUNT(*) AS i
-                FROM sh s1 JOIN sh s2
-                    ON s1.sh = s2.sh AND s1.doc_id <> s2.doc_id
-                GROUP BY s1.doc_id, s2.doc_id
+                SELECT c.src, c.dst, COUNT(*) AS i
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.src
+                JOIN sh b ON b.doc_id = c.dst AND b.sh = a.sh
+                GROUP BY c.src, c.dst
             )
             SELECT src, dst, (i * 1000000) // z.sz AS containment_ppm
             FROM inter JOIN sizes z ON inter.src = z.doc_id

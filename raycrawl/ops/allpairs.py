@@ -234,7 +234,16 @@ def cosine_allpairs(ds, tau2_ppm: int = 500_000, id_col: str = "doc_id",
     prefix-filter candidates → global pair unique → integer verify; see
     module docstring for the scale argument. The candidate stage is a
     strict superset of the true pair set (one-sided L2 prefix bound), so
-    the verified output equals the quadratic all-pairs scan exactly."""
+    the verified output equals the quadratic all-pairs scan exactly.
+
+    REGIME NOTE (r5, measured): on a template-vocabulary corpus the
+    moderate-similarity band is dense enough that at sf0.1 (5 000 docs)
+    a hot token reaches prefixes and the ``max_bucket_cost`` guard
+    raises BY DESIGN — the true candidate volume there is genuinely
+    quadratic, and an exact all-pairs join is the wrong tool for that
+    regime (use minhash_dedup / semantic_dedup, or raise the cap /
+    tau knowingly). The guard converts a silent O(n²) blow-up into a
+    loud, parameterized decision."""
     import ray
 
     width = resolve_parts(n_parts)
