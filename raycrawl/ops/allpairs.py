@@ -143,9 +143,17 @@ def emit_prefix_rows(ds, df_ref, tau2_ppm: int, id_col: str = "doc_id",
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
-def _token_candidates(max_bucket_cost: int):
+def _token_candidates(max_bucket_cost: int, on_hot: str = "raise"):
+    """``on_hot``: 'raise' (default — convert a silent O(n²) blow-up into
+    a loud, parameterized decision) or 'allow' (r5 — compute the hot
+    bucket anyway, deduping incrementally per bucket so peak memory is
+    O(max bucket cost + unique pairs), never Σ bucket costs; the knowing
+    escape hatch for corpora whose moderate-similarity band is genuinely
+    dense, where the exact join IS quadratic and the caller wants it)."""
+
     def cand_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b = [], []
+        n_buffered = 0
         for _, g in pdf.groupby("thash", sort=False):
             docs = g["doc"].to_numpy()
             idx_docs = np.unique(docs[g["idx"].to_numpy() == 1])
@@ -153,11 +161,13 @@ def _token_candidates(max_bucket_cost: int):
             if len(idx_docs) == 0 or len(all_docs) < 2:
                 continue
             cost = len(idx_docs) * len(all_docs)
-            if cost > max_bucket_cost:
+            if cost > max_bucket_cost and on_hot == "raise":
                 raise ValueError(
                     f"cosine_allpairs: token bucket cost {cost} > "
                     f"{max_bucket_cost} — a hot token reached a prefix; "
-                    "raise max_bucket_cost or lower tau")
+                    "raise max_bucket_cost, lower tau, or pass "
+                    "on_hot='allow' to compute the quadratic bucket "
+                    "knowingly")
             a = np.repeat(idx_docs, len(all_docs))
             b = np.tile(all_docs, len(idx_docs))
             m = a != b
@@ -165,6 +175,16 @@ def _token_candidates(max_bucket_cost: int):
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             outs_a.append(lo)
             outs_b.append(hi)
+            n_buffered += len(lo)
+            if n_buffered > max_bucket_cost:
+                # fold buffered chunks into one deduped frame so the
+                # working set tracks UNIQUE pairs, not raw emissions
+                df = pd.DataFrame({"a": np.concatenate(outs_a),
+                                   "b": np.concatenate(outs_b)}
+                                  ).drop_duplicates(["a", "b"])
+                outs_a = [df["a"].to_numpy()]
+                outs_b = [df["b"].to_numpy()]
+                n_buffered = len(df)
         if outs_a:
             df = pd.DataFrame({"a": np.concatenate(outs_a),
                                "b": np.concatenate(outs_b)})
@@ -227,7 +247,8 @@ def verify_cosine_pairs(pairs_ds, text_lookup: PartitionedLookup,
 def cosine_allpairs(ds, tau2_ppm: int = 500_000, id_col: str = "doc_id",
                     text_col: str = "text", n_parts: int | None = None,
                     max_vocab: int = 2_000_000,
-                    max_bucket_cost: int = 5_000_000):
+                    max_bucket_cost: int = 5_000_000,
+                    on_hot: str = "raise"):
     """EXACT sparse-cosine similarity join: every unordered pair (a < b)
     with cos²(tf_a, tf_b) ≥ tau2_ppm/10⁶, as (a, b, cos2_ppm).
 
@@ -241,9 +262,11 @@ def cosine_allpairs(ds, tau2_ppm: int = 500_000, id_col: str = "doc_id",
     a hot token reaches prefixes and the ``max_bucket_cost`` guard
     raises BY DESIGN — the true candidate volume there is genuinely
     quadratic, and an exact all-pairs join is the wrong tool for that
-    regime (use minhash_dedup / semantic_dedup, or raise the cap /
-    tau knowingly). The guard converts a silent O(n²) blow-up into a
-    loud, parameterized decision."""
+    regime (use minhash_dedup / semantic_dedup, or pass
+    ``on_hot='allow'`` to compute the quadratic buckets knowingly —
+    verified equal to the DuckDB quadratic oracle at sf0.1). The guard
+    converts a silent O(n²) blow-up into a loud, parameterized
+    decision."""
     import ray
 
     width = resolve_parts(n_parts)
@@ -256,7 +279,8 @@ def cosine_allpairs(ds, tau2_ppm: int = 500_000, id_col: str = "doc_id",
     df_ref = ray.put(_rank_dict(doc_frequencies(base, text_col), max_vocab))
     rows = emit_prefix_rows(base, df_ref, tau2_ppm, id_col, text_col)
     cands = partitioned_apply(rows, ["thash"],
-                              _token_candidates(max_bucket_cost), width)
+                              _token_candidates(max_bucket_cost, on_hot),
+                              width)
     uniq = partitioned_apply(
         cands, ["a", "b"], lambda p: p.drop_duplicates(["a", "b"]), width)
     lookup = PartitionedLookup(base, id_col, text_col, width, kind="text")

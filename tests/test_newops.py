@@ -3067,6 +3067,13 @@ def test_cosine_allpairs_hot_token_guard_raises(ray_session):
     with pytest.raises(Exception, match="bucket cost"):
         cosine_allpairs(rd.from_arrow(tbl), tau2_ppm=640_000,
                         n_parts=2, max_bucket_cost=10).materialize()
+    # r5: on_hot='allow' computes the hot bucket knowingly and stays
+    # EXACT — 30 identical docs => C(30,2) pairs at cos²=1e6
+    out = cosine_allpairs(rd.from_arrow(tbl), tau2_ppm=640_000,
+                          n_parts=2, max_bucket_cost=10,
+                          on_hot="allow").to_pandas()
+    assert len(out) == 30 * 29 // 2
+    assert set(out["cos2_ppm"]) == {1_000_000}
 
 
 def test_cluster_split_members_share_split(ray_session):
