@@ -279,8 +279,67 @@ def phase_curation() -> dict:
             **_telemetry(session_dir)}
 
 
+def phase_spill() -> dict:
+    """Spill-survival demonstration: materialize a dataset LARGER than
+    the object store (default ~48 GB vs the ~37 GB store) and run an
+    aggregation over it — the pipeline must complete correctly with the
+    store spilling to disk, never OOM. This is the one scale claim the
+    zero-spill soaks cannot witness ('size batches so the store spills
+    rather than the heap holding rows'). Deterministic synthetic blocks
+    (seeded per index); GRAFT_SPILL_GB overrides the target volume."""
+    ray, session_dir, num_cpus = _init_ray()
+    shm = ShmSampler()
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    target_gb = float(os.environ.get("GRAFT_SPILL_GB", "48"))
+    block_mb = 64
+    n_blocks = int(target_gb * 1024 // block_mb)
+
+    n_rows = 1024
+    blob_len = block_mb * 1024 * 1024 // n_rows  # 64 KiB per row
+
+    def make_block(batch: pa.Table) -> pa.Table:
+        i = int(batch["id"][0].as_py())
+        rng = np.random.default_rng(i)
+        raw = rng.integers(0, 256, size=block_mb * 1024 * 1024,
+                           dtype=np.uint8).tobytes()
+        vals = rng.integers(0, 1 << 40, size=n_rows, dtype=np.int64)
+        return pa.table({
+            "key": pa.array(vals % 64, pa.int64()),
+            "val": pa.array(vals, pa.int64()),
+            "blob": pa.array([raw[j * blob_len:(j + 1) * blob_len]
+                              for j in range(n_rows)], pa.binary()),
+        })
+
+    t0 = time.time()
+    ds = (rd.range(n_blocks, override_num_blocks=n_blocks)
+          .map_batches(make_block, batch_format="pyarrow",
+                       batch_size=None).materialize())
+    mat_s = round(time.time() - t0, 1)
+    size_gb = round(ds.size_bytes() / 2**30, 1)
+    t0 = time.time()
+    agg = (ds.map_batches(
+        lambda b: pa.table({"key": b["key"], "val": b["val"]}),
+        batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("val", alias_name="val")))
+    n_keys = agg.count()
+    agg_s = round(time.time() - t0, 1)
+    peak_plasma = shm.stop()
+    ray.shutdown()
+    time.sleep(2)
+    return {"materialize_s": mat_s, "aggregate_s": agg_s,
+            "dataset_gb": size_gb, "n_blocks": n_blocks,
+            "distinct_keys": n_keys, "num_cpus": num_cpus,
+            "peak_plasma_bytes": peak_plasma,
+            **_telemetry(session_dir)}
+
+
 PHASES = {"crawl": phase_crawl, "dedup": phase_dedup,
-          "curation": phase_curation}
+          "curation": phase_curation, "spill": phase_spill}
 
 
 def main() -> None:
